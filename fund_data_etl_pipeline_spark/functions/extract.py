@@ -1,0 +1,175 @@
+"""Extraction expression library (SURVEY.md §2.3 P1-P16, §2.4 F1-F4).
+
+The reference hand-wrote ~80 near-identical per-platform parser functions
+(~4,500 LoC); the engine replaces them with ~a dozen generic expression
+builders, each compiling to built-in Catalyst expressions (regexp_extract,
+filter/transform/aggregate over the ``lines`` array) — JVM-side, inside
+whole-stage codegen, no Python in the hot path.
+
+Conventions:
+- ``text`` is the full document (lines joined by '\\n'); ``lines`` is
+  ``split(text, '\\n')``.
+- every builder returns a STRING column ('' and no-match both -> NULL);
+  numeric casting/rounding happens later in normalize (N2).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+NUM = r"-?[\d,，]+(?:\.\d+)?"  # tolerant money/shares literal
+CODE6 = r"[0-9A-Za-z]{6}"      # fund codes: 6 chars, leading zeros kept
+
+
+def _s(col: Column | str) -> Column:
+    return F.col(col) if isinstance(col, str) else col
+
+
+def _nn(col: Column) -> Column:
+    """'' -> NULL (regexp_extract returns '' on no match)."""
+    return F.nullif(col, F.lit(""))
+
+
+def spaced(label: str) -> str:
+    """P5 — whitespace-tolerant label pattern for PDF letter-spacing:
+    '基金代码' -> '基\\s*金\\s*代\\s*码' (dividend_extractor.py:551-556)."""
+    return r"\s*".join(label)
+
+
+def label_value(text: Column | str, label: str, value: str = NUM,
+                sep: str = r"\s*[：:]?\s*", tolerate_spacing: bool = False) -> Column:
+    """P1/P2 — first `label<sep>value` occurrence anywhere in the document
+    (`re.search` dividend_extractor.py:48-49; first-matching-line scan
+    :119-133 is equivalent because regexp_extract takes the first match)."""
+    lbl = spaced(label) if tolerate_spacing else label
+    return _nn(F.regexp_extract(_s(text), f"{lbl}{sep}({value})", 1))
+
+
+def next_line_value(text: Column | str, label: str, value: str = NUM,
+                    lookahead: int = 2) -> Column:
+    """P3 — label on line i, value alone on one of lines i+1..i+lookahead
+    (天天 dividend amount, dividend_extractor.py:85-105; 网金
+    purchase_extractor.py:398-406). Implemented as a multi-line regex on
+    the full text — no explode/shuffle needed."""
+    skip = rf"(?:[^\n]*\n){{0,{lookahead - 1}}}?"
+    return _nn(
+        F.regexp_extract(
+            _s(text), rf"(?m){label}[^\n]*\n{skip}[ \t　]*({value})[ \t　]*$", 1
+        )
+    )
+
+
+def box_cell(text: Column | str, label: str, value: str = NUM) -> Column:
+    """P6 — box-drawing table cell: value in the `│`-delimited cell right
+    of the labelled cell (腾元 purchase_confirm_extractor.py:610-656)."""
+    return _nn(
+        F.regexp_extract(_s(text), rf"{label}\s*│\s*({value})\s*(?:│|┃|$)", 1)
+    )
+
+
+def positional_value(lines: Column | str, anchor: str, offset: int) -> Column:
+    """P7 — whitespace-split positional token: on the first line containing
+    ``anchor``, split on whitespace, return the token ``offset`` positions
+    after the anchor token (国信嘉利 dividend_extractor.py:1131-1160)."""
+    line = F.try_element_at(
+        F.filter(_s(lines), lambda l: l.contains(anchor)), F.lit(1)
+    )
+    toks = F.split(F.trim(line), r"\s+")
+    anchor_tok = F.try_element_at(
+        F.filter(toks, lambda t: t.contains(anchor)), F.lit(1)
+    )
+    pos = F.array_position(toks, anchor_tok)
+    return F.when(
+        pos > 0, F.try_element_at(toks, (pos + F.lit(offset)).cast("int"))
+    )
+
+
+def row_table_records(text: Column | str, row_pattern: str) -> Column:
+    """P8/F4 — tabular summary rows -> array of raw row strings, one record
+    per match (证达通 dividend_extractor.py:946-983). Explode downstream."""
+    return F.regexp_extract_all(_s(text), F.lit(row_pattern), 0)
+
+
+def filename_value(filename: Column | str, pattern: str, group: int = 1) -> Column:
+    """P9 — field derived from the file name (国信嘉利 product name
+    dividend_extractor.py:1112-1129)."""
+    return _nn(F.regexp_extract(_s(filename), pattern, group))
+
+
+def candidate_max(text: Column | str, pattern: str = NUM) -> Column:
+    """P12 — collect every candidate number matched by ``pattern``, strip
+    separators, take the max (OCR noise; manual_purchase_apply_extractor.py:
+    216-229). ``pattern`` may carry its own capture group (e.g. a label
+    prefix: ``申请金额[：: ]*([\\d,]+\\.\\d{2})``); otherwise the whole
+    match is the candidate. Returns DOUBLE."""
+    import re as _re
+
+    has_group = _re.search(r"(?<!\\)\((?!\?)", pattern) is not None
+    regexp = pattern if has_group else f"({pattern})"
+    cands = F.regexp_extract_all(_s(text), F.lit(regexp), 1)
+    nums = F.transform(
+        cands, lambda s: F.regexp_replace(s, "[,，]", "").try_cast("double")
+    )
+    return F.array_max(F.filter(nums, lambda x: x.isNotNull()))
+
+
+def section_after(text: Column | str, marker: str) -> Column:
+    """P16 — restrict extraction to the document section after the first
+    line matching ``marker`` (JD forced-redemption page-2 block,
+    redemption_extractor.py:379-459). Returns the tail text ('' -> NULL)."""
+    t = _s(text)
+    idx = F.instr(t, marker)
+    return F.when(idx > 0, t.substr(idx, F.length(t)))
+
+
+def stitched_name(lines: Column | str, start_label: str,
+                  stop_keywords: list[str], max_lookahead: int = 4) -> Column:
+    """P4 — multi-line product-name stitching: take the text after
+    ``start_label`` on its line, then append following lines until one
+    contains a stop keyword, up to ``max_lookahead`` lines (好买
+    dividend_extractor.py:35-46; 平安 :355-381; 和讯 :463-489).
+
+    Pure Catalyst: array_position to find the label line, slice for the
+    lookahead window, aggregate to fold with stop semantics. No UDF.
+    """
+    ls = _s(lines)
+    flags = F.transform(ls, lambda l: l.contains(start_label))
+    idx = F.array_position(flags, F.lit(True))  # 1-based, 0 = not found
+    head = F.regexp_extract(
+        F.coalesce(F.try_element_at(ls, idx.cast("int")), F.lit("")),
+        f"{start_label}[：:]?\\s*(.*)$",
+        1,
+    )
+    window = F.when(
+        idx > 0, F.slice(ls, (idx + 1).cast("int"), max_lookahead)
+    ).otherwise(F.array().cast("array<string>"))
+    stop_re = "|".join(stop_keywords)
+    folded = F.aggregate(
+        window,
+        F.struct(head.alias("acc"), F.lit(False).alias("stopped")),
+        lambda acc, line: F.when(
+            acc.stopped | (F.regexp_count(line, F.lit(stop_re)) > 0),
+            F.struct(acc.acc.alias("acc"), F.lit(True).alias("stopped")),
+        ).otherwise(
+            F.struct(F.concat(acc.acc, F.trim(line)).alias("acc"),
+                     F.lit(False).alias("stopped"))
+        ),
+    )
+    return F.when(idx > 0, F.nullif(F.trim(folded.acc), F.lit("")))
+
+
+def marker_records(text: Column | str, marker_pattern: str) -> Column:
+    """F1/F2/F3 — segment a document into per-record windows at every
+    occurrence of ``marker_pattern`` and return the window texts as an
+    array (盈米 `序号:` blocks dividend_extractor.py:230-257; 联泰
+    `交易信息（X/Y）` :834-876; 腾元 multi-page redemption_extractor.py:
+    769-835). Split keeps text BETWEEN markers; the leading pre-marker
+    chunk is dropped, so element k covers record k."""
+    t = _s(text)
+    parts = F.split(t, marker_pattern)
+    n = F.size(parts)
+    has = F.regexp_count(t, F.lit(marker_pattern)) > 0
+    return F.when(has, F.slice(parts, 2, n - 1)).otherwise(
+        F.array().cast("array<string>")
+    )

@@ -40,10 +40,4 @@ def register(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryF
 
 def load_all() -> None:
     """Import every plan module so registration side effects run."""
-    from . import relational  # noqa: F401
-
-    for mod in ("textops", "dedup", "vectors", "fundetl"):
-        try:
-            __import__(f"{__name__}.{mod}")
-        except ImportError:
-            pass
+    from . import fundetl, relational  # noqa: F401
