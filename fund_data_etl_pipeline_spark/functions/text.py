@@ -1,0 +1,137 @@
+"""Text-analysis expression library (engine extension: training-data
+pipeline operators over the ``documents`` table).
+
+Everything is a Catalyst expression — tokenization, shingling, hashing,
+minhash signatures and simhash are computed per row WITHOUT exploding, so
+the whole feature stage is map-only (no shuffle) and scales linearly.
+
+Cross-engine hash convention: ``H(s) = int(md5(s)[:8], 16)`` — Spark
+``conv(substr(md5(s),1,8),16,10)``, DuckDB ``('0x'||substr(md5(s),1,8))::
+BIGINT`` — so every hashed operator has an exact DuckDB oracle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+HASH_P = 1_000_000_007
+# fixed odd multipliers/offsets for the 16 minhash permutations
+MINHASH_A = [2, 3, 5, 7, 11, 13, 17, 19, 23, 29, 31, 37, 41, 43, 47, 53]
+MINHASH_B = [101, 211, 307, 401, 503, 601, 701, 809, 907, 1009,
+             1103, 1201, 1301, 1409, 1499, 1601]
+MINHASH_BANDS = 4          # 4 bands x 4 rows
+MINHASH_ROWS_PER_BAND = 4
+SIMHASH_BITS = 32
+
+STOPWORDS = {
+    "en": ["the", "a", "of", "and", "to"],
+    "de": ["der", "die", "das", "und", "nicht"],
+    "es": ["el", "la", "de", "y", "que"],
+    "fr": ["le", "la", "et", "les", "des"],
+    "zh": ["的", "是", "了", "在", "和"],
+}
+
+
+def _s(col: Column | str) -> Column:
+    return F.col(col) if isinstance(col, str) else col
+
+
+def words(text: Column | str) -> Column:
+    """Whitespace tokenization of lowercased text; empty tokens dropped."""
+    return F.filter(
+        F.split(F.lower(F.trim(_s(text))), r"\s+"), lambda w: w != ""
+    )
+
+
+BPE_TOKEN_RE = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"
+
+
+def bpe_ish_tokens(text: Column | str) -> Column:
+    """BPE-ish pre-tokenization: letter runs, digit runs, single symbols."""
+    return F.regexp_extract_all(_s(text), F.lit(BPE_TOKEN_RE), 0)
+
+
+def word_hash(w: Column) -> Column:
+    """H(s): first 8 md5 hex chars as integer, mod HASH_P."""
+    return F.conv(F.substring(F.md5(w), 1, 8), 16, 10).cast("bigint") % HASH_P
+
+
+def shingles(ws: Column, n: int = 3) -> Column:
+    """Distinct word n-grams (the minhash/jaccard unit). Pure expression:
+    transform over an index sequence, no explode."""
+    idx = F.sequence(F.lit(1), F.greatest(F.size(ws) - (n - 1), F.lit(0)))
+    grams = F.transform(
+        idx,
+        lambda i: F.concat_ws(
+            " ", *[F.element_at(ws, (i + k).cast("int")) for k in range(n)]
+        ),
+    )
+    return F.array_distinct(grams)
+
+
+def minhash_signature(sh: Column) -> list[Column]:
+    """16 minhash values: min over shingles of (a*H(s)+b) mod P. Empty
+    shingle set -> NULLs."""
+    return [
+        F.array_min(
+            F.transform(sh, lambda s: (F.lit(a) * word_hash(s) + F.lit(b)) % HASH_P)
+        ).alias(f"mh{i}")
+        for i, (a, b) in enumerate(zip(MINHASH_A, MINHASH_B))
+    ]
+
+
+def band_key(sig_cols: list[Column], band: int) -> Column:
+    """LSH band key: the band's minhash values joined into one string."""
+    lo = band * MINHASH_ROWS_PER_BAND
+    return F.concat_ws(
+        "-", *[sig_cols[i].cast("string") for i in range(lo, lo + MINHASH_ROWS_PER_BAND)]
+    )
+
+
+def simhash(ws: Column, bits: int = SIMHASH_BITS) -> Column:
+    """SimHash over word hashes: bit b is set when more word-hashes have
+    bit b set than unset. Per-row expression (no shuffle)."""
+    hashes = F.transform(ws, word_hash)
+
+    def bit_vote(b: int) -> Column:
+        ones = F.size(
+            F.filter(hashes, lambda h: h.bitwiseAND(F.lit(1 << b)) != 0)
+        )
+        return F.when(ones * 2 > F.size(hashes), F.lit(1 << b)).otherwise(F.lit(0))
+
+    out = F.lit(0).cast("bigint")
+    for b in range(bits):
+        out = out + bit_vote(b)
+    return out
+
+
+def hamming32(a: Column, b: Column) -> Column:
+    """Hamming distance between two 32-bit simhashes."""
+    x = a.bitwiseXOR(b)
+    return F.bit_count(x)
+
+
+def poly_fingerprint(ws: Column) -> Column:
+    """Position-weighted polynomial fingerprint:
+    sum_i ((i+1) * H(w_i)) mod P — an order-sensitive document hash that
+    the oracle reproduces exactly."""
+    idx = F.sequence(F.lit(1), F.size(ws))
+    terms = F.transform(
+        idx, lambda i: (i.cast("bigint") * word_hash(F.element_at(ws, i.cast("int")))) % HASH_P
+    )
+    return F.coalesce(
+        F.aggregate(terms, F.lit(0).cast("bigint"), lambda acc, t: (acc + t) % HASH_P),
+        F.lit(0).cast("bigint"),
+    )
+
+
+def normalized_md5(text: Column | str) -> Column:
+    """Exact-dedup key: md5 of lowercased, whitespace-collapsed text."""
+    norm = F.regexp_replace(F.lower(F.trim(_s(text))), r"\s+", " ")
+    return F.md5(norm)
+
+
+def stopword_ratio(ws: Column, lang: str) -> Column:
+    hits = F.size(F.filter(ws, lambda w: w.isin(*STOPWORDS[lang])))
+    return F.when(F.size(ws) > 0, hits / F.size(ws)).otherwise(F.lit(0.0))

@@ -1,0 +1,156 @@
+"""Deduplication operators (engine extension: the dedup stage of a
+large-scale training-data pipeline).
+
+Four families, all reusable on any DataFrame with a text column:
+
+- exact        — hash-groupBy on a normalized md5 (one shuffle on a short
+                 key; at 100 TB this is the cheapest possible dedup pass)
+- minhash LSH  — per-row minhash signature (map-only expressions, no
+                 explode), band keys, bucket self-join on (band, key) so
+                 only LSH candidates are verified with the exact Jaccard;
+                 the self-join shuffles ONLY (band, key, doc_id, shingles)
+- ngram Jaccard— exhaustive verification via shingle-explode + equi-join
+                 (the classic inverted-index pairing; at scale add hot-
+                 shingle frequency capping before the join)
+- simhash      — 32-bit per-row signature; near-dup = small Hamming
+                 distance, found by banding the signature bytes
+
+Embedding-cosine near-dup lives in operators/similarity.py.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..functions.numeric import round2
+from ..functions.text import (
+    MINHASH_BANDS,
+    band_key,
+    minhash_signature,
+    normalized_md5,
+    shingles,
+    simhash,
+    words,
+)
+
+
+def exact_dedup(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Exact dedup: every row keyed by normalized-md5; canonical_id is the
+    min id of its group. Output: id, canonical id, group size."""
+    hashed = df.select(
+        F.col(id_col), normalized_md5(F.col(text_col)).alias("content_hash")
+    )
+    groups = hashed.groupBy("content_hash").agg(
+        F.min(id_col).alias("canonical_id"), F.count(F.lit(1)).alias("group_size")
+    )
+    return hashed.join(groups, "content_hash", "inner").select(
+        id_col, "canonical_id", "group_size"
+    )
+
+
+def with_shingle_sets(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id", n: int = 3
+) -> DataFrame:
+    return df.select(
+        F.col(id_col), shingles(words(F.col(text_col)), n).alias("sh")
+    )
+
+
+def _pair_jaccard(cand: DataFrame, sets: DataFrame, id_col: str) -> DataFrame:
+    """Attach exact Jaccard to candidate (d1, d2) pairs."""
+    s1 = sets.select(F.col(id_col).alias("d1"), F.col("sh").alias("sh1"))
+    s2 = sets.select(F.col(id_col).alias("d2"), F.col("sh").alias("sh2"))
+    joined = cand.join(s1, "d1").join(s2, "d2")
+    inter = F.size(F.array_intersect("sh1", "sh2"))
+    union = F.size("sh1") + F.size("sh2") - inter
+    return joined.select(
+        "d1",
+        "d2",
+        round2(
+            F.when(union > 0, inter.cast("double") / union).otherwise(F.lit(0.0)), 6
+        ).alias("jaccard"),
+    )
+
+
+def minhash_lsh_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    threshold: float = 0.8,
+) -> DataFrame:
+    """MinHash + banded LSH near-dup pairs, verified with exact Jaccard.
+
+    Plan shape: map-only signature -> explode 4 band keys/row -> bucket
+    self-join -> distinct candidate pairs -> verify. The only wide ops are
+    the bucket join and the final distinct — both keyed on short strings.
+    """
+    sets = with_shingle_sets(df, text_col, id_col)
+    sig = sets.select(id_col, "sh", *minhash_signature(F.col("sh")))
+    sig_cols = [F.col(f"mh{i}") for i in range(len(minhash_signature(F.col("sh"))))]
+    bands = F.array(
+        *[
+            F.struct(F.lit(b).alias("band"), band_key(sig_cols, b).alias("key"))
+            for b in range(MINHASH_BANDS)
+        ]
+    )
+    banded = sig.select(id_col, F.explode(bands).alias("bk")).select(
+        id_col, F.col("bk.band").alias("band"), F.col("bk.key").alias("key")
+    )
+    left = banded.select(F.col(id_col).alias("d1"), "band", "key")
+    right = banded.select(F.col(id_col).alias("d2"), "band", "key")
+    cand = (
+        left.join(right, ["band", "key"])
+        .filter(F.col("d1") < F.col("d2"))
+        .select("d1", "d2")
+        .distinct()
+    )
+    return _pair_jaccard(cand, sets, id_col).filter(F.col("jaccard") >= threshold)
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    threshold: float = 0.8,
+) -> DataFrame:
+    """Exhaustive n-gram Jaccard near-dup pairs via the inverted-index
+    equi-join: explode shingles, pair docs sharing one, count intersections
+    with a hash aggregation, then inclusion-exclusion for the union."""
+    sets = with_shingle_sets(df, text_col, id_col)
+    inv = sets.select(F.col(id_col), F.explode("sh").alias("s"))
+    sizes = sets.select(F.col(id_col), F.size("sh").alias("n"))
+    a = inv.select(F.col(id_col).alias("d1"), "s")
+    b = inv.select(F.col(id_col).alias("d2"), "s")
+    inter = (
+        a.join(b, "s")
+        .filter(F.col("d1") < F.col("d2"))
+        .groupBy("d1", "d2")
+        .agg(F.count(F.lit(1)).alias("i"))
+    )
+    n1 = sizes.select(F.col(id_col).alias("d1"), F.col("n").alias("n1"))
+    n2 = sizes.select(F.col(id_col).alias("d2"), F.col("n").alias("n2"))
+    return (
+        inter.join(n1, "d1")
+        .join(n2, "d2")
+        .select(
+            "d1",
+            "d2",
+            round2(
+                F.col("i").cast("double") / (F.col("n1") + F.col("n2") - F.col("i")),
+                6,
+            ).alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= threshold)
+    )
+
+
+def simhash_signatures(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Per-document 32-bit SimHash (map-only)."""
+    return df.select(
+        F.col(id_col), simhash(words(F.col(text_col))).alias("simhash")
+    )

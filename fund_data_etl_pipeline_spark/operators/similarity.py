@@ -1,0 +1,160 @@
+"""Vector similarity search over an embedding column (engine extension).
+
+- ``cosine_topk``   — exact brute-force top-k: the correctness baseline.
+  All arithmetic in DOUBLE via zip_with/aggregate expressions (JVM-side,
+  no Python). O(Q x N) — fine for verification scale; at 100 TB use the
+  LSH path.
+- ``rhp_bucket``    — random-hyperplane LSH signature (deterministic
+  hyperplanes derived from md5 parity, so results are reproducible and
+  testable). Bucketing turns ANN into an equi-join on the signature;
+  recall is tested against the brute-force baseline in pytest.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from ..functions.numeric import round2
+from ..functions.text import HASH_P
+
+
+def as_double(vec: Column) -> Column:
+    return F.transform(vec, lambda x: x.cast("double"))
+
+
+def dot(a: Column, b: Column) -> Column:
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
+def norm(a: Column) -> Column:
+    return F.sqrt(dot(a, a))
+
+
+def cosine(a: Column, b: Column) -> Column:
+    return dot(a, b) / (norm(a) * norm(b))
+
+
+def cosine_topk(
+    vectors: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Exact top-k neighbors for each query vector (excluding itself).
+    Ranking key is (rounded cosine DESC, neighbor id) so ties are
+    deterministic across engines."""
+    from pyspark.sql.window import Window as W
+
+    q = queries.select(
+        F.col(id_col).alias("query_id"), as_double(F.col(vec_col)).alias("qv")
+    )
+    v = vectors.select(
+        F.col(id_col).alias("neighbor_id"), as_double(F.col(vec_col)).alias("nv")
+    )
+    scored = (
+        q.crossJoin(v)
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            round2(cosine(F.col("qv"), F.col("nv")), 6).alias("cos_sim"),
+        )
+    )
+    w = W.partitionBy("query_id").orderBy(
+        F.col("cos_sim").desc(), F.col("neighbor_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+    )
+
+
+def rhp_sign(vec: Column, plane: int, dims: int) -> Column:
+    """Sign bit of <v, r_plane> where r_plane[d] = +-1 from the parity of
+    H(plane || '_' || d) — deterministic pseudo-random hyperplanes."""
+    signs = [
+        1 if int(__import__("hashlib").md5(f"{plane}_{d}".encode()).hexdigest()[:8], 16) % 2
+        else -1
+        for d in range(dims)
+    ]
+    proj = F.aggregate(
+        F.zip_with(
+            vec,
+            F.array(*[F.lit(float(s)) for s in signs]),
+            lambda x, r: x * r,
+        ),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+    return F.when(proj >= 0, F.lit(1)).otherwise(F.lit(0))
+
+
+def rhp_bucket(vec: Column, planes: int, dims: int, offset: int = 0) -> Column:
+    """Concatenated sign bits -> LSH bucket key; ``offset`` selects an
+    independent plane family per hash table."""
+    bits = [
+        rhp_sign(vec, offset + p, dims).cast("string") for p in range(planes)
+    ]
+    return F.concat_ws("", *bits)
+
+
+def ann_lsh_topk(
+    vectors: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    planes: int = 4,
+    tables: int = 4,
+    dims: int = 64,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Approximate top-k via multi-table random-hyperplane LSH.
+
+    ``tables`` independent signatures of ``planes`` bits each; a candidate
+    is any vector sharing at least one table's bucket with the query, then
+    exact cosine ranks the candidates. The crossJoin of cosine_topk becomes
+    an equi-join on (table, bucket) — the 100 TB-scale path; recall grows
+    with ``tables``, candidate count shrinks with ``planes``.
+    """
+    from pyspark.sql.window import Window as W
+
+    def with_buckets(df: DataFrame, idn: str, vn: str) -> DataFrame:
+        v = as_double(F.col(vec_col))
+        buckets = F.array(
+            *[
+                F.struct(
+                    F.lit(t).alias("tbl"),
+                    rhp_bucket(v, planes, dims, offset=t * planes).alias("bucket"),
+                )
+                for t in range(tables)
+            ]
+        )
+        return df.select(
+            F.col(id_col).alias(idn), v.alias(vn), F.explode(buckets).alias("tb")
+        ).select(idn, vn, F.col("tb.tbl").alias("tbl"), F.col("tb.bucket").alias("bucket"))
+
+    q = with_buckets(queries, "query_id", "qv")
+    v = with_buckets(vectors, "neighbor_id", "nv")
+    cand = (
+        q.join(v, ["tbl", "bucket"])
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .select("query_id", "qv", "neighbor_id", "nv")
+        .dropDuplicates(["query_id", "neighbor_id"])
+    )
+    scored = cand.select(
+        "query_id",
+        "neighbor_id",
+        round2(cosine(F.col("qv"), F.col("nv")), 6).alias("cos_sim"),
+    )
+    w = W.partitionBy("query_id").orderBy(
+        F.col("cos_sim").desc(), F.col("neighbor_id")
+    )
+    return scored.withColumn("rank", F.row_number().over(w)).filter(
+        F.col("rank") <= k
+    )

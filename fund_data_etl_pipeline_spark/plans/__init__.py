@@ -40,4 +40,4 @@ def register(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryF
 
 def load_all() -> None:
     """Import every plan module so registration side effects run."""
-    from . import fundetl, relational  # noqa: F401
+    from . import dedup, fundetl, relational, textops, vectors  # noqa: F401

@@ -1,0 +1,76 @@
+"""DuckDB SQL fragments mirroring functions/text.py exactly (same hash
+constants, same formulas) so hashed text operators get value-exact oracles."""
+
+from __future__ import annotations
+
+from ..functions.text import (
+    BPE_TOKEN_RE,
+    HASH_P,
+    MINHASH_A,
+    MINHASH_B,
+    MINHASH_BANDS,
+    MINHASH_ROWS_PER_BAND,
+    STOPWORDS,
+)
+
+
+def H(s: str) -> str:
+    """DuckDB version of word_hash()."""
+    return f"((('0x' || substr(md5({s}), 1, 8))::BIGINT) % {HASH_P})"
+
+
+WORDS = "list_filter(string_split_regex(lower(trim(text)), '\\s+'), w -> w <> '')"
+
+SHINGLES = (
+    "list_distinct(list_transform(generate_series(1, greatest(len(w) - 2, 0)),"
+    " i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2]))"
+)
+
+
+def minhash_sql(i: int, sh: str = "sh") -> str:
+    a, b = MINHASH_A[i], MINHASH_B[i]
+    return f"list_min(list_transform({sh}, s -> ({a} * {H('s')} + {b}) % {HASH_P}))"
+
+
+def band_key_sql(band: int, prefix: str = "mh") -> str:
+    lo = band * MINHASH_ROWS_PER_BAND
+    parts = " || '-' || ".join(
+        f"{prefix}{i}::VARCHAR" for i in range(lo, lo + MINHASH_ROWS_PER_BAND)
+    )
+    return f"({parts})"
+
+
+def simhash_sql(bits: int, hashes: str = "hs") -> str:
+    terms = " + ".join(
+        f"(CASE WHEN 2 * len(list_filter({hashes}, h -> (h & {1 << b}) <> 0))"
+        f" > len({hashes}) THEN {1 << b} ELSE 0 END)"
+        for b in range(bits)
+    )
+    return f"({terms})"
+
+
+POLY_FP = (
+    f"COALESCE(list_sum(list_transform(generate_series(1, len(w)),"
+    f" i -> (i * {H('w[i]')}) % {HASH_P})) % {HASH_P}, 0)"
+)
+
+
+def stopword_ratio_sql(lang: str) -> str:
+    lst = ", ".join(f"'{w}'" for w in STOPWORDS[lang])
+    return (
+        f"(CASE WHEN len(w) > 0 THEN"
+        f" len(list_filter(w, x -> x IN ({lst}))) * 1.0 / len(w)"
+        f" ELSE 0.0 END)"
+    )
+
+
+# C-style half-away-from-zero rounding matching functions.numeric.round2
+def round_sql(expr: str, scale: int) -> str:
+    p = float(10**scale)
+    return (
+        f"(SIGN({expr}) * FLOOR(ABS({expr}) * {p} + 0.5) / {p})"
+    )
+
+
+BPE_RE_SQL = BPE_TOKEN_RE.replace("\\", "\\\\") if False else BPE_TOKEN_RE
+NORM_MD5 = "md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'))"

@@ -1,0 +1,154 @@
+"""Dedup queries over the ``documents`` / ``embeddings`` tables, each with
+a value-exact DuckDB oracle (same md5-derived hash constants both sides).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..functions.text import MINHASH_A, MINHASH_BANDS, SIMHASH_BITS
+from ..operators import dedup as D
+from ..operators.similarity import as_double, cosine
+from ..functions.numeric import round2
+from ..sources import load_table
+from . import _sqlgen as G
+from . import register
+
+_JACCARD_T = 0.8
+_COS_T = 0.45
+
+
+@register(
+    "dedup_exact",
+    oracle=f"""
+    WITH h AS (SELECT doc_id, {G.NORM_MD5} AS content_hash FROM documents),
+    g AS (SELECT content_hash, MIN(doc_id) AS canonical_id, COUNT(*) AS group_size
+          FROM h GROUP BY content_hash)
+    SELECT h.doc_id, g.canonical_id, g.group_size
+    FROM h JOIN g USING (content_hash)
+    """,
+)
+def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return D.exact_dedup(load_table(spark, sf_dir, "documents"))
+
+
+def _shingle_cte() -> str:
+    return (
+        f"d AS (SELECT doc_id, {G.WORDS} AS w FROM documents),\n"
+        f"    s AS (SELECT doc_id, {G.SHINGLES} AS sh FROM d)"
+    )
+
+
+_JACCARD_SQL = G.round_sql(
+    "i * 1.0 / (n1 + n2 - i)", 6
+)
+
+
+@register(
+    "dedup_ngram_jaccard",
+    oracle=f"""
+    WITH {_shingle_cte()},
+    inv AS (SELECT doc_id, unnest(sh) AS tok FROM s),
+    sizes AS (SELECT doc_id, len(sh) AS n FROM s),
+    inter AS (
+      SELECT a.doc_id AS d1, b.doc_id AS d2, COUNT(*) AS i
+      FROM inv a JOIN inv b ON a.tok = b.tok AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    )
+    SELECT d1, d2, {_JACCARD_SQL} AS jaccard
+    FROM inter
+    JOIN sizes s1 ON s1.doc_id = d1
+    JOIN sizes s2 ON s2.doc_id = d2
+    CROSS JOIN LATERAL (SELECT s1.n AS n1, s2.n AS n2) _
+    WHERE {_JACCARD_SQL} >= {_JACCARD_T}
+    """,
+)
+def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return D.ngram_jaccard_pairs(
+        load_table(spark, sf_dir, "documents"), threshold=_JACCARD_T
+    )
+
+
+def _minhash_oracle() -> str:
+    sig_exprs = ",\n             ".join(
+        f"{G.minhash_sql(i)} AS mh{i}" for i in range(len(MINHASH_A))
+    )
+    band_selects = "\n      UNION ALL\n      ".join(
+        f"SELECT doc_id, {b} AS band, {G.band_key_sql(b)} AS key FROM sig"
+        for b in range(MINHASH_BANDS)
+    )
+    return f"""
+    WITH {_shingle_cte()},
+    sig AS (SELECT doc_id, sh,
+             {sig_exprs}
+            FROM s),
+    bands AS (
+      {band_selects}
+    ),
+    cand AS (
+      SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2
+      FROM bands a JOIN bands b ON a.band = b.band AND a.key = b.key
+      WHERE a.doc_id < b.doc_id
+    ),
+    verified AS (
+      SELECT d1, d2,
+             len(list_intersect(s1.sh, s2.sh)) AS i,
+             len(s1.sh) AS n1, len(s2.sh) AS n2
+      FROM cand
+      JOIN s s1 ON s1.doc_id = d1
+      JOIN s s2 ON s2.doc_id = d2
+    )
+    SELECT d1, d2, {_JACCARD_SQL} AS jaccard
+    FROM verified
+    WHERE {_JACCARD_SQL} >= {_JACCARD_T}
+    """
+
+
+@register("dedup_minhash_lsh", oracle=_minhash_oracle())
+def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return D.minhash_lsh_pairs(
+        load_table(spark, sf_dir, "documents"), threshold=_JACCARD_T
+    )
+
+
+@register(
+    "dedup_simhash",
+    oracle=f"""
+    SELECT doc_id, {G.simhash_sql(SIMHASH_BITS)} AS simhash
+    FROM (SELECT doc_id, list_transform({G.WORDS}, s -> {G.H('s')}) AS hs
+          FROM documents)
+    """,
+)
+def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return D.simhash_signatures(load_table(spark, sf_dir, "documents"))
+
+
+@register(
+    "dedup_embedding_cosine",
+    oracle=f"""
+    WITH e AS (SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v
+               FROM embeddings)
+    SELECT a.vec_id AS d1, b.vec_id AS d2,
+           {G.round_sql(
+               "list_dot_product(a.v, b.v) /"
+               " (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v)))",
+               6)} AS cos_sim
+    FROM e a JOIN e b ON a.vec_id < b.vec_id
+    WHERE {G.round_sql(
+               "list_dot_product(a.v, b.v) /"
+               " (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v)))",
+               6)} >= {_COS_T}
+    """,
+)
+def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dup pairs (brute-force verify; the LSH-
+    bucketed variant is ann_lsh_topk in plans/vectors.py)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    a = emb.select(F.col("vec_id").alias("d1"), as_double(F.col("embedding")).alias("v1"))
+    b = emb.select(F.col("vec_id").alias("d2"), as_double(F.col("embedding")).alias("v2"))
+    pairs = a.crossJoin(b).filter(F.col("d1") < F.col("d2"))
+    sim = round2(cosine(F.col("v1"), F.col("v2")), 6)
+    return pairs.select("d1", "d2", sim.alias("cos_sim")).filter(
+        F.col("cos_sim") >= _COS_T
+    )

@@ -1,0 +1,191 @@
+"""Text-analysis operators over the ``documents`` table (engine extension:
+the text stage of a large-scale training-data pipeline).
+
+All map-only per-document expressions — no explode, no shuffle — so the
+stage scales linearly with corpus size; the aggregating variants push
+partial aggregation map-side.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..functions.numeric import round2
+from ..functions.text import (
+    BPE_TOKEN_RE,
+    bpe_ish_tokens,
+    normalized_md5,
+    poly_fingerprint,
+    stopword_ratio,
+    words,
+)
+from ..sources import load_table
+from . import _sqlgen as G
+from . import register
+
+# --------------------------------------------------------------------------
+# Token counting (whitespace + BPE-ish regex pre-tokenization)
+# --------------------------------------------------------------------------
+
+
+@register(
+    "text_token_count",
+    oracle=f"""
+    SELECT doc_id,
+           len(w)                                               AS n_ws_tokens,
+           len(regexp_extract_all(text, '{BPE_TOKEN_RE}'))      AS n_bpe_tokens,
+           lang
+    FROM (SELECT doc_id, text, lang, {G.WORDS} AS w FROM documents)
+    """,
+)
+def text_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        F.size(words("text")).alias("n_ws_tokens"),
+        F.size(bpe_ish_tokens("text")).alias("n_bpe_tokens"),
+        "lang",
+    )
+
+
+# --------------------------------------------------------------------------
+# Quality scoring: length / punctuation / stopword signals
+# --------------------------------------------------------------------------
+
+_PUNCT_RE = r"[^A-Za-z0-9\s]"
+
+
+@register(
+    "text_quality",
+    oracle=f"""
+    SELECT doc_id,
+           n_chars,
+           n_words,
+           {G.round_sql("CASE WHEN n_words > 0 THEN char_sum * 1.0 / n_words ELSE 0.0 END", 3)} AS avg_word_len,
+           {G.round_sql("stop_ratio", 6)} AS stop_ratio,
+           {G.round_sql("punct_ratio", 6)} AS punct_ratio,
+           {G.round_sql(
+               "0.5 * stop_ratio + 0.3 * least(n_words / 100.0, 1.0)"
+               " + 0.2 * (1.0 - punct_ratio)", 6)} AS quality_score
+    FROM (
+      SELECT doc_id,
+             length(text) AS n_chars,
+             len(w)       AS n_words,
+             list_sum(list_transform(w, x -> length(x))) AS char_sum,
+             {G.stopword_ratio_sql("en")} AS stop_ratio,
+             CASE WHEN length(text) > 0
+                  THEN len(regexp_extract_all(text, '{_PUNCT_RE}')) * 1.0 / length(text)
+                  ELSE 0.0 END AS punct_ratio
+      FROM (SELECT doc_id, text, {G.WORDS} AS w FROM documents)
+    )
+    """,
+)
+def text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    ws = words("text")
+    n_chars = F.length("text")
+    n_words = F.size(ws)
+    char_sum = F.aggregate(
+        F.transform(ws, F.length), F.lit(0), lambda acc, x: acc + x
+    )
+    stop = stopword_ratio(ws, "en")
+    punct = F.when(
+        n_chars > 0,
+        F.size(F.regexp_extract_all("text", F.lit(_PUNCT_RE), 0)) / n_chars,
+    ).otherwise(F.lit(0.0))
+    return docs.select(
+        "doc_id",
+        n_chars.alias("n_chars"),
+        n_words.alias("n_words"),
+        round2(
+            F.when(n_words > 0, char_sum / n_words).otherwise(F.lit(0.0)), 3
+        ).alias("avg_word_len"),
+        round2(stop, 6).alias("stop_ratio"),
+        round2(punct, 6).alias("punct_ratio"),
+        round2(
+            0.5 * stop
+            + 0.3 * F.least(n_words / F.lit(100.0), F.lit(1.0))
+            + 0.2 * (F.lit(1.0) - punct),
+            6,
+        ).alias("quality_score"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Language ID: stopword-profile n-gram heuristic (deterministic argmax
+# with fixed precedence en > de > es > fr > zh)
+# --------------------------------------------------------------------------
+
+
+@register(
+    "text_lang_id",
+    oracle=f"""
+    SELECT doc_id, lang,
+           {G.round_sql("s_en", 6)} AS s_en,
+           {G.round_sql("s_de", 6)} AS s_de,
+           {G.round_sql("s_es", 6)} AS s_es,
+           {G.round_sql("s_fr", 6)} AS s_fr,
+           {G.round_sql("s_zh", 6)} AS s_zh,
+           CASE
+             WHEN s_en >= s_de AND s_en >= s_es AND s_en >= s_fr AND s_en >= s_zh THEN 'en'
+             WHEN s_de >= s_es AND s_de >= s_fr AND s_de >= s_zh THEN 'de'
+             WHEN s_es >= s_fr AND s_es >= s_zh THEN 'es'
+             WHEN s_fr >= s_zh THEN 'fr'
+             ELSE 'zh'
+           END AS lang_guess
+    FROM (
+      SELECT doc_id, lang,
+             {G.stopword_ratio_sql("en")} AS s_en,
+             {G.stopword_ratio_sql("de")} AS s_de,
+             {G.stopword_ratio_sql("es")} AS s_es,
+             {G.stopword_ratio_sql("fr")} AS s_fr,
+             {G.stopword_ratio_sql("zh")} AS s_zh
+      FROM (SELECT doc_id, lang, {G.WORDS} AS w FROM documents)
+    )
+    """,
+)
+def text_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    ws = words("text")
+    scores = {lang: stopword_ratio(ws, lang) for lang in ("en", "de", "es", "fr", "zh")}
+    s = scores
+    guess = (
+        F.when(
+            (s["en"] >= s["de"]) & (s["en"] >= s["es"]) & (s["en"] >= s["fr"])
+            & (s["en"] >= s["zh"]), "en",
+        )
+        .when((s["de"] >= s["es"]) & (s["de"] >= s["fr"]) & (s["de"] >= s["zh"]), "de")
+        .when((s["es"] >= s["fr"]) & (s["es"] >= s["zh"]), "es")
+        .when(s["fr"] >= s["zh"], "fr")
+        .otherwise("zh")
+    )
+    return docs.select(
+        "doc_id",
+        "lang",
+        *[round2(scores[lang], 6).alias(f"s_{lang}") for lang in ("en", "de", "es", "fr", "zh")],
+        guess.alias("lang_guess"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Document fingerprinting: normalized md5 + position-weighted rolling hash
+# --------------------------------------------------------------------------
+
+
+@register(
+    "text_fingerprint",
+    oracle=f"""
+    SELECT doc_id,
+           {G.NORM_MD5} AS md5_fp,
+           {G.POLY_FP}  AS poly_fp
+    FROM (SELECT doc_id, text, {G.WORDS} AS w FROM documents)
+    """,
+)
+def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        normalized_md5("text").alias("md5_fp"),
+        poly_fingerprint(words("text")).alias("poly_fp"),
+    )
