@@ -72,10 +72,23 @@ def shingles(ws: Column, n: int = 3) -> Column:
 
 def minhash_signature(sh: Column) -> list[Column]:
     """16 minhash values: min over shingles of (a*H(s)+b) mod P. Empty
-    shingle set -> NULLs."""
+    shingle set -> NULLs. Prefer minhash_signature_from_hashes over a
+    pre-hashed column so md5 runs once, not once per permutation."""
     return [
         F.array_min(
             F.transform(sh, lambda s: (F.lit(a) * word_hash(s) + F.lit(b)) % HASH_P)
+        ).alias(f"mh{i}")
+        for i, (a, b) in enumerate(zip(MINHASH_A, MINHASH_B))
+    ]
+
+
+def minhash_signature_from_hashes(hs: Column) -> list[Column]:
+    """Same signature, computed from a pre-hashed ``transform(sh,
+    word_hash)`` column: the md5 cost is paid once instead of once per
+    permutation (16x less hashing in the map stage)."""
+    return [
+        F.array_min(
+            F.transform(hs, lambda h: (F.lit(a) * h + F.lit(b)) % HASH_P)
         ).alias(f"mh{i}")
         for i, (a, b) in enumerate(zip(MINHASH_A, MINHASH_B))
     ]

@@ -25,12 +25,14 @@ from pyspark.sql import functions as F
 
 from ..functions.numeric import round2
 from ..functions.text import (
+    MINHASH_A,
     MINHASH_BANDS,
     band_key,
-    minhash_signature,
+    minhash_signature_from_hashes,
     normalized_md5,
     shingles,
     simhash,
+    word_hash,
     words,
 )
 
@@ -83,31 +85,57 @@ def minhash_lsh_pairs(
 ) -> DataFrame:
     """MinHash + banded LSH near-dup pairs, verified with exact Jaccard.
 
-    Plan shape: map-only signature -> explode 4 band keys/row -> bucket
-    self-join -> distinct candidate pairs -> verify. The only wide ops are
-    the bucket join and the final distinct — both keyed on short strings.
+    Plan shape: ONE map-only pass builds shingles + hashes + the 16-value
+    signature (md5 computed once per shingle, not per permutation); the
+    signature table is persisted so the bucket self-join's two sides read
+    it instead of recomputing the text pipeline. Band keys explode 4
+    rows/doc; candidates come from the (band, key) equi-join carrying the
+    shingle sets, so verification needs no further join. On a cluster at
+    100 TB the persisted signature table becomes a written intermediate
+    (bucketed by band key); everything else is unchanged.
     """
     sets = with_shingle_sets(df, text_col, id_col)
-    sig = sets.select(id_col, "sh", *minhash_signature(F.col("sh")))
-    sig_cols = [F.col(f"mh{i}") for i in range(len(minhash_signature(F.col("sh"))))]
+    hashed = sets.withColumn("hs", F.transform(F.col("sh"), word_hash))
+    sig = hashed.select(
+        id_col, "sh", *minhash_signature_from_hashes(F.col("hs"))
+    )
+    sig_cols = [F.col(f"mh{i}") for i in range(len(MINHASH_A))]
     bands = F.array(
         *[
             F.struct(F.lit(b).alias("band"), band_key(sig_cols, b).alias("key"))
             for b in range(MINHASH_BANDS)
         ]
     )
-    banded = sig.select(id_col, F.explode(bands).alias("bk")).select(
-        id_col, F.col("bk.band").alias("band"), F.col("bk.key").alias("key")
+    banded = (
+        sig.select(id_col, "sh", F.explode(bands).alias("bk"))
+        .select(
+            id_col,
+            "sh",
+            F.col("bk.band").alias("band"),
+            F.col("bk.key").alias("key"),
+        )
+        .persist()
     )
-    left = banded.select(F.col(id_col).alias("d1"), "band", "key")
-    right = banded.select(F.col(id_col).alias("d2"), "band", "key")
+    left = banded.select(
+        F.col(id_col).alias("d1"), F.col("sh").alias("sh1"), "band", "key"
+    )
+    right = banded.select(
+        F.col(id_col).alias("d2"), F.col("sh").alias("sh2"), "band", "key"
+    )
     cand = (
         left.join(right, ["band", "key"])
         .filter(F.col("d1") < F.col("d2"))
-        .select("d1", "d2")
-        .distinct()
+        .dropDuplicates(["d1", "d2"])
     )
-    return _pair_jaccard(cand, sets, id_col).filter(F.col("jaccard") >= threshold)
+    inter = F.size(F.array_intersect("sh1", "sh2"))
+    union = F.size("sh1") + F.size("sh2") - inter
+    return cand.select(
+        "d1",
+        "d2",
+        round2(
+            F.when(union > 0, inter.cast("double") / union).otherwise(F.lit(0.0)), 6
+        ).alias("jaccard"),
+    ).filter(F.col("jaccard") >= threshold)
 
 
 def ngram_jaccard_pairs(

@@ -1,0 +1,133 @@
+"""Multimodal column plumbing (engine extension: image/audio/video as
+opaque ``binary`` columns with typed metadata).
+
+The Spark-side plumbing — schemas, Arrow-batched ``mapInPandas`` operator
+shape, partition sizing — is real and tested; the actual codec calls are
+STUBBED (this container ships no image/audio libraries): ``decode_image``
+raises ``NotImplementedError`` unless ``fake=True``, in which case a
+deterministic md5-derived fake decode stands in so the downstream plumbing
+(feature extraction, resize bookkeeping, frame sampling) is executable and
+assertable.
+
+Scale notes: media blobs make rows wide — the loaders keep
+``spark.sql.files.maxPartitionBytes`` small relative to blob size, and all
+per-row work runs in ``mapInPandas`` so blobs stream through Arrow batches
+without JVM<->Python row churn.
+"""
+
+from __future__ import annotations
+
+import hashlib
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+MEDIA_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType(), False),
+        T.StructField("kind", T.StringType(), False),  # image | audio | video
+        T.StructField("data", T.BinaryType(), True),
+        T.StructField(
+            "meta",
+            T.StructType(
+                [
+                    T.StructField("width", T.IntegerType(), True),
+                    T.StructField("height", T.IntegerType(), True),
+                    T.StructField("channels", T.IntegerType(), True),
+                    T.StructField("sample_rate", T.IntegerType(), True),
+                    T.StructField("fps", T.DoubleType(), True),
+                    T.StructField("n_frames", T.IntegerType(), True),
+                ]
+            ),
+            True,
+        ),
+    ]
+)
+
+IMAGE_FEATURES_SCHEMA = (
+    "media_id long, n_bytes long, sha bytes_md5 string, width int, height int, "
+    "mean_luma double"
+).replace("sha bytes_md5", "bytes_md5")
+
+
+def _fake_decode(data: bytes, width: int, height: int) -> list[int]:
+    """Deterministic stand-in for a pixel decode: md5-keystream bytes."""
+    out: list[int] = []
+    seed = data or b""
+    block = b""
+    counter = 0
+    need = min(width * height, 256)  # bounded: plumbing test, not a codec
+    while len(out) < need:
+        block = hashlib.md5(seed + counter.to_bytes(4, "big")).digest()
+        out.extend(block)
+        counter += 1
+    return out[:need]
+
+
+def decode_image_features(df: DataFrame, fake: bool = False) -> DataFrame:
+    """Image decode + feature extraction as an Arrow-batched mapInPandas
+    operator. Without a codec library this is a clearly-marked stub; with
+    ``fake=True`` a deterministic fake decode exercises the full plumbing
+    (batch iteration, metadata access, schema contract)."""
+
+    def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if not fake:
+                raise NotImplementedError(
+                    "image codec not available in this environment; "
+                    "run with fake=True for plumbing tests"
+                )
+            rows = []
+            for _, r in pdf.iterrows():
+                data = bytes(r["data"]) if r["data"] is not None else b""
+                meta = r["meta"]
+                w = int(meta["width"] or 0) if meta is not None else 0
+                h = int(meta["height"] or 0) if meta is not None else 0
+                pixels = _fake_decode(data, w, h)
+                rows.append(
+                    {
+                        "media_id": r["media_id"],
+                        "n_bytes": len(data),
+                        "bytes_md5": hashlib.md5(data).hexdigest(),
+                        "width": w,
+                        "height": h,
+                        "mean_luma": (sum(pixels) / len(pixels)) if pixels else 0.0,
+                    }
+                )
+            yield pd.DataFrame(rows)
+
+    return df.filter(F.col("kind") == "image").mapInPandas(
+        op, schema=IMAGE_FEATURES_SCHEMA
+    )
+
+
+RESIZE_SCHEMA = "media_id long, out_width int, out_height int, scale double"
+
+
+def resize_plan(df: DataFrame, target: int = 224) -> DataFrame:
+    """Resize bookkeeping (shortest-side -> target, aspect preserved) as a
+    pure expression — the actual pixel resample belongs in the stubbed
+    codec stage."""
+    w = F.col("meta.width").cast("double")
+    h = F.col("meta.height").cast("double")
+    scale = F.lit(float(target)) / F.least(w, h)
+    return df.filter(F.col("kind") == "image").select(
+        "media_id",
+        F.round(w * scale).cast("int").alias("out_width"),
+        F.round(h * scale).cast("int").alias("out_height"),
+        F.round(scale, 6).alias("scale"),
+    )
+
+
+def sample_frames(df: DataFrame, every_n: int = 10) -> DataFrame:
+    """Video frame sampling plan: one output row per sampled frame index —
+    pure sequence+explode, the decode of each frame is the stubbed stage."""
+    n = F.coalesce(F.col("meta.n_frames"), F.lit(0))
+    idx = F.sequence(F.lit(0), F.greatest(n - 1, F.lit(0)), F.lit(every_n))
+    return (
+        df.filter((F.col("kind") == "video") & (n > 0))
+        .select("media_id", F.explode(idx).alias("frame_index"))
+    )

@@ -40,4 +40,12 @@ def register(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryF
 
 def load_all() -> None:
     """Import every plan module so registration side effects run."""
-    from . import dedup, fundetl, relational, textops, vectors  # noqa: F401
+    from . import (  # noqa: F401
+        dedup,
+        fundetl,
+        multimodal,
+        relational,
+        textops,
+        vectors,
+        windows,
+    )

@@ -1,0 +1,78 @@
+"""Structured Streaming file ingestion (engine extension; SURVEY.md §2.12).
+
+The reference is a manually-triggered daily batch over a dated folder tree
+(`<root>/<year>/<YYYYMMDD>/...`, dividend_extractor.py:1265) where new
+statement files appear during the day. The streaming engine models exactly
+that: a file source watching the corpus directory, incremental processing
+with ``Trigger.AvailableNow`` (catch-up-and-stop, the daily-run analogue)
+or continuous micro-batches, checkpointed so every file is processed once.
+
+At scale: the file source lists incrementally, state lives in the
+checkpoint, and the same single-scan extract pipeline (jobs.py) applies
+per micro-batch unchanged — batch/streaming parity is the point of
+Structured Streaming.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..schemas import FUND_DOCUMENTS_SCHEMA
+
+
+def read_document_stream(
+    spark: SparkSession, path: str, fmt: str = "json"
+) -> DataFrame:
+    """Incremental document source over a watched directory."""
+    return (
+        spark.readStream.schema(FUND_DOCUMENTS_SCHEMA)
+        .option("maxFilesPerTrigger", 100)
+        .format(fmt)
+        .load(path)
+    )
+
+
+def stream_dividend_pipeline(docs_stream: DataFrame, dim: DataFrame, run_date: str):
+    """The batch dividend pipeline applied to a stream — same plan, the
+    explode/normalize/broadcast-join stages are all stateless so no
+    watermark is needed until an aggregation is added."""
+    from .. import jobs
+
+    return jobs.dividend_job(docs_stream, dim, run_date)
+
+
+def write_available_now(
+    df: DataFrame, out_path: str, checkpoint: str, fmt: str = "parquet"
+):
+    """Catch-up-and-stop write: processes everything currently in the
+    source (the daily-run analogue), exactly-once via the checkpoint."""
+    return (
+        df.writeStream.format(fmt)
+        .option("path", out_path)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
+def windowed_event_counts(
+    events_stream: DataFrame,
+    window: str = "1 hour",
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Streaming tumbling-window counts with late-data handling: events
+    later than the watermark are dropped, window state is evicted once the
+    watermark passes the window end."""
+    return (
+        events_stream.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", window), F.col("event_type"))
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("value").alias("sum_value"))
+        .select(
+            F.col("window.start").alias("window_start"),
+            F.col("window.end").alias("window_end"),
+            "event_type",
+            "n",
+            "sum_value",
+        )
+    )

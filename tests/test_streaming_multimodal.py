@@ -1,0 +1,143 @@
+"""Structured Streaming file-ingest tests + multimodal plumbing tests."""
+
+from __future__ import annotations
+
+import json
+import os
+import tempfile
+
+import pytest
+from pyspark.sql import functions as F
+
+from fund_data_etl_pipeline_spark.operators.multimodal import (
+    MEDIA_SCHEMA,
+    decode_image_features,
+    resize_plan,
+    sample_frames,
+)
+from fund_data_etl_pipeline_spark.streaming.file_ingest import (
+    read_document_stream,
+    stream_dividend_pipeline,
+    windowed_event_counts,
+    write_available_now,
+)
+from fund_data_etl_pipeline_spark.testing import fixtures as FX
+
+
+def _write_doc_json(dirpath: str, docs, name: str):
+    with open(os.path.join(dirpath, name), "w") as f:
+        for d in docs:
+            f.write(
+                json.dumps(
+                    {"doc_id": d[0], "filename": d[1], "rel_path": d[2], "text": d[3]},
+                    ensure_ascii=False,
+                )
+                + "\n"
+            )
+
+
+def test_stream_dividend_available_now(spark, tmp_path):
+    """File-source stream through the REAL dividend pipeline: results must
+    equal the batch run over the same corpus (batch/streaming parity)."""
+    src = tmp_path / "incoming"
+    out = tmp_path / "out"
+    ckpt = tmp_path / "ckpt"
+    src.mkdir()
+    half = len(FX.DIVIDEND_DOCS) // 2
+    _write_doc_json(str(src), FX.DIVIDEND_DOCS[:half], "day1.json")
+    _write_doc_json(str(src), FX.DIVIDEND_DOCS[half:], "day2.json")
+
+    stream = read_document_stream(spark, str(src))
+    assert stream.isStreaming
+    result = stream_dividend_pipeline(stream, FX.dim_df(spark), FX.RUN_DATE)
+    q = write_available_now(result, str(out), str(ckpt))
+    q.awaitTermination(120)
+
+    got = spark.read.parquet(str(out))
+    assert got.count() == len(FX.EXPECTED_DIVIDEND)
+
+    # exactly-once: a second AvailableNow run over the same files adds nothing
+    q2 = write_available_now(
+        stream_dividend_pipeline(
+            read_document_stream(spark, str(src)), FX.dim_df(spark), FX.RUN_DATE
+        ),
+        str(out),
+        str(ckpt),
+    )
+    q2.awaitTermination(120)
+    assert spark.read.parquet(str(out)).count() == len(FX.EXPECTED_DIVIDEND)
+
+
+def test_streaming_window_with_watermark(spark, tmp_path):
+    src = tmp_path / "events"
+    src.mkdir()
+    rows = [
+        {"ts": "2026-01-15 10:%02d:00" % m, "event_type": "click", "value": 1.0}
+        for m in range(0, 50, 5)
+    ]
+    with open(src / "e.json", "w") as f:
+        for r in rows:
+            f.write(json.dumps(r) + "\n")
+    stream = (
+        spark.readStream.schema("ts timestamp, event_type string, value double")
+        .json(str(src))
+    )
+    agg = windowed_event_counts(stream, window="30 minutes", watermark="1 hour")
+    q = (
+        agg.writeStream.format("memory")
+        .queryName("win_counts")
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {
+        (r["window_start"].isoformat(), r["n"])
+        for r in spark.sql("SELECT * FROM win_counts").collect()
+    }
+    assert ("2026-01-15T10:00:00", 6) in got  # 10:00..10:25
+    assert ("2026-01-15T10:30:00", 4) in got  # 10:30..10:45
+
+
+@pytest.fixture()
+def media_df(spark):
+    rows = [
+        (1, "image", b"imgbytes-1", (64, 48, 3, None, None, None)),
+        (2, "image", b"imgbytes-2", (640, 480, 3, None, None, None)),
+        (3, "audio", b"wavbytes", (None, None, None, 16000, None, None)),
+        (4, "video", b"mp4bytes", (1920, 1080, 3, None, 30.0, 95)),
+    ]
+    return spark.createDataFrame(rows, MEDIA_SCHEMA)
+
+
+def test_decode_image_stub_raises_without_fake(spark, media_df):
+    with pytest.raises(Exception) as e:
+        decode_image_features(media_df, fake=False).collect()
+    assert "NotImplementedError" in str(e.value) or "codec" in str(e.value)
+
+
+def test_decode_image_fake_plumbing(spark, media_df):
+    out = {r["media_id"]: r for r in decode_image_features(media_df, fake=True).collect()}
+    assert set(out) == {1, 2}  # only images pass the kind filter
+    r = out[1]
+    assert r["n_bytes"] == len(b"imgbytes-1")
+    assert r["width"] == 64 and r["height"] == 48
+    assert 0.0 < r["mean_luma"] < 255.0
+    # deterministic: same input -> same features
+    again = {r["media_id"]: r for r in decode_image_features(media_df, fake=True).collect()}
+    assert again[1]["mean_luma"] == r["mean_luma"]
+    assert again[1]["bytes_md5"] == r["bytes_md5"]
+
+
+def test_resize_plan(spark, media_df):
+    out = {r["media_id"]: r for r in resize_plan(media_df, target=224).collect()}
+    assert out[1]["out_height"] == 224  # shortest side 48 -> 224
+    assert out[1]["out_width"] == round(64 * 224 / 48)
+    assert out[2]["out_height"] == 224
+    assert out[2]["out_width"] == round(640 * 224 / 480)
+
+
+def test_sample_frames(spark, media_df):
+    frames = sample_frames(media_df, every_n=10).collect()
+    assert all(r["media_id"] == 4 for r in frames)
+    assert [r["frame_index"] for r in frames] == list(range(0, 95, 10))
