@@ -45,6 +45,7 @@ def load_all() -> None:
         fundetl,
         multimodal,
         relational,
+        relational2,
         textops,
         vectors,
         windows,

@@ -1,0 +1,260 @@
+"""Advanced relational surface: as-of / range joins, skew-salted
+aggregation, set operations, cube & grouping sets, SQL-API correlated
+subqueries. The reference has none of these (SURVEY §2.5/§2.8 notes) —
+they're the engine surface a Spark user expects, proven against DuckDB.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..functions.numeric import round2
+from ..operators.joins import asof_join, salted_agg
+from ..sources import load_table
+from . import register
+
+# --------------------------------------------------------------------------
+# As-of join: for each error event, the user's most recent click at or
+# before it. Oracle uses DuckDB's native ASOF JOIN.
+# --------------------------------------------------------------------------
+
+
+@register(
+    "asof_last_click",
+    oracle="""
+    WITH err AS (SELECT event_id, user_id, ts FROM events WHERE event_type = 'error'),
+    clk AS (SELECT event_id AS click_id, user_id, ts, value AS click_value
+            FROM events WHERE event_type = 'click')
+    SELECT e.event_id, e.user_id,
+           strftime(e.ts, '%Y-%m-%d %H:%M:%S') AS err_ts,
+           c.click_id,
+           ROUND(c.click_value, 2) AS click_value
+    FROM err e
+    ASOF LEFT JOIN clk c ON e.user_id = c.user_id AND e.ts >= c.ts
+    """,
+)
+def asof_last_click(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, sf_dir, "events")
+    err = events.filter(F.col("event_type") == "error").select(
+        "event_id", "user_id", "ts"
+    )
+    clk = events.filter(F.col("event_type") == "click").select(
+        F.col("event_id").alias("click_id"),
+        "user_id",
+        "ts",
+        F.col("value").alias("click_value"),
+    )
+    joined = asof_join(
+        err, clk, on="user_id", left_ts="ts", right_ts="ts",
+        payload=["click_id", "click_value"], suffix="",
+    )
+    return joined.select(
+        "event_id",
+        "user_id",
+        F.date_format("ts", "yyyy-MM-dd HH:mm:ss").alias("err_ts"),
+        "click_id",
+        round2(F.col("click_value"), 2).alias("click_value"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Range join (equi key + date band): lineitems shipped within 90 days of
+# their order date. The equi key keeps the join a hash join; the band is a
+# post-join filter — no O(n^2) range explosion.
+# --------------------------------------------------------------------------
+
+
+@register(
+    "range_join_ship_window",
+    oracle="""
+    SELECT o.o_orderstatus,
+           COUNT(*) AS n_lineitems,
+           ROUND(SUM(l.l_extendedprice), 2) AS sum_price
+    FROM lineitem l
+    JOIN orders o ON l.l_orderkey = o.o_orderkey
+    WHERE l.l_shipdate >= o.o_orderdate
+      AND l.l_shipdate <= o.o_orderdate + INTERVAL 90 DAY
+    GROUP BY o.o_orderstatus
+    """,
+)
+def range_join_ship_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    cond = (
+        (li.l_orderkey == orders.o_orderkey)
+        & (li.l_shipdate >= orders.o_orderdate)
+        & (li.l_shipdate <= F.timestamp_add("DAY", F.lit(90), orders.o_orderdate))
+    )
+    return (
+        li.join(orders, cond)
+        .groupBy("o_orderstatus")
+        .agg(
+            F.count(F.lit(1)).alias("n_lineitems"),
+            round2(F.sum("l_extendedprice"), 2).alias("sum_price"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# Skew-salted two-stage aggregation — result must equal the plain GROUP BY
+# (the oracle IS the plain GROUP BY).
+# --------------------------------------------------------------------------
+
+
+@register(
+    "salted_skew_agg",
+    oracle="""
+    SELECT o_orderpriority,
+           COUNT(*) AS n,
+           ROUND(SUM(o_totalprice), 2) AS sum_price,
+           ROUND(MAX(o_totalprice), 2) AS max_price
+    FROM orders
+    GROUP BY o_orderpriority
+    """,
+)
+def salted_skew_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    merged = salted_agg(
+        orders,
+        keys=["o_orderpriority"],
+        aggs={
+            "n": ("sum", F.count(F.lit(1))),
+            "sum_price_raw": ("sum", F.sum("o_totalprice")),
+            "max_price_raw": ("max", F.max("o_totalprice")),
+        },
+        salt_col=F.hash("o_orderkey"),
+        buckets=16,
+    )
+    return merged.select(
+        "o_orderpriority",
+        "n",
+        round2(F.col("sum_price_raw"), 2).alias("sum_price"),
+        round2(F.col("max_price_raw"), 2).alias("max_price"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Set operations: INTERSECT / EXCEPT (SURVEY §2.7: none in the reference).
+# --------------------------------------------------------------------------
+
+
+@register(
+    "intersect_nations",
+    oracle="""
+    SELECT c_nationkey AS nationkey FROM customer WHERE c_acctbal > 4000
+    INTERSECT
+    SELECT s_nationkey FROM supplier WHERE s_acctbal > 4000
+    """,
+)
+def intersect_nations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = load_table(spark, sf_dir, "customer")
+    supp = load_table(spark, sf_dir, "supplier")
+    a = cust.filter(F.col("c_acctbal") > 4000).select(
+        F.col("c_nationkey").alias("nationkey")
+    )
+    b = supp.filter(F.col("s_acctbal") > 4000).select(
+        F.col("s_nationkey").alias("nationkey")
+    )
+    return a.intersect(b)
+
+
+@register(
+    "except_nations",
+    oracle="""
+    SELECT c_nationkey AS nationkey FROM customer
+    EXCEPT
+    SELECT s_nationkey FROM supplier WHERE s_acctbal > 4000
+    """,
+)
+def except_nations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = load_table(spark, sf_dir, "customer")
+    supp = load_table(spark, sf_dir, "supplier")
+    a = cust.select(F.col("c_nationkey").alias("nationkey"))
+    b = supp.filter(F.col("s_acctbal") > 4000).select(
+        F.col("s_nationkey").alias("nationkey")
+    )
+    return a.subtract(b)
+
+
+# --------------------------------------------------------------------------
+# Cube + grouping sets (via the SQL API — same Catalyst plan as DataFrame).
+# --------------------------------------------------------------------------
+
+
+@register(
+    "cube_lineitem",
+    oracle="""
+    SELECT l_returnflag, l_linestatus,
+           COUNT(*) AS n, ROUND(SUM(l_quantity), 2) AS sum_qty
+    FROM lineitem
+    GROUP BY CUBE (l_returnflag, l_linestatus)
+    """,
+)
+def cube_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.cube("l_returnflag", "l_linestatus").agg(
+        F.count(F.lit(1)).alias("n"),
+        round2(F.sum("l_quantity"), 2).alias("sum_qty"),
+    )
+
+
+@register(
+    "grouping_sets_sql",
+    oracle="""
+    SELECT l_returnflag, l_linestatus,
+           COUNT(*) AS n, ROUND(SUM(l_extendedprice), 2) AS sum_price
+    FROM lineitem
+    GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
+    """,
+)
+def grouping_sets_sql(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SQL-API entry: the engine accepts SQL text (spark.sql) — Catalyst
+    produces the same plan as the DataFrame API."""
+    li = load_table(spark, sf_dir, "lineitem")
+    li.createOrReplaceTempView("lineitem_gs")
+    return spark.sql(
+        """
+        SELECT l_returnflag, l_linestatus,
+               COUNT(*) AS n, SUM(l_extendedprice) AS sum_price_raw
+        FROM lineitem_gs
+        GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
+        """
+    ).select(
+        "l_returnflag",
+        "l_linestatus",
+        "n",
+        round2(F.col("sum_price_raw"), 2).alias("sum_price"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Correlated subquery (decorrelated by Catalyst): customers holding more
+# than twice their nation's average balance.
+# --------------------------------------------------------------------------
+
+
+@register(
+    "correlated_subquery",
+    oracle="""
+    SELECT c_custkey, ROUND(c_acctbal, 2) AS acctbal
+    FROM customer c
+    WHERE c_acctbal > 2 * (
+      SELECT AVG(c2.c_acctbal) FROM customer c2
+      WHERE c2.c_nationkey = c.c_nationkey
+    )
+    """,
+)
+def correlated_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = load_table(spark, sf_dir, "customer")
+    cust.createOrReplaceTempView("customer_cs")
+    return spark.sql(
+        """
+        SELECT c_custkey, ROUND(c_acctbal, 2) AS acctbal
+        FROM customer_cs c
+        WHERE c_acctbal > 2 * (
+          SELECT AVG(c2.c_acctbal) FROM customer_cs c2
+          WHERE c2.c_nationkey = c.c_nationkey
+        )
+        """
+    )
