@@ -714,3 +714,80 @@ def manual_dividend_job(docs, dim, run_date: str = "2026-01-15") -> DataFrame:
 
 def to_target_manual(df: DataFrame, cols: list[str]) -> DataFrame:
     return df.select(*cols)
+
+
+# ==========================================================================
+# Run-all entry point (SURVEY §3.1: the reference's 9-job sequential plan,
+# main - 基金单提取程序.py:471-548)
+# ==========================================================================
+
+JOB_PATH_KEYWORDS = {
+    # reference: path must contain the job's folder keyword (S1)
+    "dividend": "分红",
+    "purchase_apply": "受理",
+    "purchase_confirm": "确认",
+    "redemption_confirm": "确认",
+    "conversion": "确认",
+}
+
+
+def run_all(
+    spark,
+    corpus_root: str,
+    dim: DataFrame,
+    run_date: str,
+    out_dir: str,
+) -> dict[str, object]:
+    """Scan the corpus ONCE, fan out into the 9 job pipelines, write each
+    to a date-partitioned parquet sink plus one shared quarantine sink.
+
+    The reference runs 9 sequential jobs each re-walking the share
+    (main:501-527); here a single binaryFile scan + parse stage is
+    persisted and every job is a filter over it — at 100 TB this is the
+    difference between 9 corpus reads and 1.
+    Returns {job: output path | False (empty)} plus audit counts.
+    """
+    from .operators.sinks import audit_summary, write_partitioned, write_quarantine
+    from .sources.corpus import load_corpus
+
+    parsed = load_corpus(spark, corpus_root).persist()
+    ok = parsed.filter(F.col("status") == "ok").select(
+        "doc_id", "filename", "rel_path", "text"
+    )
+    errors = parsed.filter(F.col("status") == "error")
+
+    def sub(keyword: str) -> DataFrame:
+        return ok.filter(F.col("rel_path").contains(keyword))
+
+    pipelines = {
+        "dividend": dividend_job(sub("分红"), dim, run_date),
+        "purchase_apply": purchase_apply_job(sub("受理"), dim, run_date),
+        "purchase_confirm": purchase_confirm_job(sub("确认"), dim, run_date),
+        "redemption_confirm": redemption_confirm_job(sub("确认"), dim, run_date),
+        "conversion": conversion_job(sub("确认"), dim, run_date),
+        "manual_apply": manual_purchase_apply_job(ok, dim, run_date),
+        "manual_confirm": manual_purchase_confirm_job(ok, dim, run_date),
+        "manual_redemption": manual_redemption_job(ok, dim, run_date),
+        "manual_dividend": manual_dividend_job(ok, dim, run_date),
+    }
+    status: dict[str, object] = {}
+    for name, df in pipelines.items():
+        path = f"{out_dir}/{name}"
+        status[name] = path if write_partitioned(df, path) else False
+    status["dividend_merged"] = (
+        f"{out_dir}/dividend_merged"
+        if write_partitioned(
+            __import__(
+                "fund_data_etl_pipeline_spark.operators.aggregate",
+                fromlist=["dividend_merge"],
+            ).dividend_merge(pipelines["dividend"]),
+            f"{out_dir}/dividend_merged",
+        )
+        else False
+    )
+    status["quarantined"] = write_quarantine(errors, f"{out_dir}/quarantine")
+    status["audit"] = {
+        r["status"]: r["n"] for r in audit_summary(parsed).collect()
+    }
+    parsed.unpersist()
+    return status

@@ -1,0 +1,76 @@
+"""Sinks (SURVEY.md §2.1 S6-S8).
+
+Canonical sink: date-partitioned parquet (the reference's one-Excel-per-
+job-per-day output folder, e.g. dividend_extractor.py:1445-1453, becomes
+``partitionBy(date)``). Excel is a driver-side compat shim over small
+outputs only — gated on openpyxl, CSV fallback otherwise. The quarantine
+sink persists the failure side-channel (S7) instead of a log line.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..schemas import CN_NAMES
+
+
+def write_partitioned(
+    df: DataFrame,
+    path: str,
+    partition_cols: tuple[str, ...] = ("biz_date",),
+    mode: str = "overwrite",
+) -> bool:
+    """S6 — canonical parquet sink. Returns False on an empty result (the
+    reference's empty-result guard Q2 aborts the job instead of writing an
+    empty file, dividend_extractor.py:1440-1442)."""
+    if df.isEmpty():
+        return False
+    cols = [c for c in partition_cols if c in df.columns]
+    writer = df.write.mode(mode)
+    if cols:
+        writer = writer.partitionBy(*cols)
+    writer.parquet(path)
+    return True
+
+
+def write_excel_compat(
+    df: DataFrame, path: str, cn_headers: bool = True, max_rows: int = 100_000
+) -> str:
+    """Excel-compat shim (reference parity, openpyxl engine
+    dividend_extractor.py:1445-1453): collects to pandas — small outputs
+    only — renames to the reference's Chinese headers, and NULL -> ''
+    (the reference's empty-string placeholders live ONLY here, §1.2).
+    Falls back to CSV when openpyxl is missing. Returns the written path.
+    """
+    pdf = df.limit(max_rows).toPandas()
+    if cn_headers:
+        pdf = pdf.rename(columns={k: v for k, v in CN_NAMES.items()})
+    pdf = pdf.fillna("")
+    os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
+    try:
+        import openpyxl  # noqa: F401
+
+        pdf.to_excel(path, sheet_name="Sheet1", index=False, engine="openpyxl")
+        return path
+    except ImportError:
+        csv_path = os.path.splitext(path)[0] + ".csv"
+        pdf.to_csv(csv_path, index=False)
+        return csv_path
+
+
+def write_quarantine(df: DataFrame, path: str) -> int:
+    """S7 — persist failed/unmatched rows with their reason; returns the
+    quarantined row count (the reference's failed-files counter,
+    dividend_extractor.py:1432-1438)."""
+    n = df.count()
+    if n:
+        df.write.mode("overwrite").parquet(path)
+    return n
+
+
+def audit_summary(parsed: DataFrame) -> DataFrame:
+    """A2 — per-status counts over the parsed corpus."""
+    return parsed.groupBy("status").agg(F.count(F.lit(1)).alias("n"))

@@ -1,0 +1,121 @@
+"""End-to-end lifecycle test: real directory tree -> binaryFile scan ->
+path pruning -> parse stage with failure side-channel -> 9 jobs -> sinks.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import functions as F
+
+from fund_data_etl_pipeline_spark import jobs
+from fund_data_etl_pipeline_spark.operators.sinks import (
+    write_excel_compat,
+    write_partitioned,
+)
+from fund_data_etl_pipeline_spark.sources.corpus import (
+    filter_filenames,
+    load_corpus,
+    parse_path_metadata,
+    scan_binary_corpus,
+)
+from fund_data_etl_pipeline_spark.testing import fixtures as FX
+
+
+def _build_tree(root):
+    date_dir = root / "2026" / "20260115" / "1场外开基"
+    all_docs = (
+        [(d, "分红") for d in FX.DIVIDEND_DOCS]
+        + [(d, "申购受理") for d in FX.PURCHASE_APPLY_DOCS]
+        + [(d, "确认") for d in FX.PURCHASE_CONFIRM_DOCS + FX.REDEMPTION_DOCS
+           + FX.CONVERSION_DOCS]
+    )
+    for (doc_id, filename, rel, text), sub in all_docs:
+        d = date_dir / sub
+        d.mkdir(parents=True, exist_ok=True)
+        (d / filename).write_text(text, encoding="utf-8")
+    manual_dir = root / "2026" / "20260115" / "2理财" / "确认"
+    manual_dir.mkdir(parents=True, exist_ok=True)
+    for doc_id, filename, rel, text in FX.MANUAL_DOCS:
+        (manual_dir / filename).write_text(text, encoding="utf-8")
+    # a poison file: invalid UTF-8 -> parse failure -> quarantine (S7)
+    bad = date_dir / "分红" / "坏文件-红利.pdf"
+    bad.write_bytes(b"\xff\xfe\x00broken\x80")
+    # a non-pdf file: pruned by the glob before any read (S1)
+    (date_dir / "分红" / "notes.txt").write_text("ignore me")
+    return root
+
+
+def test_scan_prunes_and_parses(spark, tmp_path):
+    root = _build_tree(tmp_path / "corpus")
+    scanned = scan_binary_corpus(spark, str(root), path_keyword="分红")
+    names = [r["path"].split("/")[-1] for r in scanned.select("path").collect()]
+    assert "notes.txt" not in names  # glob pruning
+    assert all("分红" in r["path"] for r in scanned.select("path").collect())
+
+    meta = parse_path_metadata(scanned)
+    row = meta.select("year", "date_partition", "category").first()
+    assert row["year"] == "2026"
+    assert row["date_partition"] == "20260115"
+    assert row["category"] == "分红"
+
+    parsed = load_corpus(spark, str(root), path_keyword="分红")
+    by_status = {r["status"]: r["n"] for r in parsed.groupBy("status").agg(
+        F.count(F.lit(1)).alias("n")).collect()}
+    assert by_status["error"] == 1  # the invalid-utf8 file
+    assert by_status["ok"] == len(FX.DIVIDEND_DOCS)
+
+
+def test_filename_filter_runs_before_parse(spark, tmp_path):
+    root = _build_tree(tmp_path / "corpus")
+    scanned = parse_path_metadata(scan_binary_corpus(spark, str(root)))
+    pruned = filter_filenames(scanned, excludes=("赎回",))
+    plan = pruned._jdf.queryExecution().executedPlan().toString()
+    # the Contains filter must sit below (before) the Python parse stage —
+    # here there is no parse stage yet, so simply assert it reached the scan
+    assert "PushedFilters" in plan or "Filter" in plan
+
+
+def test_run_all_lifecycle(spark, tmp_path):
+    root = _build_tree(tmp_path / "corpus")
+    out = tmp_path / "out"
+    status = jobs.run_all(
+        spark, str(root), FX.dim_df(spark), FX.RUN_DATE, str(out)
+    )
+    assert status["dividend"], "dividend job must produce output"
+    div = spark.read.parquet(status["dividend"])
+    assert div.count() == len(FX.EXPECTED_DIVIDEND)
+    # partitioned by biz_date on disk
+    assert any(
+        p.startswith("biz_date=") for p in os.listdir(status["dividend"])
+    )
+    assert spark.read.parquet(status["purchase_apply"]).count() == len(
+        FX.EXPECTED_PURCHASE_APPLY
+    )
+    assert spark.read.parquet(status["conversion"]).count() == 1
+    assert spark.read.parquet(status["manual_confirm"]).count() == 1
+    merged = spark.read.parquet(status["dividend_merged"])
+    assert merged.count() == len(FX.EXPECTED_DIVIDEND) - 1  # one merge pair
+    assert status["quarantined"] == 1
+    assert status["audit"]["ok"] > 0 and status["audit"]["error"] == 1
+
+
+def test_empty_result_guard(spark, tmp_path):
+    empty = spark.createDataFrame([], "biz_date string, x double")
+    assert write_partitioned(empty, str(tmp_path / "never")) is False
+    assert not (tmp_path / "never").exists()
+
+
+def test_excel_compat_shim(spark, tmp_path):
+    df = jobs.dividend_job(
+        FX.docs_df(spark, FX.DIVIDEND_DOCS), FX.dim_df(spark), FX.RUN_DATE
+    )
+    out = write_excel_compat(df, str(tmp_path / "红利再投.xlsx"))
+    assert os.path.exists(out)
+    import pandas as pd
+
+    back = pd.read_csv(out) if out.endswith(".csv") else pd.read_excel(out)
+    assert len(back) == len(FX.EXPECTED_DIVIDEND)
+    assert "账套编号" in back.columns  # Chinese headers (CN_NAMES)
+    # NULL -> '' only in this shim
+    assert back["产品代码"].fillna("").eq("").all()

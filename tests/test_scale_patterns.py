@@ -1,0 +1,76 @@
+"""Scale-pattern tests: bucketed co-located joins (no shuffle), salted agg
+equivalence, approximate distinct counting, AQE configs."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from fund_data_etl_pipeline_spark.operators.joins import salted_agg
+from fund_data_etl_pipeline_spark.sources import load_table
+
+
+def test_bucketed_join_avoids_shuffle(spark, sf_dir, tmp_path):
+    """bucketBy(key) both sides -> SortMergeJoin with NO Exchange: the
+    co-located join pattern that replaces a 100 TB shuffle with local
+    merges. (Broadcast disabled so the join strategy is visible.)"""
+    spark.sql(f"CREATE DATABASE IF NOT EXISTS bkt LOCATION '{tmp_path}/wh'")
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+    (orders.write.mode("overwrite").bucketBy(8, "o_custkey")
+        .sortBy("o_custkey").saveAsTable("bkt.orders_b"))
+    (cust.write.mode("overwrite").bucketBy(8, "c_custkey")
+        .sortBy("c_custkey").saveAsTable("bkt.customer_b"))
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold", "10485760")
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        joined = spark.table("bkt.orders_b").join(
+            spark.table("bkt.customer_b"),
+            F.col("o_custkey") == F.col("c_custkey"),
+        )
+        plan = joined._jdf.queryExecution().executedPlan().toString()
+        assert "SortMergeJoin" in plan
+        assert "Exchange hashpartitioning" not in plan, (
+            "bucketed join must not reshuffle:\n" + plan[:2000]
+        )
+        assert joined.count() == load_table(spark, sf_dir, "orders").count()
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+        spark.sql("DROP TABLE IF EXISTS bkt.orders_b")
+        spark.sql("DROP TABLE IF EXISTS bkt.customer_b")
+
+
+def test_salted_agg_equals_plain(spark, sf_dir):
+    orders = load_table(spark, sf_dir, "orders")
+    plain = {
+        r["o_orderpriority"]: (r["n"], round(r["s"], 2))
+        for r in orders.groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("o_totalprice").alias("s"))
+        .collect()
+    }
+    salted = {
+        r["o_orderpriority"]: (r["n"], round(r["s"], 2))
+        for r in salted_agg(
+            orders,
+            keys=["o_orderpriority"],
+            aggs={"n": ("sum", F.count(F.lit(1))),
+                  "s": ("sum", F.sum("o_totalprice"))},
+            salt_col=F.hash("o_orderkey"),
+            buckets=16,
+        ).collect()
+    }
+    assert plain == salted
+
+
+def test_approx_count_distinct_tolerance(spark, sf_dir):
+    li = load_table(spark, sf_dir, "lineitem")
+    exact = li.select(F.countDistinct("l_partkey").alias("n")).first()["n"]
+    approx = li.select(
+        F.approx_count_distinct("l_partkey", rsd=0.02).alias("n")
+    ).first()["n"]
+    assert abs(approx - exact) / exact < 0.05  # HLL++ within 5%
+
+
+def test_session_defaults_are_scale_ready(spark):
+    assert spark.conf.get("spark.sql.adaptive.enabled") == "true"
+    assert spark.conf.get("spark.sql.adaptive.skewJoin.enabled") == "true"
+    assert spark.conf.get("spark.sql.session.timeZone") == "UTC"
