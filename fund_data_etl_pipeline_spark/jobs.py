@@ -130,6 +130,21 @@ DIVIDEND_RULES = [
         "国信嘉利基金", any_of(fname_has("国信嘉利"), text_has("国信嘉利"))
     ),
     PlatformRule("平安行E通", line_has("行E通", 5)),
+    PlatformRule("利得基金", text_has("利得基金")),
+    PlatformRule("长量基金", text_has("长量基金")),
+    PlatformRule("招赢通基金", text_has("招赢通")),
+    PlatformRule("邮储银行", text_has("邮储银行")),
+    PlatformRule("和讯科技", text_has("和讯")),
+    PlatformRule("建行直销", text_has("建设银行")),
+    # C2 compound guard: 宁波 file that is NOT a 北极星 doc
+    # (purchase_extractor.py:1004)
+    PlatformRule("宁波银行", all_of(fname_has("宁波"), fname_not("北极星"))),
+    PlatformRule("攀赢基金", text_has("攀赢")),
+    PlatformRule("民生同业e+", text_has("民生同业")),
+    PlatformRule("基煜基金", text_has("基煜")),
+    PlatformRule("融联创同业交易平台", text_has("融联创")),
+    PlatformRule("腾元基金", text_has("腾元")),
+    PlatformRule("交e通", text_has("交e通")),
 ]
 
 _DIV_FIELDS = ["product_name", "fund_code", "amount", "shares", "cutoff_date"]
@@ -270,6 +285,190 @@ def _dividend_specs(text: Column, lines: Column, filename: Column):
                     "fund_code": X.label_value(text, "基金代码", X.CODE6),
                     "amount": X.label_value(text, "红利总金额"),
                     "shares": X.label_value(text, "再投资份额"),
+                },
+                _DIV_FIELDS,
+            ),
+        ),
+        (
+            "利得基金",
+            _single(
+                {
+                    "product_name": X.label_value(text, "产品名称", NAME),
+                    "fund_code": X.label_value(text, "基金代码", X.CODE6),
+                    "amount": X.label_value(text, "红利金额"),
+                    "shares": X.label_value(text, "再投份额"),
+                },
+                _DIV_FIELDS,
+            ),
+        ),
+        (
+            "长量基金",
+            # P10: amount := shares (dividend_extractor.py:171)
+            _single(
+                {
+                    "product_name": X.label_value(text, "产品名称", NAME),
+                    "fund_code": X.label_value(text, "基金代码", X.CODE6),
+                    "amount": shares_xz,
+                    "shares": shares_xz,
+                },
+                _DIV_FIELDS,
+            ),
+        ),
+        (
+            "招赢通基金",
+            # P11: CNY-prefixed amount (dividend_extractor.py:280-286)
+            _single(
+                {
+                    "product_name": X.label_value(text, "产品名称", NAME),
+                    "fund_code": X.label_value(text, "基金代码", X.CODE6),
+                    "amount": strip_currency(
+                        X.label_value(text, "红利金额", rf"(?:CNY\s*)?{X.NUM}")
+                    ),
+                    "shares": X.label_value(text, "再投资份额"),
+                },
+                _DIV_FIELDS,
+            ),
+        ),
+        (
+            "邮储银行",
+            # P4 stitching (dividend_extractor.py:300-321)
+            _single(
+                {
+                    "product_name": X.stitched_name(
+                        lines, "产品名称", ["基金代码", "金额", "份额"], 4
+                    ),
+                    "fund_code": X.label_value(text, "基金代码", X.CODE6),
+                    "amount": X.label_value(text, "分红金额"),
+                    "shares": X.label_value(text, "再投资份额"),
+                },
+                _DIV_FIELDS,
+            ),
+        ),
+        (
+            "和讯科技",
+            # P4 stitching (dividend_extractor.py:463-489)
+            _single(
+                {
+                    "product_name": X.stitched_name(
+                        lines, "产品名称", ["基金代码", "金额", "份额"], 4
+                    ),
+                    "fund_code": X.label_value(text, "基金代码", X.CODE6),
+                    "amount": X.label_value(text, "红利总额"),
+                    "shares": X.label_value(text, "再投份额"),
+                },
+                _DIV_FIELDS,
+            ),
+        ),
+        (
+            "建行直销",
+            # P5 letter-spaced labels + P10 (dividend_extractor.py:551-569)
+            _single(
+                {
+                    "product_name": X.label_value(
+                        text, "产品名称", NAME, tolerate_spacing=True
+                    ),
+                    "fund_code": X.label_value(
+                        text, "基金代码", X.CODE6, tolerate_spacing=True
+                    ),
+                    "amount": X.label_value(
+                        text, "再投资份额", tolerate_spacing=True
+                    ),
+                    "shares": X.label_value(
+                        text, "再投资份额", tolerate_spacing=True
+                    ),
+                },
+                _DIV_FIELDS,
+            ),
+        ),
+        (
+            "宁波银行",
+            # P10 via 再投资确认份额 (dividend_extractor.py:1082-1094)
+            _single(
+                {
+                    "product_name": X.label_value(text, "产品名称", NAME),
+                    "fund_code": X.label_value(text, "基金代码", X.CODE6),
+                    "amount": X.label_value(text, "再投资确认份额"),
+                    "shares": X.label_value(text, "再投资确认份额"),
+                },
+                _DIV_FIELDS,
+            ),
+        ),
+        (
+            "攀赢基金",
+            # P3 same-line-else-next-line fallback (dividend_extractor.py:1246-1259)
+            _single(
+                {
+                    "product_name": X.label_value(text, "产品名称", NAME),
+                    "fund_code": X.label_value(text, "基金代码", X.CODE6),
+                    "amount": X.label_value(text, "红利金额"),
+                    "shares": F.coalesce(
+                        X.label_value(text, "再投资份额"),
+                        X.next_line_value(text, "再投资份额"),
+                    ),
+                },
+                _DIV_FIELDS,
+            ),
+        ),
+        (
+            "民生同业e+",
+            _single(
+                {
+                    "product_name": X.label_value(text, "产品名称", NAME),
+                    "fund_code": X.label_value(text, "基金代码", X.CODE6),
+                    "amount": X.label_value(text, "红利金额"),
+                    "shares": X.label_value(text, "再投份额"),
+                },
+                _DIV_FIELDS,
+            ),
+        ),
+        (
+            "基煜基金",
+            _single(
+                {
+                    "product_name": X.label_value(text, "产品名称", NAME),
+                    "fund_code": X.label_value(text, "基金代码", X.CODE6),
+                    "amount": X.label_value(text, "红利金额"),
+                    "shares": X.label_value(text, "再投份额"),
+                },
+                _DIV_FIELDS,
+            ),
+        ),
+        (
+            "融联创同业交易平台",
+            # P4 stitching (dividend_extractor.py:769-794)
+            _single(
+                {
+                    "product_name": X.stitched_name(
+                        lines, "产品名称", ["基金代码", "金额", "份额"], 4
+                    ),
+                    "fund_code": X.label_value(text, "基金代码", X.CODE6),
+                    "amount": X.label_value(text, "红利金额"),
+                    "shares": X.label_value(text, "再投份额"),
+                },
+                _DIV_FIELDS,
+            ),
+        ),
+        (
+            "腾元基金",
+            # P6 box-drawing cells (dividend variant)
+            _single(
+                {
+                    "product_name": X.label_value(text, "产品名称", NAME),
+                    "fund_code": X.box_cell(text, "基金代码", X.CODE6),
+                    "amount": X.box_cell(text, "红利金额"),
+                    "shares": X.box_cell(text, "再投份额"),
+                },
+                _DIV_FIELDS,
+            ),
+        ),
+        (
+            "交e通",
+            _single(
+                {
+                    "product_name": X.label_value(text, "产品名称", NAME),
+                    "fund_code": X.label_value(text, "基金代码", X.CODE6),
+                    "amount": X.label_value(text, "红利金额"),
+                    "shares": X.label_value(text, "再投份额"),
                 },
                 _DIV_FIELDS,
             ),

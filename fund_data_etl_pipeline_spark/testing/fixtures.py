@@ -82,6 +82,55 @@ DIVIDEND_DOCS = [
     (113, "好买-红利再投3.pdf", "2026/20260115/1场外开基/分红/",
      "好买基金销售有限公司\n产品名称：神秘产品\n基金代码：000007\n"
      "红利总金额：10.00\n再投资份额：9.00"),
+    # P1 plain labels (利得)
+    (114, "利得-红利再投.pdf", "2026/20260115/1场外开基/分红/",
+     "利得基金销售有限公司\n产品名称：" + NAME_TK +
+     "\n基金代码：000014\n红利金额：140.00\n再投份额：141.00"),
+    # P10 amount:=shares (长量)
+    (115, "长量-红利再投.pdf", "2026/20260115/1场外开基/分红/",
+     "长量基金大连运营中心\n产品名称：" + NAME_YD +
+     "\n基金代码：000015\n再投资份额：150.50"),
+    # P11 CNY prefix (招赢通)
+    (116, "招赢通-红利再投.pdf", "2026/20260115/1场外开基/分红/",
+     "招赢通平台通知\n产品名称：" + NAME_FULL +
+     "\n基金代码：000016\n红利金额：CNY 1,600.00\n再投资份额：1,601.00"),
+    # P4 stitch (邮储)
+    (117, "邮储-红利再投.pdf", "2026/20260115/1场外开基/分红/",
+     "邮储银行理财对账\n产品名称：万联资管\n臻选3号FOF集合资产管理计划\n"
+     "基金代码：000017\n分红金额：170.00\n再投资份额：171.00"),
+    # P4 stitch (和讯)
+    (118, "和讯-红利再投.pdf", "2026/20260115/1场外开基/分红/",
+     "和讯科技平台\n产品名称：英大安惠\n纯债\n基金代码：000018\n"
+     "红利总额：180.00\n再投份额：181.00"),
+    # P5 spaced labels + P10 (建行)
+    (119, "建行直销-红利再投.pdf", "2026/20260115/1场外开基/分红/",
+     "中国建设银行股份有限公司\n产 品 名 称 ： " + NAME_TK +
+     "\n基 金 代 码 ： 000019\n再 投 资 份 额 ： 190.50"),
+    # C2 filename guard + P10 (宁波)
+    (120, "宁波-红利再投.pdf", "2026/20260115/1场外开基/分红/",
+     "宁波银行股份有限公司\n产品名称：" + NAME_FULL +
+     "\n基金代码：000020\n再投资确认份额：200.50"),
+    # P3 fallback: label empty on its line -> value on next line (攀赢)
+    (121, "攀赢-红利再投.pdf", "2026/20260115/1场外开基/分红/",
+     "攀赢基金平台\n产品名称：" + NAME_TK +
+     "\n基金代码：000021\n红利金额：210.00\n再投资份额：\n211.00"),
+    (122, "民生-红利再投.pdf", "2026/20260115/1场外开基/分红/",
+     "民生同业e+平台\n产品名称：" + NAME_YD +
+     "\n基金代码：000122\n红利金额：122.00\n再投份额：123.00"),
+    (123, "基煜-红利再投.pdf", "2026/20260115/1场外开基/分红/",
+     "基煜基金服务\n产品名称：" + NAME_FULL +
+     "\n基金代码：000123\n红利金额：230.00\n再投份额：231.00"),
+    # P4 stitch (融联创)
+    (124, "融联创-红利再投.pdf", "2026/20260115/1场外开基/分红/",
+     "融联创同业交易平台\n产品名称：万联资管臻选\n3号FOF集合资产管理计划\n"
+     "基金代码：000124\n红利金额：240.00\n再投份额：241.00"),
+    # P6 box cells, dividend variant (腾元)
+    (125, "腾元-红利再投.pdf", "2026/20260115/1场外开基/分红/",
+     "腾元基金服务平台\n┃基金代码 │000125 │确认日期 │20260114┃\n"
+     "┃红利金额 │250.00 │再投份额 │251.00┃\n产品名称：" + NAME_TK),
+    (126, "交e通-红利再投.pdf", "2026/20260115/1场外开基/分红/",
+     "交e通金融服务\n产品名称：" + NAME_YD +
+     "\n基金代码：000126\n红利金额：260.00\n再投份额：261.00"),
 ]
 
 # expected 11-col dividend rows (hand-derived; order irrelevant)
@@ -101,6 +150,19 @@ EXPECTED_DIVIDEND = [
     ("1001", None, "000005", "国内银行间", "20260115", 600.0, 600.0, "20260114", None, NAME_FULL, "平安行E通"),
     ("1001", None, "000001", "国内银行间", "20260115", 50.5, 55.55, "20260114", None, NAME_FULL, "天天基金"),
     (None, None, "000007", "国内银行间", "20260115", 9.0, 10.0, "20260114", None, "神秘产品", "好买基金"),
+    ("1003", None, "000014", "国内银行间", "20260115", 141.0, 140.0, "20260114", None, NAME_TK, "利得基金"),
+    ("1002", None, "000015", "国内银行间", "20260115", 150.5, 150.5, "20260114", None, NAME_YD, "长量基金"),
+    ("1001", None, "000016", "国内银行间", "20260115", 1601.0, 1600.0, "20260114", None, NAME_FULL, "招赢通基金"),
+    ("1001", None, "000017", "国内银行间", "20260115", 171.0, 170.0, "20260114", None, NAME_FULL, "邮储银行"),
+    ("1002", None, "000018", "国内银行间", "20260115", 181.0, 180.0, "20260114", None, NAME_YD, "和讯科技"),
+    ("1003", None, "000019", "国内银行间", "20260115", 190.5, 190.5, "20260114", None, NAME_TK, "建行直销"),
+    ("1001", None, "000020", "国内银行间", "20260115", 200.5, 200.5, "20260114", None, NAME_FULL, "宁波银行"),
+    ("1003", None, "000021", "国内银行间", "20260115", 211.0, 210.0, "20260114", None, NAME_TK, "攀赢基金"),
+    ("1002", None, "000122", "国内银行间", "20260115", 123.0, 122.0, "20260114", None, NAME_YD, "民生同业e+"),
+    ("1001", None, "000123", "国内银行间", "20260115", 231.0, 230.0, "20260114", None, NAME_FULL, "基煜基金"),
+    ("1001", None, "000124", "国内银行间", "20260115", 241.0, 240.0, "20260114", None, NAME_FULL, "融联创同业交易平台"),
+    ("1003", None, "000125", "国内银行间", "20260115", 251.0, 250.0, "20260114", None, NAME_TK, "腾元基金"),
+    ("1002", None, "000126", "国内银行间", "20260115", 261.0, 260.0, "20260114", None, NAME_YD, "交e通"),
 ]
 
 # expected platform classification over DIVIDEND_DOCS (doc_id, platform)
@@ -117,6 +179,19 @@ EXPECTED_CLASSIFY = [
     (111, "平安行E通"),
     (112, "天天基金"),
     (113, "好买基金"),
+    (114, "利得基金"),
+    (115, "长量基金"),
+    (116, "招赢通基金"),
+    (117, "邮储银行"),
+    (118, "和讯科技"),
+    (119, "建行直销"),
+    (120, "宁波银行"),
+    (121, "攀赢基金"),
+    (122, "民生同业e+"),
+    (123, "基煜基金"),
+    (124, "融联创同业交易平台"),
+    (125, "腾元基金"),
+    (126, "交e通"),
 ]
 
 PURCHASE_APPLY_DOCS = [
