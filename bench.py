@@ -28,6 +28,7 @@ HEADLINE = [
     "when_cascade_tier",
     "events_session_window",
     "fund_dividend",
+    "fund_dividend_scaled",
     "text_quality",
     "text_fingerprint",
     "dedup_exact",

@@ -57,6 +57,35 @@ def word_hash(w: Column) -> Column:
     return F.conv(F.substring(F.md5(w), 1, 8), 16, 10).cast("bigint") % HASH_P
 
 
+SHINGLE_C1 = 1_000_003  # word-position multipliers for combined shingle hash
+SHINGLE_C2 = 999_983
+
+
+def word_hashes(ws: Column) -> Column:
+    """Per-word H(w) array. MUST be materialized as its own column before
+    feeding shingle_hashes — a lambda that closes over a non-trivial
+    expression re-evaluates it per element (no CSE inside HOF lambdas)."""
+    return F.transform(ws, word_hash)
+
+
+def shingle_hashes(wh: Column, n: int = 3) -> Column:
+    """Distinct hashes of word n-grams combined from a PRE-HASHED word
+    column: H3 = (H(w_i)*C1 + H(w_i+1)*C2 + H(w_i+2)) mod P. md5 runs once
+    per WORD (in word_hashes), the combine is pure arithmetic; the DuckDB
+    oracle reproduces the values exactly."""
+    idx = F.sequence(F.lit(1), F.greatest(F.size(wh) - (n - 1), F.lit(0)))
+    combined = F.transform(
+        idx,
+        lambda i: (
+            F.try_element_at(wh, i.cast("int")) * SHINGLE_C1
+            + F.try_element_at(wh, (i + 1).cast("int")) * SHINGLE_C2
+            + F.try_element_at(wh, (i + 2).cast("int"))
+        )
+        % HASH_P,
+    )
+    return F.array_distinct(combined)
+
+
 def shingles(ws: Column, n: int = 3) -> Column:
     """Distinct word n-grams (the minhash/jaccard unit). Pure expression:
     transform over an index sequence, no explode."""
@@ -102,10 +131,11 @@ def band_key(sig_cols: list[Column], band: int) -> Column:
     )
 
 
-def simhash(ws: Column, bits: int = SIMHASH_BITS) -> Column:
-    """SimHash over word hashes: bit b is set when more word-hashes have
-    bit b set than unset. Per-row expression (no shuffle)."""
-    hashes = F.transform(ws, word_hash)
+def simhash(hashes: Column, bits: int = SIMHASH_BITS) -> Column:
+    """SimHash over a PRE-HASHED word column (see word_hashes — the 32
+    bit-votes each scan the array, so the md5 work must not be inlined):
+    bit b is set when more word-hashes have bit b set than unset.
+    Per-row expression (no shuffle)."""
 
     def bit_vote(b: int) -> Column:
         ones = F.size(

@@ -618,7 +618,21 @@ REDEMPTION_EXCLUDES = ("申购", "认购", "分红方式", "失效")
 REDEMPTION_RULES = [
     PlatformRule("平安行E通", line_has("行E通", 5)),
     PlatformRule("网金基金", text_has("网金")),
+    # P16: JD conversion doc's page-2 forced-redemption block feeds the
+    # redemption job (redemption_extractor.py:379-459)
+    PlatformRule(
+        "京东肯特瑞强赎", all_of(fname_has("肯特瑞"), text_has("强行赎回确认"))
+    ),
+    PlatformRule("腾元基金", text_has("腾元")),
+    PlatformRule("证达通基金", text_has("证达通")),
 ]
+
+# F4 redemption variant: tabular rows incl. fee column
+# (redemption_extractor.py:1112-1145)
+_ZDT_RED_ROW = (
+    r"(?m)^\d+\s+\d{10,}\s+(\S+)\s+([0-9]{6})\s+赎回\s+"
+    r"([\d,.]+)\s+([\d,.]+)\s+([\d,.]+)[ \t]*$"
+)
 
 
 def _redemption_specs(text: Column, lines: Column, filename: Column):
@@ -633,6 +647,39 @@ def _redemption_specs(text: Column, lines: Column, filename: Column):
     pa_tn = F.nullif(
         F.regexp_extract(text, r"[TＴ]\s*\+\s*(\d+)", 1), F.lit("")
     )
+    # P16: scope to the forced-redemption section only
+    jd_section = X.section_after(text, "强行赎回确认")
+    # F3: 腾元 multi-page — one segment per 业务类型│赎回确认 marker
+    # (redemption_extractor.py:769-835)
+    ty_segments = X.marker_records(text, r"业务类型│赎回确认\n")
+
+    def ty_rec(seg: Column) -> Column:
+        return _rec(
+            {
+                "product_name": X.label_value(text, "产品名称", NAME),
+                "fund_code": X.box_cell(seg, "基金代码", X.CODE6),
+                "qty": X.box_cell(seg, "赎回份额"),
+                "amount": X.box_cell(seg, "赎回金额"),
+                "fee": X.box_cell(seg, "手续费"),
+            },
+            _TXN_FIELDS,
+        )
+
+    zdt_rows = X.row_table_records(text, _ZDT_RED_ROW)
+    _zr = _ZDT_RED_ROW.replace("(?m)", "")
+
+    def zdt_red_rec(row: Column) -> Column:
+        return _rec(
+            {
+                "product_name": F.regexp_extract(row, _zr, 1),
+                "fund_code": F.regexp_extract(row, _zr, 2),
+                "qty": F.regexp_extract(row, _zr, 3),
+                "amount": F.regexp_extract(row, _zr, 4),
+                "fee": F.regexp_extract(row, _zr, 5),
+            },
+            _TXN_FIELDS,
+        )
+
     return [
         (
             "平安行E通",
@@ -663,6 +710,20 @@ def _redemption_specs(text: Column, lines: Column, filename: Column):
                 _TXN_FIELDS,
             ),
         ),
+        (
+            "京东肯特瑞强赎",
+            _single(
+                {
+                    "product_name": X.label_value(jd_section, "产品名称", NAME),
+                    "fund_code": X.label_value(jd_section, "基金代码", X.CODE6),
+                    "amount": X.label_value(jd_section, "赎回金额"),
+                    "qty": X.label_value(jd_section, "赎回份额"),
+                },
+                _TXN_FIELDS,
+            ),
+        ),
+        ("腾元基金", F.transform(ty_segments, ty_rec)),
+        ("证达通基金", F.transform(zdt_rows, zdt_red_rec)),
     ]
 
 
@@ -786,6 +847,9 @@ def conversion_job(docs, dim, run_date: str = "2026-01-15") -> DataFrame:
             "in_market": F.lit(MARKET_INTERBANK),
         }
     )
+    # a JD doc without the conversion block (e.g. pure forced-redemption,
+    # handled by the redemption job) must not emit an empty conversion row
+    derived = require_fields(derived, ["out_fund_code", "in_fund_code"])
     # conversion uses the SECOND dimension map -> product_code
     # (conversion_extractor.py:300)
     joined = dim_join(

@@ -30,9 +30,11 @@ from ..functions.text import (
     band_key,
     minhash_signature_from_hashes,
     normalized_md5,
+    shingle_hashes,
     shingles,
     simhash,
     word_hash,
+    word_hashes,
     words,
 )
 
@@ -94,10 +96,17 @@ def minhash_lsh_pairs(
     100 TB the persisted signature table becomes a written intermediate
     (bucketed by band key); everything else is unchanged.
     """
-    sets = with_shingle_sets(df, text_col, id_col)
-    hashed = sets.withColumn("hs", F.transform(F.col("sh"), word_hash))
-    sig = hashed.select(
-        id_col, "sh", *minhash_signature_from_hashes(F.col("hs"))
+    prepped = (
+        df.select(F.col(id_col), words(F.col(text_col)).alias("__w"))
+        .select(id_col, word_hashes(F.col("__w")).alias("__wh"))
+        .select(id_col, shingle_hashes(F.col("__wh")).alias("hs"))
+    )
+    # verification runs on the hashed shingle sets too: both the engine
+    # and the oracle compute the identical function, and bigint arrays
+    # shuffle/intersect far cheaper than shingle strings (collision odds
+    # vs true string jaccard ~ |sh|^2 / 2P ~ 1e-4 relative)
+    sig = prepped.select(
+        id_col, "hs", *minhash_signature_from_hashes(F.col("hs"))
     )
     sig_cols = [F.col(f"mh{i}") for i in range(len(MINHASH_A))]
     bands = F.array(
@@ -107,28 +116,28 @@ def minhash_lsh_pairs(
         ]
     )
     banded = (
-        sig.select(id_col, "sh", F.explode(bands).alias("bk"))
+        sig.select(id_col, "hs", F.explode(bands).alias("bk"))
         .select(
             id_col,
-            "sh",
+            "hs",
             F.col("bk.band").alias("band"),
             F.col("bk.key").alias("key"),
         )
         .persist()
     )
     left = banded.select(
-        F.col(id_col).alias("d1"), F.col("sh").alias("sh1"), "band", "key"
+        F.col(id_col).alias("d1"), F.col("hs").alias("hs1"), "band", "key"
     )
     right = banded.select(
-        F.col(id_col).alias("d2"), F.col("sh").alias("sh2"), "band", "key"
+        F.col(id_col).alias("d2"), F.col("hs").alias("hs2"), "band", "key"
     )
     cand = (
         left.join(right, ["band", "key"])
         .filter(F.col("d1") < F.col("d2"))
         .dropDuplicates(["d1", "d2"])
     )
-    inter = F.size(F.array_intersect("sh1", "sh2"))
-    union = F.size("sh1") + F.size("sh2") - inter
+    inter = F.size(F.array_intersect("hs1", "hs2"))
+    union = F.size("hs1") + F.size("hs2") - inter
     return cand.select(
         "d1",
         "d2",
@@ -178,7 +187,9 @@ def ngram_jaccard_pairs(
 def simhash_signatures(
     df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
 ) -> DataFrame:
-    """Per-document 32-bit SimHash (map-only)."""
-    return df.select(
-        F.col(id_col), simhash(words(F.col(text_col))).alias("simhash")
+    """Per-document 32-bit SimHash (map-only; word hashes materialized as
+    a column so the 32 bit-votes share them)."""
+    hashed = df.select(
+        F.col(id_col), word_hashes(words(F.col(text_col))).alias("__wh")
     )
+    return hashed.select(F.col(id_col), simhash(F.col("__wh")).alias("simhash"))

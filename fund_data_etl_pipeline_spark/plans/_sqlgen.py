@@ -27,9 +27,21 @@ SHINGLES = (
 )
 
 
-def minhash_sql(i: int, sh: str = "sh") -> str:
+def shingle_hashes_sql() -> str:
+    """DuckDB version of functions.text.shingle_hashes (word-hash combine)."""
+    from ..functions.text import SHINGLE_C1, SHINGLE_C2
+
+    return (
+        "list_distinct(list_transform(generate_series(1, greatest(len(w) - 2, 0)),"
+        f" i -> ({H('w[i]')} * {SHINGLE_C1} + {H('w[i+1]')} * {SHINGLE_C2}"
+        f" + {H('w[i+2]')}) % {HASH_P}))"
+    )
+
+
+def minhash_sql(i: int, hs: str = "hs") -> str:
+    """Minhash permutation i over pre-combined shingle hashes."""
     a, b = MINHASH_A[i], MINHASH_B[i]
-    return f"list_min(list_transform({sh}, s -> ({a} * {H('s')} + {b}) % {HASH_P}))"
+    return f"list_min(list_transform({hs}, h -> ({a} * h + {b}) % {HASH_P}))"
 
 
 def band_key_sql(band: int, prefix: str = "mh") -> str:

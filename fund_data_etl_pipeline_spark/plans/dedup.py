@@ -36,7 +36,8 @@ def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _shingle_cte() -> str:
     return (
         f"d AS (SELECT doc_id, {G.WORDS} AS w FROM documents),\n"
-        f"    s AS (SELECT doc_id, {G.SHINGLES} AS sh FROM d)"
+        f"    s AS (SELECT doc_id, {G.SHINGLES} AS sh,"
+        f" {G.shingle_hashes_sql()} AS hs FROM d)"
     )
 
 
@@ -72,7 +73,7 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _minhash_oracle() -> str:
     sig_exprs = ",\n             ".join(
-        f"{G.minhash_sql(i)} AS mh{i}" for i in range(len(MINHASH_A))
+        f"{G.minhash_sql(i, 'hs')} AS mh{i}" for i in range(len(MINHASH_A))
     )
     band_selects = "\n      UNION ALL\n      ".join(
         f"SELECT doc_id, {b} AS band, {G.band_key_sql(b)} AS key FROM sig"
@@ -80,7 +81,7 @@ def _minhash_oracle() -> str:
     )
     return f"""
     WITH {_shingle_cte()},
-    sig AS (SELECT doc_id, sh,
+    sig AS (SELECT doc_id, sh, hs,
              {sig_exprs}
             FROM s),
     bands AS (
@@ -93,8 +94,8 @@ def _minhash_oracle() -> str:
     ),
     verified AS (
       SELECT d1, d2,
-             len(list_intersect(s1.sh, s2.sh)) AS i,
-             len(s1.sh) AS n1, len(s2.sh) AS n2
+             len(list_intersect(s1.hs, s2.hs)) AS i,
+             len(s1.hs) AS n1, len(s2.hs) AS n2
       FROM cand
       JOIN s s1 ON s1.doc_id = d1
       JOIN s s2 ON s2.doc_id = d2

@@ -235,6 +235,30 @@ def fund_manual_redemption(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register("fund_dividend_scaled")  # rows-only: throughput probe, no oracle
+def fund_dividend_scaled(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Extraction-throughput probe: the fixture corpus replicated 1000x
+    (~25k docs) through the FULL dividend pipeline, aggregated per
+    platform. Row values equal the golden counts x1000 — but the point is
+    measuring the single-scan extract stage at volume (bench.py times
+    this; at sf-independent 25k docs the per-doc cost is the signal)."""
+    base = FX.docs_df(spark, FX.DIVIDEND_DOCS)
+    n = 1000
+    replicated = base.crossJoin(
+        spark.range(n).select(F.col("id").alias("rep"))
+    ).select(
+        (F.col("doc_id") * n + F.col("rep")).alias("doc_id"),
+        "filename",
+        "rel_path",
+        "text",
+    )
+    out = jobs.dividend_job(replicated, FX.dim_df(spark), FX.RUN_DATE)
+    return out.groupBy("platform").agg(
+        F.count(F.lit(1)).alias("n_records"),
+        F.round(F.sum("amount"), 2).alias("sum_amount"),
+    )
+
+
 @register(
     "fund_manual_dividend",
     oracle=values_sql(FX.EXPECTED_MANUAL_DIVIDEND, MANUAL_DIVIDEND_COLS,

@@ -82,8 +82,12 @@ _PUNCT_RE = r"[^A-Za-z0-9\s]"
     """,
 )
 def text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = load_table(spark, sf_dir, "documents")
-    ws = words("text")
+    # words hoisted into a column: the array is built once per document,
+    # not once per downstream expression (HOFs aren't CSE'd by Catalyst)
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "text", words("text").alias("__w")
+    )
+    ws = F.col("__w")
     n_chars = F.length("text")
     n_words = F.size(ws)
     char_sum = F.aggregate(
@@ -146,8 +150,10 @@ def text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def text_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = load_table(spark, sf_dir, "documents")
-    ws = words("text")
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "lang", words("text").alias("__w")
+    )
+    ws = F.col("__w")
     scores = {lang: stopword_ratio(ws, lang) for lang in ("en", "de", "es", "fr", "zh")}
     s = scores
     guess = (
@@ -183,9 +189,11 @@ def text_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = load_table(spark, sf_dir, "documents")
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "text", words("text").alias("__w")
+    )
     return docs.select(
         "doc_id",
         normalized_md5("text").alias("md5_fp"),
-        poly_fingerprint(words("text")).alias("poly_fp"),
+        poly_fingerprint(F.col("__w")).alias("poly_fp"),
     )
