@@ -75,6 +75,78 @@ def cosine_topk(
     )
 
 
+def ivf_topk(
+    vectors: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    n_lists: int = 16,
+    n_probe: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    seed: int = 42,
+) -> DataFrame:
+    """IVF (inverted-file) ANN: KMeans coarse quantizer -> every vector
+    assigned to its nearest centroid's list; a query probes its
+    ``n_probe`` nearest lists and ranks only those candidates by exact
+    cosine. The crossJoin becomes an equi-join on ``list_id`` — with
+    n_lists lists and n_probe probes the candidate set shrinks by
+    ~n_probe/n_lists. The quantizer is trained once (sampled at scale)
+    and its centroids ship as literals, so assignment is a pure map-side
+    expression."""
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+    from pyspark.sql.window import Window as W
+
+    train = vectors.select(
+        array_to_vector(as_double(F.col(vec_col))).alias("features")
+    )
+    model = KMeans(k=n_lists, seed=seed, maxIter=10).fit(train)
+    centroids = [list(map(float, c)) for c in model.clusterCenters()]
+
+    def dist2(v: Column, center: list[float]) -> Column:
+        c = F.array(*[F.lit(x) for x in center])
+        return F.aggregate(
+            F.zip_with(v, c, lambda x, y: (x - y) * (x - y)),
+            F.lit(0.0),
+            lambda acc, d: acc + d,
+        )
+
+    def ranked_lists(v: Column, n: int) -> Column:
+        scored = F.array(
+            *[
+                F.struct(dist2(v, c).alias("d"), F.lit(i).alias("i"))
+                for i, c in enumerate(centroids)
+            ]
+        )
+        return F.slice(F.array_sort(scored), 1, n)
+
+    v = vectors.select(
+        F.col(id_col).alias("neighbor_id"), as_double(F.col(vec_col)).alias("nv")
+    ).withColumn("list_id", ranked_lists(F.col("nv"), 1)[0]["i"])
+    q = (
+        queries.select(
+            F.col(id_col).alias("query_id"), as_double(F.col(vec_col)).alias("qv")
+        )
+        .withColumn("probe", F.explode(ranked_lists(F.col("qv"), n_probe)))
+        .select("query_id", "qv", F.col("probe.i").alias("list_id"))
+    )
+    scored = (
+        q.join(v, "list_id")
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            round2(cosine(F.col("qv"), F.col("nv")), 6).alias("cos_sim"),
+        )
+    )
+    w = W.partitionBy("query_id").orderBy(
+        F.col("cos_sim").desc(), F.col("neighbor_id")
+    )
+    return scored.withColumn("rank", F.row_number().over(w)).filter(
+        F.col("rank") <= k
+    )
+
+
 def rhp_sign(vec: Column, plane: int, dims: int) -> Column:
     """Sign bit of <v, r_plane> where r_plane[d] = +-1 from the parity of
     H(plane || '_' || d) — deterministic pseudo-random hyperplanes."""

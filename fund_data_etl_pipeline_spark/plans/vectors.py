@@ -11,7 +11,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..operators.similarity import ann_lsh_topk, cosine_topk
+from ..operators.similarity import ann_lsh_topk, cosine_topk, ivf_topk
 from ..sources import load_table
 from . import _sqlgen as G
 from . import register
@@ -57,3 +57,13 @@ def vector_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
     queries = emb.filter(F.col("vec_id") < _N_QUERIES)
     return ann_lsh_topk(emb, queries, k=_K, planes=4, tables=4, dims=64)
+
+
+@register("vector_ann_ivf")  # no oracle: approximate operator, rows-only
+def vector_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF ANN: KMeans coarse quantizer, queries probe the nearest 2 of 16
+    inverted lists — candidates shrink ~8x vs brute force. Recall measured
+    in pytest against the exact baseline."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < _N_QUERIES)
+    return ivf_topk(emb, queries, k=_K, n_lists=16, n_probe=2)
