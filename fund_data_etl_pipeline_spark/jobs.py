@@ -525,7 +525,16 @@ PURCHASE_APPLY_RULES = [
     PlatformRule("好买基金", line_has("好买基金", 0, 2)),
     PlatformRule("天天基金", fname_has("天天基金")),
     PlatformRule("联泰基金", text_has("联泰")),
+    PlatformRule("盈米基金", line_has("盈米", 0, 3)),
+    PlatformRule("证达通基金", text_has("证达通")),
+    PlatformRule("兴证全球基金", text_has("兴证全球基金")),
 ]
+
+# F4 purchase variant (purchase_extractor.py:918-946)
+_ZDT_APPLY_ROW = (
+    r"(?m)^\d+\s+\d{10,}\s+(\S+)\s+([0-9]{6})\s+申购\s+"
+    r"([\d,.]+)\s+([\d,.]+)[ \t]*$"
+)
 
 
 def _purchase_apply_specs(text: Column, lines: Column, filename: Column):
@@ -548,10 +557,56 @@ def _purchase_apply_specs(text: Column, lines: Column, filename: Column):
         "amount": X.label_value(text, "申请金额"),
         "fee": X.label_value(text, "手续费"),
     }
+
+    ym_segments = X.marker_records(text, r"序号:\d+\n")
+
+    def ym_rec(seg: Column) -> Column:
+        return _rec(
+            {
+                "product_name": X.label_value(text, "产品名称", NAME),
+                "fund_code": X.label_value(seg, "基金代码", X.CODE6),
+                "amount": X.label_value(seg, "申购金额"),
+                "fee": X.label_value(seg, "手续费"),
+            },
+            _TXN_FIELDS,
+        )
+
+    zdt_rows = X.row_table_records(text, _ZDT_APPLY_ROW)
+    _za = _ZDT_APPLY_ROW.replace("(?m)", "")
+
+    def zdt_rec(row: Column) -> Column:
+        return _rec(
+            {
+                "product_name": F.regexp_extract(row, _za, 1),
+                "fund_code": F.regexp_extract(row, _za, 2),
+                "amount": F.regexp_extract(row, _za, 3),
+                "fee": F.regexp_extract(row, _za, 4),
+            },
+            _TXN_FIELDS,
+        )
+
     return [
         ("好买基金", _single({**common, "amount": X.label_value(text, "申购金额")}, _TXN_FIELDS)),
         ("天天基金", _single(common, _TXN_FIELDS)),
         ("联泰基金", F.transform(lt_segments, lt_rec)),
+        ("盈米基金", F.transform(ym_segments, ym_rec)),
+        ("证达通基金", F.transform(zdt_rows, zdt_rec)),
+        (
+            "兴证全球基金",
+            _single(
+                {
+                    "product_name": X.label_value(
+                        text, "产品名称", NAME, tolerate_spacing=True
+                    ),
+                    "fund_code": X.label_value(
+                        text, "基金代码", X.CODE6, tolerate_spacing=True
+                    ),
+                    "amount": X.label_value(text, "申请金额", tolerate_spacing=True),
+                    "fee": X.label_value(text, "手续费", tolerate_spacing=True),
+                },
+                _TXN_FIELDS,
+            ),
+        ),
     ]
 
 
@@ -564,10 +619,31 @@ PURCHASE_CONFIRM_RULES = [
     ),
     PlatformRule("腾元基金", text_has("腾元")),
     PlatformRule("平安行E通", line_has("行E通", 5)),
+    PlatformRule("天天基金", fname_has("天天基金")),
+    PlatformRule("盈米基金", line_has("盈米", 0, 3)),
+    PlatformRule("网金基金", text_has("网金")),
 ]
 
 
 def _purchase_confirm_specs(text: Column, lines: Column, filename: Column):
+    ym_segments = X.marker_records(text, r"序号:\d+\n")
+
+    def ym_rec(seg: Column) -> Column:
+        return _rec(
+            {
+                "product_name": X.label_value(text, "产品名称", NAME),
+                "fund_code": X.label_value(seg, "基金代码", X.CODE6),
+                "amount": X.label_value(seg, "确认金额"),
+                "qty": X.label_value(seg, "确认份额"),
+            },
+            _TXN_FIELDS,
+        )
+
+    # P15 dual format in the confirm context
+    wj_fmt2 = F.exists(lines, lambda l: l.contains("─────"))
+    wj_amount = F.when(wj_fmt2, X.next_line_value(text, "确认金额")).otherwise(
+        X.label_value(text, "确认金额")
+    )
     return [
         (
             "好买基金",
@@ -605,6 +681,33 @@ def _purchase_confirm_specs(text: Column, lines: Column, filename: Column):
                     ),
                     "fund_code": X.label_value(text, "基金代码", X.CODE6),
                     "amount": X.label_value(text, "确认金额"),
+                    "qty": X.label_value(text, "确认份额"),
+                    "fee": X.label_value(text, "手续费"),
+                },
+                _TXN_FIELDS,
+            ),
+        ),
+        (
+            "天天基金",
+            _single(
+                {
+                    "product_name": X.label_value(text, "产品名称", NAME),
+                    "fund_code": X.label_value(text, "基金代码", X.CODE6),
+                    "amount": X.label_value(text, "确认金额"),
+                    "qty": X.label_value(text, "确认份额"),
+                    "fee": X.label_value(text, "手续费"),
+                },
+                _TXN_FIELDS,
+            ),
+        ),
+        ("盈米基金", F.transform(ym_segments, ym_rec)),
+        (
+            "网金基金",
+            _single(
+                {
+                    "product_name": X.label_value(text, "产品名称", NAME),
+                    "fund_code": X.label_value(text, "基金代码", X.CODE6),
+                    "amount": wj_amount,
                     "qty": X.label_value(text, "确认份额"),
                     "fee": X.label_value(text, "手续费"),
                 },
