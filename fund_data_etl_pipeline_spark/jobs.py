@@ -619,7 +619,12 @@ PURCHASE_CONFIRM_RULES = [
     ),
     PlatformRule("腾元基金", text_has("腾元")),
     PlatformRule("平安行E通", line_has("行E通", 5)),
-    PlatformRule("天天基金", fname_has("天天基金")),
+    # the reference's 2025-10-22 changelog regression (更新日志.txt:24-25):
+    # confirm jobs wrongly picked up 天天/好买 super-conversion docs whose
+    # FILENAME looks like a confirm — the guard must be content-based
+    PlatformRule(
+        "天天基金", all_of(fname_has("天天基金"), not_(text_has("超级转换")))
+    ),
     PlatformRule("盈米基金", line_has("盈米", 0, 3)),
     PlatformRule("网金基金", text_has("网金")),
 ]

@@ -79,6 +79,16 @@ def test_purchase_apply_excludes_redemption_filenames(spark):
     assert rows_set(df) == expected_set(FX.EXPECTED_PURCHASE_APPLY)
 
 
+def test_confirm_rejects_superconversion_content(spark):
+    """Reference changelog 2025-10-22 regression (更新日志.txt:24-25):
+    confirm jobs must not ingest 天天/好买 super-conversion docs even when
+    the FILENAME looks like a confirm."""
+    df = jobs.purchase_confirm_job(
+        FX.docs_df(spark, FX.PURCHASE_CONFIRM_DOCS), FX.dim_df(spark), FX.RUN_DATE
+    )
+    assert "200099" not in {r["fund_code"] for r in df.collect()}
+
+
 def test_purchase_confirm_negative_guard(spark):
     df = jobs.purchase_confirm_job(
         FX.docs_df(spark, FX.PURCHASE_CONFIRM_DOCS), FX.dim_df(spark), FX.RUN_DATE
