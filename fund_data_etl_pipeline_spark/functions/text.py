@@ -37,14 +37,24 @@ def _s(col: Column | str) -> Column:
     return F.col(col) if isinstance(col, str) else col
 
 
+# Explicit whitespace class pinned on BOTH engines: Java regex \s is
+# [ \t\n\x0B\f\r] while DuckDB's RE2 \s is [\t\n\f\r ] (no \x0B), so a
+# bare \s+ diverges on vertical-tab (and only there) between the engine
+# and its oracle. NBSP/ideographic space are deliberately NOT whitespace
+# in either engine.
+WS_RE = r"[ \t\r\n\x0B\f]+"
+
+
 def words(text: Column | str) -> Column:
     """Whitespace tokenization of lowercased text; empty tokens dropped."""
     return F.filter(
-        F.split(F.lower(F.trim(_s(text))), r"\s+"), lambda w: w != ""
+        F.split(F.lower(F.trim(_s(text))), WS_RE), lambda w: w != ""
     )
 
 
-BPE_TOKEN_RE = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"
+# \s expanded to the pinned class (see WS_RE) so the negated class agrees
+# across Java regex and RE2
+BPE_TOKEN_RE = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9 \t\r\n\x0B\f]"
 
 
 def bpe_ish_tokens(text: Column | str) -> Column:
@@ -170,8 +180,9 @@ def poly_fingerprint(ws: Column) -> Column:
 
 
 def normalized_md5(text: Column | str) -> Column:
-    """Exact-dedup key: md5 of lowercased, whitespace-collapsed text."""
-    norm = F.regexp_replace(F.lower(F.trim(_s(text))), r"\s+", " ")
+    """Exact-dedup key: md5 of lowercased, whitespace-collapsed text
+    (whitespace class pinned — see WS_RE)."""
+    norm = F.regexp_replace(F.lower(F.trim(_s(text))), WS_RE, " ")
     return F.md5(norm)
 
 

@@ -11,6 +11,7 @@ from ..functions.text import (
     MINHASH_BANDS,
     MINHASH_ROWS_PER_BAND,
     STOPWORDS,
+    WS_RE,
 )
 
 
@@ -19,7 +20,12 @@ def H(s: str) -> str:
     return f"((('0x' || substr(md5({s}), 1, 8))::BIGINT) % {HASH_P})"
 
 
-WORDS = "list_filter(string_split_regex(lower(trim(text)), '\\s+'), w -> w <> '')"
+# whitespace class pinned to match functions.text.WS_RE exactly (Java \s
+# vs RE2 \s differ on \x0B)
+WORDS = (
+    f"list_filter(string_split_regex(lower(trim(text)), '{WS_RE}'),"
+    " w -> w <> '')"
+)
 
 SHINGLES = (
     "list_distinct(list_transform(generate_series(1, greatest(len(w) - 2, 0)),"
@@ -61,9 +67,12 @@ def simhash_sql(bits: int, hashes: str = "hs") -> str:
     return f"({terms})"
 
 
+# ::BIGINT pins the type: DuckDB list_sum yields HUGEINT, which pandas
+# renders as float64 and diverges from Spark's BIGINT under value hashing
+# (round-1 text_fingerprint hash_match=false root cause).
 POLY_FP = (
     f"COALESCE(list_sum(list_transform(generate_series(1, len(w)),"
-    f" i -> (i * {H('w[i]')}) % {HASH_P})) % {HASH_P}, 0)"
+    f" i -> (i * {H('w[i]')}) % {HASH_P})) % {HASH_P}, 0)::BIGINT"
 )
 
 
@@ -85,4 +94,4 @@ def round_sql(expr: str, scale: int) -> str:
 
 
 BPE_RE_SQL = BPE_TOKEN_RE.replace("\\", "\\\\") if False else BPE_TOKEN_RE
-NORM_MD5 = "md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'))"
+NORM_MD5 = f"md5(regexp_replace(lower(trim(text)), '{WS_RE}', ' ', 'g'))"

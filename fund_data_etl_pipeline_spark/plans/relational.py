@@ -577,21 +577,32 @@ def rollup_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "pivot_status",
+    # COUNT(*) FILTER is BIGINT and never NULL in DuckDB, matching the
+    # coalesced BIGINT pivot cells on the Spark side — empty cells are a
+    # concrete 0 in BOTH engines so the driver's value hash can't diverge
+    # on NULL-vs-absent or int-width (round-1 hash_match=false root cause).
     oracle="""
     SELECT o_orderpriority,
-           SUM(CASE WHEN o_orderstatus = 'O' THEN 1 END) AS "O",
-           SUM(CASE WHEN o_orderstatus = 'F' THEN 1 END) AS "F",
-           SUM(CASE WHEN o_orderstatus = 'P' THEN 1 END) AS "P"
+           COUNT(*) FILTER (WHERE o_orderstatus = 'O') AS "O",
+           COUNT(*) FILTER (WHERE o_orderstatus = 'F') AS "F",
+           COUNT(*) FILTER (WHERE o_orderstatus = 'P') AS "P"
     FROM orders
     GROUP BY o_orderpriority
     """,
 )
 def pivot_status(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders = load_table(spark, sf_dir, "orders")
-    return (
+    pivoted = (
         orders.groupBy("o_orderpriority")
         .pivot("o_orderstatus", ["O", "F", "P"])
         .count()
+    )
+    return pivoted.select(
+        "o_orderpriority",
+        *[
+            F.coalesce(F.col(f"`{c}`"), F.lit(0)).cast("bigint").alias(c)
+            for c in ("O", "F", "P")
+        ],
     )
 
 

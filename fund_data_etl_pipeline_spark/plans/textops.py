@@ -14,7 +14,7 @@ from pyspark.sql import functions as F
 from ..functions.numeric import round2
 from ..functions.text import (
     BPE_TOKEN_RE,
-    bpe_ish_tokens,
+    WS_RE,
     normalized_md5,
     poly_fingerprint,
     stopword_ratio,
@@ -41,10 +41,12 @@ from . import register
 )
 def text_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
+    # regexp_count stays in whole-stage codegen; size(regexp_extract_all)
+    # would materialize a token array per row just to measure its length
     return docs.select(
         "doc_id",
         F.size(words("text")).alias("n_ws_tokens"),
-        F.size(bpe_ish_tokens("text")).alias("n_bpe_tokens"),
+        F.regexp_count("text", F.lit(BPE_TOKEN_RE)).alias("n_bpe_tokens"),
         "lang",
     )
 
@@ -53,7 +55,8 @@ def text_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Quality scoring: length / punctuation / stopword signals
 # --------------------------------------------------------------------------
 
-_PUNCT_RE = r"[^A-Za-z0-9\s]"
+# whitespace pinned explicitly (Java \s vs RE2 \s differ on \x0B)
+_PUNCT_RE = r"[^A-Za-z0-9 \t\r\n\x0B\f]"
 
 
 @register(
@@ -83,20 +86,25 @@ _PUNCT_RE = r"[^A-Za-z0-9\s]"
 )
 def text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     # words hoisted into a column: the array is built once per document,
-    # not once per downstream expression (HOFs aren't CSE'd by Catalyst)
+    # not once per downstream expression (HOFs aren't CSE'd by Catalyst).
+    # Counting signals (punct, char_sum) deliberately avoid building
+    # arrays: regexp_count / length arithmetic stay inside whole-stage
+    # codegen, where size(regexp_extract_all(...)) was the round-1 17.7 s
+    # hotspot.
     docs = load_table(spark, sf_dir, "documents").select(
         "doc_id", "text", words("text").alias("__w")
     )
     ws = F.col("__w")
     n_chars = F.length("text")
     n_words = F.size(ws)
-    char_sum = F.aggregate(
-        F.transform(ws, F.length), F.lit(0), lambda acc, x: acc + x
+    # sum of word lengths == non-whitespace chars of the tokenized text
+    char_sum = F.length(
+        F.regexp_replace(F.lower(F.trim(F.col("text"))), WS_RE, "")
     )
     stop = stopword_ratio(ws, "en")
     punct = F.when(
         n_chars > 0,
-        F.size(F.regexp_extract_all("text", F.lit(_PUNCT_RE), 0)) / n_chars,
+        F.regexp_count("text", F.lit(_PUNCT_RE)) / n_chars,
     ).otherwise(F.lit(0.0))
     return docs.select(
         "doc_id",
