@@ -31,10 +31,11 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2."""
-    return dict(plans.QUERIES)
+    """One entry per implemented operator from SURVEY.md §2 (priority
+    names first — see plans.PRIORITY)."""
+    return plans.ordered_queries()
 
 
 def oracle_sql() -> dict[str, str]:
     """DuckDB-equivalent SQL for each SQL-expressible query."""
-    return dict(plans.ORACLES)
+    return plans.ordered_oracles()

@@ -1224,7 +1224,7 @@ def _purchase_confirm_specs(text: Column, lines: Column, filename: Column):
                     "fund_code": X.box_cell(text, "基金代码", X.CODE6),
                     "amount": X.box_cell(text, "确认金额"),
                     "qty": X.box_cell(text, "确认份额"),
-                    "fee": X.box_cell(text, "手\s*续\s*费"),
+                    "fee": X.box_cell(text, r"手\s*续\s*费"),
                 },
                 _TXN_FIELDS,
             ),
@@ -2133,6 +2133,7 @@ def run_all(
     dim: DataFrame,
     run_date: str,
     out_dir: str,
+    excel: bool = False,
 ) -> dict[str, object]:
     """Scan the corpus ONCE, fan out into the 9 job pipelines, write each
     to a date-partitioned parquet sink plus one shared quarantine sink.
@@ -2143,7 +2144,13 @@ def run_all(
     difference between 9 corpus reads and 1.
     Returns {job: output path | False (empty)} plus audit counts.
     """
-    from .operators.sinks import audit_summary, write_partitioned, write_quarantine
+    from .operators.sinks import (
+        audit_summary,
+        excel_job_path,
+        write_excel_compat,
+        write_partitioned,
+        write_quarantine,
+    )
     from .sources.corpus import load_corpus
 
     parsed = load_corpus(spark, corpus_root).persist()
@@ -2170,6 +2177,12 @@ def run_all(
     for name, df in pipelines.items():
         path = f"{out_dir}/{name}"
         status[name] = path if write_partitioned(df, path) else False
+        if excel and status[name]:
+            # reference-parity per-job Excel (reads back the tiny written
+            # parquet — no second execution of the pipeline plan)
+            status[f"{name}_excel"] = write_excel_compat(
+                spark.read.parquet(path), excel_job_path(out_dir, name)
+            )
     status["dividend_merged"] = (
         f"{out_dir}/dividend_merged"
         if write_partitioned(

@@ -10,8 +10,9 @@ Four families, all reusable on any DataFrame with a text column:
                  only LSH candidates are verified with the exact Jaccard;
                  the self-join shuffles ONLY (band, key, doc_id, shingles)
 - ngram Jaccard— exhaustive verification via shingle-explode + equi-join
-                 (the classic inverted-index pairing; at scale add hot-
-                 shingle frequency capping before the join)
+                 (the classic inverted-index pairing) with an optional
+                 hot-shingle document-frequency cap applied before the
+                 self-join — the scale path at 100 TB
 - simhash      — 32-bit per-row signature; near-dup = small Hamming
                  distance, found by banding the signature bytes
 
@@ -152,12 +153,32 @@ def ngram_jaccard_pairs(
     text_col: str = "text",
     id_col: str = "doc_id",
     threshold: float = 0.8,
+    max_doc_freq: int | None = None,
 ) -> DataFrame:
     """Exhaustive n-gram Jaccard near-dup pairs via the inverted-index
     equi-join: explode shingles, pair docs sharing one, count intersections
-    with a hash aggregation, then inclusion-exclusion for the union."""
+    with a hash aggregation, then inclusion-exclusion for the union.
+
+    ``max_doc_freq`` is the hot-shingle frequency cap: shingles appearing
+    in more than that many documents are dropped BEFORE the self-join.
+    Without it one stop-phrase shingle shared by k docs contributes
+    O(k^2) candidate pairs — quadratic blowup at 100 TB. The capped form
+    underestimates jaccard for pairs whose overlap includes hot shingles
+    (exactly the overlap a near-dup pass cares least about); pairs sharing
+    only hot shingles disappear entirely. ``None`` keeps the exhaustive
+    form as the verification baseline."""
     sets = with_shingle_sets(df, text_col, id_col)
     inv = sets.select(F.col(id_col), F.explode("sh").alias("s"))
+    if max_doc_freq is not None:
+        hot = (
+            inv.groupBy("s")
+            .agg(F.count(F.lit(1)).alias("df"))
+            .filter(F.col("df") > max_doc_freq)
+            .select("s")
+        )
+        # anti-join shuffles on the same key as the pairing join below;
+        # at scale the hot set is tiny and AQE broadcasts it
+        inv = inv.join(hot, "s", "left_anti")
     sizes = sets.select(F.col(id_col), F.size("sh").alias("n"))
     a = inv.select(F.col(id_col).alias("d1"), "s")
     b = inv.select(F.col(id_col).alias("d2"), "s")

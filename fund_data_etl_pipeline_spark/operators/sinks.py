@@ -61,14 +61,37 @@ def write_excel_compat(
         return csv_path
 
 
+# Per-job output filenames, matching the reference's one-Excel-per-job
+# convention (dividend_extractor.py:1449,1478; purchase_extractor.py:1132;
+# purchase_confirm_extractor.py:1632; redemption_extractor.py:1351;
+# conversion_extractor.py:343; manual_*_extractor.py:367-370).
+EXCEL_JOB_FILENAMES = {
+    "dividend": "【境内基金业务】红利再投.xls",
+    "dividend_merged": "【境内基金业务】红利再投_合并后.xls",
+    "purchase_apply": "【境内基金业务】申购申请.xls",
+    "purchase_confirm": "【境内基金业务】申购确认.xls",
+    "redemption_confirm": "【境内基金业务】赎回确认.xls",
+    "conversion": "【境内基金业务】超级转换确认.xls",
+    "manual_apply": "【境内理财产品】申购申请.xlsx",
+    "manual_confirm": "【境内理财产品】申购确认.xlsx",
+    "manual_redemption": "【境内理财产品】赎回确认.xlsx",
+    "manual_dividend": "【境内理财产品】红利除权.xlsx",
+}
+
+
+def excel_job_path(out_dir: str, job: str) -> str:
+    """The reference-parity Excel path for a job's compat output."""
+    return os.path.join(out_dir, EXCEL_JOB_FILENAMES.get(job, f"{job}.xlsx"))
+
+
 def write_quarantine(df: DataFrame, path: str) -> int:
     """S7 — persist failed/unmatched rows with their reason; returns the
     quarantined row count (the reference's failed-files counter,
-    dividend_extractor.py:1432-1438)."""
-    n = df.count()
-    if n:
-        df.write.mode("overwrite").parquet(path)
-    return n
+    dividend_extractor.py:1432-1438). Write first, count from the written
+    files — one execution of the upstream plan instead of count+write."""
+    df.write.mode("overwrite").parquet(path)
+    spark = df.sparkSession
+    return spark.read.parquet(path).count()
 
 
 def audit_summary(parsed: DataFrame) -> DataFrame:

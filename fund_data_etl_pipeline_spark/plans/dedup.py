@@ -71,6 +71,42 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_NGRAM_DF_CAP = 8
+
+
+@register(
+    "dedup_ngram_capped",
+    # identical inverted-index formulation with the hot-shingle DF cap
+    # mirrored in SQL, so the scale path is value-exact against the oracle
+    oracle=f"""
+    WITH {_shingle_cte()},
+    inv0 AS (SELECT doc_id, unnest(sh) AS tok FROM s),
+    hot AS (SELECT tok FROM inv0 GROUP BY tok HAVING COUNT(*) > {_NGRAM_DF_CAP}),
+    inv AS (SELECT doc_id, tok FROM inv0 ANTI JOIN hot USING (tok)),
+    sizes AS (SELECT doc_id, len(sh) AS n FROM s),
+    inter AS (
+      SELECT a.doc_id AS d1, b.doc_id AS d2, COUNT(*) AS i
+      FROM inv a JOIN inv b ON a.tok = b.tok AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    )
+    SELECT d1, d2, {_JACCARD_SQL} AS jaccard
+    FROM inter
+    JOIN sizes s1 ON s1.doc_id = d1
+    JOIN sizes s2 ON s2.doc_id = d2
+    CROSS JOIN LATERAL (SELECT s1.n AS n1, s2.n AS n2) _
+    WHERE {_JACCARD_SQL} >= {_JACCARD_T}
+    """,
+)
+def dedup_ngram_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The 100 TB-safe variant of dedup_ngram_jaccard: hot shingles
+    (document frequency > cap) dropped before the pairing self-join."""
+    return D.ngram_jaccard_pairs(
+        load_table(spark, sf_dir, "documents"),
+        threshold=_JACCARD_T,
+        max_doc_freq=_NGRAM_DF_CAP,
+    )
+
+
 def _minhash_oracle() -> str:
     sig_exprs = ",\n             ".join(
         f"{G.minhash_sql(i, 'hs')} AS mh{i}" for i in range(len(MINHASH_A))

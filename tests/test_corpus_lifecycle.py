@@ -80,9 +80,14 @@ def test_run_all_lifecycle(spark, tmp_path):
     root = _build_tree(tmp_path / "corpus")
     out = tmp_path / "out"
     status = jobs.run_all(
-        spark, str(root), FX.dim_df(spark), FX.RUN_DATE, str(out)
+        spark, str(root), FX.dim_df(spark), FX.RUN_DATE, str(out), excel=True
     )
     assert status["dividend"], "dividend job must produce output"
+    # reference-parity per-job Excel name (CSV fallback keeps the stem)
+    assert "【境内基金业务】红利再投" in os.path.basename(
+        str(status["dividend_excel"])
+    )
+    assert os.path.exists(str(status["dividend_excel"]))
     div = spark.read.parquet(status["dividend"])
     assert div.count() == len(FX.EXPECTED_DIVIDEND)
     # partitioned by biz_date on disk

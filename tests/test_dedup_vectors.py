@@ -78,3 +78,28 @@ def test_cosine_topk_self_excluded_and_ranked(spark, sf_dir):
         sims = [s for _, s in rows]
         assert sims == sorted(sims, reverse=True)
         assert len(rows) == 5
+
+
+def test_ngram_hot_shingle_cap(spark, sf_dir):
+    """A cap above every shingle's document frequency is a no-op (capped ==
+    exhaustive); a tiny cap prunes the candidate space — the 100 TB guard
+    against one stop-phrase shingle creating O(k^2) pairs."""
+    docs = load_table(spark, sf_dir, "documents")
+    exact = {
+        (r["d1"], r["d2"], r["jaccard"])
+        for r in D.ngram_jaccard_pairs(docs, threshold=0.8).collect()
+    }
+    nofx = {
+        (r["d1"], r["d2"], r["jaccard"])
+        for r in D.ngram_jaccard_pairs(
+            docs, threshold=0.8, max_doc_freq=10**9
+        ).collect()
+    }
+    assert nofx == exact
+
+    capped = {
+        (r["d1"], r["d2"])
+        for r in D.ngram_jaccard_pairs(docs, threshold=0.8, max_doc_freq=1).collect()
+    }
+    # dropping every shared shingle (df>1) removes all candidate pairs
+    assert capped == set()
