@@ -16,15 +16,20 @@ PDF with pdfplumber. The engine's scan is declarative:
   file becomes a quarantine row, never a job crash
   (dividend_extractor.py:1425-1438).
 
-The pdfplumber/EasyOCR codecs are unavailable in this container, so the
-extractor STUB decodes UTF-8 bytes (tests write plain-text ``.pdf``
-fixtures) and raises inside the try/except for undecodable content —
-the plumbing, schema, and failure semantics are the real ones.
+The PDF/OCR codecs are import-gated: real ``%PDF`` containers go through
+pdfplumber (the reference's codec, dividend_extractor.py:1292-1298) or
+pypdf when either is installed; image bytes (PNG/JPEG magic) go through
+easyocr when installed (manual_purchase_apply_extractor.py:75-181). In
+this container neither library exists, so those branches raise inside the
+try/except and the file lands in the S7 quarantine with a clear error —
+while plain-text fixture ``.pdf``s take the UTF-8 path. The plumbing,
+schema, and failure semantics are the real ones either way.
 """
 
 from __future__ import annotations
 
 import hashlib
+import io
 from collections.abc import Iterator
 
 import pandas as pd
@@ -83,12 +88,58 @@ def filter_filenames(
     return df
 
 
+_IMAGE_MAGIC = (b"\x89PNG", b"\xff\xd8\xff")
+
+
+def decode_document(content: bytes) -> str:
+    """S3/S4 codec dispatch on magic bytes, import-gated per library.
+
+    - ``%PDF`` container -> pdfplumber (reference codec,
+      dividend_extractor.py:1292-1298), falling back to pypdf;
+    - PNG/JPEG -> easyocr (manual_purchase_apply_extractor.py:75-181);
+    - anything else -> UTF-8 decode (test fixtures are plain-text
+      ``.pdf``s).
+    A missing library raises ImportError HERE, inside the caller's
+    try/except, so the file quarantines with a named-dependency error
+    instead of crashing the job.
+    """
+    if content.startswith(b"%PDF"):
+        try:
+            import pdfplumber
+        except ImportError:
+            pass
+        else:
+            with pdfplumber.open(io.BytesIO(content)) as pdf:
+                return "\n".join(
+                    p.extract_text() or "" for p in pdf.pages
+                )
+        try:
+            from pypdf import PdfReader
+        except ImportError:
+            raise ImportError(
+                "PDF container needs pdfplumber or pypdf (neither installed)"
+            ) from None
+        reader = PdfReader(io.BytesIO(content))
+        return "\n".join(p.extract_text() or "" for p in reader.pages)
+    if content.startswith(_IMAGE_MAGIC):
+        try:
+            import easyocr
+        except ImportError:
+            raise ImportError(
+                "image document needs easyocr (not installed)"
+            ) from None
+        reader = easyocr.Reader(["ch_sim", "en"], gpu=False)
+        return "\n".join(reader.readtext(content, detail=0))
+    return content.decode("utf-8")
+
+
 def extract_text(df: DataFrame) -> DataFrame:
     """S3 + S7 — per-file text extraction with the failure side-channel.
 
-    Stub codec: UTF-8 decode (real deployment swaps in pdfplumber/OCR
-    inside the same try/except). Output schema is PARSED_SCHEMA; rows with
-    status='error' carry the exception text and NULL text.
+    Codec is ``decode_document`` (magic-byte dispatch, import-gated real
+    PDF/OCR libraries, UTF-8 for plain text). Output schema is
+    PARSED_SCHEMA; rows with status='error' carry the exception text and
+    NULL text.
     """
 
     def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -109,8 +160,7 @@ def extract_text(df: DataFrame) -> DataFrame:
                     "category": r["category"],
                 }
                 try:
-                    content = bytes(r["content"])
-                    text = content.decode("utf-8")  # stubbed codec
+                    text = decode_document(bytes(r["content"]))
                     rows.append({**base, "text": text, "status": "ok", "error": None})
                 except Exception as ex:  # noqa: BLE001 — S7: never crash the job
                     rows.append(

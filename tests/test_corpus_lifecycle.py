@@ -126,3 +126,38 @@ def test_excel_compat_shim(spark, tmp_path):
     assert "账套编号" in back.columns  # Chinese headers (CN_NAMES)
     # NULL -> '' only in this shim
     assert back["产品代码"].fillna("").eq("").all()
+
+
+def test_codec_dispatch_magic_bytes(spark, tmp_path):
+    """S3/S4 import-gated codecs: a real %PDF container and a PNG route to
+    the pdfplumber/pypdf and easyocr branches; with the libraries absent
+    they quarantine with a named-dependency error instead of crashing.
+    Plain text still decodes on the UTF-8 path."""
+    from fund_data_etl_pipeline_spark.sources.corpus import decode_document
+
+    assert decode_document("红利再投资\n金额:100".encode()) == "红利再投资\n金额:100"
+
+    have_pdf = True
+    try:
+        import pdfplumber  # noqa: F401
+    except ImportError:
+        try:
+            import pypdf  # noqa: F401
+        except ImportError:
+            have_pdf = False
+
+    d = tmp_path / "corpus" / "2026" / "20260115" / "1场外开基" / "分红"
+    d.mkdir(parents=True)
+    (d / "真PDF-红利.pdf").write_bytes(b"%PDF-1.7\nnot really parseable")
+    (d / "扫描件-红利.pdf").write_bytes(b"\x89PNG\r\n\x1a\nfake")
+    parsed = load_corpus(spark, str(tmp_path / "corpus"))
+    rows = {r["filename"]: r for r in parsed.collect()}
+    png = rows["扫描件-红利.pdf"]
+    assert png["status"] == "error" and "easyocr" in png["error"]
+    pdf = rows["真PDF-红利.pdf"]
+    if have_pdf:
+        # library present: truncated container fails parse, still quarantined
+        assert pdf["status"] in ("ok", "error")
+    else:
+        assert pdf["status"] == "error"
+        assert "pdfplumber" in pdf["error"] or "pypdf" in pdf["error"]
