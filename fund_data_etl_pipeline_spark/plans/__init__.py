@@ -68,6 +68,10 @@ PRIORITY = [
     "pivot_status",
     "text_fingerprint",
     "dedup_ngram_capped",
+    # round-2 additions: must get first-appearance driver rows
+    "dedup_groups",
+    "doc_hash_split",
+    "corpus_top_terms",
 ]
 
 

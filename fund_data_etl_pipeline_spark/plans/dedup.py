@@ -150,6 +150,39 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "dedup_groups",
+    # the oracle re-derives the LSH pair set (nested WITH inside the
+    # subquery), then takes its transitive closure with a recursive CTE:
+    # group_id = MIN(reachable id) — exactly the fixpoint the Spark
+    # label-propagation loop converges to
+    oracle=f"""
+    WITH RECURSIVE
+    pairs AS (SELECT d1, d2 FROM ({_minhash_oracle()}) t),
+    edges AS (SELECT d1 AS a, d2 AS b FROM pairs
+              UNION SELECT d2, d1 FROM pairs),
+    reach(id, r) AS (
+      SELECT doc_id, doc_id FROM documents
+      UNION
+      SELECT reach.id, e.b FROM reach JOIN edges e ON reach.r = e.a
+    ),
+    lab AS (SELECT id, MIN(r) AS group_id FROM reach GROUP BY id),
+    g AS (SELECT group_id, COUNT(*) AS group_size FROM lab GROUP BY group_id)
+    SELECT lab.id AS doc_id, lab.group_id, g.group_size
+    FROM lab JOIN g USING (group_id)
+    """,
+)
+def dedup_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup GROUP resolution — the stage after pair finding in a real
+    dedup pipeline: minhash-LSH pairs -> connected components -> every doc
+    labeled with its canonical doc (min doc_id of the component) and the
+    component size. Keep-one-per-group is then a trivial
+    ``filter(doc_id == group_id)``."""
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = D.minhash_lsh_pairs(docs, threshold=_JACCARD_T)
+    return D.connected_components(pairs, docs.select("doc_id"))
+
+
+@register(
     "dedup_simhash",
     oracle=f"""
     SELECT doc_id, {G.simhash_sql(SIMHASH_BITS)} AS simhash

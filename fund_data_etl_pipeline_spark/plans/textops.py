@@ -10,6 +10,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
 from ..functions.numeric import round2
 from ..functions.text import (
@@ -20,6 +21,7 @@ from ..functions.text import (
     stopword_ratio,
     words,
 )
+from ..operators.sampling import SPLIT_BUCKETS, hash_split
 from ..sources import load_table
 from . import _sqlgen as G
 from . import register
@@ -204,4 +206,70 @@ def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         normalized_md5("text").alias("md5_fp"),
         poly_fingerprint(F.col("__w")).alias("poly_fp"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Deterministic train/val/test split (operators/sampling.py)
+# --------------------------------------------------------------------------
+
+_SPLIT_SALT = "split-v1"
+
+
+@register(
+    "doc_hash_split",
+    oracle=f"""
+    SELECT doc_id, bucket,
+           CASE WHEN bucket < {int(0.8 * SPLIT_BUCKETS)} THEN 'train'
+                WHEN bucket < {int(0.9 * SPLIT_BUCKETS)} THEN 'val'
+                ELSE 'test' END AS split
+    FROM (SELECT doc_id,
+                 {G.H(f"'{_SPLIT_SALT}' || doc_id::VARCHAR")} % {SPLIT_BUCKETS}
+                   AS bucket
+          FROM documents)
+    """,
+)
+def doc_hash_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hash-deterministic 80/10/10 split assignment — map-only, stable
+    under re-runs and corpus growth (unlike randomSplit)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return hash_split(docs, salt=_SPLIT_SALT).select("doc_id", "bucket", "split")
+
+
+# --------------------------------------------------------------------------
+# Corpus vocabulary: top terms by frequency (tf + document frequency)
+# --------------------------------------------------------------------------
+
+_TOP_TERMS_K = 50
+
+
+@register(
+    "corpus_top_terms",
+    oracle=f"""
+    WITH w AS (SELECT doc_id, unnest({G.WORDS}) AS term FROM documents),
+    agg AS (SELECT term, COUNT(*) AS tf, COUNT(DISTINCT doc_id) AS df
+            FROM w GROUP BY term),
+    ranked AS (SELECT term, tf, df,
+                      ROW_NUMBER() OVER (ORDER BY tf DESC, term ASC) AS rank
+               FROM agg)
+    SELECT term, tf, df, rank FROM ranked WHERE rank <= {_TOP_TERMS_K}
+    """,
+)
+def corpus_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Global vocabulary stats: term frequency + document frequency, top-k.
+    Plan shape: explode -> hash agg (map-side partial) -> orderBy+limit,
+    which Spark runs as TakeOrderedAndProject (per-partition top-k, no
+    global sort); the rank window then runs over only the k survivors.
+    Ordering is total (tf desc, term asc — term unique after the groupBy)
+    so both engines pick identical boundary rows."""
+    docs = load_table(spark, sf_dir, "documents")
+    w = docs.select("doc_id", F.explode(words("text")).alias("term"))
+    agg = w.groupBy("term").agg(
+        F.count(F.lit(1)).alias("tf"),
+        F.countDistinct("doc_id").alias("df"),
+    )
+    order = [F.col("tf").desc(), F.col("term").asc()]
+    top = agg.orderBy(*order).limit(_TOP_TERMS_K)
+    return top.select(
+        "term", "tf", "df", F.row_number().over(Window.orderBy(*order)).alias("rank")
     )

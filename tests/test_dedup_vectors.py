@@ -103,3 +103,58 @@ def test_ngram_hot_shingle_cap(spark, sf_dir):
     }
     # dropping every shared shingle (df>1) removes all candidate pairs
     assert capped == set()
+
+def test_connected_components_chain_and_singleton(spark):
+    """A chain 1-2, 2-3 plus a separate pair 5-6 must collapse to two
+    groups labeled by their min id; doc 4 (no pairs) stays a singleton."""
+    pairs = spark.createDataFrame(
+        [(2, 3), (1, 2), (5, 6)], "d1 long, d2 long"
+    )
+    ids = spark.createDataFrame([(i,) for i in range(1, 7)], "doc_id long")
+    out = {
+        r["doc_id"]: (r["group_id"], r["group_size"])
+        for r in D.connected_components(pairs, ids).collect()
+    }
+    assert out == {
+        1: (1, 3), 2: (1, 3), 3: (1, 3),
+        4: (4, 1),
+        5: (5, 2), 6: (5, 2),
+    }
+
+
+def test_connected_components_star_direction(spark):
+    """Min-label must flow against edge direction too (pairs always have
+    d1 < d2, so propagation purely along (d1->d2) would already work —
+    this chain forces the reverse hop: 3-4 then 1-3)."""
+    pairs = spark.createDataFrame([(3, 4), (1, 3)], "d1 long, d2 long")
+    ids = spark.createDataFrame([(1,), (3,), (4,)], "doc_id long")
+    out = {r["doc_id"]: r["group_id"] for r in D.connected_components(pairs, ids).collect()}
+    assert out == {1: 1, 3: 1, 4: 1}
+
+
+def test_hash_split_deterministic_and_stable(spark, sf_dir):
+    """Same assignment on re-run AND after dropping half the corpus — the
+    property randomSplit does not have."""
+    from fund_data_etl_pipeline_spark.operators.sampling import (
+        hash_sample,
+        hash_split,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    full = {r["doc_id"]: r["split"] for r in hash_split(docs).collect()}
+    again = {r["doc_id"]: r["split"] for r in hash_split(docs).collect()}
+    assert full == again
+    half = docs.filter(F.col("doc_id") % 2 == 0)
+    sub = {r["doc_id"]: r["split"] for r in hash_split(half).collect()}
+    assert all(full[k] == v for k, v in sub.items())
+    # all three splits are populated and cover every row
+    assert set(full.values()) == {"train", "val", "test"}
+    assert len(full) == docs.count()
+    # sample with a different salt is independent of (not nested in) the
+    # split, and is itself deterministic
+    s1 = {r["doc_id"] for r in hash_sample(docs, 0.3).collect()}
+    s2 = {r["doc_id"] for r in hash_sample(docs, 0.3).collect()}
+    assert s1 == s2 and 0 < len(s1) < docs.count()
+    # a higher rate strictly contains a lower one (thresholds nest)
+    s3 = {r["doc_id"] for r in hash_sample(docs, 0.6).collect()}
+    assert s1 <= s3
