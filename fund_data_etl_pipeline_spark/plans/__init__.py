@@ -72,12 +72,17 @@ PRIORITY = [
     "dedup_groups",
     "doc_hash_split",
     "corpus_top_terms",
+    "text_repetition_filter",
+    "text_scrub",
+    "doc_tfidf_topk",
 ]
 
 
 # Names that may safely fall past the driver's cap: the no-oracle
 # throughput probe plus generic relational queries that were green in
 # round 1 and exercise machinery other listed queries already cover.
+# Sized to >= (registered - 50) so the cap's cut is wholly chosen here,
+# never an arbitrary registration-order tail.
 DEPRIORITY = [
     "fund_dividend_scaled",
     "union_slices",
@@ -86,6 +91,15 @@ DEPRIORITY = [
     "intersect_nations",
     "except_nations",
     "cast_round_coerce",
+    "isin_filter",
+    "agg_stats",
+    "derived_arithmetic",
+    # machinery-overlapped round-1-green rows: token_count is a strict
+    # subset of text_quality's counting; the uncapped ngram form differs
+    # from dedup_ngram_capped only by the cap; semi ~ anti join mechanics
+    "text_token_count",
+    "dedup_ngram_jaccard",
+    "semi_join_parts",
 ]
 
 

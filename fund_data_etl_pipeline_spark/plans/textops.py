@@ -273,3 +273,179 @@ def corpus_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     return top.select(
         "term", "tf", "df", F.row_number().over(Window.orderBy(*order)).alias("rank")
     )
+
+
+# --------------------------------------------------------------------------
+# Repetition-based quality filter (the Gopher-rules family: Rae et al. 2021
+# §A1.1 filter on duplicate-ngram fractions — public heuristic, map-only)
+# --------------------------------------------------------------------------
+
+_MIN_UNIQ_WORD_FRAC = 0.2
+_MAX_DUP_BIGRAM_FRAC = 0.9
+
+
+@register(
+    "text_repetition_filter",
+    oracle=f"""
+    SELECT doc_id, n_words,
+           {G.round_sql("uniq_word_frac", 6)} AS uniq_word_frac,
+           {G.round_sql("dup_bigram_frac", 6)} AS dup_bigram_frac,
+           (uniq_word_frac >= {_MIN_UNIQ_WORD_FRAC}
+            AND dup_bigram_frac <= {_MAX_DUP_BIGRAM_FRAC}) AS keep
+    FROM (
+      SELECT doc_id, len(w) AS n_words,
+             CASE WHEN len(w) > 0
+                  THEN len(list_distinct(w)) * 1.0 / len(w) ELSE 1.0 END
+               AS uniq_word_frac,
+             CASE WHEN len(w) >= 2
+                  THEN 1.0 - len(list_distinct(list_transform(
+                         generate_series(1, len(w) - 1),
+                         i -> w[i] || ' ' || w[i+1]))) * 1.0 / (len(w) - 1)
+                  ELSE 0.0 END
+               AS dup_bigram_frac
+      FROM (SELECT doc_id, {G.WORDS} AS w FROM documents)
+    )
+    """,
+)
+def text_repetition_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Repetition signals + keep/drop verdict per document: fraction of
+    unique words, and fraction of repeated word bigrams — the classic
+    boilerplate/spam tell. Pure per-row HOF arithmetic (word array built
+    once), no shuffle."""
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", words("text").alias("__w")
+    )
+    w = F.col("__w")
+    n = F.size(w)
+    uniq = F.when(n > 0, F.size(F.array_distinct(w)) / n).otherwise(F.lit(1.0))
+    bigrams = F.transform(
+        F.sequence(F.lit(1), F.greatest(n - 1, F.lit(0))),
+        lambda i: F.concat_ws(
+            " ", F.element_at(w, i.cast("int")), F.element_at(w, (i + 1).cast("int"))
+        ),
+    )
+    dup_bi = F.when(
+        n >= 2,
+        F.lit(1.0) - F.size(F.array_distinct(bigrams)) / (n - 1),
+    ).otherwise(F.lit(0.0))
+    out = docs.select(
+        "doc_id",
+        n.alias("n_words"),
+        round2(uniq, 6).alias("uniq_word_frac"),
+        round2(dup_bi, 6).alias("dup_bigram_frac"),
+    )
+    return out.withColumn(
+        "keep",
+        (F.col("uniq_word_frac") >= _MIN_UNIQ_WORD_FRAC)
+        & (F.col("dup_bigram_frac") <= _MAX_DUP_BIGRAM_FRAC),
+    )
+
+
+# --------------------------------------------------------------------------
+# PII scrubbing: email / URL / long-number redaction (map-only
+# regexp_replace chain; counts measured on the original text)
+# --------------------------------------------------------------------------
+
+EMAIL_RE = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z][A-Za-z]+"
+URL_RE = r"https?://[^ \t\r\n\x0B\f]+"  # whitespace class pinned (WS_RE)
+LONGNUM_RE = r"[0-9]{9,}"
+
+
+@register(
+    "text_scrub",
+    oracle=f"""
+    SELECT doc_id,
+           regexp_replace(
+             regexp_replace(
+               regexp_replace(text, '{URL_RE}', '[URL]', 'g'),
+               '{EMAIL_RE}', '[EMAIL]', 'g'),
+             '{LONGNUM_RE}', '[NUM]', 'g') AS clean_text,
+           len(regexp_extract_all(text, '{URL_RE}'))
+             + len(regexp_extract_all(text, '{EMAIL_RE}'))
+             + len(regexp_extract_all(text, '{LONGNUM_RE}')) AS n_redactions
+    FROM documents
+    """,
+)
+def text_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII/boilerplate scrub: URLs, then emails, then 9+-digit numbers
+    replaced by typed placeholders (URL first so its query-string never
+    half-matches as an email). ``n_redactions`` counts matches on the
+    ORIGINAL text. regexp_count keeps counting inside codegen; the
+    patterns stick to constructs Java regex and RE2 read identically
+    (explicit character classes, bounded repetition)."""
+    docs = load_table(spark, sf_dir, "documents")
+    clean = F.regexp_replace(
+        F.regexp_replace(
+            F.regexp_replace("text", URL_RE, "[URL]"),
+            EMAIL_RE,
+            "[EMAIL]",
+        ),
+        LONGNUM_RE,
+        "[NUM]",
+    )
+    n_red = (
+        F.regexp_count("text", F.lit(URL_RE))
+        + F.regexp_count("text", F.lit(EMAIL_RE))
+        + F.regexp_count("text", F.lit(LONGNUM_RE))
+    )
+    return docs.select(
+        "doc_id", clean.alias("clean_text"), n_red.alias("n_redactions")
+    )
+
+
+# --------------------------------------------------------------------------
+# Per-document TF-IDF top terms
+# --------------------------------------------------------------------------
+
+_TFIDF_K = 3
+
+
+@register(
+    "doc_tfidf_topk",
+    oracle=f"""
+    WITH w AS (SELECT doc_id, unnest({G.WORDS}) AS term FROM documents),
+    tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM w GROUP BY 1, 2),
+    dfreq AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY 1),
+    n AS (SELECT COUNT(*) AS n_docs FROM documents),
+    scored AS (
+      SELECT doc_id, term, tf, df,
+             {G.round_sql("tf * ln(n_docs * 1.0 / df)", 6)} AS tfidf
+      FROM tf JOIN dfreq USING (term) CROSS JOIN n
+    )
+    SELECT doc_id, term, tf, df, tfidf, rank
+    FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY doc_id
+                      ORDER BY tfidf DESC, term ASC) AS rank
+          FROM scored)
+    WHERE rank <= {_TFIDF_K}
+    """,
+)
+def doc_tfidf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-k characteristic terms per document by TF-IDF. Plan shape:
+    explode -> (doc, term) hash agg (map-side partial) -> term-keyed df
+    agg joined back -> 1-row corpus count broadcast -> per-doc rank
+    window (shuffles on doc_id, never a global sort). The window orders by
+    the ROUNDED score so both engines break ties identically."""
+    docs = load_table(spark, sf_dir, "documents")
+    w = docs.select("doc_id", F.explode(words("text")).alias("term"))
+    tf = w.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    n = docs.agg(F.count(F.lit(1)).alias("n_docs"))
+    scored = (
+        tf.join(dfreq, "term")
+        .crossJoin(F.broadcast(n))
+        .select(
+            "doc_id",
+            "term",
+            "tf",
+            "df",
+            round2(
+                F.col("tf") * F.log(F.col("n_docs") * F.lit(1.0) / F.col("df")), 6
+            ).alias("tfidf"),
+        )
+    )
+    win = Window.partitionBy("doc_id").orderBy(
+        F.col("tfidf").desc(), F.col("term").asc()
+    )
+    return scored.withColumn("rank", F.row_number().over(win)).filter(
+        F.col("rank") <= _TFIDF_K
+    )
