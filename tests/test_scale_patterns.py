@@ -74,3 +74,24 @@ def test_session_defaults_are_scale_ready(spark):
     assert spark.conf.get("spark.sql.adaptive.enabled") == "true"
     assert spark.conf.get("spark.sql.adaptive.skewJoin.enabled") == "true"
     assert spark.conf.get("spark.sql.session.timeZone") == "UTC"
+
+
+def _plan(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_new_text_queries_plan_shapes(spark, sf_dir):
+    """The round-2 operators keep the plan shapes their docstrings claim:
+    split is map-only, top-terms is per-partition top-k (never a global
+    sort), tf-idf broadcasts the 1-row corpus count."""
+    import __spark_entry__ as e
+
+    q = e.queries()
+    assert "Exchange" not in _plan(q["doc_hash_split"](spark, sf_dir))
+    top = _plan(q["corpus_top_terms"](spark, sf_dir))
+    assert "TakeOrderedAndProject" in top
+    assert "Sort " not in top.split("TakeOrderedAndProject")[0]
+    tfidf = _plan(q["doc_tfidf_topk"](spark, sf_dir))
+    assert "BroadcastNestedLoopJoin" in tfidf or "BroadcastExchange" in tfidf
+    assert "Exchange" not in _plan(q["text_repetition_filter"](spark, sf_dir))
+    assert "Exchange" not in _plan(q["text_scrub"](spark, sf_dir))
