@@ -76,3 +76,25 @@ def windowed_event_counts(
             "sum_value",
         )
     )
+
+
+def streaming_dedup(
+    docs_stream: DataFrame,
+    watermark: str = "1 hour",
+    text_col: str = "text",
+) -> DataFrame:
+    """Streaming exact dedup: drop re-ingested duplicates by the SAME
+    normalized content hash as the batch ``operators/dedup.exact_dedup``
+    (batch/streaming parity on the dedup key). ``dropDuplicatesWithin
+    Watermark`` keeps per-key state only inside the watermark horizon, so
+    state is bounded at any ingest rate — ``dropDuplicates`` on a stream
+    would grow state forever. Re-deliveries beyond the horizon fall
+    through to the batch dedup pass; the two stages compose."""
+    from ..functions.text import normalized_md5
+
+    hashed = docs_stream.withColumn(
+        "content_hash", normalized_md5(F.col(text_col))
+    ).withColumn("ingest_ts", F.current_timestamp())
+    return hashed.withWatermark("ingest_ts", watermark).dropDuplicatesWithinWatermark(
+        ["content_hash"]
+    )

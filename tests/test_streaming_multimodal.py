@@ -141,3 +141,34 @@ def test_sample_frames(spark, media_df):
     frames = sample_frames(media_df, every_n=10).collect()
     assert all(r["media_id"] == 4 for r in frames)
     assert [r["frame_index"] for r in frames] == list(range(0, 95, 10))
+
+
+def test_streaming_dedup_within_watermark(spark, tmp_path):
+    """Duplicate-content documents (even under different ids/filenames)
+    collapse to one surviving row per content hash; distinct contents all
+    survive."""
+    from fund_data_etl_pipeline_spark.streaming.file_ingest import streaming_dedup
+
+    src = tmp_path / "docs"
+    out = tmp_path / "out"
+    ckpt = tmp_path / "ckpt"
+    src.mkdir()
+    docs = [
+        (1, "a.txt", "x/a.txt", "alpha beta gamma"),
+        (2, "b.txt", "x/b.txt", "Alpha  BETA gamma"),  # same normalized content
+        (3, "c.txt", "x/c.txt", "something else"),
+        (4, "d.txt", "x/d.txt", "alpha beta gamma"),   # dup again
+    ]
+    _write_doc_json(str(src), docs[:2], "day1.json")
+    _write_doc_json(str(src), docs[2:], "day2.json")
+
+    deduped = streaming_dedup(read_document_stream(spark, str(src)))
+    q = write_available_now(deduped, str(out), str(ckpt))
+    q.awaitTermination(120)
+
+    got = spark.read.parquet(str(out))
+    assert got.count() == 2
+    assert got.select("content_hash").distinct().count() == 2
+    assert {r["text"] for r in got.collect()} <= {
+        "alpha beta gamma", "Alpha  BETA gamma", "something else"
+    }
