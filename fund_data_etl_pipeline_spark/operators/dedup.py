@@ -230,38 +230,45 @@ def connected_components(
     star-like (large-star/small-star alternation is the escalation path
     for adversarial diameters, per the Kang et al. CC-MR line of work).
     """
+    # both directions from ONE scan of the (possibly expensive) pair plan
+    # — a union of two selects would execute it twice before the persist
     edges = (
-        pairs.select(F.col("d1").alias("src"), F.col("d2").alias("dst"))
-        .unionByName(
-            pairs.select(F.col("d2").alias("src"), F.col("d1").alias("dst"))
+        pairs.select(
+            F.explode(
+                F.array(
+                    F.struct(F.col("d1").alias("src"), F.col("d2").alias("dst")),
+                    F.struct(F.col("d2").alias("src"), F.col("d1").alias("dst")),
+                )
+            ).alias("e")
         )
+        .select("e.src", "e.dst")
         .distinct()
         .persist()
     )
     labels = ids.select(
         F.col(id_col).alias("id"), F.col(id_col).alias("label")
     ).localCheckpoint()
+    # convergence probe: labels only ever decrease, so the label sum is
+    # strictly monotone until the fixpoint — one cheap aggregate per round
+    # instead of a label-vs-label shuffle join (decimal(38) can't overflow
+    # at any realistic id range x row count)
+    label_sum = F.sum(F.col("label").cast("decimal(38,0)")).alias("s")
+    prev_sum = labels.agg(label_sum).first()["s"]
     for _ in range(max_iter):
         neighbor_min = (
             edges.join(labels, edges["dst"] == labels["id"])
             .select(F.col("src").alias("id"), "label")
         )
-        new_labels = (
+        labels = (
             labels.unionByName(neighbor_min)
             .groupBy("id")
             .agg(F.min("label").alias("label"))
             .localCheckpoint()
         )
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), "id")
-            .filter(F.col("n.label") != F.col("o.label"))
-            .limit(1)
-            .count()
-        )
-        labels = new_labels
-        if changed == 0:
+        cur_sum = labels.agg(label_sum).first()["s"]
+        if cur_sum == prev_sum:
             break
+        prev_sum = cur_sum
     edges.unpersist()
     sizes = labels.groupBy("label").agg(F.count(F.lit(1)).alias("group_size"))
     return labels.join(sizes, "label").select(

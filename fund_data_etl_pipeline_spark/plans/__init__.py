@@ -75,6 +75,7 @@ PRIORITY = [
     "text_repetition_filter",
     "text_scrub",
     "doc_tfidf_topk",
+    "dedup_hybrid",
 ]
 
 
@@ -100,6 +101,7 @@ DEPRIORITY = [
     "text_token_count",
     "dedup_ngram_jaccard",
     "semi_join_parts",
+    "anti_join_customers",
 ]
 
 

@@ -107,7 +107,7 @@ def dedup_ngram_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _minhash_oracle() -> str:
+def _minhash_oracle(threshold: float = _JACCARD_T) -> str:
     sig_exprs = ",\n             ".join(
         f"{G.minhash_sql(i, 'hs')} AS mh{i}" for i in range(len(MINHASH_A))
     )
@@ -138,7 +138,7 @@ def _minhash_oracle() -> str:
     )
     SELECT d1, d2, {_JACCARD_SQL} AS jaccard
     FROM verified
-    WHERE {_JACCARD_SQL} >= {_JACCARD_T}
+    WHERE {_JACCARD_SQL} >= {threshold}
     """
 
 
@@ -192,6 +192,62 @@ def dedup_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return D.simhash_signatures(load_table(spark, sf_dir, "documents"))
+
+
+_HYBRID_CAND_T = 0.5  # loose lexical candidate threshold
+_HYBRID_JACCARD_T = 0.8  # strong-lexical confirmation
+_COS_SQL = G.round_sql(
+    "list_dot_product(e1.v, e2.v) /"
+    " (sqrt(list_dot_product(e1.v, e1.v)) * sqrt(list_dot_product(e2.v, e2.v)))",
+    6,
+)
+
+
+@register(
+    "dedup_hybrid",
+    oracle=f"""
+    WITH pairs AS (SELECT d1, d2, jaccard FROM ({_minhash_oracle(_HYBRID_CAND_T)}) t),
+    e AS (SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v
+          FROM embeddings)
+    SELECT d1, d2, jaccard,
+           {_COS_SQL} AS cos_sim,
+           (jaccard >= {_HYBRID_JACCARD_T} OR {_COS_SQL} >= {_COS_T}) AS is_dup
+    FROM pairs
+    JOIN e e1 ON e1.vec_id = d1
+    JOIN e e2 ON e2.vec_id = d2
+    """,
+)
+def dedup_hybrid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-signal near-dup: lexical LSH generates candidates at a LOOSE
+    jaccard threshold, then each pair is confirmed by strong lexical
+    overlap OR embedding-cosine similarity — the modern text+semantic
+    dedup combination. Scale shape: the candidate pair set is tiny
+    relative to the embedding table, so the two id equi-joins broadcast
+    the pairs side (AQE does this from the runtime size); the embedding
+    table is never self-joined."""
+    docs = load_table(spark, sf_dir, "documents")
+    emb = load_table(spark, sf_dir, "embeddings")
+    pairs = D.minhash_lsh_pairs(docs, threshold=_HYBRID_CAND_T)
+    e1 = emb.select(
+        F.col("vec_id").alias("d1"), as_double(F.col("embedding")).alias("v1")
+    )
+    e2 = emb.select(
+        F.col("vec_id").alias("d2"), as_double(F.col("embedding")).alias("v2")
+    )
+    cos = round2(cosine(F.col("v1"), F.col("v2")), 6)
+    return (
+        pairs.join(e1, "d1")
+        .join(e2, "d2")
+        .select(
+            "d1",
+            "d2",
+            "jaccard",
+            cos.alias("cos_sim"),
+            (
+                (F.col("jaccard") >= _HYBRID_JACCARD_T) | (cos >= _COS_T)
+            ).alias("is_dup"),
+        )
+    )
 
 
 @register(
