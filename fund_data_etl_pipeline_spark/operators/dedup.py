@@ -64,22 +64,6 @@ def with_shingle_sets(
     )
 
 
-def _pair_jaccard(cand: DataFrame, sets: DataFrame, id_col: str) -> DataFrame:
-    """Attach exact Jaccard to candidate (d1, d2) pairs."""
-    s1 = sets.select(F.col(id_col).alias("d1"), F.col("sh").alias("sh1"))
-    s2 = sets.select(F.col(id_col).alias("d2"), F.col("sh").alias("sh2"))
-    joined = cand.join(s1, "d1").join(s2, "d2")
-    inter = F.size(F.array_intersect("sh1", "sh2"))
-    union = F.size("sh1") + F.size("sh2") - inter
-    return joined.select(
-        "d1",
-        "d2",
-        round2(
-            F.when(union > 0, inter.cast("double") / union).otherwise(F.lit(0.0)), 6
-        ).alias("jaccard"),
-    )
-
-
 def minhash_lsh_pairs(
     df: DataFrame,
     text_col: str = "text",
@@ -166,8 +150,23 @@ def ngram_jaccard_pairs(
     underestimates jaccard for pairs whose overlap includes hot shingles
     (exactly the overlap a near-dup pass cares least about); pairs sharing
     only hot shingles disappear entirely. ``None`` keeps the exhaustive
-    form as the verification baseline."""
-    sets = with_shingle_sets(df, text_col, id_col)
+    form as the verification baseline.
+
+    The index is built over HASHED shingles (same convention as minhash —
+    md5 once per word, arithmetic 3-gram combine): the pairing join
+    shuffles 8-byte bigints instead of ~30-char shingle strings, and the
+    oracle reproduces the hashes exactly. The set table is persisted
+    because THREE consumers read it (both join sides + sizes) and
+    Catalyst's projection collapse would otherwise re-inline the HOF
+    hashing pipeline into each — re-evaluating it per element, the
+    no-CSE-in-lambdas trap (measured 90 s vs 3 s at sf0.1). At 100 TB it
+    becomes a written intermediate, like the minhash signature table."""
+    sets = (
+        df.select(F.col(id_col), words(F.col(text_col)).alias("__w"))
+        .select(id_col, word_hashes(F.col("__w")).alias("__wh"))
+        .select(id_col, shingle_hashes(F.col("__wh")).alias("sh"))
+        .persist()
+    )
     inv = sets.select(F.col(id_col), F.explode("sh").alias("s"))
     if max_doc_freq is not None:
         hot = (

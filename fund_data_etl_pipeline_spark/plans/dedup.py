@@ -48,10 +48,12 @@ _JACCARD_SQL = G.round_sql(
 
 @register(
     "dedup_ngram_jaccard",
+    # the inverted index pairs on HASHED shingles (hs), mirroring the
+    # engine's bigint-keyed join exactly
     oracle=f"""
     WITH {_shingle_cte()},
-    inv AS (SELECT doc_id, unnest(sh) AS tok FROM s),
-    sizes AS (SELECT doc_id, len(sh) AS n FROM s),
+    inv AS (SELECT doc_id, unnest(hs) AS tok FROM s),
+    sizes AS (SELECT doc_id, len(hs) AS n FROM s),
     inter AS (
       SELECT a.doc_id AS d1, b.doc_id AS d2, COUNT(*) AS i
       FROM inv a JOIN inv b ON a.tok = b.tok AND a.doc_id < b.doc_id
@@ -80,10 +82,10 @@ _NGRAM_DF_CAP = 8
     # mirrored in SQL, so the scale path is value-exact against the oracle
     oracle=f"""
     WITH {_shingle_cte()},
-    inv0 AS (SELECT doc_id, unnest(sh) AS tok FROM s),
+    inv0 AS (SELECT doc_id, unnest(hs) AS tok FROM s),
     hot AS (SELECT tok FROM inv0 GROUP BY tok HAVING COUNT(*) > {_NGRAM_DF_CAP}),
     inv AS (SELECT doc_id, tok FROM inv0 ANTI JOIN hot USING (tok)),
-    sizes AS (SELECT doc_id, len(sh) AS n FROM s),
+    sizes AS (SELECT doc_id, len(hs) AS n FROM s),
     inter AS (
       SELECT a.doc_id AS d1, b.doc_id AS d2, COUNT(*) AS i
       FROM inv a JOIN inv b ON a.tok = b.tok AND a.doc_id < b.doc_id
