@@ -9,7 +9,7 @@ from pyspark.sql import functions as F
 
 from ..functions.text import MINHASH_A, MINHASH_BANDS, SIMHASH_BITS
 from ..operators import dedup as D
-from ..operators.similarity import as_double, cosine
+from ..operators.similarity import as_double, cosine, dot, norm
 from ..functions.numeric import round2
 from ..sources import load_table
 from . import _sqlgen as G
@@ -271,12 +271,26 @@ def dedup_hybrid(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-cosine near-dup pairs (brute-force verify; the LSH-
-    bucketed variant is ann_lsh_topk in plans/vectors.py)."""
+    bucketed variant is ann_lsh_topk in plans/vectors.py). Norms are
+    precomputed map-side and the prepped table persisted, so the O(N^2)
+    stage evaluates ONE dot product per pair instead of three (the two
+    norm aggregates were re-run per pair inside the crossJoin); the
+    division by n1*n2 is the oracle's exact expression tree, so values
+    are bit-identical."""
     emb = load_table(spark, sf_dir, "embeddings")
-    a = emb.select(F.col("vec_id").alias("d1"), as_double(F.col("embedding")).alias("v1"))
-    b = emb.select(F.col("vec_id").alias("d2"), as_double(F.col("embedding")).alias("v2"))
+    prepped = (
+        emb.select(F.col("vec_id"), as_double(F.col("embedding")).alias("v"))
+        .select("vec_id", "v", norm(F.col("v")).alias("n"))
+        .persist()
+    )
+    a = prepped.select(
+        F.col("vec_id").alias("d1"), F.col("v").alias("v1"), F.col("n").alias("n1")
+    )
+    b = prepped.select(
+        F.col("vec_id").alias("d2"), F.col("v").alias("v2"), F.col("n").alias("n2")
+    )
     pairs = a.crossJoin(b).filter(F.col("d1") < F.col("d2"))
-    sim = round2(cosine(F.col("v1"), F.col("v2")), 6)
+    sim = round2(dot(F.col("v1"), F.col("v2")) / (F.col("n1") * F.col("n2")), 6)
     return pairs.select("d1", "d2", sim.alias("cos_sim")).filter(
         F.col("cos_sim") >= _COS_T
     )
