@@ -56,6 +56,41 @@ def exact_dedup(
     )
 
 
+def incremental_exact_dedup(
+    new_docs: DataFrame,
+    history: DataFrame | None,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> tuple[DataFrame, DataFrame]:
+    """Daily-batch dedup against a persisted hash index — the 100 TB
+    production shape: today's (small) batch is hashed and anti-joined
+    against the historical ``content_hash`` table instead of ever
+    re-scanning the corpus. Within-batch duplicates collapse to the min
+    id first, so output rows are unique even before history is consulted.
+
+    Returns ``(fresh, updated_history)``: the surviving new documents and
+    the history to persist for tomorrow. At scale the history table is
+    written bucketed by content_hash so the anti-join and the union's
+    distinct stay co-located (no full shuffle of history)."""
+    hashed = new_docs.withColumn(
+        "content_hash", normalized_md5(F.col(text_col))
+    )
+    canon = hashed.groupBy("content_hash").agg(F.min(id_col).alias(id_col))
+    batch_unique = hashed.join(canon, [id_col, "content_hash"], "inner")
+    fresh = (
+        batch_unique.join(history, "content_hash", "left_anti")
+        if history is not None
+        else batch_unique
+    )
+    new_hashes = fresh.select("content_hash")
+    updated = (
+        history.unionByName(new_hashes).distinct()
+        if history is not None
+        else new_hashes.distinct()
+    )
+    return fresh, updated
+
+
 def with_shingle_sets(
     df: DataFrame, text_col: str = "text", id_col: str = "doc_id", n: int = 3
 ) -> DataFrame:

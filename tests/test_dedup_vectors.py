@@ -158,3 +158,57 @@ def test_hash_split_deterministic_and_stable(spark, sf_dir):
     # a higher rate strictly contains a lower one (thresholds nest)
     s3 = {r["doc_id"] for r in hash_sample(docs, 0.6).collect()}
     assert s1 <= s3
+
+
+def test_incremental_exact_dedup_across_batches(spark):
+    """Two daily batches: within-batch dups collapse to the min id, and a
+    day-2 re-delivery of day-1 content is dropped by the history
+    anti-join; history accumulates one hash per distinct content."""
+    day1 = spark.createDataFrame(
+        [(1, "alpha beta"), (2, "ALPHA  beta"), (3, "gamma")],
+        "doc_id long, text string",
+    )
+    day2 = spark.createDataFrame(
+        [(10, "alpha beta"), (11, "delta"), (12, "delta"), (13, "epsilon")],
+        "doc_id long, text string",
+    )
+    fresh1, hist1 = D.incremental_exact_dedup(day1, None)
+    assert {r["doc_id"] for r in fresh1.collect()} == {1, 3}
+    assert hist1.count() == 2
+
+    fresh2, hist2 = D.incremental_exact_dedup(day2, hist1)
+    assert {r["doc_id"] for r in fresh2.collect()} == {11, 13}
+    assert hist2.count() == 4
+
+    # a third run of the same batch against the updated history is a no-op
+    fresh3, hist3 = D.incremental_exact_dedup(day2, hist2)
+    assert fresh3.count() == 0
+    assert hist3.count() == 4
+
+
+def test_dedup_groups_canonical_invariants(spark, sf_dir):
+    """Every group_id is the component minimum: it never exceeds the
+    member id, and the canonical doc is its own canonical."""
+    import __spark_entry__ as e
+
+    out = e.queries()["dedup_groups"](spark, sf_dir).collect()
+    by_id = {r["doc_id"]: r for r in out}
+    for r in out:
+        assert r["group_id"] <= r["doc_id"]
+        assert by_id[r["group_id"]]["group_id"] == r["group_id"]
+        assert by_id[r["group_id"]]["group_size"] == r["group_size"]
+
+
+def test_hash_split_proportions(spark, sf_dir):
+    """The 80/10/10 split lands near its weights (binomial 3-sigma)."""
+    from fund_data_etl_pipeline_spark.operators.sampling import hash_split
+
+    docs = load_table(spark, sf_dir, "documents")
+    n = docs.count()
+    counts = {
+        r["split"]: r["c"]
+        for r in hash_split(docs).groupBy("split").agg(F.count(F.lit(1)).alias("c")).collect()
+    }
+    assert 0.70 <= counts["train"] / n <= 0.90
+    assert 0.05 <= counts["val"] / n <= 0.16
+    assert 0.05 <= counts["test"] / n <= 0.16
