@@ -21,7 +21,7 @@ Embedding-cosine near-dup lives in operators/similarity.py.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from ..functions.numeric import round2
@@ -89,6 +89,141 @@ def incremental_exact_dedup(
         else new_hashes.distinct()
     )
     return fresh, updated
+
+
+SPAN_WORDS = 20
+
+
+def span_dedup(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    span_words: int = SPAN_WORDS,
+) -> DataFrame:
+    """Span-level (sub-document) exact dedup — the substring-dedup stage
+    of an LLM training pipeline (the fixed-window form of Lee et al. 2022
+    "Deduplicating Training Data Makes Language Models Better"): each
+    document is cut into non-overlapping ``span_words``-word spans, spans
+    are deduplicated corpus-wide, and a span survives only at its first
+    occurrence (lowest (doc_id, span_idx)). Catches boilerplate passages
+    duplicated INSIDE otherwise-distinct documents, which whole-document
+    hashing cannot see.
+
+    Output per document: span count, surviving-span count, and the
+    duplicated fraction ``dup_ratio`` (documents with zero words have no
+    spans and are absent).
+
+    Scale shape: one explode (linear in corpus token count) and one
+    shuffle on a 32-char md5 span key — the same cost class as exact doc
+    dedup. The exploded occurrence table is persisted because two
+    consumers read it (the first-occurrence aggregate and the probe side
+    of the join back); at 100 TB it becomes a written intermediate
+    bucketed by span hash, so neither pass re-shuffles."""
+    spans = F.transform(
+        F.sequence(
+            F.lit(0),
+            F.greatest(
+                F.ceil(F.size("__w") / F.lit(span_words)).cast("int") - 1,
+                F.lit(0),
+            ),
+        ),
+        lambda i: F.array_join(
+            F.slice("__w", i * span_words + 1, span_words), " "
+        ),
+    )
+    # persist the tokenized stage: the span transform's slice lambda runs
+    # once per span element, and projection collapse would otherwise
+    # inline words(text) into it — re-tokenizing the document per span
+    # (the no-CSE-in-lambdas trap)
+    tokenized = (
+        df.select(F.col(id_col), words(F.col(text_col)).alias("__w"))
+        .filter(F.size("__w") > 0)
+        .persist()
+    )
+    occ = (
+        tokenized.select(
+            F.col(id_col), F.posexplode(spans).alias("span_idx", "span_text")
+        )
+        .select(
+            id_col,
+            F.md5("span_text").alias("span_hash"),
+            (
+                F.col(id_col).cast("bigint") * F.lit(1_000_000_000)
+                + F.col("span_idx")
+            ).alias("okey"),
+        )
+        .persist()
+    )
+    first = occ.groupBy("span_hash").agg(F.min("okey").alias("first_key"))
+    per_doc = (
+        occ.join(first, "span_hash")
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_spans"),
+            F.sum(
+                F.when(F.col("okey") == F.col("first_key"), 1).otherwise(0)
+            ).alias("n_kept"),
+        )
+    )
+    return per_doc.select(
+        id_col,
+        "n_spans",
+        "n_kept",
+        round2(
+            (F.col("n_spans") - F.col("n_kept")) / F.col("n_spans"), 6
+        ).alias("dup_ratio"),
+    )
+
+
+def benchmark_contamination(
+    df: DataFrame,
+    is_bench: Column,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    threshold: float = 0.2,
+) -> DataFrame:
+    """Benchmark decontamination — flag training documents sharing word
+    n-grams with an evaluation/benchmark subset (the standard n-gram
+    overlap check run before any pretraining corpus ships). ``is_bench``
+    is a boolean Column partitioning ``df`` into benchmark vs train.
+
+    Output: every train document sharing >= 1 shingle with the benchmark,
+    with its shared-shingle count, total shingle count, overlap ratio and
+    a ``contaminated`` verdict at ``threshold``.
+
+    Scale shape: the benchmark shingle set is tiny relative to the corpus
+    (eval suites are thousands of documents), so its distinct hash set is
+    broadcast and the train side stays map-local until the final partial
+    aggregation on doc_id. The shingled table is persisted: two readers
+    (bench set + train side) would otherwise each re-run the HOF hashing
+    pipeline (the no-CSE-in-lambdas trap)."""
+    shingled = (
+        df.select(F.col(id_col), is_bench.alias("__b"), words(F.col(text_col)).alias("__w"))
+        .select(id_col, "__b", word_hashes(F.col("__w")).alias("__wh"))
+        .select(id_col, "__b", shingle_hashes(F.col("__wh")).alias("hs"))
+        .persist()
+    )
+    bench_toks = (
+        shingled.filter(F.col("__b"))
+        .select(F.explode("hs").alias("tok"))
+        .distinct()
+    )
+    train = shingled.filter(~F.col("__b")).select(
+        id_col, F.size("hs").alias("n_shingles"), F.explode("hs").alias("tok")
+    )
+    overlap = (
+        train.join(F.broadcast(bench_toks), "tok")
+        .groupBy(id_col, "n_shingles")
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+    )
+    ratio = round2(F.col("n_shared") / F.col("n_shingles"), 6)
+    return overlap.select(
+        id_col,
+        "n_shared",
+        "n_shingles",
+        ratio.alias("overlap_ratio"),
+        (ratio >= threshold).alias("contaminated"),
+    )
 
 
 def with_shingle_sets(

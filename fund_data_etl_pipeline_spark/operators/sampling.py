@@ -19,6 +19,7 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
 from ..functions.text import word_hash
 
@@ -69,4 +70,71 @@ def hash_sample(
     below ``rate``. Same row set every run, any partitioning."""
     return df.filter(
         split_bucket(F.col(id_col), salt) < int(round(rate * SPLIT_BUCKETS))
+    )
+
+
+def stratified_sample(
+    df: DataFrame,
+    rates: dict[str, float],
+    default_rate: float = 1.0,
+    strat_col: str = "lang",
+    id_col: str = "doc_id",
+    salt: str = "strat-v1",
+) -> DataFrame:
+    """Per-stratum deterministic sampling — the corpus-rebalancing op of a
+    multilingual pretraining pipeline (downsample the dominant language,
+    keep the rare ones whole). Each stratum gets its own keep rate; the
+    keep decision is the same salted hash bucket as ``hash_sample``, so it
+    is map-only, reproducible, and stable under corpus growth. Strata not
+    named in ``rates`` keep ``default_rate``."""
+    threshold = F.lit(int(round(default_rate * SPLIT_BUCKETS)))
+    for name, rate in rates.items():
+        threshold = F.when(
+            F.col(strat_col) == name, F.lit(int(round(rate * SPLIT_BUCKETS)))
+        ).otherwise(threshold)
+    return df.filter(split_bucket(F.col(id_col), salt) < threshold)
+
+
+PACK_CAPACITY = 256  # tokens per training sequence
+PACK_SHARDS = 8
+
+
+def pack_sequences(
+    df: DataFrame,
+    token_count: Column,
+    capacity: int = PACK_CAPACITY,
+    shards: int = PACK_SHARDS,
+    id_col: str = "doc_id",
+    salt: str = "pack-v1",
+) -> DataFrame:
+    """Concat-and-chunk sequence packing — assign every document its
+    position in the fixed-length training-sequence stream (the standard
+    LLM pretraining assembly: concatenate documents, split every
+    ``capacity`` tokens). Documents are first sharded by the deterministic
+    hash bucket, then packed in doc_id order within each shard: a
+    document's sequence bin is ``floor(start_offset / capacity)`` where
+    ``start_offset`` is the running token total before it.
+
+    Scale shape: the only shuffle is the repartition-by-shard for the
+    running-total window; shards pack independently and in parallel, so
+    at 100 TB ``shards`` scales with the cluster while each shard's
+    window stays a single linear pass. Global pack order is deterministic
+    per shard — exactly the guarantee a resumable data loader needs."""
+    w = (
+        Window.partitionBy("pack_shard")
+        .orderBy(id_col)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    with_counts = df.select(
+        F.col(id_col),
+        (split_bucket(F.col(id_col), salt) % shards).alias("pack_shard"),
+        token_count.cast("bigint").alias("n_tokens"),
+    )
+    start = (F.sum("n_tokens").over(w) - F.col("n_tokens")).alias("__start")
+    return with_counts.select(id_col, "pack_shard", "n_tokens", start).select(
+        id_col,
+        "pack_shard",
+        "n_tokens",
+        F.floor(F.col("__start") / capacity).alias("seq_bin"),
+        (F.col("__start") % capacity).alias("pack_offset"),
     )

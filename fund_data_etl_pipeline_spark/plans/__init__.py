@@ -76,6 +76,10 @@ PRIORITY = [
     "text_scrub",
     "doc_tfidf_topk",
     "dedup_hybrid",
+    "dedup_spans",
+    "contamination_check",
+    "stratified_sample",
+    "sequence_packing",
 ]
 
 
@@ -102,6 +106,14 @@ DEPRIORITY = [
     "dedup_ngram_jaccard",
     "semi_join_parts",
     "anti_join_customers",
+    # grouping machinery triply proven: rollup_priority + pivot_status stay
+    # in the sweep; the two below exercise the same aggregate paths
+    "cube_lineitem",
+    "grouping_sets_sql",
+    # TakeOrderedAndProject also proven by corpus_top_terms; broadcast dim
+    # join proven inside every fund_* query
+    "topk_revenue",
+    "dim_join_left",
 ]
 
 

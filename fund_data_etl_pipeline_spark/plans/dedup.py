@@ -184,6 +184,87 @@ def dedup_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
     return D.connected_components(pairs, docs.select("doc_id"))
 
 
+_SPAN = D.SPAN_WORDS
+_DUP_RATIO_SQL = G.round_sql("(n_spans - n_kept) * 1.0 / n_spans", 6)
+
+
+@register(
+    "dedup_spans",
+    # same md5 span keys, same (doc_id, span_idx) first-occurrence rule;
+    # n_kept cast BIGINT (DuckDB SUM -> HUGEINT, the round-1 fingerprint
+    # lesson)
+    oracle=f"""
+    WITH d AS (SELECT doc_id, {G.WORDS} AS w FROM documents),
+    occ AS (
+      SELECT doc_id,
+             md5(array_to_string(
+               list_slice(w, (i-1)*{_SPAN} + 1, (i-1)*{_SPAN} + {_SPAN}), ' '))
+               AS span_hash,
+             doc_id * 1000000000 + (i - 1) AS okey
+      FROM d CROSS JOIN UNNEST(generate_series(1, (len(w) + {_SPAN - 1}) // {_SPAN}))
+             AS t(i)
+    ),
+    first AS (SELECT span_hash, MIN(okey) AS first_key FROM occ GROUP BY span_hash),
+    per_doc AS (
+      SELECT doc_id, COUNT(*) AS n_spans,
+             SUM(CASE WHEN okey = first_key THEN 1 ELSE 0 END)::BIGINT AS n_kept
+      FROM occ JOIN first USING (span_hash)
+      GROUP BY doc_id
+    )
+    SELECT doc_id, n_spans, n_kept, {_DUP_RATIO_SQL} AS dup_ratio FROM per_doc
+    """,
+)
+def dedup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sub-document span dedup: fixed word windows deduped corpus-wide,
+    first occurrence wins — catches boilerplate passages whole-doc
+    hashing misses."""
+    return D.span_dedup(load_table(spark, sf_dir, "documents"))
+
+
+_BENCH_SALT = "benchmark-v1"
+_BENCH_RATE = 0.05
+_CONTAM_T = 0.2
+_OVERLAP_SQL = G.round_sql("n_shared * 1.0 / n_shingles", 6)
+
+
+def _bench_bucket_sql() -> str:
+    from ..operators.sampling import SPLIT_BUCKETS
+
+    hashed = G.H(f"'{_BENCH_SALT}' || doc_id::VARCHAR")
+    return (
+        f"({hashed} % {SPLIT_BUCKETS})"
+        f" < {int(round(_BENCH_RATE * SPLIT_BUCKETS))}"
+    )
+
+
+@register(
+    "contamination_check",
+    oracle=f"""
+    WITH {_shingle_cte()},
+    b AS (SELECT DISTINCT unnest(hs) AS tok FROM s WHERE {_bench_bucket_sql()}),
+    t AS (SELECT doc_id, len(hs) AS n_shingles, unnest(hs) AS tok
+          FROM s WHERE NOT ({_bench_bucket_sql()})),
+    j AS (SELECT doc_id, n_shingles, COUNT(*)::BIGINT AS n_shared
+          FROM t JOIN b USING (tok) GROUP BY doc_id, n_shingles)
+    SELECT doc_id, n_shared, n_shingles,
+           {_OVERLAP_SQL} AS overlap_ratio,
+           ({_OVERLAP_SQL} >= {_CONTAM_T}) AS contaminated
+    FROM j
+    """,
+)
+def contamination_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """n-gram benchmark decontamination: train docs sharing shingles with
+    a deterministic 5% 'benchmark' subset, flagged at 20% overlap. The
+    benchmark shingle set broadcasts; the corpus side never self-joins."""
+    from ..operators.sampling import SPLIT_BUCKETS, split_bucket
+
+    docs = load_table(spark, sf_dir, "documents")
+    is_bench = split_bucket(F.col("doc_id"), _BENCH_SALT) < int(
+        round(_BENCH_RATE * SPLIT_BUCKETS)
+    )
+    return D.benchmark_contamination(docs, is_bench, threshold=_CONTAM_T)
+
+
 @register(
     "dedup_simhash",
     oracle=f"""

@@ -21,7 +21,14 @@ from ..functions.text import (
     stopword_ratio,
     words,
 )
-from ..operators.sampling import SPLIT_BUCKETS, hash_split
+from ..operators.sampling import (
+    PACK_CAPACITY,
+    PACK_SHARDS,
+    SPLIT_BUCKETS,
+    hash_split,
+    pack_sequences,
+    stratified_sample,
+)
 from ..sources import load_table
 from . import _sqlgen as G
 from . import register
@@ -234,6 +241,82 @@ def doc_hash_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     under re-runs and corpus growth (unlike randomSplit)."""
     docs = load_table(spark, sf_dir, "documents")
     return hash_split(docs, salt=_SPLIT_SALT).select("doc_id", "bucket", "split")
+
+
+# --------------------------------------------------------------------------
+# Corpus rebalancing: per-language stratified sampling
+# --------------------------------------------------------------------------
+
+_STRAT_SALT = "strat-v1"
+_STRAT_RATES = {"en": 0.3, "de": 0.8, "es": 0.8, "fr": 0.8}  # zh kept whole
+
+
+def _strat_threshold_sql() -> str:
+    cases = " ".join(
+        f"WHEN '{k}' THEN {int(round(r * SPLIT_BUCKETS))}"
+        for k, r in _STRAT_RATES.items()
+    )
+    return f"CASE lang {cases} ELSE {SPLIT_BUCKETS} END"
+
+
+@register(
+    "stratified_sample",
+    oracle=f"""
+    SELECT doc_id, lang FROM (
+      SELECT doc_id, lang,
+             {G.H(f"'{_STRAT_SALT}' || doc_id::VARCHAR")} % {SPLIT_BUCKETS}
+               AS bucket
+      FROM documents)
+    WHERE bucket < {_strat_threshold_sql()}
+    """,
+)
+def stratified_sample_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multilingual corpus rebalancing: per-language deterministic keep
+    rates (dominant English downsampled to 30%, zh kept whole) via the
+    same salted hash bucket as the split — map-only, reproducible."""
+    docs = load_table(spark, sf_dir, "documents")
+    return stratified_sample(docs, _STRAT_RATES, salt=_STRAT_SALT).select(
+        "doc_id", "lang"
+    )
+
+
+# --------------------------------------------------------------------------
+# Sequence packing: concat-and-chunk training-stream assembly
+# --------------------------------------------------------------------------
+
+_PACK_SALT = "pack-v1"
+
+
+@register(
+    "sequence_packing",
+    # DuckDB SUM OVER yields HUGEINT: start offset cast BIGINT before the
+    # bin division so both engines emit BIGINT seq_bin / pack_offset
+    oracle=f"""
+    SELECT doc_id, pack_shard, n_tokens,
+           (cum - n_tokens)::BIGINT // {PACK_CAPACITY} AS seq_bin,
+           (cum - n_tokens)::BIGINT % {PACK_CAPACITY} AS pack_offset
+    FROM (
+      SELECT doc_id, pack_shard, n_tokens,
+             SUM(n_tokens) OVER (PARTITION BY pack_shard ORDER BY doc_id) AS cum
+      FROM (
+        SELECT doc_id,
+               ({G.H(f"'{_PACK_SALT}' || doc_id::VARCHAR")} % {SPLIT_BUCKETS})
+                 % {PACK_SHARDS} AS pack_shard,
+               len(regexp_extract_all(text, '{BPE_TOKEN_RE}'))::BIGINT AS n_tokens
+        FROM documents))
+    """,
+)
+def sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Concat-and-chunk packing assignment: every document's shard,
+    sequence bin and intra-bin offset in the fixed-length (256-token)
+    training stream. Shards pack independently — the window's running
+    total never crosses a shard, so the pass parallelizes."""
+    docs = load_table(spark, sf_dir, "documents")
+    return pack_sequences(
+        docs,
+        token_count=F.regexp_count("text", F.lit(BPE_TOKEN_RE)),
+        salt=_PACK_SALT,
+    )
 
 
 # --------------------------------------------------------------------------

@@ -212,3 +212,56 @@ def test_hash_split_proportions(spark, sf_dir):
     assert 0.70 <= counts["train"] / n <= 0.90
     assert 0.05 <= counts["val"] / n <= 0.16
     assert 0.05 <= counts["test"] / n <= 0.16
+
+
+def test_span_dedup_first_occurrence_wins(spark):
+    """Cross-doc and within-doc duplicate spans survive only at the lowest
+    (doc_id, span_idx); disjoint docs keep everything."""
+    df = spark.createDataFrame(
+        [
+            (1, "a b c d"),     # spans: "a b", "c d" — both first
+            (2, "a b x y"),     # "a b" duplicates doc 1's span 0
+            (3, "c d"),         # single span, duplicate of doc 1's span 1
+            (4, "z z z z"),     # two identical spans WITHIN one doc
+        ],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r for r in D.span_dedup(df, span_words=2).collect()}
+    assert (out[1]["n_spans"], out[1]["n_kept"]) == (2, 2)
+    assert (out[2]["n_spans"], out[2]["n_kept"]) == (2, 1)
+    assert (out[3]["n_spans"], out[3]["n_kept"]) == (1, 0)
+    assert out[3]["dup_ratio"] == 1.0
+    assert (out[4]["n_spans"], out[4]["n_kept"]) == (2, 1)
+    assert out[2]["dup_ratio"] == 0.5
+
+
+def test_span_dedup_tail_span_shorter_than_window(spark):
+    # 5 words at span=2 -> 3 spans, the last a single word; empty docs
+    # produce no row
+    df = spark.createDataFrame(
+        [(1, "v w x y z"), (2, "   ")], "doc_id long, text string"
+    )
+    out = {r["doc_id"]: r for r in D.span_dedup(df, span_words=2).collect()}
+    assert out[1]["n_spans"] == 3 and out[1]["n_kept"] == 3
+    assert 2 not in out
+
+
+def test_benchmark_contamination_flags_bench_copy(spark):
+    """A train doc copying a benchmark doc is fully contaminated; a
+    disjoint doc produces no overlap row; bench docs never appear."""
+    df = spark.createDataFrame(
+        [
+            (1, "alpha beta gamma delta epsilon zeta"),  # benchmark
+            (2, "alpha beta gamma delta epsilon zeta"),  # full copy
+            (3, "one two three four five six seven"),    # disjoint
+        ],
+        "doc_id long, text string",
+    )
+    out = {
+        r["doc_id"]: r
+        for r in D.benchmark_contamination(
+            df, F.col("doc_id") == 1, threshold=0.2
+        ).collect()
+    }
+    assert set(out) == {2}
+    assert out[2]["overlap_ratio"] == 1.0 and out[2]["contaminated"]

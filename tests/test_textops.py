@@ -59,3 +59,48 @@ def test_repetition_filter_flags_degenerate_doc(spark, tmp_path, monkeypatch):
     assert not out[1]["keep"] and out[1]["uniq_word_frac"] < 0.2
     assert out[2]["keep"] and out[2]["uniq_word_frac"] == 1.0
     assert out[2]["dup_bigram_frac"] == 0.0
+
+
+def test_pack_sequences_offsets_consistent(spark, sf_dir):
+    """Packing invariants: within each shard in doc_id order, every doc's
+    (seq_bin, pack_offset) equals the running token total before it."""
+    from fund_data_etl_pipeline_spark.operators.sampling import pack_sequences
+    from fund_data_etl_pipeline_spark.functions.text import BPE_TOKEN_RE
+    from fund_data_etl_pipeline_spark.sources import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    out = pack_sequences(
+        docs, token_count=F.regexp_count("text", F.lit(BPE_TOKEN_RE)), capacity=256
+    ).collect()
+    by_shard: dict[int, list] = {}
+    for r in sorted(out, key=lambda r: (r["pack_shard"], r["doc_id"])):
+        by_shard.setdefault(r["pack_shard"], []).append(r)
+    assert len(by_shard) > 1
+    for rows in by_shard.values():
+        cum = 0
+        for r in rows:
+            assert r["seq_bin"] == cum // 256
+            assert r["pack_offset"] == cum % 256
+            cum += r["n_tokens"]
+
+
+def test_stratified_sample_rates_and_determinism(spark, sf_dir):
+    """Per-language rates land within binomial tolerance; zh (rate 1.0)
+    is kept whole; assignment is deterministic across runs."""
+    from fund_data_etl_pipeline_spark.operators.sampling import stratified_sample
+    from fund_data_etl_pipeline_spark.sources import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    rates = {"en": 0.3, "de": 0.8, "es": 0.8, "fr": 0.8}
+    out = stratified_sample(docs, rates).collect()
+    totals = {
+        r["lang"]: r["c"]
+        for r in docs.groupBy("lang").agg(F.count(F.lit(1)).alias("c")).collect()
+    }
+    kept: dict[str, int] = {}
+    for r in out:
+        kept[r["lang"]] = kept.get(r["lang"], 0) + 1
+    assert kept["zh"] == totals["zh"]
+    assert 0.1 <= kept["en"] / totals["en"] <= 0.5
+    again = {r["doc_id"] for r in stratified_sample(docs, rates).collect()}
+    assert again == {r["doc_id"] for r in out}
