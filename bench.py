@@ -40,6 +40,10 @@ HEADLINE = [
     "text_fingerprint",
     "dedup_exact",
     "dedup_minhash_lsh",
+    "dedup_spans",
+    "contamination_check",
+    "sequence_packing",
+    "stratified_sample",
     "vector_cosine_topk",
 ]
 

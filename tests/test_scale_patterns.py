@@ -95,3 +95,21 @@ def test_new_text_queries_plan_shapes(spark, sf_dir):
     assert "BroadcastNestedLoopJoin" in tfidf or "BroadcastExchange" in tfidf
     assert "Exchange" not in _plan(q["text_repetition_filter"](spark, sf_dir))
     assert "Exchange" not in _plan(q["text_scrub"](spark, sf_dir))
+
+
+def test_pipeline_assembly_plan_shapes(spark, sf_dir):
+    """Round-2 assembly/dedup operators keep their documented shapes:
+    stratified sampling is map-only; packing shuffles ONCE (the shard
+    window); contamination broadcasts the benchmark shingle set; span
+    dedup explodes once over a materialized occurrence table."""
+    import __spark_entry__ as e
+
+    q = e.queries()
+    assert "Exchange" not in _plan(q["stratified_sample"](spark, sf_dir))
+    pack = _plan(q["sequence_packing"](spark, sf_dir))
+    assert "Window" in pack
+    assert pack.count("Exchange hashpartitioning") == 1
+    contam = _plan(q["contamination_check"](spark, sf_dir))
+    assert "BroadcastExchange" in contam
+    spans = _plan(q["dedup_spans"](spark, sf_dir))
+    assert "Generate" in spans and "InMemoryRelation" in spans
