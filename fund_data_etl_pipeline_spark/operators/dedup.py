@@ -94,6 +94,58 @@ def incremental_exact_dedup(
 SPAN_WORDS = 20
 
 
+def _span_occurrences(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    span_words: int,
+    keep_text: bool,
+) -> DataFrame:
+    """Persisted span-occurrence table: every non-overlapping
+    ``span_words``-word window of every document, keyed by its md5 and an
+    ordering key ``okey`` = doc_id * 1e9 + span_idx. The tokenized stage
+    is persisted first: the span transform's slice lambda runs once per
+    span element, and projection collapse would otherwise inline
+    words(text) into it — re-tokenizing the document per span (the
+    no-CSE-in-lambdas trap). ``keep_text`` carries span_idx + span_text
+    through for corpus rewriting; the stats path drops them so the cached
+    table stays hash-sized."""
+    spans = F.transform(
+        F.sequence(
+            F.lit(0),
+            F.greatest(
+                F.ceil(F.size("__w") / F.lit(span_words)).cast("int") - 1,
+                F.lit(0),
+            ),
+        ),
+        lambda i: F.array_join(
+            F.slice("__w", i * span_words + 1, span_words), " "
+        ),
+    )
+    tokenized = (
+        df.select(F.col(id_col), words(F.col(text_col)).alias("__w"))
+        .filter(F.size("__w") > 0)
+        .persist()
+    )
+    cols = [
+        F.col(id_col),
+        F.md5("span_text").alias("span_hash"),
+        (
+            F.col(id_col).cast("bigint") * F.lit(1_000_000_000)
+            + F.col("span_idx")
+        ).alias("okey"),
+    ]
+    if keep_text:
+        cols += [F.col("span_idx"), F.col("span_text")]
+    return (
+        tokenized.select(
+            F.col(id_col), F.posexplode(spans).alias("span_idx", "span_text")
+        )
+        .select(*cols)
+        .persist()
+    )
+
+
 def span_dedup(
     df: DataFrame,
     text_col: str = "text",
@@ -119,41 +171,7 @@ def span_dedup(
     consumers read it (the first-occurrence aggregate and the probe side
     of the join back); at 100 TB it becomes a written intermediate
     bucketed by span hash, so neither pass re-shuffles."""
-    spans = F.transform(
-        F.sequence(
-            F.lit(0),
-            F.greatest(
-                F.ceil(F.size("__w") / F.lit(span_words)).cast("int") - 1,
-                F.lit(0),
-            ),
-        ),
-        lambda i: F.array_join(
-            F.slice("__w", i * span_words + 1, span_words), " "
-        ),
-    )
-    # persist the tokenized stage: the span transform's slice lambda runs
-    # once per span element, and projection collapse would otherwise
-    # inline words(text) into it — re-tokenizing the document per span
-    # (the no-CSE-in-lambdas trap)
-    tokenized = (
-        df.select(F.col(id_col), words(F.col(text_col)).alias("__w"))
-        .filter(F.size("__w") > 0)
-        .persist()
-    )
-    occ = (
-        tokenized.select(
-            F.col(id_col), F.posexplode(spans).alias("span_idx", "span_text")
-        )
-        .select(
-            id_col,
-            F.md5("span_text").alias("span_hash"),
-            (
-                F.col(id_col).cast("bigint") * F.lit(1_000_000_000)
-                + F.col("span_idx")
-            ).alias("okey"),
-        )
-        .persist()
-    )
+    occ = _span_occurrences(df, text_col, id_col, span_words, keep_text=False)
     first = occ.groupBy("span_hash").agg(F.min("okey").alias("first_key"))
     per_doc = (
         occ.join(first, "span_hash")
@@ -172,6 +190,38 @@ def span_dedup(
         round2(
             (F.col("n_spans") - F.col("n_kept")) / F.col("n_spans"), 6
         ).alias("dup_ratio"),
+    )
+
+
+def span_dedup_rewrite(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    span_words: int = SPAN_WORDS,
+) -> DataFrame:
+    """The production output of span dedup: the corpus REWRITTEN with
+    duplicated spans removed. Same first-occurrence rule as
+    ``span_dedup``; each document's surviving spans are reassembled in
+    original order. Documents whose every span was a duplicate drop out
+    entirely (they contributed nothing new).
+
+    Scale shape: identical to ``span_dedup`` plus one aggregation on
+    doc_id — collect_list is safe because a document's spans are bounded
+    by its own length; order is restored by array_sort on span_idx, not
+    by shuffle order."""
+    occ = _span_occurrences(df, text_col, id_col, span_words, keep_text=True)
+    first = occ.groupBy("span_hash").agg(F.min("okey").alias("first_key"))
+    kept = occ.join(first, "span_hash").filter(
+        F.col("okey") == F.col("first_key")
+    )
+    return kept.groupBy(id_col).agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("span_idx", "span_text"))),
+                lambda s: s["span_text"],
+            ),
+            " ",
+        ).alias(text_col)
     )
 
 
