@@ -84,20 +84,31 @@ def ivf_topk(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     seed: int = 42,
+    train_fraction: float = 1.0,
 ) -> DataFrame:
     """IVF (inverted-file) ANN: KMeans coarse quantizer -> every vector
     assigned to its nearest centroid's list; a query probes its
     ``n_probe`` nearest lists and ranks only those candidates by exact
     cosine. The crossJoin becomes an equi-join on ``list_id`` — with
     n_lists lists and n_probe probes the candidate set shrinks by
-    ~n_probe/n_lists. The quantizer is trained once (sampled at scale)
-    and its centroids ship as literals, so assignment is a pure map-side
+    ~n_probe/n_lists. The quantizer trains on a deterministic hash sample
+    (``train_fraction``) — at 100 TB the coarse quantizer never needs the
+    full corpus, only enough vectors per list (~256·n_lists); the sample
+    is the same rows every run, so list assignment stays reproducible.
+    Centroids ship as literals, so assignment is a pure map-side
     expression."""
     from pyspark.ml.clustering import KMeans
     from pyspark.ml.functions import array_to_vector
     from pyspark.sql.window import Window as W
 
-    train = vectors.select(
+    from .sampling import hash_sample
+
+    train_src = (
+        hash_sample(vectors, train_fraction, id_col=id_col, salt="ivf-train-v1")
+        if train_fraction < 1.0
+        else vectors
+    )
+    train = train_src.select(
         array_to_vector(as_double(F.col(vec_col))).alias("features")
     )
     model = KMeans(k=n_lists, seed=seed, maxIter=10).fit(train)

@@ -61,9 +61,11 @@ def vector_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register("vector_ann_ivf")  # no oracle: approximate operator, rows-only
 def vector_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """IVF ANN: KMeans coarse quantizer, queries probe the nearest 2 of 16
-    inverted lists — candidates shrink ~8x vs brute force. Recall measured
-    in pytest against the exact baseline."""
+    """IVF ANN: KMeans coarse quantizer trained on a deterministic 50%
+    hash sample (the 100 TB shape — the quantizer never needs the full
+    corpus), queries probe the nearest 2 of 16 inverted lists —
+    candidates shrink ~8x vs brute force. Recall measured in pytest
+    against the exact baseline."""
     emb = load_table(spark, sf_dir, "embeddings")
     queries = emb.filter(F.col("vec_id") < _N_QUERIES)
-    return ivf_topk(emb, queries, k=_K, n_lists=16, n_probe=2)
+    return ivf_topk(emb, queries, k=_K, n_lists=16, n_probe=2, train_fraction=0.5)

@@ -84,3 +84,27 @@ def test_ivf_recall_and_candidate_reduction(spark, sf_dir):
         by_q.setdefault(r["query_id"], []).append(r["rank"])
     for ranks in by_q.values():
         assert sorted(ranks) == list(range(1, len(ranks) + 1))
+
+
+def test_ivf_sampled_training_recall(spark, sf_dir):
+    """Training the quantizer on a 50% hash sample keeps recall in the
+    same band as full training, and assignment stays deterministic."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 10)
+    exact = {
+        (r["query_id"], r["neighbor_id"])
+        for r in cosine_topk(emb, queries, k=5).collect()
+    }
+    sampled = ivf_topk(
+        emb, queries, k=5, n_lists=8, n_probe=2, train_fraction=0.5
+    )
+    rows = sampled.collect()
+    approx = {(r["query_id"], r["neighbor_id"]) for r in rows}
+    assert len(approx & exact) / len(exact) >= 0.2
+    again = {
+        (r["query_id"], r["neighbor_id"])
+        for r in ivf_topk(
+            emb, queries, k=5, n_lists=8, n_probe=2, train_fraction=0.5
+        ).collect()
+    }
+    assert again == approx
