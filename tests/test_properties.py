@@ -75,3 +75,54 @@ def test_correct_fund_code_fixpoint(spark, codes):
 def test_clean_number_garbage_to_null(spark):
     out = _eval(spark, clean_number, ["abc", "", "  ", "12,34,5x", "1.2.3"])
     assert out == [None, None, None, None, None]
+
+
+@settings(**SETTINGS)
+@given(
+    st.lists(
+        st.lists(
+            st.sampled_from(["a", "b", "c", "d", "e"]), min_size=0, max_size=12
+        ),
+        min_size=1,
+        max_size=8,
+    )
+)
+def test_span_dedup_conservation(spark, docs):
+    """On any corpus: sum(n_kept) == number of distinct spans, and
+    sum(n_spans) == total span occurrences — the dedup never invents or
+    loses a span."""
+    from fund_data_etl_pipeline_spark.operators.dedup import span_dedup
+
+    rows = [(i, " ".join(ws)) for i, ws in enumerate(docs)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = span_dedup(df, span_words=3).collect()
+    spans = [
+        tuple(ws[i : i + 3])
+        for ws in docs
+        for i in range(0, len(ws), 3)
+        if ws
+    ]
+    assert sum(r["n_spans"] for r in out) == len(spans)
+    assert sum(r["n_kept"] for r in out) == len(set(spans))
+
+
+@settings(**SETTINGS)
+@given(
+    st.lists(st.integers(min_value=0, max_value=400), min_size=1, max_size=30)
+)
+def test_pack_sequences_conserves_tokens(spark, counts):
+    """Packing conserves the token stream: within every shard the last
+    doc's (seq_bin * capacity + pack_offset + n_tokens) equals the
+    shard's total token count."""
+    from fund_data_etl_pipeline_spark.operators.sampling import pack_sequences
+
+    rows = [(i, n) for i, n in enumerate(counts)]
+    df = spark.createDataFrame(rows, "doc_id long, n long")
+    out = pack_sequences(df, token_count=F.col("n"), capacity=128).collect()
+    by_shard: dict[int, list] = {}
+    for r in sorted(out, key=lambda r: r["doc_id"]):
+        by_shard.setdefault(r["pack_shard"], []).append(r)
+    for rows_ in by_shard.values():
+        last = rows_[-1]
+        total = sum(r["n_tokens"] for r in rows_)
+        assert last["seq_bin"] * 128 + last["pack_offset"] + last["n_tokens"] == total
