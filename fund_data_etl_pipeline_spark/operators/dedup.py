@@ -70,23 +70,28 @@ def incremental_exact_dedup(
 
     Returns ``(fresh, updated_history)``: the surviving new documents and
     the history to persist for tomorrow. At scale the history table is
-    written bucketed by content_hash so the anti-join and the union's
-    distinct stay co-located (no full shuffle of history)."""
+    written bucketed by content_hash so the anti-join stays co-located
+    (no full shuffle of history)."""
     hashed = new_docs.withColumn(
         "content_hash", normalized_md5(F.col(text_col))
     )
     canon = hashed.groupBy("content_hash").agg(F.min(id_col).alias(id_col))
-    batch_unique = hashed.join(canon, [id_col, "content_hash"], "inner")
+    # the join back is many-to-one if the batch re-delivers the SAME
+    # (id, text) row twice — dropDuplicates collapses those re-deliveries
+    batch_unique = hashed.join(
+        canon, [id_col, "content_hash"], "inner"
+    ).dropDuplicates([id_col, "content_hash"])
     fresh = (
         batch_unique.join(history, "content_hash", "left_anti")
         if history is not None
         else batch_unique
     )
-    new_hashes = fresh.select("content_hash")
+    new_hashes = fresh.select("content_hash").distinct()
+    # the two union sides are provably disjoint (fresh was anti-joined
+    # against history) and each unique, so NO distinct over the unioned
+    # history — appending the day's hashes never re-shuffles the index
     updated = (
-        history.unionByName(new_hashes).distinct()
-        if history is not None
-        else new_hashes.distinct()
+        history.unionByName(new_hashes) if history is not None else new_hashes
     )
     return fresh, updated
 
@@ -94,22 +99,32 @@ def incremental_exact_dedup(
 SPAN_WORDS = 20
 
 
-def _span_occurrences(
+# okey = doc_id * SPAN_IDX_BASE + span_idx encodes the first-occurrence
+# order in one BIGINT: valid while doc_id < 9.2e12 and a document has
+# fewer than 1e6 spans (2e7 words at the default window) — both far above
+# any real corpus. The DuckDB oracle uses the identical formula.
+SPAN_IDX_BASE = 1_000_000
+
+
+def _span_kept(
     df: DataFrame,
     text_col: str,
     id_col: str,
     span_words: int,
     keep_text: bool,
 ) -> DataFrame:
-    """Persisted span-occurrence table: every non-overlapping
-    ``span_words``-word window of every document, keyed by its md5 and an
-    ordering key ``okey`` = doc_id * 1e9 + span_idx. The tokenized stage
-    is persisted first: the span transform's slice lambda runs once per
-    span element, and projection collapse would otherwise inline
-    words(text) into it — re-tokenizing the document per span (the
-    no-CSE-in-lambdas trap). ``keep_text`` carries span_idx + span_text
-    through for corpus rewriting; the stats path drops them so the cached
-    table stays hash-sized."""
+    """Span-occurrence table joined with the first-occurrence rule: every
+    non-overlapping ``span_words``-word window of every document, keyed
+    by its md5, with ``is_first`` marking the corpus-wide lowest
+    (doc_id, span_idx) occurrence of each distinct span. The occurrence
+    table is persisted because two consumers read it (the first-occurrence
+    aggregate and the probe side of the join back); at 100 TB it becomes
+    a written intermediate bucketed by span hash, so neither pass
+    re-shuffles. ``keep_text`` carries span_idx + span_text through for
+    corpus rewriting; the stats path drops them so the cached table stays
+    hash-sized. (The slice lambda re-evaluates the inlined words(text)
+    per span — a one-time linear factor paid during the single
+    materialization of the persisted table.)"""
     spans = F.transform(
         F.sequence(
             F.lit(0),
@@ -122,27 +137,29 @@ def _span_occurrences(
             F.slice("__w", i * span_words + 1, span_words), " "
         ),
     )
-    tokenized = (
-        df.select(F.col(id_col), words(F.col(text_col)).alias("__w"))
-        .filter(F.size("__w") > 0)
-        .persist()
-    )
+    tokenized = df.select(
+        F.col(id_col), words(F.col(text_col)).alias("__w")
+    ).filter(F.size("__w") > 0)
     cols = [
         F.col(id_col),
         F.md5("span_text").alias("span_hash"),
         (
-            F.col(id_col).cast("bigint") * F.lit(1_000_000_000)
+            F.col(id_col).cast("bigint") * F.lit(SPAN_IDX_BASE)
             + F.col("span_idx")
         ).alias("okey"),
     ]
     if keep_text:
         cols += [F.col("span_idx"), F.col("span_text")]
-    return (
+    occ = (
         tokenized.select(
             F.col(id_col), F.posexplode(spans).alias("span_idx", "span_text")
         )
         .select(*cols)
         .persist()
+    )
+    first = occ.groupBy("span_hash").agg(F.min("okey").alias("first_key"))
+    return occ.join(first, "span_hash").withColumn(
+        "is_first", F.col("okey") == F.col("first_key")
     )
 
 
@@ -167,21 +184,12 @@ def span_dedup(
 
     Scale shape: one explode (linear in corpus token count) and one
     shuffle on a 32-char md5 span key — the same cost class as exact doc
-    dedup. The exploded occurrence table is persisted because two
-    consumers read it (the first-occurrence aggregate and the probe side
-    of the join back); at 100 TB it becomes a written intermediate
-    bucketed by span hash, so neither pass re-shuffles."""
-    occ = _span_occurrences(df, text_col, id_col, span_words, keep_text=False)
-    first = occ.groupBy("span_hash").agg(F.min("okey").alias("first_key"))
-    per_doc = (
-        occ.join(first, "span_hash")
-        .groupBy(id_col)
-        .agg(
-            F.count(F.lit(1)).alias("n_spans"),
-            F.sum(
-                F.when(F.col("okey") == F.col("first_key"), 1).otherwise(0)
-            ).alias("n_kept"),
-        )
+    dedup (see _span_kept for the shared occurrence/first-occurrence
+    machinery)."""
+    kept = _span_kept(df, text_col, id_col, span_words, keep_text=False)
+    per_doc = kept.groupBy(id_col).agg(
+        F.count(F.lit(1)).alias("n_spans"),
+        F.sum(F.when(F.col("is_first"), 1).otherwise(0)).alias("n_kept"),
     )
     return per_doc.select(
         id_col,
@@ -209,10 +217,8 @@ def span_dedup_rewrite(
     doc_id — collect_list is safe because a document's spans are bounded
     by its own length; order is restored by array_sort on span_idx, not
     by shuffle order."""
-    occ = _span_occurrences(df, text_col, id_col, span_words, keep_text=True)
-    first = occ.groupBy("span_hash").agg(F.min("okey").alias("first_key"))
-    kept = occ.join(first, "span_hash").filter(
-        F.col("okey") == F.col("first_key")
+    kept = _span_kept(df, text_col, id_col, span_words, keep_text=True).filter(
+        F.col("is_first")
     )
     return kept.groupBy(id_col).agg(
         F.array_join(
@@ -247,12 +253,9 @@ def benchmark_contamination(
     aggregation on doc_id. The shingled table is persisted: two readers
     (bench set + train side) would otherwise each re-run the HOF hashing
     pipeline (the no-CSE-in-lambdas trap)."""
-    shingled = (
-        df.select(F.col(id_col), is_bench.alias("__b"), words(F.col(text_col)).alias("__w"))
-        .select(id_col, "__b", word_hashes(F.col("__w")).alias("__wh"))
-        .select(id_col, "__b", shingle_hashes(F.col("__wh")).alias("hs"))
-        .persist()
-    )
+    shingled = shingle_hash_prepped(
+        df.withColumn("__b", is_bench), text_col, id_col, carry=("__b",)
+    ).persist()
     bench_toks = (
         shingled.filter(F.col("__b"))
         .select(F.explode("hs").alias("tok"))
@@ -284,6 +287,27 @@ def with_shingle_sets(
     )
 
 
+def shingle_hash_prepped(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    hs_col: str = "hs",
+    carry: tuple[str, ...] = (),
+) -> DataFrame:
+    """The shared words -> word_hashes -> shingle_hashes pipeline (each
+    stage materialized as its own column — the HOF no-CSE rule; see
+    functions/text.py). ``carry`` names extra columns of ``df`` to keep.
+    Every shingle-hash consumer (minhash LSH, ngram index, contamination)
+    builds on this ONE definition, mirrored by the oracle's
+    _shingle_cte()."""
+    extra = [F.col(c) for c in carry]
+    return (
+        df.select(F.col(id_col), *extra, words(F.col(text_col)).alias("__w"))
+        .select(id_col, *carry, word_hashes(F.col("__w")).alias("__wh"))
+        .select(id_col, *carry, shingle_hashes(F.col("__wh")).alias(hs_col))
+    )
+
+
 def minhash_lsh_pairs(
     df: DataFrame,
     text_col: str = "text",
@@ -301,11 +325,7 @@ def minhash_lsh_pairs(
     100 TB the persisted signature table becomes a written intermediate
     (bucketed by band key); everything else is unchanged.
     """
-    prepped = (
-        df.select(F.col(id_col), words(F.col(text_col)).alias("__w"))
-        .select(id_col, word_hashes(F.col("__w")).alias("__wh"))
-        .select(id_col, shingle_hashes(F.col("__wh")).alias("hs"))
-    )
+    prepped = shingle_hash_prepped(df, text_col, id_col)
     # verification runs on the hashed shingle sets too: both the engine
     # and the oracle compute the identical function, and bigint arrays
     # shuffle/intersect far cheaper than shingle strings (collision odds
@@ -381,12 +401,7 @@ def ngram_jaccard_pairs(
     hashing pipeline into each — re-evaluating it per element, the
     no-CSE-in-lambdas trap (measured 90 s vs 3 s at sf0.1). At 100 TB it
     becomes a written intermediate, like the minhash signature table."""
-    sets = (
-        df.select(F.col(id_col), words(F.col(text_col)).alias("__w"))
-        .select(id_col, word_hashes(F.col("__w")).alias("__wh"))
-        .select(id_col, shingle_hashes(F.col("__wh")).alias("sh"))
-        .persist()
-    )
+    sets = shingle_hash_prepped(df, text_col, id_col, hs_col="sh").persist()
     inv = sets.select(F.col(id_col), F.explode("sh").alias("s"))
     if max_doc_freq is not None:
         hot = (

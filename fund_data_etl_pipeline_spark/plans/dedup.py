@@ -200,7 +200,7 @@ _DUP_RATIO_SQL = G.round_sql("(n_spans - n_kept) * 1.0 / n_spans", 6)
              md5(array_to_string(
                list_slice(w, (i-1)*{_SPAN} + 1, (i-1)*{_SPAN} + {_SPAN}), ' '))
                AS span_hash,
-             doc_id * 1000000000 + (i - 1) AS okey
+             doc_id * {D.SPAN_IDX_BASE} + (i - 1) AS okey
       FROM d CROSS JOIN UNNEST(generate_series(1, (len(w) + {_SPAN - 1}) // {_SPAN}))
              AS t(i)
     ),

@@ -299,3 +299,16 @@ def test_span_dedup_rewrite_agrees_with_stats(spark, sf_dir):
         n_words = len(r["text"].split())
         # kept spans are 20 words except possibly one tail span
         assert (n_words + 19) // 20 >= stats[r["doc_id"]] >= n_words // 20
+
+
+def test_incremental_dedup_collapses_redelivered_rows(spark):
+    """A batch containing the SAME (doc_id, text) row twice — a double-
+    read of one file — yields exactly one output row for it."""
+    day = spark.createDataFrame(
+        [(1, "x y"), (1, "x y"), (2, "z")], "doc_id long, text string"
+    )
+    fresh, hist = D.incremental_exact_dedup(day, None)
+    rows = fresh.collect()
+    assert len(rows) == 2
+    assert {r["doc_id"] for r in rows} == {1, 2}
+    assert hist.count() == 2
