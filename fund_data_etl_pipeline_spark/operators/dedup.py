@@ -65,8 +65,11 @@ def incremental_exact_dedup(
     """Daily-batch dedup against a persisted hash index — the 100 TB
     production shape: today's (small) batch is hashed and anti-joined
     against the historical ``content_hash`` table instead of ever
-    re-scanning the corpus. Within-batch duplicates collapse to the min
-    id first, so output rows are unique even before history is consulted.
+    re-scanning the corpus. Identity is CONTENT-keyed: within-batch
+    duplicate contents collapse to the min id first, so the output has
+    exactly one row per distinct new content. The same id arriving with
+    two different texts is two documents (a re-crawl/correction) and both
+    survive — deduplicate on id upstream if ids must be unique.
 
     Returns ``(fresh, updated_history)``: the surviving new documents and
     the history to persist for tomorrow. At scale the history table is
@@ -86,10 +89,11 @@ def incremental_exact_dedup(
         if history is not None
         else batch_unique
     )
-    new_hashes = fresh.select("content_hash").distinct()
-    # the two union sides are provably disjoint (fresh was anti-joined
-    # against history) and each unique, so NO distinct over the unioned
-    # history — appending the day's hashes never re-shuffles the index
+    # fresh is already one row per content_hash, and the two union sides
+    # are provably disjoint (fresh was anti-joined against history), so
+    # NO distinct anywhere — appending the day's hashes never re-shuffles
+    # the index
+    new_hashes = fresh.select("content_hash")
     updated = (
         history.unionByName(new_hashes) if history is not None else new_hashes
     )

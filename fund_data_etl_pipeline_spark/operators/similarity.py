@@ -111,6 +111,14 @@ def ivf_topk(
     train = train_src.select(
         array_to_vector(as_double(F.col(vec_col))).alias("features")
     )
+    # guard the quantizer: hash sampling gives no per-run size guarantee
+    # on small corpora, and KMeans needs comfortably more vectors than
+    # lists — fall back to full training below 4 per list (the count is a
+    # tiny aggregate, paid once at train time)
+    if train_fraction < 1.0 and train.count() < 4 * n_lists:
+        train = vectors.select(
+            array_to_vector(as_double(F.col(vec_col))).alias("features")
+        )
     model = KMeans(k=n_lists, seed=seed, maxIter=10).fit(train)
     centroids = [list(map(float, c)) for c in model.clusterCenters()]
 

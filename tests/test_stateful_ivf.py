@@ -108,3 +108,15 @@ def test_ivf_sampled_training_recall(spark, sf_dir):
         ).collect()
     }
     assert again == approx
+
+
+def test_ivf_tiny_sample_falls_back_to_full_training(spark, sf_dir):
+    """A train_fraction that would undersample the quantizer (fewer than
+    4 vectors per list) silently retrains on the full corpus instead of
+    degenerating or throwing."""
+    emb = load_table(spark, sf_dir, "embeddings").limit(40)
+    queries = emb.filter(F.col("vec_id") < 3)
+    out = ivf_topk(
+        emb, queries, k=3, n_lists=8, n_probe=2, train_fraction=0.01
+    ).collect()
+    assert len(out) > 0
