@@ -56,16 +56,18 @@ def rx(text: Column | str, pattern: str, group: int = 1) -> Column:
 
 def label_value_until(text: Column | str, label: str,
                       stops: tuple[str, ...] = (),
-                      sep: str = r"\s*[：:]?\s*") -> Column:
+                      sep: str = r"[ \t]*[：:]?[ \t]*") -> Column:
     """Same-line free-text value after ``label``, cut at the first stop
     keyword — the reference's ``line.split(label)[1]`` +
     ``split(stop)[0]`` idiom (宁波 客户名称…基金账号
     purchase_confirm_extractor.py:1184-1207; 民生 客户名称…交易类型
-    purchase_extractor.py:546-553)."""
+    purchase_extractor.py:546-553). The separator/trim classes are
+    same-line ([ \\t], never \\s): a label with no same-line value must
+    yield '' like the reference's split, not leak the next line."""
     tail = f"(?:{'|'.join(stops)}[^\\n]*)?" if stops else ""
     return _nn(
         F.regexp_extract(
-            _s(text), rf"(?m){label}{sep}([^\n]*?)\s*{tail}$", 1
+            _s(text), rf"(?m){label}{sep}([^\n]*?)[ \t]*{tail}$", 1
         )
     )
 
@@ -83,12 +85,11 @@ def line_after(text: Column | str, anchor: str, min_len: int = 1) -> Column:
 def adjacent_name(lines: Column | str, anchor: str,
                   prev_stops: tuple[str, ...] = (),
                   next_stops: tuple[str, ...] = (),
-                  inline_before: bool = False,
-                  next_max_len: int | None = None) -> Column:
+                  inline_before: bool = False) -> Column:
     """P4 variant — name assembled from the lines AROUND the anchor label:
     previous line (unless it carries a stop keyword) + optionally the text
-    before the anchor on its own line + next line (unless stopped /
-    too long). Models 好买 账户名称 (purchase_extractor.py:34-46), 天天
+    before the anchor on its own line + next line (unless stopped).
+    Models 好买 账户名称 (purchase_extractor.py:34-46), 天天
     账户户名 (:59-81), 盈米 投资者名称 (:175-190). Pure Catalyst."""
     ls = _s(lines)
     idx = F.array_position(
@@ -115,8 +116,6 @@ def adjacent_name(lines: Column | str, anchor: str,
     nxt_ok = nxt != ""
     for s in next_stops:
         nxt_ok = nxt_ok & ~nxt.contains(s)
-    if next_max_len is not None:
-        nxt_ok = nxt_ok & (F.length(nxt) < next_max_len)
     next_part = F.when(nxt_ok, nxt).otherwise(F.lit(""))
     return F.when(
         idx > 0,
@@ -223,11 +222,15 @@ def stitched_name(lines: Column | str, start_label: str,
         idx > 0, F.slice(ls, (idx + 1).cast("int"), max_lookahead)
     ).otherwise(F.array().cast("array<string>"))
     stop_re = "|".join(stop_keywords)
+    # an empty line ends the stitch too — the reference's loops break on
+    # len(next_line) == 0 (redemption_extractor.py:608-618)
     folded = F.aggregate(
         window,
         F.struct(head.alias("acc"), F.lit(False).alias("stopped")),
         lambda acc, line: F.when(
-            acc.stopped | (F.regexp_count(line, F.lit(stop_re)) > 0),
+            acc.stopped
+            | (F.regexp_count(line, F.lit(stop_re)) > 0)
+            | (F.length(F.trim(line)) == 0),
             F.struct(acc.acc.alias("acc"), F.lit(True).alias("stopped")),
         ).otherwise(
             F.struct(F.concat(acc.acc, F.trim(line)).alias("acc"),

@@ -119,41 +119,45 @@ def _yyyymmdd(col: Column) -> Column:
 # Dividend-reinvest job (dividend_extractor.py:9-1488)
 # ==========================================================================
 
+# ordered as the reference's elif chain (dividend_extractor.py:1326-1394:
+# 好买 天天 兴证 利得 长量 盈米 招赢通 邮储 平安 交行 和讯 建行 腾元 网金
+# 京东 融联创 民生 证达通 联泰 基煜 宁波 国信嘉利 攀赢) — first-match order
+# IS the spec
 DIVIDEND_RULES = [
     PlatformRule("好买基金", line_has("好买基金", 0, 2)),
     PlatformRule("天天基金", fname_has("天天基金")),
     PlatformRule("兴证全球基金", text_has("兴证全球基金")),
-    PlatformRule("交通银行", any_of(fname_has("交行"), text_has("交通银行"))),
-    PlatformRule("盈米基金", line_has("盈米", 0, 3)),
-    PlatformRule("证达通基金", text_has("证达通")),
-    PlatformRule(
-        "国信嘉利基金", any_of(fname_has("国信嘉利"), text_has("国信嘉利"))
-    ),
-    PlatformRule("平安行E通", line_has("行E通", 5)),
     PlatformRule("利得基金", text_has("利得基金")),
     PlatformRule("长量基金", text_has("长量基金")),
+    PlatformRule("盈米基金", line_has("盈米", 0, 3)),
     PlatformRule("招赢通基金", text_has("招赢通")),
     PlatformRule("邮储银行", text_has("邮储银行")),
+    PlatformRule("平安行E通", line_has("行E通", 5)),
+    PlatformRule("交通银行", any_of(fname_has("交行"), text_has("交通银行"))),
+    PlatformRule("交e通", text_has("交e通")),
     PlatformRule("和讯科技", text_has("和讯")),
     PlatformRule("建行直销", text_has("建设银行")),
-    # C2 compound guard: 宁波 file that is NOT a 北极星 doc
-    # (purchase_extractor.py:1004)
-    PlatformRule("宁波银行", all_of(fname_has("宁波"), fname_not("北极星"))),
-    PlatformRule("攀赢基金", text_has("攀赢")),
-    PlatformRule("民生同业e+", text_has("民生同业")),
-    PlatformRule("基煜基金", text_has("基煜")),
-    PlatformRule("融联创同业交易平台", text_has("融联创")),
     PlatformRule("腾元基金", text_has("腾元")),
-    PlatformRule("交e通", text_has("交e通")),
     # P15 dual-format original (dividend_extractor.py:615-716, :1314)
     PlatformRule("网金基金", any_of(fname_has("网金"), line_has("网金基金", 5))),
     PlatformRule(
         "京东肯特瑞", any_of(fname_has("肯特瑞基金"), line_has("肯特瑞", 0, 2))
     ),
+    PlatformRule("融联创同业交易平台", text_has("融联创")),
+    PlatformRule("民生同业e+", text_has("民生同业")),
+    PlatformRule("证达通基金", text_has("证达通")),
     # F2 in the dividend context (dividend_extractor.py:825-876, :1317)
     PlatformRule(
         "联泰基金", any_of(fname_has("北极星"), line_has("联泰", 0, 2))
     ),
+    PlatformRule("基煜基金", text_has("基煜")),
+    # C2 compound guard: 宁波 file that is NOT a 北极星 doc
+    # (purchase_extractor.py:1004)
+    PlatformRule("宁波银行", all_of(fname_has("宁波"), fname_not("北极星"))),
+    PlatformRule(
+        "国信嘉利基金", any_of(fname_has("国信嘉利"), text_has("国信嘉利"))
+    ),
+    PlatformRule("攀赢基金", text_has("攀赢")),
 ]
 
 _DIV_FIELDS = ["product_name", "fund_code", "amount", "shares", "cutoff_date"]
@@ -501,21 +505,19 @@ def _dividend_specs(text: Column, lines: Column, filename: Column):
                     "product_name": F.when(
                         F.exists(lines, lambda l: l.contains("─────")),
                         X.label_value_until(
-                            text, "客户名称", stops=("网点名称",), sep=r"\s*"
+                            text, "客户名称", stops=("网点名称",), sep=r"[ \t]*"
                         ),
                     ).otherwise(
-                        F.concat(
-                            F.coalesce(
-                                X.label_value_until(text, "客户名称", sep=r"\s*"),
-                                F.lit(""),
-                            ),
-                            F.coalesce(
-                                X.rx(
-                                    text,
-                                    r"(?m)客户名称[^\n]*\n([^\n]*(?:理计划|管理计划)[^\n]*)$",
-                                ),
-                                F.lit(""),
-                            ),
+                        # format 1 stitches up to 4 following lines into
+                        # the name until an account/table keyword, ending
+                        # at the 理计划/管理计划 line
+                        # (dividend_extractor.py:641-666)
+                        X.stitched_name(
+                            lines,
+                            "客户名称",
+                            ["基金账号", "交易账号", "交易类别",
+                             "基金代码", "─────"],
+                            max_lookahead=4,
                         )
                     ),
                     "fund_code": X.rx(text, r"基金代码\s*([0-9]{6})"),
@@ -711,7 +713,9 @@ def _purchase_apply_specs(text: Column, lines: Column, filename: Column):
     # 网金 amount: 申购金额（小写）/申购金额小写, same-line or next-line
     # (:385-405); code same-line or bare 6 digits on the next line (:364-378)
     wj_amount = F.coalesce(
-        X.rx(text, r"申购金额[（(]?小写[）)]?\s*([0-9,]+\.?[0-9]*)"),
+        # same-line junk tolerated between label and number — the
+        # reference's match2 申购金额小写[^0-9]* (e.g. '申购金额小写.壹 38,000,000.00')
+        X.rx(text, r"申购金额[（(]?小写[）)]?[^0-9\n]*([0-9,]+\.?[0-9]*)"),
         X.rx(text, r"(?m)申购金额[（(]?小写[）)]?[^0-9\n]*\n\s*([0-9,]+\.?[0-9]*)\s*$"),
     )
     wj_code = F.coalesce(
@@ -853,7 +857,7 @@ def _purchase_apply_specs(text: Column, lines: Column, filename: Column):
             _single(
                 {
                     "product_name": X.label_value_until(
-                        text, "客户名称：", stops=("交易类型：",), sep=r"\s*"
+                        text, "客户名称：", stops=("交易类型：",), sep=r"[ \t]*"
                     ),
                     "fund_code": X.rx(text, r"产品代码：\s*([0-9]{6})"),
                     "amount": X.rx(text, rf"委托金额/委托份额：\s*({_DECO})"),
@@ -892,7 +896,7 @@ def _purchase_apply_specs(text: Column, lines: Column, filename: Column):
             "基煜基金",  # :723-759 账户名称：, 申购金额(小写)：
             _single(
                 {
-                    "product_name": X.label_value_until(text, "账户名称：", sep=r"\s*"),
+                    "product_name": X.label_value_until(text, "账户名称：", sep=r"[ \t]*"),
                     "fund_code": X.rx(text, r"产品代码：\s*([0-9]{6})"),
                     "amount": X.rx(
                         text, rf"申购金额[（(]小写[）)]：\s*({_DECO})元?"
@@ -1075,7 +1079,9 @@ def _purchase_confirm_specs(text: Column, lines: Column, filename: Column):
     # 网金 amount: 申购金额（小写） same-line, OCR-split, or next-line
     # (:413-436)
     wj_amount = F.coalesce(
-        X.rx(text, r"申购金额[（(]?小写[）)]?\s*([0-9,]+\.?[0-9]*)"),
+        # same-line junk tolerated between label and number — the
+        # reference's match2 申购金额小写[^0-9]* (e.g. '申购金额小写.壹 38,000,000.00')
+        X.rx(text, r"申购金额[（(]?小写[）)]?[^0-9\n]*([0-9,]+\.?[0-9]*)"),
         X.rx(text, r"(?m)申购金额[（(]?小写[）)]?[^0-9\n]*\n\s*([0-9,]+\.?[0-9]*)\s*$"),
     )
     return [
@@ -1144,7 +1150,7 @@ def _purchase_confirm_specs(text: Column, lines: Column, filename: Column):
             "交e通",  # :272-328 投资者信息, 认申购手续费
             _single(
                 {
-                    "product_name": X.label_value_until(text, "投资者信息", sep=r"\s*"),
+                    "product_name": X.label_value_until(text, "投资者信息", sep=r"[ \t]*"),
                     "fund_code": X.rx(text, r"产品代码\s*([0-9]{6})"),
                     "amount": X.rx(text, rf"确认金额\s*({_DECO})"),
                     "qty": X.rx(text, rf"确认份额\s*({_DECO})"),
@@ -1315,7 +1321,7 @@ def _purchase_confirm_specs(text: Column, lines: Column, filename: Column):
             _single(
                 {
                     "product_name": X.label_value_until(
-                        text, "客户名称:", stops=("证件类型:",), sep=r"\s*"
+                        text, "客户名称:", stops=("证件类型:",), sep=r"[ \t]*"
                     ),
                     "fund_code": X.rx(text, r"产品代码:\s*([0-9]{6})"),
                     "amount": X.rx(text, rf"确认金额（元）:\s*({_DECO})"),
@@ -1630,7 +1636,7 @@ def _redemption_specs(text: Column, lines: Column, filename: Column):
             "交e通",  # :308-377 投资者信息, 赎回手续费, 确认日期
             _single(
                 {
-                    "product_name": X.label_value_until(text, "投资者信息", sep=r"\s*"),
+                    "product_name": X.label_value_until(text, "投资者信息", sep=r"[ \t]*"),
                     "fund_code": X.rx(text, r"产品代码\s*([0-9]{6})"),
                     "amount": X.rx(text, rf"确认金额\s*({_DECO})"),
                     "qty": X.rx(text, rf"确认份额\s*({_DECO})"),
@@ -1728,7 +1734,7 @@ def _redemption_specs(text: Column, lines: Column, filename: Column):
             _single(
                 {
                     "product_name": X.label_value_until(
-                        text, "客户名称：", sep=r"\s*"
+                        text, "客户名称：", sep=r"[ \t]*"
                     ),
                     "fund_code": X.rx(text, r"产品代码：\s*([0-9]{6})"),
                     "amount": X.rx(text, rf"确认金额（元）：\s*({_DECO})"),
@@ -1934,7 +1940,13 @@ def conversion_job(docs, dim, run_date: str = "2026-01-15") -> DataFrame:
     tt_name = F.when(
         tt_idx > 0, F.nullif(F.concat(F.trim(tt_p1), F.trim(tt_p2)), F.lit(""))
     )
-    _out_pair = r"(?m)^转出基金确认(?!.*金额)[^\n]*\n\s*([\d,]+\.\d+)\s+([\d,]+\.\d+)"
+    # markers are containment tests in the reference ('转出基金确认' in
+    # line and '金额' not in line, conversion_extractor.py:160-169), not
+    # line-anchored literals — lookaheads keep that semantics under (?m)^
+    _out_pair = (
+        r"(?m)^(?=[^\n]*转出基金确认)(?![^\n]*金额)[^\n]*\n"
+        r"[ \t]*([\d,]+\.\d+)\s+([\d,]+\.\d+)"
+    )
     tt_rec = F.struct(
         clean_name(tt_name).alias("product_name"),
         X.rx(text, r"转出基金代码\s+(\d{6})").alias("out_fund_code"),
@@ -1942,10 +1954,20 @@ def conversion_job(docs, dim, run_date: str = "2026-01-15") -> DataFrame:
         clean_number(X.rx(text, _out_pair, 2)).alias("out_amount"),
         clean_number(X.rx(text, _out_pair, 1)).alias("out_shares"),
         clean_number(
-            X.rx(text, r"(?m)^转入基金确认(?!.*份额)[^\n]*\n\s*([\d,]+\.\d+)")
+            X.rx(
+                text,
+                r"(?m)^(?=[^\n]*转入基金确认)(?![^\n]*份额)[^\n]*\n"
+                r"[ \t]*([\d,]+\.\d+)",
+            )
         ).alias("in_shares"),
+        # fee strategy A: first decimal on the 手续费 line; strategy B
+        # (:197-203, the 2025 错行 fix): the wrapped form puts the value
+        # on the PREVIOUS line as 'num(' — e.g. '719.97(转换费：0,补差费'
         clean_number(
-            X.rx(text, r"(?m)^(?=[^\n]*手续费)[^\n]*?([\d,]+\.\d+)")
+            F.coalesce(
+                X.rx(text, r"(?m)^(?=[^\n]*手续费)[^\n]*?([\d,]+\.\d+)"),
+                X.rx(text, r"(?m)^[^\n]*?([\d,.]+)[ \t]*[（(][^\n]*\n(?=[^\n]*手续费)"),
+            )
         ).alias("in_fee"),
         F.lit(None).cast("string").alias("out_confirm_date"),
     )
