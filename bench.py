@@ -60,30 +60,39 @@ def main() -> None:
     # the timed pass below measures the data path, not codegen
     warm_dir = os.environ.get("SPARK_GRAFT_WARM_DIR", "/root/testdata/sf0.001")
     for name in HEADLINE:
-        qs[name](spark, warm_dir).write.format("noop").mode("overwrite").save()
+        try:
+            qs[name](spark, warm_dir).write.format("noop").mode("overwrite").save()
+        except Exception:
+            pass  # the timed pass records the failure per-query
 
+    # Per-query fault isolation: a single broken query (e.g. a testdata
+    # schema change) must cost its own number, never the whole JSON line —
+    # round 2's bench was lost entirely to one AnalysisException.
     times: dict[str, float] = {}
+    errors: dict[str, str] = {}
     t_suite = time.time()
     for name in HEADLINE:
         t0 = time.time()
-        qs[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
-        times[name] = round(time.time() - t0, 3)
+        try:
+            qs[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
+            times[name] = round(time.time() - t0, 3)
+        except Exception as exc:  # noqa: BLE001 — record and continue
+            errors[name] = f"{type(exc).__name__}: {exc}"[:300]
+            print(f"bench: {name} FAILED: {errors[name]}", file=sys.stderr)
     total = round(time.time() - t_suite, 3)
 
     m = re.search(r"sf([0-9.]+)", sf_dir)
     sf = float(m.group(1)) if m else None
-    print(
-        json.dumps(
-            {
-                "metric": "headline_suite_wall",
-                "value": total,
-                "unit": "sec",
-                "queries": times,
-                "sf": sf,
-            },
-            ensure_ascii=False,
-        )
-    )
+    payload = {
+        "metric": "headline_suite_wall",
+        "value": total,
+        "unit": "sec",
+        "queries": times,
+        "sf": sf,
+    }
+    if errors:
+        payload["errors"] = errors
+    print(json.dumps(payload, ensure_ascii=False))
     spark.stop()
 
 

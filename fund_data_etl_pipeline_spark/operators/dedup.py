@@ -23,6 +23,7 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
 from ..functions.numeric import round2
 from ..functions.text import (
@@ -513,6 +514,36 @@ def connected_components(
         F.col("id").alias(id_col),
         F.col("label").alias("group_id"),
         "group_size",
+    )
+
+
+def canonical_docs(
+    labels: DataFrame,
+    docs: DataFrame,
+    quality_col: str = "n_chars",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Keep-best selection per near-dup group: given ``connected_components``
+    labels and a per-doc quality column, mark exactly one survivor per group
+    — highest quality, smallest id on ties (deterministic under re-runs).
+
+    This is the retention *policy* stage of a dedup pipeline: pair-finding
+    says who duplicates whom; this says which copy the training corpus
+    keeps. min-id canonicalization (``dedup_groups``) keeps an arbitrary
+    copy — real pipelines keep the best one.
+
+    Scale shape: one hash join on ``id_col`` to attach quality, one window
+    shuffle on ``group_id``. Near-dup groups are small by construction, so
+    the per-partition sort inside the window is bounded; no driver-side
+    state.
+    """
+    w = Window.partitionBy("group_id").orderBy(
+        F.col(quality_col).desc(), F.col(id_col).asc()
+    )
+    return (
+        labels.join(docs.select(id_col, quality_col), id_col)
+        .withColumn("keep", F.row_number().over(w) == F.lit(1))
+        .select(id_col, "group_id", "group_size", quality_col, "keep")
     )
 
 

@@ -58,17 +58,67 @@ def load_all() -> None:
 # unchecked window/vector queries, then the round-1 hash-fix proofs, then
 # the domain jobs; generic relational queries (all green in round 1) carry
 # the residual risk of falling past the cap.
+# Round-3 rotation policy: the driver caps its correctness sweep at ~50
+# queries (in registry order) while 71 are registered, so ordering decides
+# who gets a row. Invariant maintained: every query has a GREEN driver row
+# within the last two rounds. This round's front: the five queries whose
+# r02 rows were lost to the events.ts schema change (fixed, must re-prove),
+# the three round-3 additions (first appearance), then everything whose
+# only green row is from round 1 (they sat in DEPRIORITY last round).
 PRIORITY = [
+    # r02 rows errored on the regenerated events.ts encoding — fixed in
+    # sources/tables.py; fresh rows prove it at the gate
     "events_tumbling_window",
     "events_sliding_window",
     "events_session_window",
-    "vector_cosine_topk",
+    "json_extract_agg",
+    "asof_last_click",
+    # round-3 additions: first-appearance driver rows
+    "dedup_canonical",
+    "source_mixture_weights",
+    "user_retention_cohorts",
+    # green in round 1 only (deprioritized past the cap in round 2)
+    "union_slices",
+    "distinct_pairs",
+    "mixed_sort_key",
+    "intersect_nations",
+    "except_nations",
+    "cast_round_coerce",
+    "isin_filter",
+    "agg_stats",
+    "derived_arithmetic",
+    "text_token_count",
+    "dedup_ngram_jaccard",
+    "semi_join_parts",
+    "anti_join_customers",
+    "cube_lineitem",
+    "grouping_sets_sql",
+    "topk_revenue",
+    "dim_join_left",
+]
+
+
+# Names that may safely fall past the driver's cap THIS round: all have a
+# green round-2 row (or, for the no-oracle trio, their round-2 weak row)
+# and exercise machinery other checked queries also cover. Sized to
+# >= (registered - 50) so the cap's cut is wholly chosen here, never an
+# arbitrary registration-order tail. Least-risky last (the cut eats from
+# the end of the ordered dict backwards... i.e. the tail is what the cap
+# drops, so the first entries here may still be checked).
+DEPRIORITY = [
+    # checked-if-slots-remain boundary: fresh r02 green, diverse machinery
+    "window_running",
+    "salted_skew_agg",
+    # r02-green / r02-weak, machinery proven by other checked queries
+    "fund_dividend_scaled",
     "vector_ann_lsh",
     "vector_ann_ivf",
     "pivot_status",
     "text_fingerprint",
+    "rollup_priority",
+    "when_cascade_tier",
     "dedup_ngram_capped",
-    # round-2 additions: must get first-appearance driver rows
+    "dedup_simhash",
     "dedup_groups",
     "doc_hash_split",
     "corpus_top_terms",
@@ -80,40 +130,7 @@ PRIORITY = [
     "contamination_check",
     "stratified_sample",
     "sequence_packing",
-]
-
-
-# Names that may safely fall past the driver's cap: the no-oracle
-# throughput probe plus generic relational queries that were green in
-# round 1 and exercise machinery other listed queries already cover.
-# Sized to >= (registered - 50) so the cap's cut is wholly chosen here,
-# never an arbitrary registration-order tail.
-DEPRIORITY = [
-    "fund_dividend_scaled",
-    "union_slices",
-    "distinct_pairs",
-    "mixed_sort_key",
-    "intersect_nations",
-    "except_nations",
-    "cast_round_coerce",
-    "isin_filter",
-    "agg_stats",
-    "derived_arithmetic",
-    # machinery-overlapped round-1-green rows: token_count is a strict
-    # subset of text_quality's counting; the uncapped ngram form differs
-    # from dedup_ngram_capped only by the cap; semi ~ anti join mechanics
-    "text_token_count",
-    "dedup_ngram_jaccard",
-    "semi_join_parts",
-    "anti_join_customers",
-    # grouping machinery triply proven: rollup_priority + pivot_status stay
-    # in the sweep; the two below exercise the same aggregate paths
-    "cube_lineitem",
-    "grouping_sets_sql",
-    # TakeOrderedAndProject also proven by corpus_top_terms; broadcast dim
-    # join proven inside every fund_* query
-    "topk_revenue",
-    "dim_join_left",
+    "range_join_ship_window",
 ]
 
 

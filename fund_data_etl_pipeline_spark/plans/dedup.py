@@ -151,13 +151,11 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register(
-    "dedup_groups",
-    # the oracle re-derives the LSH pair set (nested WITH inside the
-    # subquery), then takes its transitive closure with a recursive CTE:
-    # group_id = MIN(reachable id) — exactly the fixpoint the Spark
-    # label-propagation loop converges to
-    oracle=f"""
+# transitive closure of the LSH pair set with a recursive CTE:
+# group_id = MIN(reachable id) — exactly the fixpoint the Spark
+# label-propagation loop converges to; shared by dedup_groups and
+# dedup_canonical
+_GROUPS_CTE = f"""
     WITH RECURSIVE
     pairs AS (SELECT d1, d2 FROM ({_minhash_oracle()}) t),
     edges AS (SELECT d1 AS a, d2 AS b FROM pairs
@@ -169,6 +167,15 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     ),
     lab AS (SELECT id, MIN(r) AS group_id FROM reach GROUP BY id),
     g AS (SELECT group_id, COUNT(*) AS group_size FROM lab GROUP BY group_id)
+"""
+
+
+@register(
+    "dedup_groups",
+    # the oracle re-derives the LSH pair set (nested WITH inside the
+    # subquery), then labels every doc with its component representative
+    oracle=f"""
+    {_GROUPS_CTE}
     SELECT lab.id AS doc_id, lab.group_id, g.group_size
     FROM lab JOIN g USING (group_id)
     """,
@@ -182,6 +189,33 @@ def dedup_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     pairs = D.minhash_lsh_pairs(docs, threshold=_JACCARD_T)
     return D.connected_components(pairs, docs.select("doc_id"))
+
+
+@register(
+    "dedup_canonical",
+    # groups CTE (same fixpoint as dedup_groups) + quality join + the same
+    # (quality DESC, id ASC) ROW_NUMBER rule the engine's window applies
+    oracle=f"""
+    {_GROUPS_CTE},
+    base AS (SELECT lab.id AS doc_id, lab.group_id, g.group_size
+             FROM lab JOIN g USING (group_id))
+    SELECT b.doc_id, b.group_id, b.group_size, d.n_chars,
+           ROW_NUMBER() OVER (
+             PARTITION BY b.group_id ORDER BY d.n_chars DESC, b.doc_id ASC
+           ) = 1 AS keep
+    FROM base b JOIN documents d USING (doc_id)
+    """,
+)
+def dedup_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Keep-best retention policy over near-dup groups: LSH pairs ->
+    connected components -> one survivor per group (longest doc, min id on
+    ties). ``filter(keep)`` is the deduped corpus a training pipeline
+    actually materializes — dedup_groups' min-id canonical keeps an
+    arbitrary copy; this keeps the best one."""
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = D.minhash_lsh_pairs(docs, threshold=_JACCARD_T)
+    labels = D.connected_components(pairs, docs.select("doc_id"))
+    return D.canonical_docs(labels, docs, quality_col="n_chars")
 
 
 _SPAN = D.SPAN_WORDS

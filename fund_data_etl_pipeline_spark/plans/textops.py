@@ -484,6 +484,53 @@ _TFIDF_K = 3
 
 
 @register(
+    "source_mixture_weights",
+    # same share expression tree both sides (tok_sum * 1.0 / total) so the
+    # doubles are bit-identical before rounding; BIGINT pins vs HUGEINT
+    oracle=f"""
+    WITH a AS (
+      SELECT source, lang, COUNT(*) AS n_docs,
+             SUM(len({G.WORDS}))::BIGINT AS tok_sum
+      FROM documents GROUP BY 1, 2
+    )
+    SELECT source, lang, n_docs, tok_sum,
+           {G.round_sql("tok_sum * 1.0 / SUM(tok_sum) OVER ()", 6)}
+             AS token_share,
+           {G.round_sql(
+               "(1.0 / COUNT(*) OVER ()) / (tok_sum * 1.0 / SUM(tok_sum) OVER ())",
+               6)} AS mix_weight
+    FROM a
+    """,
+)
+def source_mixture_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-mixing weights per (source, lang) cell: token share of each
+    cell and the up/down-sampling weight that would flatten the mixture to
+    uniform over cells (weight = target_share / actual_share; >1 means
+    oversample). The first stage a mixture-tuned pretraining run computes.
+
+    Scale shape: one map-side-partial hash agg over the corpus collapses
+    everything to |sources x langs| rows; the unpartitioned window then
+    runs on that tiny aggregate (single partition by design — never on
+    corpus-sized data)."""
+    docs = load_table(spark, sf_dir, "documents")
+    agg = docs.groupBy("source", "lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(F.size(words("text"))).alias("tok_sum"),
+    )
+    w = Window.partitionBy()
+    share = F.col("tok_sum") * F.lit(1.0) / F.sum("tok_sum").over(w)
+    uniform = F.lit(1.0) / F.count(F.lit(1)).over(w)
+    return agg.select(
+        "source",
+        "lang",
+        "n_docs",
+        "tok_sum",
+        round2(share, 6).alias("token_share"),
+        round2(uniform / share, 6).alias("mix_weight"),
+    )
+
+
+@register(
     "doc_tfidf_topk",
     oracle=f"""
     WITH w AS (SELECT doc_id, unnest({G.WORDS}) AS term FROM documents),

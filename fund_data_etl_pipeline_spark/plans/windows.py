@@ -12,6 +12,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
 from ..functions.numeric import round2
 from ..sources import load_table
@@ -132,4 +133,66 @@ def events_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_events",
             "sum_value",
         )
+    )
+
+
+@register(
+    "user_retention_cohorts",
+    # both engines truncate to Monday weeks; offsets are exact multiples
+    # of 7 days (Monday - Monday), so the integer division is lossless
+    oracle="""
+    WITH wk AS (SELECT user_id, date_trunc('week', ts) AS w FROM events),
+    act AS (SELECT DISTINCT user_id,
+                   MIN(w) OVER (PARTITION BY user_id) AS cw,
+                   (date_diff('day', MIN(w) OVER (PARTITION BY user_id), w)
+                     // 7)::INT AS week_offset
+            FROM wk),
+    a AS (SELECT cw, week_offset, COUNT(*) AS n_active
+          FROM act GROUP BY 1, 2)
+    SELECT strftime(cw, '%Y-%m-%d') AS cohort_week,
+           week_offset, n_active,
+           ROUND(n_active * 1.0 /
+                 MAX(CASE WHEN week_offset = 0 THEN n_active END)
+                   OVER (PARTITION BY cw), 6) AS retention_rate
+    FROM a
+    """,
+)
+def user_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekly retention cohorts: users grouped by the week of their first
+    event; for each (cohort week, week offset) the count and share of the
+    cohort still active. The classic engagement rollup every event-stream
+    warehouse runs.
+
+    Scale shape: ONE events scan. First-touch is a per-user window MIN
+    (single shuffle on user_id — a groupBy+join formulation scans events
+    twice and shuffles the same key anyway), the distinct + final agg
+    collapse to the tiny (cohort, offset) key space, and cohort size is
+    recovered from each cohort's own offset-0 row by a window over that
+    already-aggregated result — no second pass, no driver state.
+    """
+    events = load_table(spark, sf_dir, "events")
+    per_user = Window.partitionBy("user_id")
+    wk = events.select(
+        "user_id", F.date_trunc("week", F.col("ts")).alias("w")
+    )
+    cw = F.min("w").over(per_user)
+    act = wk.select(
+        "user_id",
+        cw.alias("cw"),
+        (F.datediff(F.col("w"), cw) / F.lit(7)).cast("int").alias("week_offset"),
+    ).distinct()
+    agg = act.groupBy("cw", "week_offset").agg(
+        F.count(F.lit(1)).alias("n_active")
+    )
+    per_cohort = Window.partitionBy("cw")
+    size0 = F.max(
+        F.when(F.col("week_offset") == 0, F.col("n_active"))
+    ).over(per_cohort)
+    return agg.select(
+        F.date_format("cw", "yyyy-MM-dd").alias("cohort_week"),
+        "week_offset",
+        "n_active",
+        round2(F.col("n_active") * F.lit(1.0) / size0, 6).alias(
+            "retention_rate"
+        ),
     )

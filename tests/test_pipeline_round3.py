@@ -1,0 +1,91 @@
+"""Round-3 operators: canonical keep-best dedup, mixture weights,
+retention cohorts."""
+
+from __future__ import annotations
+
+import datetime
+
+from pyspark.sql import Row
+from pyspark.sql import functions as F
+
+from fund_data_etl_pipeline_spark.operators.dedup import canonical_docs
+
+
+def test_canonical_docs_keeps_best_per_group(spark):
+    labels = spark.createDataFrame(
+        [
+            Row(doc_id=1, group_id=1, group_size=3),
+            Row(doc_id=2, group_id=1, group_size=3),
+            Row(doc_id=3, group_id=1, group_size=3),
+            Row(doc_id=9, group_id=9, group_size=1),  # singleton
+        ]
+    )
+    docs = spark.createDataFrame(
+        [
+            Row(doc_id=1, n_chars=10),
+            Row(doc_id=2, n_chars=50),  # best in group 1
+            Row(doc_id=3, n_chars=50),  # tie -> loses on higher id
+            Row(doc_id=9, n_chars=1),
+        ]
+    )
+    out = {r.doc_id: r for r in canonical_docs(labels, docs).collect()}
+    assert [out[i].keep for i in (1, 2, 3, 9)] == [False, True, False, True]
+    # exactly one survivor per group
+    kept = [r for r in out.values() if r.keep]
+    assert {r.group_id for r in kept} == {1, 9}
+    assert len(kept) == 2
+
+
+def test_dedup_canonical_one_keeper_per_group(spark, sf_dir):
+    from fund_data_etl_pipeline_spark import plans
+
+    plans.load_all()
+    df = plans.QUERIES["dedup_canonical"](spark, sf_dir)
+    per_group = (
+        df.groupBy("group_id")
+        .agg(
+            F.sum(F.col("keep").cast("int")).alias("n_keep"),
+            F.count(F.lit(1)).alias("n"),
+            F.max("group_size").alias("sz"),
+        )
+        .collect()
+    )
+    assert per_group, "corpus produced no groups"
+    for r in per_group:
+        assert r.n_keep == 1, f"group {r.group_id}: {r.n_keep} keepers"
+        assert r.n == r.sz
+
+
+def test_mixture_weights_shares_sum_to_one(spark, sf_dir):
+    from fund_data_etl_pipeline_spark import plans
+
+    plans.load_all()
+    rows = plans.QUERIES["source_mixture_weights"](spark, sf_dir).collect()
+    assert rows
+    assert abs(sum(r.token_share for r in rows) - 1.0) < 1e-3
+    cells = len(rows)
+    for r in rows:
+        # weight flattens the mixture: weight * share == uniform share
+        assert abs(r.mix_weight * r.token_share - 1.0 / cells) < 1e-4
+
+
+def test_retention_offset_zero_is_full_cohort(spark, sf_dir):
+    from fund_data_etl_pipeline_spark import plans
+
+    plans.load_all()
+    rows = plans.QUERIES["user_retention_cohorts"](spark, sf_dir).collect()
+    assert rows
+    by_cohort = {}
+    for r in rows:
+        assert r.week_offset >= 0
+        by_cohort.setdefault(r.cohort_week, {})[r.week_offset] = r
+    for cw, offs in by_cohort.items():
+        # every user's first event is in their cohort week, so offset 0
+        # always covers the whole cohort
+        assert 0 in offs, cw
+        assert offs[0].retention_rate == 1.0
+        assert all(
+            r.n_active <= offs[0].n_active for r in offs.values()
+        ), f"cohort {cw} has an offset larger than the cohort itself"
+        # cohort weeks are Mondays
+        assert datetime.date.fromisoformat(cw).weekday() == 0
