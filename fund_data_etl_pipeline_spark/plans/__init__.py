@@ -42,6 +42,7 @@ def load_all() -> None:
     """Import every plan module so registration side effects run."""
     from . import (  # noqa: F401
         dedup,
+        events,
         fundetl,
         multimodal,
         relational,
@@ -77,6 +78,8 @@ PRIORITY = [
     "dedup_canonical",
     "source_mixture_weights",
     "user_retention_cohorts",
+    "events_funnel",
+    "event_value_stats",
     # green in round 1 only (deprioritized past the cap in round 2)
     "union_slices",
     "distinct_pairs",

@@ -1,0 +1,125 @@
+"""Event-stream analytics beyond windowing: ordered funnels and per-type
+value distributions (engine extension — the product-analytics queries an
+event warehouse runs next to the SURVEY §2.12 window rollups).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from ..functions.numeric import round2
+from ..sources import load_table
+from . import register
+
+_FUNNEL_STEPS = ("view", "click", "purchase")
+
+
+@register(
+    "events_funnel",
+    # strictly-ordered funnel: a user converts at step k only with an event
+    # of that type strictly after their step-(k-1) conversion time
+    oracle=f"""
+    WITH s1 AS (SELECT user_id, MIN(ts) AS t FROM events
+                WHERE event_type = '{_FUNNEL_STEPS[0]}' GROUP BY 1),
+    s2 AS (SELECT e.user_id, MIN(e.ts) AS t FROM events e JOIN s1 USING (user_id)
+           WHERE e.event_type = '{_FUNNEL_STEPS[1]}' AND e.ts > s1.t GROUP BY 1),
+    s3 AS (SELECT e.user_id, MIN(e.ts) AS t FROM events e JOIN s2 USING (user_id)
+           WHERE e.event_type = '{_FUNNEL_STEPS[2]}' AND e.ts > s2.t GROUP BY 1),
+    u AS (
+      SELECT 1 AS step_idx, '{_FUNNEL_STEPS[0]}' AS step, COUNT(*) AS n_users FROM s1
+      UNION ALL
+      SELECT 2, '{_FUNNEL_STEPS[1]}', COUNT(*) FROM s2
+      UNION ALL
+      SELECT 3, '{_FUNNEL_STEPS[2]}', COUNT(*) FROM s3
+    )
+    SELECT step_idx, step, n_users,
+           ROUND(n_users * 1.0 / FIRST_VALUE(n_users)
+                   OVER (ORDER BY step_idx), 6) AS conv_from_first,
+           ROUND(n_users * 1.0 / LAG(n_users, 1, n_users)
+                   OVER (ORDER BY step_idx), 6) AS conv_from_prev
+    FROM u
+    """,
+)
+def events_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Strictly-ordered conversion funnel (view -> click -> purchase):
+    per-user step times chain through min-after-previous-step filters;
+    step counts and step-to-step conversion rates.
+
+    Scale shape: each step is a filtered scan aggregated on user_id, then
+    a join back on that SAME key (co-partitioned, no extra exchange under
+    AQE); each stage's row count only shrinks. The final union + ordering
+    window runs on exactly three rows. Filters on event_type reach the
+    parquet scan as PushedFilters.
+    """
+    events = load_table(spark, sf_dir, "events")
+
+    def step_times(step: str, prev: DataFrame | None) -> DataFrame:
+        e = events.filter(F.col("event_type") == step)
+        if prev is not None:
+            e = e.join(prev, "user_id").filter(F.col("ts") > F.col("t")).drop("t")
+        return e.groupBy("user_id").agg(F.min("ts").alias("t"))
+
+    counts = []
+    prev: DataFrame | None = None
+    for i, step in enumerate(_FUNNEL_STEPS, start=1):
+        prev = step_times(step, prev)
+        counts.append(
+            prev.agg(F.count(F.lit(1)).alias("n_users")).select(
+                F.lit(i).alias("step_idx"), F.lit(step).alias("step"), "n_users"
+            )
+        )
+    u = counts[0].unionByName(counts[1]).unionByName(counts[2])
+    w = Window.orderBy("step_idx")
+    return u.select(
+        "step_idx",
+        "step",
+        "n_users",
+        round2(
+            F.col("n_users") * F.lit(1.0) / F.first("n_users").over(w), 6
+        ).alias("conv_from_first"),
+        round2(
+            F.col("n_users")
+            * F.lit(1.0)
+            / F.lag("n_users", 1, None).over(w).cast("bigint"),
+            6,
+        ).alias("conv_from_prev"),
+    ).withColumn(
+        "conv_from_prev", F.coalesce("conv_from_prev", F.lit(1.0))
+    )
+
+
+@register(
+    "event_value_stats",
+    # exact linear-interpolation percentiles both sides (Spark `percentile`
+    # == DuckDB `quantile_cont`); distinct users exact
+    oracle="""
+    SELECT event_type,
+           COUNT(*) AS n,
+           COUNT(DISTINCT user_id) AS n_users,
+           ROUND(AVG(value), 6)                 AS avg_value,
+           ROUND(quantile_cont(value, 0.5), 6)  AS p50,
+           ROUND(quantile_cont(value, 0.9), 6)  AS p90,
+           ROUND(quantile_cont(value, 0.99), 6) AS p99
+    FROM events
+    GROUP BY 1
+    """,
+)
+def event_value_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-event-type value distribution: exact percentiles (linear
+    interpolation, the DuckDB quantile_cont contract) + exact distinct
+    users. The exact form is the oracle baseline; at 100 TB the same
+    query swaps `percentile` -> `approx_percentile` and count_distinct ->
+    `approx_count_distinct` (HLL / KLL sketches, one map-side-partial
+    pass, no per-group sort) — the swap is a one-line change because the
+    group-by shape is identical."""
+    events = load_table(spark, sf_dir, "events")
+    return events.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.countDistinct("user_id").alias("n_users"),
+        round2(F.avg("value"), 6).alias("avg_value"),
+        round2(F.expr("percentile(value, 0.5)"), 6).alias("p50"),
+        round2(F.expr("percentile(value, 0.9)"), 6).alias("p90"),
+        round2(F.expr("percentile(value, 0.99)"), 6).alias("p99"),
+    )

@@ -89,3 +89,31 @@ def test_retention_offset_zero_is_full_cohort(spark, sf_dir):
         ), f"cohort {cw} has an offset larger than the cohort itself"
         # cohort weeks are Mondays
         assert datetime.date.fromisoformat(cw).weekday() == 0
+
+
+def test_funnel_monotone_and_rates(spark, sf_dir):
+    from fund_data_etl_pipeline_spark import plans
+
+    plans.load_all()
+    rows = sorted(
+        plans.QUERIES["events_funnel"](spark, sf_dir).collect(),
+        key=lambda r: r.step_idx,
+    )
+    assert [r.step for r in rows] == ["view", "click", "purchase"]
+    ns = [r.n_users for r in rows]
+    assert ns == sorted(ns, reverse=True), "funnel must shrink"
+    assert rows[0].conv_from_first == 1.0 and rows[0].conv_from_prev == 1.0
+    for prev, cur in zip(rows, rows[1:]):
+        assert 0.0 <= cur.conv_from_prev <= 1.0
+        assert abs(cur.conv_from_first - cur.n_users / ns[0]) < 1e-5
+
+
+def test_event_value_stats_percentile_order(spark, sf_dir):
+    from fund_data_etl_pipeline_spark import plans
+
+    plans.load_all()
+    rows = plans.QUERIES["event_value_stats"](spark, sf_dir).collect()
+    assert {r.event_type for r in rows} >= {"view", "click", "purchase"}
+    for r in rows:
+        assert r.p50 <= r.p90 <= r.p99
+        assert r.n_users <= r.n
