@@ -45,6 +45,11 @@ HEADLINE = [
     "sequence_packing",
     "stratified_sample",
     "vector_cosine_topk",
+    # round-3 event-analytics + mixing stages
+    "source_mixture_weights",
+    "user_retention_cohorts",
+    "events_funnel",
+    "event_value_stats",
 ]
 
 
@@ -64,6 +69,7 @@ def main() -> None:
             qs[name](spark, warm_dir).write.format("noop").mode("overwrite").save()
         except Exception:
             pass  # the timed pass records the failure per-query
+    spark.catalog.clearCache()
 
     # Per-query fault isolation: a single broken query (e.g. a testdata
     # schema change) must cost its own number, never the whole JSON line —
@@ -79,6 +85,12 @@ def main() -> None:
         except Exception as exc:  # noqa: BLE001 — record and continue
             errors[name] = f"{type(exc).__name__}: {exc}"[:300]
             print(f"bench: {name} FAILED: {errors[name]}", file=sys.stderr)
+        finally:
+            # queries persist intermediates (LSH signature tables, prepped
+            # embeddings) and never unpersist — across a 22-query session
+            # the accumulated storage memory squeezes execution and GC,
+            # inflating later queries 5-10x. Each query is timed cold.
+            spark.catalog.clearCache()
     total = round(time.time() - t_suite, 3)
 
     m = re.search(r"sf([0-9.]+)", sf_dir)
