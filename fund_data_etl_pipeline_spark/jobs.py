@@ -97,6 +97,27 @@ def _records_column(
     return expr
 
 
+# Platform-spec Column trees are pure functions of fixed column NAMES
+# (text/lines/filename) — unresolved, immutable, reusable across any
+# DataFrame in the same JVM. Building them is py4j-round-trip bound
+# (~8.8k gateway calls ≈ 1.5 s for the dividend cascade alone), so cache
+# per (SparkContext, builder): a rebuilt query pays the construction cost
+# once per JVM instead of once per call. Keyed on the live SparkContext
+# object so a JVM restart naturally invalidates stale Column refs.
+_SPEC_CACHE: dict = {}
+
+
+def _cached_specs(specs_fn):
+    from pyspark import SparkContext
+
+    key = (id(SparkContext._active_spark_context), specs_fn)
+    if key not in _SPEC_CACHE:
+        _SPEC_CACHE[key] = specs_fn(
+            F.col("text"), F.col("lines"), F.col("filename")
+        )
+    return _SPEC_CACHE[key]
+
+
 def _explode_records(
     df: DataFrame, specs: list[tuple[str, Column]], all_fields: list[str]
 ) -> DataFrame:
@@ -567,7 +588,7 @@ def dividend_records(docs: DataFrame) -> DataFrame:
     normalization). Unmatched docs keep platform NULL and are split off by
     the caller via split_quarantine."""
     df = classify(_prep(docs), DIVIDEND_RULES)
-    specs = _dividend_specs(F.col("text"), F.col("lines"), F.col("filename"))
+    specs = _cached_specs(_dividend_specs)
     return _explode_records(df, specs, _DIV_FIELDS)
 
 
@@ -1812,7 +1833,7 @@ def _txn_job(
             keep = keep | F.col("filename").contains(u)
         pre = pre.filter(~F.col("filename").contains(sub) | keep)
     df = classify(pre, rules)
-    specs = specs_fn(F.col("text"), F.col("lines"), F.col("filename"))
+    specs = _cached_specs(specs_fn)
     recs = _explode_records(df, specs, _TXN_FIELDS)
     recs = require_fields(recs, required)
     # N3 — est_date is either an absolute yyyymmdd the platform printed
