@@ -53,6 +53,8 @@ HEADLINE = [
     "user_retention_cohorts",
     "events_funnel",
     "event_value_stats",
+    # the composed corpus-selection flagship
+    "corpus_curation",
 ]
 
 

@@ -80,6 +80,7 @@ PRIORITY = [
     "user_retention_cohorts",
     "events_funnel",
     "event_value_stats",
+    "corpus_curation",
     # green in round 1 only (deprioritized past the cap in round 2)
     "union_slices",
     "distinct_pairs",
@@ -134,6 +135,7 @@ DEPRIORITY = [
     "stratified_sample",
     "sequence_packing",
     "range_join_ship_window",
+    "dedup_embedding_cosine",
 ]
 
 

@@ -477,6 +477,136 @@ def text_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# End-to-end curation verdict: the composed corpus-selection pass
+# --------------------------------------------------------------------------
+
+_MIN_QUALITY = 0.3
+
+
+@register(
+    "corpus_curation",
+    # one CTE chain mirroring the single-scan engine plan: every per-row
+    # signal from the same words array, exact-dup canonicality from the
+    # same normalized hash, keep decided on the ROUNDED score both sides
+    oracle=f"""
+    WITH base AS (
+      SELECT doc_id, text, {G.WORDS} AS w, {G.NORM_MD5} AS h FROM documents
+    ),
+    sig AS (
+      SELECT doc_id, h, len(w) AS n_words,
+             {G.stopword_ratio_sql("en")} AS stop_ratio,
+             CASE WHEN length(text) > 0
+                  THEN len(regexp_extract_all(text, '{_PUNCT_RE}')) * 1.0
+                         / length(text)
+                  ELSE 0.0 END AS punct_ratio,
+             CASE WHEN len(w) > 0
+                  THEN len(list_distinct(w)) * 1.0 / len(w) ELSE 1.0 END
+               AS uniq_word_frac,
+             CASE WHEN len(w) >= 2
+                  THEN 1.0 - len(list_distinct(list_transform(
+                         generate_series(1, len(w) - 1),
+                         i -> w[i] || ' ' || w[i+1]))) * 1.0 / (len(w) - 1)
+                  ELSE 0.0 END AS dup_bigram_frac,
+             len(regexp_extract_all(text, '{URL_RE}'))
+               + len(regexp_extract_all(text, '{EMAIL_RE}'))
+               + len(regexp_extract_all(text, '{LONGNUM_RE}')) AS n_redactions
+      FROM base
+    ),
+    g AS (SELECT h, MIN(doc_id) AS canonical_id FROM base GROUP BY 1),
+    scored AS (
+      SELECT sig.*,
+             {G.round_sql(
+                 "0.5 * stop_ratio + 0.3 * least(n_words / 100.0, 1.0)"
+                 " + 0.2 * (1.0 - punct_ratio)", 6)} AS quality_score,
+             (sig.doc_id = g.canonical_id) AS is_canonical
+      FROM sig JOIN g USING (h)
+    )
+    SELECT doc_id, n_words, quality_score,
+           {G.round_sql("uniq_word_frac", 6)} AS uniq_word_frac,
+           {G.round_sql("dup_bigram_frac", 6)} AS dup_bigram_frac,
+           n_redactions, is_canonical,
+           (is_canonical
+            AND quality_score >= {_MIN_QUALITY}
+            AND {G.round_sql("uniq_word_frac", 6)} >= {_MIN_UNIQ_WORD_FRAC}
+            AND {G.round_sql("dup_bigram_frac", 6)} <= {_MAX_DUP_BIGRAM_FRAC})
+             AS keep
+    FROM scored
+    """,
+)
+def corpus_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The composed corpus-selection pass a training pipeline actually
+    runs: per-document quality score, repetition signals, PII-redaction
+    count and exact-dup canonicality folded into one keep/drop verdict.
+
+    Scale shape: ONE projection computes every per-row signal from a
+    single hoisted words array (HOFs share the array; counting signals
+    stay in codegen via regexp_count), the exact-dup group table is one
+    hash-agg shuffle on the 32-char content hash joined back on that same
+    key, and the verdict is pure arithmetic — no second corpus scan for
+    signals, no window over corpus-sized data."""
+    base = load_table(spark, sf_dir, "documents").select(
+        "doc_id",
+        "text",
+        words("text").alias("__w"),
+        normalized_md5(F.col("text")).alias("__h"),
+    )
+    w = F.col("__w")
+    n = F.size(w)
+    n_chars = F.length("text")
+    stop = stopword_ratio(w, "en")
+    punct = F.when(
+        n_chars > 0, F.regexp_count("text", F.lit(_PUNCT_RE)) / n_chars
+    ).otherwise(F.lit(0.0))
+    uniq = F.when(n > 0, F.size(F.array_distinct(w)) / n).otherwise(F.lit(1.0))
+    bigrams = F.transform(
+        F.sequence(F.lit(1), F.greatest(n - 1, F.lit(0))),
+        lambda i: F.concat_ws(
+            " ", F.element_at(w, i.cast("int")), F.element_at(w, (i + 1).cast("int"))
+        ),
+    )
+    dup_bi = F.when(
+        n >= 2, F.lit(1.0) - F.size(F.array_distinct(bigrams)) / (n - 1)
+    ).otherwise(F.lit(0.0))
+    n_red = (
+        F.regexp_count("text", F.lit(URL_RE))
+        + F.regexp_count("text", F.lit(EMAIL_RE))
+        + F.regexp_count("text", F.lit(LONGNUM_RE))
+    )
+    sig = base.select(
+        "doc_id",
+        "__h",
+        n.alias("n_words"),
+        round2(
+            0.5 * stop
+            + 0.3 * F.least(n / F.lit(100.0), F.lit(1.0))
+            + 0.2 * (F.lit(1.0) - punct),
+            6,
+        ).alias("quality_score"),
+        round2(uniq, 6).alias("uniq_word_frac"),
+        round2(dup_bi, 6).alias("dup_bigram_frac"),
+        n_red.alias("n_redactions"),
+    )
+    groups = base.groupBy("__h").agg(F.min("doc_id").alias("__canonical"))
+    joined = sig.join(groups, "__h")
+    is_canon = F.col("doc_id") == F.col("__canonical")
+    return joined.select(
+        "doc_id",
+        "n_words",
+        "quality_score",
+        "uniq_word_frac",
+        "dup_bigram_frac",
+        "n_redactions",
+        is_canon.alias("is_canonical"),
+        (
+            is_canon
+            & (F.col("quality_score") >= _MIN_QUALITY)
+            & (F.col("uniq_word_frac") >= _MIN_UNIQ_WORD_FRAC)
+            & (F.col("dup_bigram_frac") <= _MAX_DUP_BIGRAM_FRAC)
+        ).alias("keep"),
+    )
+
+
+# --------------------------------------------------------------------------
 # Per-document TF-IDF top terms
 # --------------------------------------------------------------------------
 

@@ -117,3 +117,20 @@ def test_event_value_stats_percentile_order(spark, sf_dir):
     for r in rows:
         assert r.p50 <= r.p90 <= r.p99
         assert r.n_users <= r.n
+
+
+def test_corpus_curation_verdict_consistent(spark, sf_dir):
+    from fund_data_etl_pipeline_spark import plans
+
+    plans.load_all()
+    rows = plans.QUERIES["corpus_curation"](spark, sf_dir).collect()
+    assert rows
+    kept = [r for r in rows if r.keep]
+    assert kept, "curation must keep something on the fixture corpus"
+    for r in rows:
+        if r.keep:
+            assert r.is_canonical and r.quality_score >= 0.3
+            assert r.uniq_word_frac >= 0.2 and r.dup_bigram_frac <= 0.9
+    # exactly the canonical docs survive the dedup component
+    n_canon = sum(1 for r in rows if r.is_canonical)
+    assert len(kept) <= n_canon
