@@ -113,3 +113,34 @@ def test_pipeline_assembly_plan_shapes(spark, sf_dir):
     assert "BroadcastExchange" in contam
     spans = _plan(q["dedup_spans"](spark, sf_dir))
     assert "Generate" in spans and "InMemoryRelation" in spans
+
+
+def test_round3_analytics_plan_shapes(spark, sf_dir):
+    """Round-3 queries keep the plan shapes their docstrings claim:
+    retention reads events ONCE; funnel pushes event_type into every
+    scan; mixture weights collapse before the total window; curation's
+    per-row signals come off one scan plus one hash-agg join."""
+    import __spark_entry__ as e
+
+    q = e.queries()
+
+    ret = _plan(q["user_retention_cohorts"](spark, sf_dir))
+    assert ret.count("Scan parquet") == 1, "retention must scan events once"
+
+    fun = _plan(q["events_funnel"](spark, sf_dir))
+    for step in ("view", "click", "purchase"):
+        assert f"EqualTo(event_type,{step})" in fun, (
+            f"funnel step filter {step} not pushed:\n" + fun[:1500]
+        )
+
+    mix = _plan(q["source_mixture_weights"](spark, sf_dir))
+    # the window must run AFTER aggregation (tiny input), so the plan is
+    # agg -> single-partition exchange -> window, never window-over-scan
+    assert "Window" in mix
+    scan_idx = mix.rindex("Scan parquet")
+    assert mix.index("Window") < scan_idx, "window must sit above the agg"
+
+    cur = _plan(q["corpus_curation"](spark, sf_dir))
+    assert cur.count("Scan parquet") <= 2, (
+        "curation is one signal scan + one hash scan at most"
+    )
