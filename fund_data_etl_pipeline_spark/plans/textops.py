@@ -8,7 +8,7 @@ partial aggregation map-side.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
@@ -544,8 +544,35 @@ def corpus_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
     hash-agg shuffle on the 32-char content hash joined back on that same
     key, and the verdict is pure arithmetic — no second corpus scan for
     signals, no window over corpus-sized data."""
-    base = load_table(spark, sf_dir, "documents").select(
+    docs = load_table(spark, sf_dir, "documents")
+    sig = curation_signals(docs)
+    groups = (
+        docs.select("doc_id", normalized_md5(F.col("text")).alias("__h"))
+        .groupBy("__h")
+        .agg(F.min("doc_id").alias("__canonical"))
+    )
+    joined = sig.join(groups, "__h")
+    is_canon = F.col("doc_id") == F.col("__canonical")
+    return joined.select(
         "doc_id",
+        "n_words",
+        "quality_score",
+        "uniq_word_frac",
+        "dup_bigram_frac",
+        "n_redactions",
+        is_canon.alias("is_canonical"),
+        (is_canon & curation_quality_keep()).alias("keep"),
+    )
+
+
+def curation_signals(docs: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Per-row curation signals — quality score, repetition fractions,
+    PII-redaction count, normalized content hash — from ONE projection
+    over a single hoisted words array. Stateless, so the SAME columns run
+    unchanged on a stream (streaming/file_ingest.streaming_curation);
+    batch/streaming curation parity is column-level, not reimplemented."""
+    base = docs.select(
+        id_col,
         "text",
         words("text").alias("__w"),
         normalized_md5(F.col("text")).alias("__h"),
@@ -572,8 +599,8 @@ def corpus_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
         + F.regexp_count("text", F.lit(EMAIL_RE))
         + F.regexp_count("text", F.lit(LONGNUM_RE))
     )
-    sig = base.select(
-        "doc_id",
+    return base.select(
+        id_col,
         "__h",
         n.alias("n_words"),
         round2(
@@ -586,23 +613,16 @@ def corpus_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
         round2(dup_bi, 6).alias("dup_bigram_frac"),
         n_red.alias("n_redactions"),
     )
-    groups = base.groupBy("__h").agg(F.min("doc_id").alias("__canonical"))
-    joined = sig.join(groups, "__h")
-    is_canon = F.col("doc_id") == F.col("__canonical")
-    return joined.select(
-        "doc_id",
-        "n_words",
-        "quality_score",
-        "uniq_word_frac",
-        "dup_bigram_frac",
-        "n_redactions",
-        is_canon.alias("is_canonical"),
-        (
-            is_canon
-            & (F.col("quality_score") >= _MIN_QUALITY)
-            & (F.col("uniq_word_frac") >= _MIN_UNIQ_WORD_FRAC)
-            & (F.col("dup_bigram_frac") <= _MAX_DUP_BIGRAM_FRAC)
-        ).alias("keep"),
+
+
+def curation_quality_keep() -> Column:
+    """The signal-threshold part of the curation verdict (shared with the
+    streaming pass, which replaces batch canonicality with within-
+    watermark first-occurrence dedup)."""
+    return (
+        (F.col("quality_score") >= _MIN_QUALITY)
+        & (F.col("uniq_word_frac") >= _MIN_UNIQ_WORD_FRAC)
+        & (F.col("dup_bigram_frac") <= _MAX_DUP_BIGRAM_FRAC)
     )
 
 

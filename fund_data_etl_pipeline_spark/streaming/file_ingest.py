@@ -98,3 +98,30 @@ def streaming_dedup(
     return hashed.withWatermark("ingest_ts", watermark).dropDuplicatesWithinWatermark(
         ["content_hash"]
     )
+
+
+def streaming_curation(
+    docs_stream: DataFrame, watermark: str = "1 hour"
+) -> DataFrame:
+    """The corpus-curation pass on a document STREAM: identical per-row
+    signal columns as the batch ``plans/textops.corpus_curation``
+    (imported, not reimplemented — parity is column-level), with batch
+    exact-dup canonicality replaced by within-watermark first-occurrence
+    dedup on the same content hash. Kept rows stream straight to the
+    training sink; re-deliveries beyond the watermark horizon fall
+    through to the periodic batch pass, exactly like ``streaming_dedup``.
+
+    Scale shape: signals are stateless map-only columns (no state at
+    all); the only stateful operator is dropDuplicatesWithinWatermark,
+    whose per-key state is bounded by the horizon."""
+    from pyspark.sql import functions as F  # local: keep module head light
+
+    from ..plans.textops import curation_quality_keep, curation_signals
+
+    sig = curation_signals(docs_stream).withColumn(
+        "ingest_ts", F.current_timestamp()
+    )
+    deduped = sig.withWatermark("ingest_ts", watermark).dropDuplicatesWithinWatermark(
+        ["__h"]
+    )
+    return deduped.filter(curation_quality_keep()).drop("ingest_ts")

@@ -172,3 +172,61 @@ def test_streaming_dedup_within_watermark(spark, tmp_path):
     assert {r["text"] for r in got.collect()} <= {
         "alpha beta gamma", "Alpha  BETA gamma", "something else"
     }
+
+
+def test_streaming_curation_parity(spark, tmp_path):
+    """Streaming curation = batch signal columns + within-watermark dedup:
+    duplicates collapse to first occurrence, degenerate/low-quality docs
+    drop, stopword-rich prose survives."""
+    from fund_data_etl_pipeline_spark.streaming.file_ingest import (
+        streaming_curation,
+    )
+
+    good1 = "the cat and the dog are in the house with a mouse near the door"
+    good2 = "she said that it was not the best of days but it was a good one"
+    spam = "spam " * 40
+    src = tmp_path / "docs"
+    out = tmp_path / "out"
+    ckpt = tmp_path / "ckpt"
+    src.mkdir()
+    _write_doc_json(
+        str(src),
+        [
+            (1, "a.txt", "x/a.txt", good1),
+            (2, "b.txt", "x/b.txt", good1.upper()),  # same normalized hash
+            (3, "c.txt", "x/c.txt", spam),
+            (4, "d.txt", "x/d.txt", good2),
+        ],
+        "batch.json",
+    )
+    q = write_available_now(
+        streaming_curation(read_document_stream(spark, str(src))),
+        str(out),
+        str(ckpt),
+    )
+    q.awaitTermination(120)
+    got = spark.read.parquet(str(out))
+    assert got.count() == 2
+    assert {r.doc_id for r in got.collect()} <= {1, 2, 4}
+    assert got.filter(F.col("doc_id") == 3).count() == 0  # spam dropped
+    # parity: surviving signal values match the batch builder bit-for-bit
+    from fund_data_etl_pipeline_spark.plans.textops import curation_signals
+
+    batch = {
+        r.doc_id: r
+        for r in curation_signals(
+            spark.createDataFrame(
+                [(1, good1), (4, good2)], ["doc_id", "text"]
+            )
+        ).collect()
+    }
+    for r in got.select(
+        "doc_id", "quality_score", "uniq_word_frac", "dup_bigram_frac"
+    ).collect():
+        if r.doc_id in batch:
+            b = batch[r.doc_id]
+            assert (r.quality_score, r.uniq_word_frac, r.dup_bigram_frac) == (
+                b.quality_score,
+                b.uniq_word_frac,
+                b.dup_bigram_frac,
+            )
