@@ -81,6 +81,7 @@ PRIORITY = [
     "events_funnel",
     "event_value_stats",
     "corpus_curation",
+    "quality_weighted_sample",
     # green in round 1 only (deprioritized past the cap in round 2)
     "union_slices",
     "distinct_pairs",
@@ -136,6 +137,9 @@ DEPRIORITY = [
     "sequence_packing",
     "range_join_ship_window",
     "dedup_embedding_cosine",
+    # exact-dedup machinery also inside corpus_curation (same hash) and
+    # the incremental-dedup pytest lifecycle
+    "dedup_exact",
 ]
 
 

@@ -626,6 +626,55 @@ def curation_quality_keep() -> Column:
     )
 
 
+_QW_SALT = "qw-v1"
+
+
+@register(
+    "quality_weighted_sample",
+    # same quality expression as corpus_curation, same salted-hash bucket
+    # as doc_hash_split; keep threshold compared on the identical
+    # (rounded-score * buckets) double both sides
+    oracle=f"""
+    WITH sig AS (
+      SELECT doc_id,
+             {G.round_sql(
+                 "0.5 * (" + G.stopword_ratio_sql("en") + ")"
+                 " + 0.3 * least(len(w) / 100.0, 1.0)"
+                 " + 0.2 * (1.0 - CASE WHEN length(text) > 0"
+                 " THEN len(regexp_extract_all(text, '" + _PUNCT_RE + "'))"
+                 " * 1.0 / length(text) ELSE 0.0 END)", 6)} AS quality_score
+      FROM (SELECT doc_id, text, {G.WORDS} AS w FROM documents)
+    )
+    SELECT doc_id, quality_score,
+           ({G.H(f"'{_QW_SALT}' || doc_id::VARCHAR")} % {SPLIT_BUCKETS})::BIGINT
+             AS bucket,
+           (({G.H(f"'{_QW_SALT}' || doc_id::VARCHAR")} % {SPLIT_BUCKETS})
+              < quality_score * {SPLIT_BUCKETS}) AS keep
+    FROM sig
+    """,
+)
+def quality_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-weighted downsampling: each document survives with
+    probability equal to its quality score, decided by its deterministic
+    salted hash bucket — the importance-sampling step that upweights
+    high-quality text without any RNG state (stable under re-runs,
+    retries, and corpus growth; map-only, no shuffle)."""
+    from ..operators.sampling import SPLIT_BUCKETS, split_bucket
+
+    docs = load_table(spark, sf_dir, "documents")
+    # Catalyst prunes the unused repetition/PII columns out of the shared
+    # signal projection, so this reuses curation's quality expression
+    # without paying for the rest
+    sig = curation_signals(docs).select("doc_id", "quality_score")
+    bucket = split_bucket(F.col("doc_id"), _QW_SALT)
+    return sig.select(
+        "doc_id",
+        "quality_score",
+        bucket.cast("bigint").alias("bucket"),
+        (bucket < F.col("quality_score") * SPLIT_BUCKETS).alias("keep"),
+    )
+
+
 # --------------------------------------------------------------------------
 # Per-document TF-IDF top terms
 # --------------------------------------------------------------------------

@@ -134,3 +134,21 @@ def test_corpus_curation_verdict_consistent(spark, sf_dir):
     # exactly the canonical docs survive the dedup component
     n_canon = sum(1 for r in rows if r.is_canonical)
     assert len(kept) <= n_canon
+
+
+def test_quality_weighted_sample_tracks_quality(spark, sf_dir):
+    from fund_data_etl_pipeline_spark import plans
+
+    plans.load_all()
+    rows = plans.QUERIES["quality_weighted_sample"](spark, sf_dir).collect()
+    assert rows
+    keep_rate = sum(r.keep for r in rows) / len(rows)
+    mean_q = sum(r.quality_score for r in rows) / len(rows)
+    # law of large numbers over deterministic buckets: realized keep rate
+    # tracks the mean survival probability
+    assert abs(keep_rate - mean_q) < 0.1
+    # determinism: a second build yields the identical survivor set
+    again = plans.QUERIES["quality_weighted_sample"](spark, sf_dir).collect()
+    assert {r.doc_id for r in rows if r.keep} == {
+        r.doc_id for r in again if r.keep
+    }
