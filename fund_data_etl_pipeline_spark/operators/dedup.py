@@ -517,6 +517,97 @@ def connected_components(
     )
 
 
+def connected_components_two_phase(
+    pairs: DataFrame,
+    ids: DataFrame,
+    id_col: str = "doc_id",
+    max_rounds: int = 20,
+) -> DataFrame:
+    """Connected components by alternating large-star / small-star edge
+    rewrites (the Kiveris et al. 2014 "Connected Components in MapReduce
+    and Beyond" two-phase algorithm) — the escalation path for graphs
+    whose diameter defeats plain min-label propagation: a D-hop chain
+    needs D propagation rounds but only O(log D) star rounds, because
+    every round re-points whole neighborhoods at their minimum rather
+    than moving labels one hop.
+
+    Per round, with m(u) = min(N(u) ∪ {u}) computed as a window MIN over
+    the symmetric edge list (never a collected neighbor set):
+      large-star: every edge (u,v), v > u  becomes (v, m(u))
+      small-star: every edge (u,v), v <= u becomes (v, m(u)), plus
+                  (u, m(u)) — re-pointing u itself
+    At the fixpoint the edge set is a forest of stars rooted at each
+    component's minimum id; labels read directly off the edges. Same
+    output contract as ``connected_components``.
+
+    Scale shape: each phase is one shuffle on the grouping node (window
+    partition) + a distinct; edge state is localCheckpoint'ed per round
+    (constant lineage — durable checkpoints on a cluster). Convergence is
+    the monotone (count, sum) signature of the canonicalized edge set —
+    one tiny aggregate, never an edge-vs-edge join.
+    """
+    # canonical undirected pair (hi, lo), self-loops dropped
+    edges = (
+        pairs.select(
+            F.greatest("d1", "d2").alias("hi"), F.least("d1", "d2").alias("lo")
+        )
+        .filter(F.col("hi") != F.col("lo"))
+        .distinct()
+        .localCheckpoint()
+    )
+
+    def sym(e: DataFrame) -> DataFrame:
+        return e.select(F.col("hi").alias("u"), F.col("lo").alias("v")).unionByName(
+            e.select(F.col("lo").alias("u"), F.col("hi").alias("v"))
+        )
+
+    def star(e: DataFrame, large: bool) -> DataFrame:
+        s = sym(e)
+        m = F.least(F.min("v").over(Window.partitionBy("u")), F.col("u"))
+        s = s.withColumn("m", m)
+        cond = F.col("v") > F.col("u") if large else F.col("v") <= F.col("u")
+        out = s.filter(cond).select(F.col("v").alias("a"), F.col("m").alias("b"))
+        if not large:
+            out = out.unionByName(
+                s.select(F.col("u").alias("a"), F.col("m").alias("b"))
+            )
+        return (
+            out.select(
+                F.greatest("a", "b").alias("hi"), F.least("a", "b").alias("lo")
+            )
+            .filter(F.col("hi") != F.col("lo"))
+            .distinct()
+        )
+
+    sig_cols = [
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("hi").cast("decimal(38,0)")).alias("sh"),
+        F.sum(F.col("lo").cast("decimal(38,0)")).alias("sl"),
+    ]
+    prev = edges.agg(*sig_cols).first()
+    for _ in range(max_rounds):
+        edges = star(star(edges, large=True), large=False).localCheckpoint()
+        cur = edges.agg(*sig_cols).first()
+        if (cur["n"], cur["sh"], cur["sl"]) == (prev["n"], prev["sh"], prev["sl"]):
+            break
+        prev = cur
+    # star edges: hi -> root(lo); singletons label themselves. min-agg
+    # guards the not-fully-converged case (max_rounds hit) from fanning
+    # out the left join
+    roots = edges.groupBy("hi").agg(F.min("lo").alias("lo"))
+    labels = (
+        ids.select(F.col(id_col).alias("id"))
+        .join(roots.select(F.col("hi").alias("id"), F.col("lo")), "id", "left")
+        .select("id", F.coalesce("lo", "id").alias("label"))
+    )
+    sizes = labels.groupBy("label").agg(F.count(F.lit(1)).alias("group_size"))
+    return labels.join(sizes, "label").select(
+        F.col("id").alias(id_col),
+        F.col("label").alias("group_id"),
+        "group_size",
+    )
+
+
 def canonical_docs(
     labels: DataFrame,
     docs: DataFrame,

@@ -54,7 +54,7 @@ def load_all() -> None:
 
 
 # Round-3 rotation policy: the driver caps its correctness sweep at ~50
-# queries (in registry order) while 76 are registered, so ordering decides
+# queries (in registry order) while 77 are registered, so ordering decides
 # who gets a row. Invariant maintained: every query has a GREEN driver row
 # within the last two rounds. This round's front: the five queries whose
 # r02 rows were lost to the events.ts schema change (fixed, must
@@ -78,6 +78,7 @@ PRIORITY = [
     "corpus_curation",
     "quality_weighted_sample",
     "text_c4_filters",
+    "dedup_groups_star",
     # green in round 1 only (deprioritized past the cap in round 2)
     "union_slices",
     "distinct_pairs",
@@ -138,6 +139,8 @@ DEPRIORITY = [
     "dedup_exact",
     # stopword-profile machinery also inside text_quality / curation
     "text_lang_id",
+    # counting machinery also inside corpus_curation / text_c4_filters
+    "text_quality",
 ]
 
 

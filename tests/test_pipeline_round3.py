@@ -188,3 +188,52 @@ def test_c4_filters_catches_planted_tells(spark):
     assert not out[2].keep and out[2].has_lorem
     assert not out[3].keep and out[3].has_brace
     assert not out[4].keep  # no sentences
+
+
+def _cc_pairs(spark, pairs):
+    return spark.createDataFrame(pairs, ["d1", "d2"])
+
+
+def _cc_ids(spark, n):
+    return spark.createDataFrame([(i,) for i in range(n)], ["doc_id"])
+
+
+def test_two_phase_cc_matches_label_propagation(spark):
+    from fund_data_etl_pipeline_spark.operators.dedup import (
+        connected_components,
+        connected_components_two_phase,
+    )
+
+    # mixed graph: a triangle, a 4-chain, a star, singletons
+    pairs = [(0, 1), (1, 2), (0, 2), (3, 4), (4, 5), (5, 6), (7, 8), (7, 9)]
+    a = connected_components(
+        _cc_pairs(spark, pairs), _cc_ids(spark, 11)
+    ).collect()
+    b = connected_components_two_phase(
+        _cc_pairs(spark, pairs), _cc_ids(spark, 11)
+    ).collect()
+    assert {(r.doc_id, r.group_id, r.group_size) for r in a} == {
+        (r.doc_id, r.group_id, r.group_size) for r in b
+    }
+
+
+def test_two_phase_cc_beats_propagation_on_long_chain(spark):
+    """A 60-hop chain exceeds plain propagation's default round budget
+    (min labels move one hop per round); the star algorithm collapses it
+    in O(log n) rounds — the documented escalation path actually works."""
+    from fund_data_etl_pipeline_spark.operators.dedup import (
+        connected_components,
+        connected_components_two_phase,
+    )
+
+    n = 60
+    chain = [(i, i + 1) for i in range(n - 1)]
+    out = connected_components_two_phase(
+        _cc_pairs(spark, chain), _cc_ids(spark, n), max_rounds=10
+    ).collect()
+    assert all(r.group_id == 0 and r.group_size == n for r in out)
+    # plain propagation with an equivalent per-round budget CANNOT finish
+    partial = connected_components(
+        _cc_pairs(spark, chain), _cc_ids(spark, n), max_iter=10
+    ).collect()
+    assert any(r.group_id != 0 for r in partial)
