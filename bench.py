@@ -93,16 +93,16 @@ def main() -> None:
             # best-of-2 fresh passes: single-pass numbers swung 2-3x
             # run-to-run on identical code (GC / page-cache / JIT luck);
             # the min is the reproducible capability measurement
-            best = None
             for _ in range(2):
                 spark.catalog.clearCache()
                 t1 = time.time()
                 qs[name](spark, sf_dir).write.format("noop").mode(
                     "overwrite"
                 ).save()
-                dt = time.time() - t1
-                best = dt if best is None else min(best, dt)
-            times[name] = round(best, 3)
+                dt = round(time.time() - t1, 3)
+                # record inside the loop: if pass 2 throws, pass 1's valid
+                # measurement survives instead of vanishing into errors
+                times[name] = min(times.get(name, dt), dt)
         except Exception as exc:  # noqa: BLE001 — record and continue
             errors[name] = f"{type(exc).__name__}: {exc}"[:300]
             print(f"bench: {name} FAILED: {errors[name]}", file=sys.stderr)
@@ -121,7 +121,9 @@ def main() -> None:
         "unit": "sec",
         "queries": times,
         "sf": sf,
-        "cold_value": round(sum(cold.values()), 3),
+        # summed over the same query set as "value" so the two totals stay
+        # comparable when a query errors partway
+        "cold_value": round(sum(v for n, v in cold.items() if n in times), 3),
         "cold_queries": cold,
     }
     if errors:

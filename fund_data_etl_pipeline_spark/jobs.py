@@ -110,7 +110,11 @@ _SPEC_CACHE: dict = {}
 def _cached_specs(specs_fn):
     from pyspark import SparkContext
 
-    key = (id(SparkContext._active_spark_context), specs_fn)
+    # key on the context OBJECT (identity hash), not id(): holding the
+    # reference prevents CPython from recycling a dead context's address
+    # into a colliding key after a session restart. A handful of dead
+    # contexts pinned per process is bounded and tiny.
+    key = (SparkContext._active_spark_context, specs_fn)
     if key not in _SPEC_CACHE:
         _SPEC_CACHE[key] = specs_fn(
             F.col("text"), F.col("lines"), F.col("filename")

@@ -586,7 +586,11 @@ def connected_components_two_phase(
     ]
     prev = edges.agg(*sig_cols).first()
     for _ in range(max_rounds):
-        edges = star(star(edges, large=True), large=False).localCheckpoint()
+        # checkpoint BETWEEN the phases too: sym() references its input
+        # from two union branches, so an un-materialized large-star plan
+        # would execute twice inside small-star (the note-6 trap)
+        edges = star(edges, large=True).localCheckpoint()
+        edges = star(edges, large=False).localCheckpoint()
         cur = edges.agg(*sig_cols).first()
         if (cur["n"], cur["sh"], cur["sl"]) == (prev["n"], prev["sh"], prev["sl"]):
             break

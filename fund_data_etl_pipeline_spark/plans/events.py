@@ -59,7 +59,10 @@ def events_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
         e = events.filter(F.col("event_type") == step)
         if prev is not None:
             e = e.join(prev, "user_id").filter(F.col("ts") > F.col("t")).drop("t")
-        return e.groupBy("user_id").agg(F.min("ts").alias("t"))
+        # persist: each step feeds BOTH its own count branch and the next
+        # step's join — without it the union of count branches re-executes
+        # step k inside every branch for k' > k (s1 would run 3x)
+        return e.groupBy("user_id").agg(F.min("ts").alias("t")).persist()
 
     counts = []
     prev: DataFrame | None = None

@@ -27,6 +27,7 @@ from ..operators.sampling import (
     SPLIT_BUCKETS,
     hash_split,
     pack_sequences,
+    split_bucket,
     stratified_sample,
 )
 from ..sources import load_table
@@ -565,17 +566,16 @@ def corpus_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def curation_signals(docs: DataFrame, id_col: str = "doc_id") -> DataFrame:
-    """Per-row curation signals — quality score, repetition fractions,
-    PII-redaction count, normalized content hash — from ONE projection
-    over a single hoisted words array. Stateless, so the SAME columns run
-    unchanged on a stream (streaming/file_ingest.streaming_curation);
-    batch/streaming curation parity is column-level, not reimplemented."""
-    base = docs.select(
-        id_col,
-        "text",
-        words("text").alias("__w"),
-        normalized_md5(F.col("text")).alias("__h"),
+def with_curation_signals(docs: DataFrame) -> DataFrame:
+    """APPEND the per-row curation signals — quality score, repetition
+    fractions, PII-redaction count, normalized content hash — to ``docs``,
+    keeping every source column (a streaming consumer needs the text to
+    reach the sink). One hoisted words array feeds every HOF; stateless,
+    so the SAME columns run unchanged on a stream
+    (streaming/file_ingest.streaming_curation); batch/streaming curation
+    parity is column-level, not reimplemented."""
+    base = docs.withColumns(
+        {"__w": words("text"), "__h": normalized_md5(F.col("text"))}
     )
     w = F.col("__w")
     n = F.size(w)
@@ -599,19 +599,33 @@ def curation_signals(docs: DataFrame, id_col: str = "doc_id") -> DataFrame:
         + F.regexp_count("text", F.lit(EMAIL_RE))
         + F.regexp_count("text", F.lit(LONGNUM_RE))
     )
-    return base.select(
+    return base.withColumns(
+        {
+            "n_words": n,
+            "quality_score": round2(
+                0.5 * stop
+                + 0.3 * F.least(n / F.lit(100.0), F.lit(1.0))
+                + 0.2 * (F.lit(1.0) - punct),
+                6,
+            ),
+            "uniq_word_frac": round2(uniq, 6),
+            "dup_bigram_frac": round2(dup_bi, 6),
+            "n_redactions": n_red,
+        }
+    ).drop("__w")
+
+
+def curation_signals(docs: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Projection form of ``with_curation_signals`` — just id, hash and
+    the signal columns (batch queries let Catalyst prune from here)."""
+    return with_curation_signals(docs).select(
         id_col,
         "__h",
-        n.alias("n_words"),
-        round2(
-            0.5 * stop
-            + 0.3 * F.least(n / F.lit(100.0), F.lit(1.0))
-            + 0.2 * (F.lit(1.0) - punct),
-            6,
-        ).alias("quality_score"),
-        round2(uniq, 6).alias("uniq_word_frac"),
-        round2(dup_bi, 6).alias("dup_bigram_frac"),
-        n_red.alias("n_redactions"),
+        "n_words",
+        "quality_score",
+        "uniq_word_frac",
+        "dup_bigram_frac",
+        "n_redactions",
     )
 
 
@@ -739,8 +753,6 @@ def quality_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     salted hash bucket — the importance-sampling step that upweights
     high-quality text without any RNG state (stable under re-runs,
     retries, and corpus growth; map-only, no shuffle)."""
-    from ..operators.sampling import SPLIT_BUCKETS, split_bucket
-
     docs = load_table(spark, sf_dir, "documents")
     # Catalyst prunes the unused repetition/PII columns out of the shared
     # signal projection, so this reuses curation's quality expression

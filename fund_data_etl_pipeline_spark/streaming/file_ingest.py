@@ -116,12 +116,14 @@ def streaming_curation(
     whose per-key state is bounded by the horizon."""
     from pyspark.sql import functions as F  # local: keep module head light
 
-    from ..plans.textops import curation_quality_keep, curation_signals
+    from ..plans.textops import curation_quality_keep, with_curation_signals
 
-    sig = curation_signals(docs_stream).withColumn(
+    # append-form signals: every source column (text, filename, ...)
+    # stays on the row so kept documents really can stream to the sink
+    sig = with_curation_signals(docs_stream).withColumn(
         "ingest_ts", F.current_timestamp()
     )
     deduped = sig.withWatermark("ingest_ts", watermark).dropDuplicatesWithinWatermark(
         ["__h"]
     )
-    return deduped.filter(curation_quality_keep()).drop("ingest_ts")
+    return deduped.filter(curation_quality_keep()).drop("ingest_ts", "__h")

@@ -209,6 +209,10 @@ def test_streaming_curation_parity(spark, tmp_path):
     assert got.count() == 2
     assert {r.doc_id for r in got.collect()} <= {1, 2, 4}
     assert got.filter(F.col("doc_id") == 3).count() == 0  # spam dropped
+    # kept rows must still carry the document itself — the stream feeds a
+    # training sink, not a scoreboard
+    assert {"text", "filename"} <= set(got.columns)
+    assert all(r.text for r in got.collect())
     # parity: surviving signal values match the batch builder bit-for-bit
     from fund_data_etl_pipeline_spark.plans.textops import curation_signals
 
