@@ -54,7 +54,7 @@ def load_all() -> None:
 
 
 # Round-3 rotation policy: the driver caps its correctness sweep at ~50
-# queries (in registry order) while 77 are registered, so ordering decides
+# queries (in registry order) while 78 are registered, so ordering decides
 # who gets a row. Invariant maintained: every query has a GREEN driver row
 # within the last two rounds. This round's front: the five queries whose
 # r02 rows were lost to the events.ts schema change (fixed, must
@@ -79,6 +79,7 @@ PRIORITY = [
     "quality_weighted_sample",
     "text_c4_filters",
     "dedup_groups_star",
+    "top_users_per_event",
     # green in round 1 only (deprioritized past the cap in round 2)
     "union_slices",
     "distinct_pairs",
@@ -141,6 +142,8 @@ DEPRIORITY = [
     "text_lang_id",
     # counting machinery also inside corpus_curation / text_c4_filters
     "text_quality",
+    # the entry() smoke and the bench headline prove this one every round
+    "pricing_summary",
 ]
 
 

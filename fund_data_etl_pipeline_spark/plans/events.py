@@ -126,3 +126,44 @@ def event_value_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         round2(F.expr("percentile(value, 0.9)"), 6).alias("p90"),
         round2(F.expr("percentile(value, 0.99)"), 6).alias("p99"),
     )
+
+
+_TOPK_USERS = 5
+
+
+@register(
+    "top_users_per_event",
+    oracle=f"""
+    WITH agg AS (
+      SELECT event_type, user_id,
+             COUNT(*) AS n_events,
+             ROUND(SUM(value), 2) AS total_value
+      FROM events GROUP BY 1, 2
+    )
+    SELECT event_type, user_id, n_events, total_value, rank
+    FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY event_type
+                     ORDER BY total_value DESC, user_id ASC) AS rank
+          FROM agg)
+    WHERE rank <= {_TOPK_USERS}
+    """,
+)
+def top_users_per_event(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-k users by total value within each event type — the per-group
+    leaderboard shape. The scale-correct order of operations: aggregate on
+    the compound (event_type, user_id) key FIRST (map-side partial, high
+    cardinality, no skew), then rank-window over the already-collapsed
+    per-user rows. Ranking the raw events directly would window-partition
+    by the 5-value event_type — five giant sort partitions, a guaranteed
+    skew stall at 100 TB. Rounded total as the sort key so both engines
+    break ties identically (then user_id)."""
+    events = load_table(spark, sf_dir, "events")
+    agg = events.groupBy("event_type", "user_id").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        round2(F.sum("value"), 2).alias("total_value"),
+    )
+    w = Window.partitionBy("event_type").orderBy(
+        F.col("total_value").desc(), F.col("user_id").asc()
+    )
+    return agg.withColumn("rank", F.row_number().over(w)).filter(
+        F.col("rank") <= _TOPK_USERS
+    )

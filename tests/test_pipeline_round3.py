@@ -237,3 +237,20 @@ def test_two_phase_cc_beats_propagation_on_long_chain(spark):
         _cc_pairs(spark, chain), _cc_ids(spark, n), max_iter=10
     ).collect()
     assert any(r.group_id != 0 for r in partial)
+
+
+def test_top_users_per_event_shape(spark, sf_dir):
+    from fund_data_etl_pipeline_spark import plans
+
+    plans.load_all()
+    rows = plans.QUERIES["top_users_per_event"](spark, sf_dir).collect()
+    by_type = {}
+    for r in rows:
+        by_type.setdefault(r.event_type, []).append(r)
+    assert by_type
+    for et, group in by_type.items():
+        ranks = sorted(r.rank for r in group)
+        assert ranks == list(range(1, len(group) + 1)), et
+        assert len(group) <= 5
+        vals = [r.total_value for r in sorted(group, key=lambda r: r.rank)]
+        assert vals == sorted(vals, reverse=True), et
