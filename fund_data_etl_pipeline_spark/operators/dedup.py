@@ -543,8 +543,11 @@ def connected_components_two_phase(
     Scale shape: each phase is one shuffle on the grouping node (window
     partition) + a distinct; edge state is localCheckpoint'ed per round
     (constant lineage — durable checkpoints on a cluster). Convergence is
-    the monotone (count, sum) signature of the canonicalized edge set —
-    one tiny aggregate, never an edge-vs-edge join.
+    a signature of the canonicalized edge set — (count, sum(hi), sum(lo),
+    sum(xxhash64(hi, lo))) — one tiny aggregate, never an edge-vs-edge
+    join; the order-insensitive hash sum distinguishes edge sets that tie
+    on counts and coordinate sums (e.g. {(5,1),(4,2)} vs {(5,2),(4,1)}),
+    so a false fixpoint would need a 64-bit hash-sum collision.
     """
     # canonical undirected pair (hi, lo), self-loops dropped
     edges = (
@@ -583,7 +586,12 @@ def connected_components_two_phase(
         F.count(F.lit(1)).alias("n"),
         F.sum(F.col("hi").cast("decimal(38,0)")).alias("sh"),
         F.sum(F.col("lo").cast("decimal(38,0)")).alias("sl"),
+        # collision-resistant term: distinct edge sets can tie on the
+        # coordinate sums, but not (modulo a 64-bit collision) on the sum
+        # of per-edge hashes
+        F.sum(F.xxhash64("hi", "lo").cast("decimal(38,0)")).alias("sx"),
     ]
+    sig_keys = ("n", "sh", "sl", "sx")
     prev = edges.agg(*sig_cols).first()
     for _ in range(max_rounds):
         # checkpoint BETWEEN the phases too: sym() references its input
@@ -592,7 +600,7 @@ def connected_components_two_phase(
         edges = star(edges, large=True).localCheckpoint()
         edges = star(edges, large=False).localCheckpoint()
         cur = edges.agg(*sig_cols).first()
-        if (cur["n"], cur["sh"], cur["sl"]) == (prev["n"], prev["sh"], prev["sl"]):
+        if tuple(cur[k] for k in sig_keys) == tuple(prev[k] for k in sig_keys):
             break
         prev = cur
     # star edges: hi -> root(lo); singletons label themselves. min-agg

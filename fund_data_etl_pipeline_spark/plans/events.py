@@ -49,47 +49,54 @@ def events_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale shape: each step is a filtered scan aggregated on user_id, then
     a join back on that SAME key (co-partitioned, no extra exchange under
-    AQE); each stage's row count only shrinks. The final union + ordering
-    window runs on exactly three rows. Filters on event_type reach the
-    parquet scan as PushedFilters.
+    AQE); each stage's row count only shrinks. Step tables persist only
+    while the three counts materialize (each step feeds both its own count
+    and the next step's join), then unpersist deterministically — repeated
+    builds in a long-lived session must not accumulate storage memory. The
+    final conversion window runs on exactly three local rows. Filters on
+    event_type reach the parquet scan as PushedFilters.
+
+    Degenerate-data note: an empty intermediate step yields NULL
+    conversion (guarded division; ANSI mode would otherwise raise
+    DIVIDE_BY_ZERO) where the oracle's IEEE path yields NaN — both are
+    "undefined", normalized alike by the value-hash.
     """
     events = load_table(spark, sf_dir, "events")
-
-    def step_times(step: str, prev: DataFrame | None) -> DataFrame:
+    steps: list[DataFrame] = []
+    prev: DataFrame | None = None
+    for step in _FUNNEL_STEPS:
         e = events.filter(F.col("event_type") == step)
         if prev is not None:
             e = e.join(prev, "user_id").filter(F.col("ts") > F.col("t")).drop("t")
-        # persist: each step feeds BOTH its own count branch and the next
-        # step's join — without it the union of count branches re-executes
-        # step k inside every branch for k' > k (s1 would run 3x)
-        return e.groupBy("user_id").agg(F.min("ts").alias("t")).persist()
-
-    counts = []
-    prev: DataFrame | None = None
-    for i, step in enumerate(_FUNNEL_STEPS, start=1):
-        prev = step_times(step, prev)
-        counts.append(
-            prev.agg(F.count(F.lit(1)).alias("n_users")).select(
-                F.lit(i).alias("step_idx"), F.lit(step).alias("step"), "n_users"
-            )
-        )
-    u = counts[0].unionByName(counts[1]).unionByName(counts[2])
+        prev = e.groupBy("user_id").agg(F.min("ts").alias("t")).persist()
+        steps.append(prev)
+    # materialize the three tiny counts now — step k's count populates its
+    # cache before step k+1's join scans it — then drop every step table
+    counts = [df.count() for df in steps]
+    for df in steps:
+        df.unpersist(blocking=False)
+    u = spark.createDataFrame(
+        [(i, s, n) for i, (s, n) in enumerate(zip(_FUNNEL_STEPS, counts), 1)],
+        "step_idx int, step string, n_users bigint",
+    )
     w = Window.orderBy("step_idx")
+    first_n = F.first("n_users").over(w)
+    prev_n = F.lag("n_users", 1, None).over(w)
     return u.select(
         "step_idx",
         "step",
         "n_users",
         round2(
-            F.col("n_users") * F.lit(1.0) / F.first("n_users").over(w), 6
+            F.when(first_n > 0, F.col("n_users") * F.lit(1.0) / first_n), 6
         ).alias("conv_from_first"),
         round2(
-            F.col("n_users")
-            * F.lit(1.0)
-            / F.lag("n_users", 1, None).over(w).cast("bigint"),
+            # 1.0 ONLY for step 1's missing lag; an intermediate step with
+            # 0 users must NOT report 100% conversion
+            F.when(F.col("step_idx") == 1, F.lit(1.0)).otherwise(
+                F.when(prev_n > 0, F.col("n_users") * F.lit(1.0) / prev_n)
+            ),
             6,
         ).alias("conv_from_prev"),
-    ).withColumn(
-        "conv_from_prev", F.coalesce("conv_from_prev", F.lit(1.0))
     )
 
 
@@ -125,6 +132,35 @@ def event_value_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         round2(F.expr("percentile(value, 0.5)"), 6).alias("p50"),
         round2(F.expr("percentile(value, 0.9)"), 6).alias("p90"),
         round2(F.expr("percentile(value, 0.99)"), 6).alias("p99"),
+    )
+
+
+@register(
+    "event_value_stats_approx",
+    # no oracle BY DESIGN: KLL/HLL sketch outputs depend on merge order
+    # (partitioning), so no engine-exact SQL twin exists. The driver does a
+    # rows-only check (row count == |event types|); bounded-error parity
+    # with the exact form is pytest-asserted (tests/test_pipeline_round4).
+)
+def event_value_stats_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The 100 TB form of ``event_value_stats``: sketch aggregates instead
+    of exact ones. ``percentile`` buffers every group's values in executor
+    memory (N/5 doubles per group here — a scale-killer); KLL
+    ``approx_percentile`` and HLL ``approx_count_distinct`` are one
+    map-side-partial pass with constant-size state per group. Group-by
+    shape is identical to the exact form, which stays registered as the
+    oracle-checked baseline."""
+    events = load_table(spark, sf_dir, "events")
+    pct = F.expr(
+        "approx_percentile(value, array(0.5D, 0.9D, 0.99D), 10000)"
+    )
+    return events.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.approx_count_distinct("user_id").alias("n_users"),
+        round2(F.avg("value"), 6).alias("avg_value"),
+        round2(pct.getItem(0), 6).alias("p50"),
+        round2(pct.getItem(1), 6).alias("p90"),
+        round2(pct.getItem(2), 6).alias("p99"),
     )
 
 

@@ -20,6 +20,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from .. import jobs
+from ..functions.numeric import round2
 from ..operators.aggregate import dividend_merge
 from ..operators.classify import classify
 from ..operators.normalize import split_quarantine
@@ -235,7 +236,24 @@ def fund_manual_redemption(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("fund_dividend_scaled")  # rows-only: throughput probe, no oracle
+@register(
+    "fund_dividend_scaled",
+    # the probe is deterministic — per-platform golden aggregates x1000 —
+    # so it gets a REAL oracle (round-3 VERDICT next-step #2): DuckDB
+    # aggregates the golden VALUES and scales, Spark aggregates the
+    # replicated pipeline output. Float-sum order differs (1000-fold
+    # addition vs sum*1000) but the 2-decimal round absorbs it: money
+    # sums sit at .00-offsets, 5e-3 from any half-up boundary, while the
+    # accumulated fp error is orders of magnitude smaller.
+    oracle=f"""
+    WITH golden AS ({values_sql(FX.EXPECTED_DIVIDEND, DIVIDEND_COLS, _DIV_TYPES)})
+    SELECT platform,
+           COUNT(*) * 1000 AS n_records,
+           ROUND(SUM(amount) * 1000, 2) AS sum_amount
+    FROM golden
+    GROUP BY platform
+    """,
+)
 def fund_dividend_scaled(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Extraction-throughput probe: the fixture corpus replicated 1000x
     (~25k docs) through the FULL dividend pipeline, aggregated per
@@ -255,7 +273,7 @@ def fund_dividend_scaled(spark: SparkSession, sf_dir: str) -> DataFrame:
     out = jobs.dividend_job(replicated, FX.dim_df(spark), FX.RUN_DATE)
     return out.groupBy("platform").agg(
         F.count(F.lit(1)).alias("n_records"),
-        F.round(F.sum("amount"), 2).alias("sum_amount"),
+        round2(F.sum("amount"), 2).alias("sum_amount"),
     )
 
 

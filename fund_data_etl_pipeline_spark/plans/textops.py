@@ -785,10 +785,11 @@ _TFIDF_K = 3
       FROM documents GROUP BY 1, 2
     )
     SELECT source, lang, n_docs, tok_sum,
-           {G.round_sql("tok_sum * 1.0 / SUM(tok_sum) OVER ()", 6)}
+           {G.round_sql("tok_sum * 1.0 / NULLIF(SUM(tok_sum) OVER (), 0)", 6)}
              AS token_share,
            {G.round_sql(
-               "(1.0 / COUNT(*) OVER ()) / (tok_sum * 1.0 / SUM(tok_sum) OVER ())",
+               "(1.0 / COUNT(*) OVER ())"
+               " / NULLIF(tok_sum * 1.0 / NULLIF(SUM(tok_sum) OVER (), 0), 0)",
                6)} AS mix_weight
     FROM a
     """,
@@ -809,7 +810,11 @@ def source_mixture_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.size(words("text"))).alias("tok_sum"),
     )
     w = Window.partitionBy()
-    share = F.col("tok_sum") * F.lit(1.0) / F.sum("tok_sum").over(w)
+    total = F.sum("tok_sum").over(w)
+    # guarded divisions (NULL, matching the oracle's NULLIF): a cell — or
+    # corpus — of zero-token documents must not raise ANSI DIVIDE_BY_ZERO
+    # or emit an Infinity weight
+    share = F.when(total > 0, F.col("tok_sum") * F.lit(1.0) / total)
     uniform = F.lit(1.0) / F.count(F.lit(1)).over(w)
     return agg.select(
         "source",
@@ -817,7 +822,7 @@ def source_mixture_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_docs",
         "tok_sum",
         round2(share, 6).alias("token_share"),
-        round2(uniform / share, 6).alias("mix_weight"),
+        round2(F.when(share > 0, uniform / share), 6).alias("mix_weight"),
     )
 
 

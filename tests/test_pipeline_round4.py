@@ -1,0 +1,145 @@
+"""Round-4 additions: storage hygiene, sketch-aggregate parity, and
+degenerate-data guards (the ADVICE.md items from round 3)."""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+
+
+def _n_persistent_rdds(spark) -> int:
+    return spark.sparkContext._jsc.sc().getPersistentRDDs().size()
+
+
+def test_funnel_repeated_builds_leave_no_cached_state(spark, sf_dir):
+    """events_funnel persists its three step tables while the counts
+    materialize but must unpersist them before returning — repeated builds
+    in a long-lived session must not accumulate storage memory (round-3
+    ADVICE; the BASELINE.md note-8 pathology)."""
+    from fund_data_etl_pipeline_spark.plans.events import events_funnel
+
+    before = _n_persistent_rdds(spark)
+    for _ in range(3):
+        rows = events_funnel(spark, sf_dir).collect()
+        assert len(rows) == 3
+    assert _n_persistent_rdds(spark) == before
+
+
+def test_funnel_conversion_rates_well_formed(spark, sf_dir):
+    from fund_data_etl_pipeline_spark.plans.events import events_funnel
+
+    rows = {r["step_idx"]: r for r in events_funnel(spark, sf_dir).collect()}
+    assert rows[1]["conv_from_prev"] == 1.0
+    assert rows[1]["conv_from_first"] == 1.0
+    for i in (2, 3):
+        assert 0.0 <= rows[i]["conv_from_prev"] <= 1.0
+        assert 0.0 <= rows[i]["conv_from_first"] <= 1.0
+
+
+def test_event_value_stats_approx_tracks_exact(spark, sf_dir):
+    """The sketch form (approx_percentile/approx_count_distinct) must obey
+    its documented guarantees vs the exact oracle baseline. The percentile
+    contract is RANK-based, not value-based: approx_percentile returns an
+    actual data value whose rank is within accuracy⁻¹ of the target (no
+    interpolation, unlike exact `percentile`), so the check computes each
+    returned value's true rank fraction. HLL distinct-count rsd is 5%."""
+    from fund_data_etl_pipeline_spark.plans.events import (
+        event_value_stats,
+        event_value_stats_approx,
+    )
+    from fund_data_etl_pipeline_spark.sources import load_table
+
+    exact = {r["event_type"]: r for r in event_value_stats(spark, sf_dir).collect()}
+    approx = {
+        r["event_type"]: r for r in event_value_stats_approx(spark, sf_dir).collect()
+    }
+    assert set(exact) == set(approx)
+    events = load_table(spark, sf_dir, "events")
+    for et, e in exact.items():
+        a = approx[et]
+        assert a["n"] == e["n"]
+        assert abs(a["n_users"] - e["n_users"]) <= 0.1 * e["n_users"] + 5
+        assert a["avg_value"] == e["avg_value"]
+        grp = events.filter(F.col("event_type") == et)
+        for q, target in (("p50", 0.5), ("p90", 0.9), ("p99", 0.99)):
+            rank = (
+                grp.agg(
+                    (F.sum((F.col("value") <= a[q]).cast("int")) / F.count("*"))
+                    .alias("r")
+                ).first()["r"]
+            )
+            # accuracy 10000 => rank error ~1e-4; allow discreteness slack
+            # of one order statistic on the smoke-sized groups
+            assert abs(rank - target) <= 1e-4 + 1.5 / e["n"]
+
+
+def test_mixture_weights_zero_token_cell_yields_null(spark, tmp_path):
+    """A (source, lang) cell whose documents contain zero words must give
+    NULL share/weight (guarded division), not Infinity — and must not
+    raise ANSI DIVIDE_BY_ZERO (round-3 ADVICE)."""
+    from fund_data_etl_pipeline_spark.plans.textops import source_mixture_weights
+
+    docs = spark.createDataFrame(
+        [
+            (1, "", "en", "empty_src", 0),
+            (2, "   ", "en", "empty_src", 3),
+            (3, "alpha beta gamma", "en", "web", 16),
+            (4, "delta epsilon", "en", "web", 13),
+        ],
+        "doc_id bigint, text string, lang string, source string, n_chars bigint",
+    )
+    docs.write.mode("overwrite").parquet(str(tmp_path / "documents.parquet"))
+    out = {
+        r["source"]: r
+        for r in source_mixture_weights(spark, str(tmp_path)).collect()
+    }
+    assert out["empty_src"]["tok_sum"] == 0
+    assert out["empty_src"]["token_share"] == 0.0
+    assert out["empty_src"]["mix_weight"] is None
+    assert out["web"]["token_share"] == 1.0
+    assert out["web"]["mix_weight"] is not None
+
+
+def test_mixture_weights_all_empty_corpus(spark, tmp_path):
+    """Whole-corpus zero tokens: total share denominator is 0 — every
+    share and weight must come back NULL instead of erroring."""
+    from fund_data_etl_pipeline_spark.plans.textops import source_mixture_weights
+
+    docs = spark.createDataFrame(
+        [(1, "", "en", "a", 0), (2, "", "zh", "b", 0)],
+        "doc_id bigint, text string, lang string, source string, n_chars bigint",
+    )
+    docs.write.mode("overwrite").parquet(str(tmp_path / "documents.parquet"))
+    rows = source_mixture_weights(spark, str(tmp_path)).collect()
+    assert len(rows) == 2
+    for r in rows:
+        assert r["token_share"] is None
+        assert r["mix_weight"] is None
+
+
+def test_two_phase_cc_signature_collision_graph(spark):
+    """Convergence signature regression (round-3 ADVICE): edge sets that
+    tie on (count, sum(hi), sum(lo)) — e.g. {(5,1),(4,2)} vs
+    {(5,2),(4,1)} — must not read as a fixpoint. The xxhash64 sum term
+    separates them; the two-phase loop must still fully converge on a
+    graph containing exactly those colliding shapes."""
+    from fund_data_etl_pipeline_spark.operators.dedup import (
+        connected_components,
+        connected_components_two_phase,
+    )
+
+    pairs = spark.createDataFrame(
+        [(5, 1), (4, 2), (10, 6), (9, 7), (6, 7)],
+        "d1 bigint, d2 bigint",
+    )
+    ids = spark.range(1, 11).select(F.col("id").alias("doc_id"))
+    a = {
+        r["doc_id"]: r["group_id"]
+        for r in connected_components_two_phase(pairs, ids).collect()
+    }
+    b = {
+        r["doc_id"]: r["group_id"]
+        for r in connected_components(pairs, ids).collect()
+    }
+    assert a == b
+    assert a[5] == a[1] and a[4] == a[2] and a[5] != a[4]
+    assert a[10] == a[6] == a[9] == a[7]
