@@ -53,6 +53,9 @@ HEADLINE = [
     "user_retention_cohorts",
     "events_funnel",
     "event_value_stats",
+    # sketch form of the same rollup — the 100TB shape; must come in at
+    # or under the exact form's time
+    "event_value_stats_approx",
     # the composed corpus-selection flagship
     "corpus_curation",
 ]

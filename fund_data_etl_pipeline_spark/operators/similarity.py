@@ -166,14 +166,24 @@ def ivf_topk(
     )
 
 
-def rhp_sign(vec: Column, plane: int, dims: int) -> Column:
-    """Sign bit of <v, r_plane> where r_plane[d] = +-1 from the parity of
-    H(plane || '_' || d) — deterministic pseudo-random hyperplanes."""
-    signs = [
-        1 if int(__import__("hashlib").md5(f"{plane}_{d}".encode()).hexdigest()[:8], 16) % 2
+def rhp_sign_vector(plane: int, dims: int) -> list[int]:
+    """The +-1 hyperplane for ``plane``: component d is the parity of
+    H(plane || '_' || d). Deterministic constants — the same list feeds
+    the Spark plan (as literals) and the DuckDB oracle SQL (as an array
+    literal), so bucket assignment is engine-reproducible."""
+    import hashlib
+
+    return [
+        1 if int(hashlib.md5(f"{plane}_{d}".encode()).hexdigest()[:8], 16) % 2
         else -1
         for d in range(dims)
     ]
+
+
+def rhp_sign(vec: Column, plane: int, dims: int) -> Column:
+    """Sign bit of <v, r_plane> — deterministic pseudo-random
+    hyperplanes via ``rhp_sign_vector``."""
+    signs = rhp_sign_vector(plane, dims)
     proj = F.aggregate(
         F.zip_with(
             vec,
