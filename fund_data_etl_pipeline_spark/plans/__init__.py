@@ -53,69 +53,17 @@ def load_all() -> None:
     )
 
 
-# Round-3 rotation policy: the driver caps its correctness sweep at ~50
-# queries (in registry order) while 78 are registered, so ordering decides
-# who gets a row. Invariant maintained: every query has a GREEN driver row
-# within the last two rounds. This round's front: the five queries whose
-# r02 rows were lost to the events.ts schema change (fixed, must
-# re-prove), the round-3 additions (first appearance), then everything
-# whose only green row is from round 1 (they sat in DEPRIORITY last
-# round).
+# Round-4 rotation policy: the driver caps its correctness sweep at ~50
+# queries (in registry order) while 79 are registered, so ordering decides
+# who gets a row. Invariant maintained: every query holds a GREEN driver
+# row within the last two rounds. This round's front: the 28 queries whose
+# only green row is round 2 (they sat past the cap in round 3 — the
+# two-round window closes on them NOW), the queries whose code or oracle
+# changed this round (must re-prove), and the one first-appearance query.
 PRIORITY = [
-    # r02 rows errored on the regenerated events.ts encoding — fixed in
-    # sources/tables.py; fresh rows prove it at the gate
-    "events_tumbling_window",
-    "events_sliding_window",
-    "events_session_window",
-    "json_extract_agg",
-    "asof_last_click",
-    # round-3 additions: first-appearance driver rows
-    "dedup_canonical",
-    "source_mixture_weights",
-    "user_retention_cohorts",
-    "events_funnel",
-    "event_value_stats",
-    "corpus_curation",
-    "quality_weighted_sample",
-    "text_c4_filters",
-    "dedup_groups_star",
-    "top_users_per_event",
-    # green in round 1 only (deprioritized past the cap in round 2)
-    "union_slices",
-    "distinct_pairs",
-    "mixed_sort_key",
-    "intersect_nations",
-    "except_nations",
-    "cast_round_coerce",
-    "isin_filter",
-    "agg_stats",
-    "derived_arithmetic",
-    "text_token_count",
-    "dedup_ngram_jaccard",
-    "semi_join_parts",
-    "anti_join_customers",
-    "cube_lineitem",
-    "grouping_sets_sql",
-    "topk_revenue",
-    "dim_join_left",
-]
-
-
-# Names that may safely fall past the driver's cap THIS round: all have a
-# green round-2 row (or, for the no-oracle trio, their round-2 weak row)
-# and exercise machinery other checked queries also cover. Sized to
-# >= (registered - 50) so the cap's cut is wholly chosen here, never an
-# arbitrary registration-order tail. Least-risky last (the cut eats from
-# the end of the ordered dict backwards... i.e. the tail is what the cap
-# drops, so the first entries here may still be checked).
-DEPRIORITY = [
-    # checked-if-slots-remain boundary: fresh r02 green, diverse machinery
+    # only green row is r2 — re-prove or the invariant breaks
     "window_running",
     "salted_skew_agg",
-    # r02-green / r02-weak, machinery proven by other checked queries
-    "fund_dividend_scaled",
-    "vector_ann_lsh",
-    "vector_ann_ivf",
     "pivot_status",
     "text_fingerprint",
     "rollup_priority",
@@ -135,15 +83,67 @@ DEPRIORITY = [
     "sequence_packing",
     "range_join_ship_window",
     "dedup_embedding_cosine",
-    # exact-dedup machinery also inside corpus_curation (same hash) and
-    # the incremental-dedup pytest lifecycle
     "dedup_exact",
-    # stopword-profile machinery also inside text_quality / curation
     "text_lang_id",
-    # counting machinery also inside corpus_curation / text_c4_filters
     "text_quality",
-    # the entry() smoke and the bench headline prove this one every round
     "pricing_summary",
+    # never held a green row — r4 adds oracles (VERDICT #2/#3); ivf stays
+    # rows-only but should record its weak row inside the window too
+    "fund_dividend_scaled",
+    "vector_ann_lsh",
+    "vector_ann_ivf",
+    # round-4 code changes — green r3 rows no longer vouch for the new
+    # code paths (funnel unpersist+guards, mixture-weight guards,
+    # two-phase CC convergence signature)
+    "events_funnel",
+    "source_mixture_weights",
+    "dedup_groups_star",
+    # first appearance (rows-only by design: sketch aggregates)
+    "event_value_stats_approx",
+]
+
+
+# Names that may safely fall past the driver's cap THIS round: all 29 are
+# r3-green with unchanged code, and their machinery is also exercised by
+# checked queries. Sized to >= (registered 79 - 50) so the cap's cut is
+# wholly chosen here, never an arbitrary registration-order tail. The 18
+# unlisted queries (r3-green, diverse machinery) sit between PRIORITY and
+# this list in registration order and fill the remaining checked slots.
+DEPRIORITY = [
+    # TPC-H-ish relational forms re-proven in r3; cheap, stable
+    "union_slices",
+    "distinct_pairs",
+    "mixed_sort_key",
+    "intersect_nations",
+    "except_nations",
+    "cast_round_coerce",
+    "isin_filter",
+    "agg_stats",
+    "derived_arithmetic",
+    "text_token_count",
+    "dedup_ngram_jaccard",
+    "semi_join_parts",
+    "anti_join_customers",
+    "cube_lineitem",
+    "grouping_sets_sql",
+    "topk_revenue",
+    "dim_join_left",
+    "group_merge",
+    # exact-cosine baseline: same expression tree proven inside the
+    # checked vector_ann_lsh rank stage
+    "vector_cosine_topk",
+    # fund jobs r3-green; the checked fund_dividend + fund_classify +
+    # fund_dividend_scaled cover the cascade/extract/normalize machinery
+    "fund_dividend_merged",
+    "fund_quarantine",
+    "fund_purchase_apply",
+    "fund_purchase_confirm",
+    "fund_redemption_confirm",
+    "fund_conversion",
+    "fund_manual_apply",
+    "fund_manual_confirm",
+    "fund_manual_redemption",
+    "fund_manual_dividend",
 ]
 
 
