@@ -1,0 +1,157 @@
+"""Scale-linearity probe (round-3 VERDICT next-step #6).
+
+The "survives 100x" claim should not rest on plan shape alone — this tool
+MEASURES scaling: it replicates the sf0.1 ``documents`` and ``events``
+tables 10x into a local staging dir (other tables symlinked), runs a
+documents/events-bound subset of the bench headline at both scales with
+the bench.py protocol (cold build+exec uncounted, clearCache, best-of-2
+fresh rebuild+exec timed), and prints per-query times plus the 10x/1x
+ratio. Near-linear ratios (~10 on a fixed-size executor pool, minus
+fixed-overhead amortization) are the pass signal; the VM is host-multi-
+tenant (2-3x run-to-run swing), so judge ratios from the best-of-2 and
+re-run before believing a regression.
+
+Replication remaps ids so the scaled corpus is a plausible 10x world,
+not 10 aliases of one world: doc_id/event_id/user_id become id*10+rep
+(10x more users with the same per-user distribution, 10x more docs).
+Document text gets a per-replica suffix token so content-hash dedup
+stages see distinct documents rather than a degenerate
+everything-is-a-dup corpus.
+
+Probe queries are the headline's documents/events consumers with
+intrinsically linear work (scan, map-side signals, hash-agg, window);
+pair-finding dedup is excluded — its output size is a property of the
+corpus's duplicate structure, not of engine scaling.
+
+Usage: python tools/scale_probe.py [--factor 10] [--sf /root/testdata/sf0.1]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pyspark.sql import functions as F  # noqa: E402
+
+PROBE_QUERIES = [
+    "text_quality",
+    "text_token_count",
+    "text_c4_filters",
+    "corpus_curation",
+    "dedup_exact",
+    "source_mixture_weights",
+    "events_session_window",
+    "event_value_stats",
+    "event_value_stats_approx",
+    "top_users_per_event",
+    "user_retention_cohorts",
+    "events_funnel",
+]
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+def build_scaled_dir(spark, sf_dir: str, factor: int) -> str:
+    from fund_data_etl_pipeline_spark.sources.tables import TABLE_NAMES, load_table
+
+    out_dir = os.path.join(REPO, f".scale_probe_x{factor}")
+    marker = os.path.join(out_dir, ".complete")
+    if os.path.exists(marker):
+        return out_dir
+    os.makedirs(out_dir, exist_ok=True)
+
+    rep = F.explode(F.array(*[F.lit(i) for i in range(factor)])).alias("rep")
+
+    docs = load_table(spark, sf_dir, "documents")
+    (
+        docs.select("*", rep)
+        .select(
+            (F.col("doc_id") * factor + F.col("rep")).alias("doc_id"),
+            F.concat(F.col("text"), F.lit(" zrep"), F.col("rep")).alias("text"),
+            "lang",
+            "source",
+            (F.col("n_chars") + F.lit(6)).alias("n_chars"),
+        )
+        .write.mode("overwrite")
+        .parquet(os.path.join(out_dir, "documents.parquet"))
+    )
+
+    events = load_table(spark, sf_dir, "events")
+    (
+        events.select("*", rep)
+        .select(
+            (F.col("event_id") * factor + F.col("rep")).alias("event_id"),
+            "ts",
+            (F.col("user_id") * factor + F.col("rep")).alias("user_id"),
+            "event_type",
+            "value",
+            "props",
+        )
+        .write.mode("overwrite")
+        .parquet(os.path.join(out_dir, "events.parquet"))
+    )
+
+    for name in TABLE_NAMES:
+        if name in ("documents", "events"):
+            continue
+        link = os.path.join(out_dir, f"{name}.parquet")
+        if not os.path.exists(link):
+            os.symlink(os.path.join(sf_dir, f"{name}.parquet"), link)
+    with open(marker, "w") as fh:
+        fh.write("ok")
+    return out_dir
+
+
+def timed_suite(spark, qs, sf_dir: str) -> dict[str, float]:
+    times: dict[str, float] = {}
+    for name in PROBE_QUERIES:
+        try:
+            qs[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
+            for _ in range(2):
+                spark.catalog.clearCache()
+                t1 = time.time()
+                qs[name](spark, sf_dir).write.format("noop").mode(
+                    "overwrite"
+                ).save()
+                dt = round(time.time() - t1, 3)
+                times[name] = min(times.get(name, dt), dt)
+        except Exception as exc:  # noqa: BLE001 — fault-isolated like bench.py
+            print(f"scale_probe: {name} FAILED: {exc}", file=sys.stderr)
+        finally:
+            spark.catalog.clearCache()
+    return times
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--factor", type=int, default=10)
+    ap.add_argument("--sf", default="/root/testdata/sf0.1")
+    args = ap.parse_args()
+
+    import __spark_entry__ as e
+    from fund_data_etl_pipeline_spark.session import get_spark
+
+    spark = get_spark("scale-probe")
+    qs = e.queries()
+
+    scaled_dir = build_scaled_dir(spark, args.sf, args.factor)
+    base = timed_suite(spark, qs, args.sf)
+    scaled = timed_suite(spark, qs, scaled_dir)
+
+    rows = []
+    for name in PROBE_QUERIES:
+        b, s = base.get(name), scaled.get(name)
+        ratio = round(s / b, 2) if b and s else None
+        rows.append({"query": name, "base_s": b, "scaled_s": s, "ratio": ratio})
+        print(f"{name:<28} {b!s:>8}  {s!s:>8}  x{ratio}")
+    print(json.dumps({"factor": args.factor, "rows": rows}))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()
