@@ -39,17 +39,29 @@ def write_partitioned(
 def write_excel_compat(
     df: DataFrame, path: str, cn_headers: bool = True, max_rows: int = 100_000
 ) -> str:
-    """Excel-compat shim (reference parity, openpyxl engine
-    dividend_extractor.py:1445-1453): collects to pandas — small outputs
-    only — renames to the reference's Chinese headers, and NULL -> ''
-    (the reference's empty-string placeholders live ONLY here, §1.2).
-    Falls back to CSV when openpyxl is missing. Returns the written path.
+    """Excel-compat shim (reference parity, dividend_extractor.py:
+    1445-1453): collects to pandas — small outputs only — renames to the
+    reference's Chinese headers, and NULL -> '' (the reference's
+    empty-string placeholders live ONLY here, §1.2). Returns the written
+    path.
+
+    Engine choice: a ``.xls`` target uses the built-in pure-Python BIFF8
+    writer (operators/xls_writer.py — true legacy format, matching the
+    reference's filenames); ``.xlsx`` uses openpyxl when available; CSV
+    is the last-resort fallback.
     """
     pdf = df.limit(max_rows).toPandas()
     if cn_headers:
         pdf = pdf.rename(columns={k: v for k, v in CN_NAMES.items()})
     pdf = pdf.fillna("")
     os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
+    if path.lower().endswith(".xls"):
+        from .xls_writer import write_xls
+
+        pdf = pdf.iloc[:65535]  # BIFF8 hard row limit (65536 incl. header)
+        return write_xls(
+            path, list(pdf.columns), pdf.itertuples(index=False, name=None)
+        )
     try:
         import openpyxl  # noqa: F401
 

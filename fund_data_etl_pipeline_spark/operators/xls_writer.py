@@ -246,6 +246,13 @@ def _cfb(stream: bytes) -> bytes:
     n_fat = 1
     while (len(sectors) + n_fat) * 4 > n_fat * 512:
         n_fat += 1
+    if n_fat > 109:
+        # >109 FAT sectors (~6.8 MB) needs DIFAT chaining, out of scope
+        # for the compat shim's small outputs
+        raise ValueError(
+            f"workbook stream of {len(stream)} bytes exceeds the minimal "
+            "CFB writer's header-DIFAT capacity (~6.8 MB)"
+        )
     fat += [_FATSECT] * n_fat
     fat += [_FREE] * (n_fat * 128 - len(fat))
     fat_data = b"".join(struct.pack("<I", e) for e in fat)
