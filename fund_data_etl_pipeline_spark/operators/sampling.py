@@ -138,3 +138,37 @@ def pack_sequences(
         F.floor(F.col("__start") / capacity).alias("seq_bin"),
         (F.col("__start") % capacity).alias("pack_offset"),
     )
+
+
+def epoch_shuffle(
+    df: DataFrame,
+    epoch: int,
+    n_shards: int = 8,
+    id_col: str = "doc_id",
+    salt: str = "epoch-v1",
+) -> DataFrame:
+    """Deterministic training-order shuffle: every row gets a shard and a
+    position within that shard for the given ``epoch`` — the materialized
+    read order a data loader consumes. The permutation is a pure function
+    of (corpus, epoch): re-running the job, resuming mid-epoch, or
+    recomputing a lost partition yields the identical order, and each
+    epoch's salt produces an independent permutation — the properties a
+    reproducible pretraining run needs and ``orderBy(rand(seed))`` lacks
+    (rand is partitioning-dependent).
+
+    Scale shape: the hash key is map-only; the only shuffle is the
+    partition-by-shard for the per-shard rank window. Materializing a
+    total order requires sorting by construction — sharding bounds each
+    sort to corpus/``n_shards`` and the shards write out in parallel, so
+    ``n_shards`` scales with the cluster (8 here to keep the smoke plans
+    readable). Ties on the hash key break by id, so order is total."""
+    key = word_hash(
+        F.concat(F.lit(f"{salt}-{epoch}:"), F.col(id_col).cast("string"))
+    )
+    w = Window.partitionBy("shard").orderBy("shuffle_key", id_col)
+    return (
+        df.select(F.col(id_col), key.alias("shuffle_key"))
+        .withColumn("shard", F.col("shuffle_key") % n_shards)
+        .withColumn("pos", F.row_number().over(w))
+        .select(id_col, "shard", "pos")
+    )

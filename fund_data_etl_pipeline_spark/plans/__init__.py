@@ -100,16 +100,20 @@ PRIORITY = [
     "dedup_groups_star",
     # first appearance (rows-only by design: sketch aggregates)
     "event_value_stats_approx",
+    # first appearance (exact oracle)
+    "epoch_shuffle",
 ]
 
 
-# Names that may safely fall past the driver's cap THIS round: all 29 are
+# Names that may safely fall past the driver's cap THIS round: all 30 are
 # r3-green with unchanged code, and their machinery is also exercised by
-# checked queries. Sized to >= (registered 79 - 50) so the cap's cut is
-# wholly chosen here, never an arbitrary registration-order tail. The 18
+# checked queries. Sized to >= (registered 80 - 50) so the cap's cut is
+# wholly chosen here, never an arbitrary registration-order tail. The 17
 # unlisted queries (r3-green, diverse machinery) sit between PRIORITY and
 # this list in registration order and fill the remaining checked slots.
 DEPRIORITY = [
+    # SQL-only machinery (scalar-subquery rewrite) re-proven in r3
+    "correlated_subquery",
     # TPC-H-ish relational forms re-proven in r3; cheap, stable
     "union_slices",
     "distinct_pairs",

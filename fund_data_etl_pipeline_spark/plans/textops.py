@@ -25,6 +25,7 @@ from ..operators.sampling import (
     PACK_CAPACITY,
     PACK_SHARDS,
     SPLIT_BUCKETS,
+    epoch_shuffle,
     hash_split,
     pack_sequences,
     split_bucket,
@@ -317,6 +318,38 @@ def sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
         docs,
         token_count=F.regexp_count("text", F.lit(BPE_TOKEN_RE)),
         salt=_PACK_SALT,
+    )
+
+
+# --------------------------------------------------------------------------
+# Deterministic epoch shuffle: materialized training read order
+# --------------------------------------------------------------------------
+
+_EPOCH_SALT = "epoch-v1"
+_EPOCH = 1
+_EPOCH_SHARDS = 8
+
+
+@register(
+    "epoch_shuffle",
+    oracle=f"""
+    SELECT doc_id, shard,
+           ROW_NUMBER() OVER (PARTITION BY shard ORDER BY k, doc_id) AS pos
+    FROM (
+      SELECT doc_id,
+             {G.H(f"'{_EPOCH_SALT}-{_EPOCH}:' || doc_id::VARCHAR")} AS k,
+             {G.H(f"'{_EPOCH_SALT}-{_EPOCH}:' || doc_id::VARCHAR")}
+               % {_EPOCH_SHARDS} AS shard
+      FROM documents)
+    """,
+)
+def epoch_shuffle_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Epoch-1 training read order over the corpus: (shard, pos) per doc,
+    a pure function of (corpus, epoch) — reproducible data loading; see
+    operators/sampling.py:epoch_shuffle for the scale rationale."""
+    docs = load_table(spark, sf_dir, "documents")
+    return epoch_shuffle(
+        docs, epoch=_EPOCH, n_shards=_EPOCH_SHARDS, salt=_EPOCH_SALT
     )
 
 

@@ -143,3 +143,49 @@ def test_two_phase_cc_signature_collision_graph(spark):
     assert a == b
     assert a[5] == a[1] and a[4] == a[2] and a[5] != a[4]
     assert a[10] == a[6] == a[9] == a[7]
+
+
+def test_epoch_shuffle_deterministic_and_total(spark, sf_dir):
+    """Same (corpus, epoch) -> identical order across builds; positions
+    are a dense 1..n per shard; epochs decorrelate."""
+    from fund_data_etl_pipeline_spark.sources import load_table
+    from fund_data_etl_pipeline_spark.operators.sampling import epoch_shuffle
+
+    docs = load_table(spark, sf_dir, "documents")
+    a = epoch_shuffle(docs, epoch=1).collect()
+    b = epoch_shuffle(docs, epoch=1).collect()
+    assert sorted(map(tuple, a)) == sorted(map(tuple, b))
+    by_shard: dict[int, list[int]] = {}
+    for r in a:
+        by_shard.setdefault(r["shard"], []).append(r["pos"])
+    for shard, ps in by_shard.items():
+        assert sorted(ps) == list(range(1, len(ps) + 1)), shard
+    c = {r["doc_id"]: (r["shard"], r["pos"]) for r in
+         epoch_shuffle(docs, epoch=2).collect()}
+    a_map = {r["doc_id"]: (r["shard"], r["pos"]) for r in a}
+    moved = sum(1 for k in a_map if a_map[k] != c[k])
+    assert moved > len(a_map) * 0.9  # epoch-2 permutation is independent
+
+
+def test_round4_plan_shapes(spark, sf_dir):
+    """Scale-shape guards for the round-4 queries: the ANN path must stay
+    an equi-join (no cartesian/nested-loop fallback), the sketch rollup
+    must keep map-side partial aggregation, and the epoch shuffle's only
+    exchange is the shard hash partition for its rank window."""
+    from fund_data_etl_pipeline_spark.plans.events import event_value_stats_approx
+    from fund_data_etl_pipeline_spark.plans.textops import epoch_shuffle_query
+    from fund_data_etl_pipeline_spark.plans.vectors import vector_ann_lsh
+
+    ann = vector_ann_lsh(spark, sf_dir)
+    plan = ann._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+    approx = event_value_stats_approx(spark, sf_dir)
+    plan = approx._jdf.queryExecution().executedPlan().toString()
+    assert "partial_approx_count_distinct" in plan
+    assert "partial_approx_percentile" in plan or "partial_percentile_approx" in plan
+
+    shuf = epoch_shuffle_query(spark, sf_dir)
+    plan = shuf._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Exchange hashpartitioning") == 1
