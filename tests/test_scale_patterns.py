@@ -127,11 +127,14 @@ def test_round3_analytics_plan_shapes(spark, sf_dir):
     ret = _plan(q["user_retention_cohorts"](spark, sf_dir))
     assert ret.count("Scan parquet") == 1, "retention must scan events once"
 
+    # funnel (since r4) computes its step counts eagerly inside the
+    # builder — step tables persist only during the build and unpersist
+    # before returning (tests/test_pipeline_round4.py) — so the RETURNED
+    # plan must be the tiny 3-row local relation with the rate window,
+    # never a re-execution of the corpus scans
     fun = _plan(q["events_funnel"](spark, sf_dir))
-    for step in ("view", "click", "purchase"):
-        assert f"EqualTo(event_type,{step})" in fun, (
-            f"funnel step filter {step} not pushed:\n" + fun[:1500]
-        )
+    assert "Scan parquet" not in fun, "funnel result must not rescan events"
+    assert "Window" in fun
 
     mix = _plan(q["source_mixture_weights"](spark, sf_dir))
     # the window must run AFTER aggregation (tiny input), so the plan is
