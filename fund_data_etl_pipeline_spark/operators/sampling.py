@@ -172,3 +172,48 @@ def epoch_shuffle(
         .withColumn("pos", F.row_number().over(w))
         .select(id_col, "shard", "pos")
     )
+
+
+CHUNK_WORDS = 64
+CHUNK_STRIDE = 48
+
+
+def chunk_documents(
+    df: DataFrame,
+    words_col: Column,
+    chunk_words: int = CHUNK_WORDS,
+    stride: int = CHUNK_STRIDE,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Overlapping fixed-size chunking — the context-window assembly step
+    of RAG indexing / long-document training prep: each document's word
+    sequence becomes windows of ``chunk_words`` words advancing by
+    ``stride`` (overlap = chunk_words - stride), with the chunk's text
+    hash carried for downstream chunk-level dedup.
+
+    Chunk starts are 0, stride, 2*stride, ..., through the last start
+    < n_words (the tail window truncates); zero-word documents emit no
+    chunks. Map-only: one explode of a computed ``sequence`` per row, no
+    shuffle at all — the 100 TB cost is exactly one corpus scan, and the
+    output inherits the input's partitioning for the downstream write."""
+    base = df.select(
+        F.col(id_col), words_col.alias("__w"), F.size(words_col).alias("__n")
+    ).filter(F.col("__n") > 0)
+    starts = F.sequence(
+        F.lit(0),
+        ((F.col("__n") - 1) - ((F.col("__n") - 1) % stride)).cast("int"),
+        F.lit(stride),
+    )
+    chunk = F.slice(F.col("__w"), F.col("chunk_start") + 1, chunk_words)
+    return (
+        base.select(
+            F.col(id_col), "__w", F.explode(starts).alias("chunk_start")
+        )
+        .select(
+            F.col(id_col),
+            (F.col("chunk_start") / stride).cast("bigint").alias("chunk_idx"),
+            F.col("chunk_start").cast("bigint").alias("chunk_start"),
+            F.size(chunk).cast("bigint").alias("chunk_len"),
+            F.md5(F.concat_ws(" ", chunk)).alias("chunk_hash"),
+        )
+    )

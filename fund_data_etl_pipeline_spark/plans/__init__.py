@@ -100,20 +100,26 @@ PRIORITY = [
     "dedup_groups_star",
     # first appearance (rows-only by design: sketch aggregates)
     "event_value_stats_approx",
-    # first appearance (exact oracle)
+    # first appearance (exact oracles)
     "epoch_shuffle",
+    "leakage_safe_split",
+    "doc_chunking",
 ]
 
 
-# Names that may safely fall past the driver's cap THIS round: all 30 are
+# Names that may safely fall past the driver's cap THIS round: all 32 are
 # r3-green with unchanged code, and their machinery is also exercised by
-# checked queries. Sized to >= (registered 80 - 50) so the cap's cut is
-# wholly chosen here, never an arbitrary registration-order tail. The 17
+# checked queries. Sized to >= (registered 82 - 50) so the cap's cut is
+# wholly chosen here, never an arbitrary registration-order tail. The 15
 # unlisted queries (r3-green, diverse machinery) sit between PRIORITY and
 # this list in registration order and fill the remaining checked slots.
 DEPRIORITY = [
-    # SQL-only machinery (scalar-subquery rewrite) re-proven in r3
+    # SQL-only machinery (scalar-subquery rewrite, json path agg)
+    # re-proven in r3
     "correlated_subquery",
+    "json_extract_agg",
+    # date arithmetic re-proven in r3; also inside the checked fund jobs
+    "date_math",
     # TPC-H-ish relational forms re-proven in r3; cheap, stable
     "union_slices",
     "distinct_pairs",

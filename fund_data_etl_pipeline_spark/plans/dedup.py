@@ -211,6 +211,50 @@ def dedup_groups_star(spark: SparkSession, sf_dir: str) -> DataFrame:
     return D.connected_components_two_phase(pairs, docs.select("doc_id"))
 
 
+_LSPLIT_SALT = "leakage-split-v1"
+
+
+@register(
+    "leakage_safe_split",
+    # groups CTE (same fixpoint) + the doc_hash_split bucket rule applied
+    # to the GROUP representative, so every member of a near-dup component
+    # lands in the same split
+    oracle=f"""
+    {_GROUPS_CTE},
+    assign AS (
+      SELECT id AS doc_id, group_id,
+             {G.H(f"'{_LSPLIT_SALT}' || group_id::VARCHAR")} % 10000 AS bucket
+      FROM lab)
+    SELECT doc_id, group_id,
+           CASE WHEN bucket < 8000 THEN 'train'
+                WHEN bucket < 9000 THEN 'val'
+                ELSE 'test' END AS split
+    FROM assign
+    """,
+)
+def leakage_safe_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Leakage-safe train/val/test assignment: hash-split by near-dup
+    GROUP, not by document. A doc-keyed split (doc_hash_split) can put two
+    near-duplicates on opposite sides of the train/test boundary — the
+    classic eval-contamination leak; splitting on the connected-component
+    representative guarantees a near-dup cluster never straddles splits.
+
+    Scale shape: the pair-finding + CC stages are the dedup pipeline's
+    existing cost (bucketed LSH join, checkpointed propagation); the split
+    itself adds only a map-side hash on the group label. The same
+    composition at 100 TB reuses the persisted group table a dedup pass
+    already materialized — assignment is then one scan of it."""
+    docs = load_table(spark, sf_dir, "documents")
+    from ..operators.sampling import hash_split
+
+    pairs = D.minhash_lsh_pairs(docs, threshold=_JACCARD_T)
+    labels = D.connected_components(pairs, docs.select("doc_id"))
+    return hash_split(
+        labels.select("doc_id", F.col("group_id")), id_col="group_id",
+        salt=_LSPLIT_SALT,
+    ).select("doc_id", "group_id", "split")
+
+
 @register(
     "dedup_canonical",
     # groups CTE (same fixpoint as dedup_groups) + quality join + the same

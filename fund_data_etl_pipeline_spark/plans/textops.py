@@ -22,9 +22,12 @@ from ..functions.text import (
     words,
 )
 from ..operators.sampling import (
+    CHUNK_STRIDE,
+    CHUNK_WORDS,
     PACK_CAPACITY,
     PACK_SHARDS,
     SPLIT_BUCKETS,
+    chunk_documents,
     epoch_shuffle,
     hash_split,
     pack_sequences,
@@ -351,6 +354,45 @@ def epoch_shuffle_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     return epoch_shuffle(
         docs, epoch=_EPOCH, n_shards=_EPOCH_SHARDS, salt=_EPOCH_SALT
     )
+
+
+# --------------------------------------------------------------------------
+# Overlapping document chunking (RAG / long-context assembly)
+# --------------------------------------------------------------------------
+
+
+@register(
+    "doc_chunking",
+    # same word split, same window arithmetic, same chunk-text md5 — the
+    # slice is 1-based inclusive in DuckDB (list_slice) vs 1-based
+    # length-counted in Spark (slice), reconciled via least(start+len, n)
+    oracle=f"""
+    WITH d AS (SELECT doc_id, {G.WORDS} AS w FROM documents),
+    sized AS (SELECT doc_id, w, len(w) AS n FROM d WHERE len(w) > 0),
+    starts AS (
+      SELECT doc_id, w, n,
+             unnest(generate_series(0, ((n - 1) // {CHUNK_STRIDE})
+                    * {CHUNK_STRIDE}, {CHUNK_STRIDE})) AS chunk_start
+      FROM sized)
+    SELECT doc_id,
+           chunk_start // {CHUNK_STRIDE} AS chunk_idx,
+           chunk_start,
+           len(list_slice(w, chunk_start + 1,
+                          least(chunk_start + {CHUNK_WORDS}, n))) AS chunk_len,
+           md5(array_to_string(
+               list_slice(w, chunk_start + 1,
+                          least(chunk_start + {CHUNK_WORDS}, n)), ' '))
+             AS chunk_hash
+    FROM starts
+    """,
+)
+def doc_chunking(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Overlapping {CHUNK_WORDS}-word chunks every {CHUNK_STRIDE} words per
+    document, with the chunk-content hash for chunk-level dedup — see
+    operators/sampling.py:chunk_documents for the scale rationale
+    (map-only, one scan, zero shuffles)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return chunk_documents(docs, words("text"))
 
 
 # --------------------------------------------------------------------------

@@ -189,3 +189,56 @@ def test_round4_plan_shapes(spark, sf_dir):
     shuf = epoch_shuffle_query(spark, sf_dir)
     plan = shuf._jdf.queryExecution().executedPlan().toString()
     assert plan.count("Exchange hashpartitioning") == 1
+
+
+def test_leakage_safe_split_never_straddles_groups(spark, sf_dir):
+    """Every member of a near-dup component must land in the same split —
+    the contract that doc-keyed splitting violates; split fractions over
+    GROUPS stay near 80/10/10."""
+    from fund_data_etl_pipeline_spark.plans.dedup import leakage_safe_split
+
+    rows = leakage_safe_split(spark, sf_dir).collect()
+    by_group: dict[int, set[str]] = {}
+    for r in rows:
+        by_group.setdefault(r["group_id"], set()).add(r["split"])
+    assert all(len(s) == 1 for s in by_group.values())
+    splits = [next(iter(s)) for s in by_group.values()]
+    train_frac = splits.count("train") / len(splits)
+    assert 0.6 < train_frac < 0.95  # hash-thin smoke corpus: loose band
+
+
+def test_doc_chunking_covers_and_overlaps(spark, sf_dir):
+    """Chunks tile each document: starts advance by the stride, the first
+    chunk starts at 0, every chunk is nonempty and at most CHUNK_WORDS
+    long, the last chunk reaches the document's end, and consecutive
+    full chunks overlap by CHUNK_WORDS - CHUNK_STRIDE words."""
+    from fund_data_etl_pipeline_spark.functions.text import words
+    from fund_data_etl_pipeline_spark.operators.sampling import (
+        CHUNK_STRIDE,
+        CHUNK_WORDS,
+        chunk_documents,
+    )
+    from fund_data_etl_pipeline_spark.sources import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    n_words = {
+        r["doc_id"]: r["n"]
+        for r in docs.select(
+            "doc_id", F.size(words("text")).alias("n")
+        ).collect()
+    }
+    chunks: dict[int, list] = {}
+    for r in chunk_documents(docs, words("text")).collect():
+        chunks.setdefault(r["doc_id"], []).append(r)
+    for doc_id, n in n_words.items():
+        cs = sorted(chunks.get(doc_id, []), key=lambda r: r["chunk_idx"])
+        if n == 0:
+            assert not cs
+            continue
+        assert [c["chunk_start"] for c in cs] == [
+            i * CHUNK_STRIDE for i in range(len(cs))
+        ]
+        assert all(0 < c["chunk_len"] <= CHUNK_WORDS for c in cs)
+        last = cs[-1]
+        assert last["chunk_start"] + last["chunk_len"] == n
+        assert last["chunk_start"] < n <= last["chunk_start"] + CHUNK_WORDS
