@@ -58,6 +58,12 @@ HEADLINE = [
     "event_value_stats_approx",
     # the composed corpus-selection flagship
     "corpus_curation",
+    # round-4 additions: the oracle-exact ANN path, training read order,
+    # RAG chunking, and the group-keyed leakage-safe split composition
+    "vector_ann_lsh",
+    "epoch_shuffle",
+    "doc_chunking",
+    "leakage_safe_split",
 ]
 
 

@@ -190,6 +190,12 @@ def test_round4_plan_shapes(spark, sf_dir):
     plan = shuf._jdf.queryExecution().executedPlan().toString()
     assert plan.count("Exchange hashpartitioning") == 1
 
+    from fund_data_etl_pipeline_spark.plans.textops import doc_chunking
+
+    plan = doc_chunking(spark, sf_dir)._jdf.queryExecution() \
+        .executedPlan().toString()
+    assert "Exchange" not in plan, "chunking must stay map-only"
+
 
 def test_leakage_safe_split_never_straddles_groups(spark, sf_dir):
     """Every member of a near-dup component must land in the same split —
