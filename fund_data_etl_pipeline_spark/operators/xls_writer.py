@@ -28,7 +28,10 @@ from collections.abc import Iterable, Sequence
 
 _MAX_ROWS = 65536
 _MAX_COLS = 256
-_MAX_CELL_CHARS = 8000  # keeps every Label record well under the 8224 cap
+# BIFF8 records are capped at 8224 DATA BYTES; a Label's payload is
+# 9 fixed bytes + 2 bytes per UTF-16 code unit, so the cell cap is
+# (8224 - 9) // 2 = 4107 chars (longer text would need CONTINUE records)
+_MAX_CELL_CHARS = 4000
 
 
 # --------------------------------------------------------------------------
@@ -40,16 +43,29 @@ def _rec(rt: int, data: bytes) -> bytes:
     return struct.pack("<HH", rt, len(data)) + data
 
 
+def _utf16_units(s: str, max_units: int) -> bytes:
+    """UTF-16LE payload capped at ``max_units`` CODE UNITS (the unit BIFF
+    cch counts — an astral char costs two), never splitting a surrogate
+    pair at the cap."""
+    enc = s.encode("utf-16-le")
+    if len(enc) > 2 * max_units:
+        enc = enc[: 2 * max_units]
+        last = int.from_bytes(enc[-2:], "little")
+        if 0xD800 <= last <= 0xDBFF:  # dangling high surrogate
+            enc = enc[:-2]
+    return enc
+
+
 def _unicode_str(s: str) -> bytes:
     """XLUnicodeString: cch(2) flags(1: fHighByte=1 -> UTF-16LE) chars."""
-    s = s[:_MAX_CELL_CHARS]
-    return struct.pack("<HB", len(s), 0x01) + s.encode("utf-16-le")
+    enc = _utf16_units(s, _MAX_CELL_CHARS)
+    return struct.pack("<HB", len(enc) // 2, 0x01) + enc
 
 
 def _short_unicode_str(s: str) -> bytes:
     """ShortXLUnicodeString: cch(1) flags(1) chars (sheet/font names)."""
-    s = s[:255]
-    return struct.pack("<BB", len(s), 0x01) + s.encode("utf-16-le")
+    enc = _utf16_units(s, 255)
+    return struct.pack("<BB", len(enc) // 2, 0x01) + enc
 
 
 def _bof(dt: int) -> bytes:

@@ -158,3 +158,57 @@ def test_write_excel_compat_prefers_builtin_xls(spark, tmp_path):
     assert blob[:8] == b"\xd0\xcf\x11\xe0\xa1\xb1\x1a\xe1"
     cells, _ = _parse_biff_cells(_read_cfb_stream(blob, "Workbook"))
     assert cells[(1, 1)] == 10.5
+
+
+def test_cell_strings_never_exceed_record_cap(tmp_path):
+    """BIFF8 caps record data at 8224 bytes; an over-long cell must be
+    truncated to fit (9 fixed bytes + 2/char), never emit an oversized
+    record."""
+    big = "字" * 20_000
+    p = str(tmp_path / "big.xls")
+    write_xls(p, ["col"], [[big]])
+    stream = _read_cfb_stream(open(p, "rb").read(), "Workbook")
+    pos = 0
+    while pos + 4 <= len(stream):
+        rt, ln = struct.unpack_from("<HH", stream, pos)
+        assert ln <= 8224, f"record {rt:#x} has {ln} data bytes"
+        pos += 4 + ln
+    cells, _ = _parse_biff_cells(stream)
+    assert cells[(1, 0)] == big[:4000]
+
+
+def test_hypothesis_roundtrip(tmp_path):
+    from hypothesis import given, settings, strategies as st
+
+    cell = st.one_of(
+        st.text(
+            alphabet=st.characters(
+                codec="utf-16",
+                exclude_categories=("Cs",),
+            ),
+            max_size=40,
+        ),
+        st.floats(allow_nan=False, allow_infinity=False, width=64),
+        st.integers(min_value=-2**40, max_value=2**40),
+        st.none(),
+    )
+
+    @settings(max_examples=25, deadline=None)
+    @given(st.lists(st.lists(cell, min_size=2, max_size=2), max_size=12))
+    def run(rows):
+        p = str(tmp_path / "h.xls")
+        write_xls(p, ["a", "b"], rows)
+        cells, _ = _parse_biff_cells(
+            _read_cfb_stream(open(p, "rb").read(), "Workbook")
+        )
+        for ri, row in enumerate(rows, start=1):
+            for ci, v in enumerate(row):
+                got = cells.get((ri, ci))
+                if v is None or v == "":
+                    assert got is None
+                elif isinstance(v, str):
+                    assert got == v
+                else:
+                    assert got == float(v)
+
+    run()
