@@ -104,20 +104,22 @@ PRIORITY = [
     "epoch_shuffle",
     "leakage_safe_split",
     "doc_chunking",
+    "zorder_layout",
 ]
 
 
-# Names that may safely fall past the driver's cap THIS round: all 32 are
+# Names that may safely fall past the driver's cap THIS round: all 33 are
 # r3-green with unchanged code, and their machinery is also exercised by
-# checked queries. Sized to >= (registered 82 - 50) so the cap's cut is
-# wholly chosen here, never an arbitrary registration-order tail. The 15
+# checked queries. Sized to >= (registered 83 - 50) so the cap's cut is
+# wholly chosen here, never an arbitrary registration-order tail. The 14
 # unlisted queries (r3-green, diverse machinery) sit between PRIORITY and
 # this list in registration order and fill the remaining checked slots.
 DEPRIORITY = [
-    # SQL-only machinery (scalar-subquery rewrite, json path agg)
-    # re-proven in r3
+    # SQL-only machinery (scalar-subquery rewrite, json path agg,
+    # event-time as-of join) re-proven in r3
     "correlated_subquery",
     "json_extract_agg",
+    "asof_last_click",
     # date arithmetic re-proven in r3; also inside the checked fund jobs
     "date_math",
     # TPC-H-ish relational forms re-proven in r3; cheap, stable

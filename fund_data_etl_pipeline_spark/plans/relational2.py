@@ -258,3 +258,58 @@ def correlated_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         """
     )
+
+
+# --------------------------------------------------------------------------
+# Z-order (Morton) layout index: multi-dimensional clustering for
+# data-skipping at 100 TB
+# --------------------------------------------------------------------------
+
+_Z_BITS = 16  # per-dimension bits interleaved into a 32-bit curve index
+_Z_FILE_SHIFT = 22  # 2^22 curve cells per layout file bucket
+
+
+def _morton_sql(x: str, y: str, bits: int) -> str:
+    """Engine-portable Morton interleave: plain shift/and/or arithmetic,
+    identical in Spark SQL and DuckDB."""
+    terms = []
+    for b in range(bits):
+        terms.append(f"((({x} >> {b}) & 1) << {2 * b})")
+        terms.append(f"((({y} >> {b}) & 1) << {2 * b + 1})")
+    return "(" + " | ".join(terms) + ")"
+
+
+_Z_EXPR = _morton_sql(
+    f"(l_partkey % {1 << _Z_BITS})", f"(l_suppkey % {1 << _Z_BITS})", _Z_BITS
+)
+
+
+@register(
+    "zorder_layout",
+    oracle=f"""
+    SELECT l_orderkey, l_linenumber,
+           {_Z_EXPR} AS z_index,
+           {_Z_EXPR} >> {_Z_FILE_SHIFT} AS z_bucket
+    FROM lineitem
+    """,
+)
+def zorder_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-order curve index over (l_partkey, l_suppkey): interleaving the
+    two keys' bits gives a 1-D sort order in which rows close in EITHER
+    dimension stay close in the layout — so after
+    ``repartitionByRange("z_index").sortWithinPartitions("z_index")`` the
+    parquet min/max column stats prune files for predicates on part OR
+    supplier (single-column sorting prunes only its own column). This is
+    the standard lakehouse multi-dimension clustering technique
+    (Delta/Iceberg OPTIMIZE ZORDER); the query registers the index
+    computation itself — pure map-side shift/mask arithmetic, zero
+    shuffles — and ``z_bucket`` is the target file assignment a layout
+    rewrite would range-partition on.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        F.expr(_Z_EXPR).alias("z_index"),
+        F.expr(f"{_Z_EXPR} >> {_Z_FILE_SHIFT}").alias("z_bucket"),
+    )

@@ -248,3 +248,37 @@ def test_doc_chunking_covers_and_overlaps(spark, sf_dir):
         last = cs[-1]
         assert last["chunk_start"] + last["chunk_len"] == n
         assert last["chunk_start"] < n <= last["chunk_start"] + CHUNK_WORDS
+
+
+def test_zorder_index_decodes_back_to_keys(spark, sf_dir):
+    """The Morton interleave must be invertible: de-interleaving z_index's
+    even/odd bits recovers (l_partkey, l_suppkey) mod 2^16 — and rows
+    sharing a z_bucket are key-local in both dimensions."""
+    from fund_data_etl_pipeline_spark.plans.relational2 import _Z_EXPR
+    from fund_data_etl_pipeline_spark.sources import load_table
+
+    # carry the source keys next to the index in ONE row — the synthetic
+    # lineitem does not keep (l_orderkey, l_linenumber) unique, so a
+    # collect-and-join check would compare unrelated rows
+    rows = (
+        load_table(spark, sf_dir, "lineitem")
+        .select(
+            "l_partkey", "l_suppkey",
+            F.expr(_Z_EXPR).alias("z_index"),
+            F.expr(f"{_Z_EXPR} >> 22").alias("z_bucket"),
+        )
+        .collect()
+    )
+
+    def deinterleave(z: int) -> tuple[int, int]:
+        x = y = 0
+        for b in range(16):
+            x |= ((z >> (2 * b)) & 1) << b
+            y |= ((z >> (2 * b + 1)) & 1) << b
+        return x, y
+
+    for r in rows:
+        assert deinterleave(r["z_index"]) == (
+            r["l_partkey"] % (1 << 16), r["l_suppkey"] % (1 << 16)
+        )
+        assert r["z_bucket"] == r["z_index"] >> 22
