@@ -64,6 +64,7 @@ HEADLINE = [
     "epoch_shuffle",
     "doc_chunking",
     "leakage_safe_split",
+    "zorder_layout",
 ]
 
 
