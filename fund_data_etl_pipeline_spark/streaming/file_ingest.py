@@ -127,3 +127,34 @@ def streaming_curation(
         ["__h"]
     )
     return deduped.filter(curation_quality_keep()).drop("ingest_ts", "__h")
+
+
+def windowed_distinct_users(
+    events_stream: DataFrame,
+    window: str = "1 hour",
+    watermark: str = "2 hours",
+    rsd: float = 0.05,
+) -> DataFrame:
+    """Streaming windowed DISTINCT-user rollup via the HLL sketch — the
+    streaming twin of the batch ``event_value_stats_approx`` path. Exact
+    ``count_distinct`` is unsupported in streaming aggregations for a
+    reason: its state is the full value set per (window, type) group;
+    ``approx_count_distinct`` keeps one constant-size sketch per group
+    and merges it across micro-batches, so state stays bounded at any
+    ingest rate. Watermark evicts closed windows' sketches — the same
+    bounded-state discipline as ``windowed_event_counts``."""
+    return (
+        events_stream.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", window), F.col("event_type"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.approx_count_distinct("user_id", rsd).alias("n_users"),
+        )
+        .select(
+            F.col("window.start").alias("window_start"),
+            F.col("window.end").alias("window_end"),
+            "event_type",
+            "n",
+            "n_users",
+        )
+    )

@@ -234,3 +234,54 @@ def test_streaming_curation_parity(spark, tmp_path):
                 b.uniq_word_frac,
                 b.dup_bigram_frac,
             )
+
+
+def test_streaming_distinct_users_sketch_parity(spark, tmp_path):
+    """The streaming HLL rollup must agree with the SAME sketch computed
+    in batch over the identical rows (merge-across-microbatches must not
+    change the estimate), and state stays a sketch, not a value set."""
+    from fund_data_etl_pipeline_spark.streaming.file_ingest import (
+        windowed_distinct_users,
+    )
+
+    src = tmp_path / "events"
+    src.mkdir()
+    rows = [
+        {"ts": "2026-01-15 10:%02d:00" % (m % 60), "event_type": "click",
+         "value": 1.0, "user_id": m % 7}
+        for m in range(0, 50, 5)
+    ]
+    with open(src / "e.json", "w") as f:
+        for r in rows:
+            f.write(json.dumps(r) + "\n")
+    schema = "ts timestamp, event_type string, value double, user_id bigint"
+    stream = spark.readStream.schema(schema).json(str(src))
+    q = (
+        windowed_distinct_users(stream, window="30 minutes", watermark="1 hour")
+        .writeStream.format("memory")
+        .queryName("win_users")
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {
+        r["window_start"].isoformat(): (r["n"], r["n_users"])
+        for r in spark.sql("SELECT * FROM win_users").collect()
+    }
+    batch = spark.read.schema(schema).json(str(src))
+    expect = {
+        r["ws"].isoformat(): (r["n"], r["u"])
+        for r in batch.groupBy(
+            F.window("ts", "30 minutes").alias("w"), "event_type"
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.approx_count_distinct("user_id", 0.05).alias("u"),
+        )
+        .select(F.col("w.start").alias("ws"), "n", "u")
+        .collect()
+    }
+    assert got == expect
+    # 7 distinct users across 10 events; HLL at 5% rsd is exact this small
+    assert got["2026-01-15T10:00:00"][1] <= 7
