@@ -105,13 +105,14 @@ PRIORITY = [
     "leakage_safe_split",
     "doc_chunking",
     "zorder_layout",
+    "table_profile",
 ]
 
 
-# Names that may safely fall past the driver's cap THIS round: all 33 are
+# Names that may safely fall past the driver's cap THIS round: all 34 are
 # r3-green with unchanged code, and their machinery is also exercised by
-# checked queries. Sized to >= (registered 83 - 50) so the cap's cut is
-# wholly chosen here, never an arbitrary registration-order tail. The 14
+# checked queries. Sized to >= (registered 84 - 50) so the cap's cut is
+# wholly chosen here, never an arbitrary registration-order tail. The 13
 # unlisted queries (r3-green, diverse machinery) sit between PRIORITY and
 # this list in registration order and fill the remaining checked slots.
 DEPRIORITY = [
@@ -120,6 +121,8 @@ DEPRIORITY = [
     "correlated_subquery",
     "json_extract_agg",
     "asof_last_click",
+    # Arrow-batch multimodal plumbing re-proven in r3 and by pytests
+    "multimodal_binary_stats",
     # date arithmetic re-proven in r3; also inside the checked fund jobs
     "date_math",
     # TPC-H-ish relational forms re-proven in r3; cheap, stable

@@ -313,3 +313,72 @@ def zorder_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr(_Z_EXPR).alias("z_index"),
         F.expr(f"{_Z_EXPR} >> {_Z_FILE_SHIFT}").alias("z_bucket"),
     )
+
+
+# --------------------------------------------------------------------------
+# Table profiling: one-scan column statistics (the ANALYZE shape)
+# --------------------------------------------------------------------------
+
+_PROFILE_COLS = (
+    ("o_orderkey", True),
+    ("o_custkey", True),
+    ("o_orderstatus", False),
+    ("o_totalprice", True),
+    ("o_orderpriority", False),
+)
+
+
+@register(
+    "table_profile",
+    oracle="\n    UNION ALL\n    ".join(
+        f"""SELECT '{c}' AS column_name,
+           COUNT(*) - COUNT({c}) AS n_nulls,
+           COUNT(DISTINCT {c}) AS n_distinct,
+           {f'MIN({c}) * 1.0' if num else 'CAST(NULL AS DOUBLE)'} AS min_num,
+           {f'MAX({c}) * 1.0' if num else 'CAST(NULL AS DOUBLE)'} AS max_num
+    FROM orders"""
+        for c, num in _PROFILE_COLS
+    ),
+)
+def table_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Column-statistics profile of ``orders`` — null counts, distinct
+    cardinalities, numeric min/max — the stats-collection pass that feeds
+    cost-based planning, layout decisions (which columns are worth
+    Z-ordering or bucketing), and data-quality monitoring.
+
+    Scale shape: ONE scan computes every column's aggregates side by side
+    (partial+final hash agg on a single global group), then the 1-row
+    result unpivots driver-side via an explode of a 5-element struct
+    array — the corpus is never re-scanned per column, unlike the naive
+    loop-over-columns ANALYZE. Exact count_distinct here because the
+    oracle needs determinism; the 100 TB swap is approx_count_distinct
+    per column (same plan shape, sketch state).
+    """
+    orders = load_table(spark, sf_dir, "orders")
+    aggs = []
+    for c, num in _PROFILE_COLS:
+        aggs += [
+            F.sum(F.col(c).isNull().cast("bigint")).alias(f"{c}__nulls"),
+            F.countDistinct(c).alias(f"{c}__distinct"),
+        ]
+        if num:
+            aggs += [
+                (F.min(c) * 1.0).alias(f"{c}__min"),
+                (F.max(c) * 1.0).alias(f"{c}__max"),
+            ]
+    one = orders.agg(*aggs)
+    entries = F.array(
+        *[
+            F.struct(
+                F.lit(c).alias("column_name"),
+                F.col(f"{c}__nulls").alias("n_nulls"),
+                F.col(f"{c}__distinct").alias("n_distinct"),
+                (F.col(f"{c}__min") if num else F.lit(None).cast("double"))
+                .alias("min_num"),
+                (F.col(f"{c}__max") if num else F.lit(None).cast("double"))
+                .alias("max_num"),
+            )
+            for c, num in _PROFILE_COLS
+        ]
+    )
+    return one.select(F.explode(entries).alias("e")).select("e.*")

@@ -282,3 +282,18 @@ def test_zorder_index_decodes_back_to_keys(spark, sf_dir):
             r["l_partkey"] % (1 << 16), r["l_suppkey"] % (1 << 16)
         )
         assert r["z_bucket"] == r["z_index"] >> 22
+
+
+def test_table_profile_single_scan(spark, sf_dir):
+    """The profile must compute every column's stats from ONE scan — the
+    naive per-column ANALYZE loop re-scans the table per column."""
+    from fund_data_etl_pipeline_spark.plans.relational2 import table_profile
+
+    df = table_profile(spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Scan parquet") == 1
+    rows = {r["column_name"]: r for r in df.collect()}
+    assert rows["o_orderkey"]["n_nulls"] == 0
+    assert rows["o_orderkey"]["n_distinct"] > 0
+    assert rows["o_orderstatus"]["min_num"] is None
+    assert rows["o_totalprice"]["min_num"] <= rows["o_totalprice"]["max_num"]
