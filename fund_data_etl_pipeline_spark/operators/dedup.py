@@ -468,6 +468,12 @@ def connected_components(
     checkpoint dir; rounds stay few because text near-dup graphs are
     star-like (large-star/small-star alternation is the escalation path
     for adversarial diameters, per the Kang et al. CC-MR line of work).
+
+    Why a driver loop and not SQL: Spark 4's recursive CTEs support only
+    UNION ALL in the recursive member (UNION_NOT_SUPPORTED_IN_RECURSIVE_
+    CTE), and an ALL-closure diverges on any cyclic edge set — so the
+    transitive closure is not SQL-expressible here; the DuckDB oracle
+    uses its recursive UNION (distinct) form instead.
     """
     # both directions from ONE scan of the (possibly expensive) pair plan
     # — a union of two selects would execute it twice before the persist
