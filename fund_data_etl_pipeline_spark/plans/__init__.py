@@ -106,16 +106,20 @@ PRIORITY = [
     "doc_chunking",
     "zorder_layout",
     "table_profile",
+    "quality_deciles",
 ]
 
 
-# Names that may safely fall past the driver's cap THIS round: all 34 are
+# Names that may safely fall past the driver's cap THIS round: all 35 are
 # r3-green with unchanged code, and their machinery is also exercised by
-# checked queries. Sized to >= (registered 84 - 50) so the cap's cut is
-# wholly chosen here, never an arbitrary registration-order tail. The 13
+# checked queries. Sized to >= (registered 85 - 50) so the cap's cut is
+# wholly chosen here, never an arbitrary registration-order tail. The 12
 # unlisted queries (r3-green, diverse machinery) sit between PRIORITY and
 # this list in registration order and fill the remaining checked slots.
 DEPRIORITY = [
+    # sliding-window machinery shared with the checked tumbling/session
+    # forms; r3-green
+    "events_sliding_window",
     # SQL-only machinery (scalar-subquery rewrite, json path agg,
     # event-time as-of join) re-proven in r3
     "correlated_subquery",

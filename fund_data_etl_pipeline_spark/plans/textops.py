@@ -222,6 +222,92 @@ def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# Quality deciles: threshold-broadcast score binning (calibration)
+# --------------------------------------------------------------------------
+
+_DECILE_QS = [round(0.1 * i, 1) for i in range(1, 10)]
+
+
+@register(
+    "quality_deciles",
+    # the same rounded quality_score as text_quality feeds exact
+    # percentile thresholds (Spark `percentile` == DuckDB quantile_cont,
+    # proven bit-identical in event_value_stats), then bucket = 1 +
+    # count(thresholds strictly below the score) — identical comparison
+    # chain both engines
+    oracle=f"""
+    WITH q AS (
+      SELECT doc_id,
+             {G.round_sql(
+                 "0.5 * stop_ratio + 0.3 * least(n_words / 100.0, 1.0)"
+                 " + 0.2 * (1.0 - punct_ratio)", 6)} AS quality_score
+      FROM (
+        SELECT doc_id,
+               len(w) AS n_words,
+               {G.stopword_ratio_sql("en")} AS stop_ratio,
+               CASE WHEN length(text) > 0
+                    THEN len(regexp_extract_all(text, '{_PUNCT_RE}')) * 1.0
+                         / length(text)
+                    ELSE 0.0 END AS punct_ratio
+        FROM (SELECT doc_id, text, {G.WORDS} AS w FROM documents)
+      )
+    ),
+    t AS (SELECT quantile_cont(quality_score,
+                 [{", ".join(str(x) for x in _DECILE_QS)}]) AS th FROM q)
+    SELECT decile, COUNT(*) AS n_docs,
+           {G.round_sql("AVG(quality_score)", 6)} AS avg_score,
+           {G.round_sql("MIN(quality_score)", 6)} AS min_score,
+           {G.round_sql("MAX(quality_score)", 6)} AS max_score
+    FROM (
+      SELECT quality_score,
+             1 + {" + ".join(
+                 f"(quality_score > th[{i + 1}])::INT"
+                 for i in range(len(_DECILE_QS)))} AS decile
+      FROM q CROSS JOIN t
+    )
+    GROUP BY decile
+    """,
+)
+def quality_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Score calibration: decile boundaries of the corpus quality score,
+    then per-decile doc counts and score ranges — the sanity pass before
+    quality-thresholded filtering or quality-weighted sampling commits to
+    a cutoff.
+
+    Scale shape: the naive form is NTILE over a global sort — a single
+    giant sort partition, the skew stall. This form computes the 9
+    thresholds in ONE percentile aggregate (a tiny 1-row result), then
+    assigns buckets map-side via a broadcast cross join and comparison
+    chain — one scan + one broadcast, no global sort. At 100 TB the
+    threshold pass swaps to approx_percentile (same shape, sketch
+    state); exact here so the DuckDB oracle is deterministic."""
+    q = text_quality(spark, sf_dir).select("doc_id", "quality_score")
+    th = q.agg(
+        F.expr(
+            "percentile(quality_score, array("
+            + ", ".join(f"{x}D" for x in _DECILE_QS)
+            + "))"
+        ).alias("th")
+    )
+    decile = F.lit(1)
+    for i in range(len(_DECILE_QS)):
+        decile = decile + (
+            F.col("quality_score") > F.element_at("th", i + 1)
+        ).cast("int")
+    return (
+        q.crossJoin(F.broadcast(th))
+        .select("quality_score", decile.alias("decile"))
+        .groupBy("decile")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            round2(F.avg("quality_score"), 6).alias("avg_score"),
+            round2(F.min("quality_score"), 6).alias("min_score"),
+            round2(F.max("quality_score"), 6).alias("max_score"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
 # Deterministic train/val/test split (operators/sampling.py)
 # --------------------------------------------------------------------------
 

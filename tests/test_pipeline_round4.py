@@ -297,3 +297,21 @@ def test_table_profile_single_scan(spark, sf_dir):
     assert rows["o_orderkey"]["n_distinct"] > 0
     assert rows["o_orderstatus"]["min_num"] is None
     assert rows["o_totalprice"]["min_num"] <= rows["o_totalprice"]["max_num"]
+
+
+def test_quality_deciles_shape(spark, sf_dir):
+    """Deciles are 1..10, monotone in score ranges, counts sum to the
+    corpus, and the plan has no global-sort window (threshold broadcast,
+    not NTILE)."""
+    from fund_data_etl_pipeline_spark.plans.textops import quality_deciles
+    from fund_data_etl_pipeline_spark.sources import load_table
+
+    df = quality_deciles(spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "Window" not in plan  # no ntile-over-global-sort
+    rows = sorted(df.collect(), key=lambda r: r["decile"])
+    n_docs = load_table(spark, sf_dir, "documents").count()
+    assert sum(r["n_docs"] for r in rows) == n_docs
+    assert [r["decile"] for r in rows] == list(range(1, len(rows) + 1))
+    for a, b in zip(rows, rows[1:]):
+        assert a["max_score"] <= b["min_score"] + 1e-9
