@@ -252,16 +252,17 @@ _DECILE_QS = [round(0.1 * i, 1) for i in range(1, 10)]
         FROM (SELECT doc_id, text, {G.WORDS} AS w FROM documents)
       )
     ),
-    t AS (SELECT quantile_cont(quality_score,
-                 [{", ".join(str(x) for x in _DECILE_QS)}]) AS th FROM q)
+    t AS (SELECT list_transform(quantile_cont(quality_score,
+                 [{", ".join(str(x) for x in _DECILE_QS)}]), x -> CAST(FLOOR(x * 1000000 + 0.5) AS BIGINT)) AS th FROM q)
     SELECT decile, COUNT(*) AS n_docs,
            {G.round_sql("AVG(quality_score)", 6)} AS avg_score,
            {G.round_sql("MIN(quality_score)", 6)} AS min_score,
            {G.round_sql("MAX(quality_score)", 6)} AS max_score
     FROM (
       SELECT quality_score,
+             CAST(FLOOR(quality_score * 1000000 + 0.5) AS BIGINT) AS qs_m,
              1 + {" + ".join(
-                 f"(quality_score > th[{i + 1}])::INT"
+                 f"(qs_m > th[{i + 1}])::INT"
                  for i in range(len(_DECILE_QS)))} AS decile
       FROM q CROSS JOIN t
     )
@@ -280,20 +281,31 @@ def quality_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
     assigns buckets map-side via a broadcast cross join and comparison
     chain — one scan + one broadcast, no global sort. At 100 TB the
     threshold pass swaps to approx_percentile (same shape, sketch
-    state); exact here so the DuckDB oracle is deterministic."""
+    state); exact here so the DuckDB oracle is deterministic.
+
+    Boundary robustness: interpolated thresholds routinely land ON tied
+    6-decimal scores, where ~1e-15 of cross-engine float dust flips a
+    `score > threshold` comparison (observed at sf0.1: 502 docs moved a
+    decile). Both engines therefore compare in integer MICRO-UNITS —
+    round(score*1e6) vs round(threshold*1e6) as BIGINT — so the bucket
+    rule involves no floating-point comparison at all."""
     q = text_quality(spark, sf_dir).select("doc_id", "quality_score")
     th = q.agg(
-        F.expr(
-            "percentile(quality_score, array("
-            + ", ".join(f"{x}D" for x in _DECILE_QS)
-            + "))"
+        F.transform(
+            F.expr(
+                "percentile(quality_score, array("
+                + ", ".join(f"{x}D" for x in _DECILE_QS)
+                + "))"
+            ),
+            lambda x: F.floor(x * 1_000_000 + F.lit(0.5)).cast("bigint"),
         ).alias("th")
+    )
+    qs_m = F.floor(F.col("quality_score") * 1_000_000 + F.lit(0.5)).cast(
+        "bigint"
     )
     decile = F.lit(1)
     for i in range(len(_DECILE_QS)):
-        decile = decile + (
-            F.col("quality_score") > F.element_at("th", i + 1)
-        ).cast("int")
+        decile = decile + (qs_m > F.element_at("th", i + 1)).cast("int")
     return (
         q.crossJoin(F.broadcast(th))
         .select("quality_score", decile.alias("decile"))
