@@ -1,3 +1,3 @@
-from .numeric import round2
+from .numeric import cents, round2
 
-__all__ = ["round2"]
+__all__ = ["cents", "round2"]

@@ -21,3 +21,17 @@ def round2(col: Column | str, scale: int = 2) -> Column:
     c = F.col(col) if isinstance(col, str) else col
     p = F.lit(float(10**scale))
     return F.signum(c) * F.floor(F.abs(c) * p + F.lit(0.5)) / p
+
+
+def cents(col: Column | str) -> Column:
+    """Exact integer cents of a 2-decimal DOUBLE (money/value columns).
+
+    Sums of 2-decimal doubles are NOT associative-exact — engines that
+    accumulate in different orders diverge by ~1e-13 relative, which
+    crosses a 6-decimal rounding boundary often enough to fail hash
+    comparison on large groups (observed: events_sliding_window at
+    sf0.1). Summing exact BIGINT cents instead makes the aggregate
+    order-independent; convert back AFTER the aggregate:
+    ``round2(sum(cents)/100.0, 2)``."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.floor(c * 100 + F.lit(0.5)).cast("bigint")

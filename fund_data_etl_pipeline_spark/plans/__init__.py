@@ -54,12 +54,12 @@ def load_all() -> None:
 
 
 # Round-4 rotation policy: the driver caps its correctness sweep at ~50
-# queries (in registry order) while 79 are registered, so ordering decides
+# queries (in registry order) while 85 are registered, so ordering decides
 # who gets a row. Invariant maintained: every query holds a GREEN driver
 # row within the last two rounds. This round's front: the 28 queries whose
 # only green row is round 2 (they sat past the cap in round 3 — the
-# two-round window closes on them NOW), the queries whose code or oracle
-# changed this round (must re-prove), and the one first-appearance query.
+# two-round window closes on them NOW), every query whose code or oracle
+# changed this round (must re-prove), and the 7 first-appearance queries.
 PRIORITY = [
     # only green row is r2 — re-prove or the invariant breaks
     "window_running",
@@ -107,6 +107,11 @@ PRIORITY = [
     "zorder_layout",
     "table_profile",
     "quality_deciles",
+    # round-4 exact-cents hardening (code changed; must re-prove):
+    # window_running is already listed above; these two moved back out
+    # of DEPRIORITY for the same reason
+    "events_sliding_window",
+    "agg_stats",
 ]
 
 
@@ -117,9 +122,11 @@ PRIORITY = [
 # unlisted queries (r3-green, diverse machinery) sit between PRIORITY and
 # this list in registration order and fill the remaining checked slots.
 DEPRIORITY = [
-    # sliding-window machinery shared with the checked tumbling/session
-    # forms; r3-green
-    "events_sliding_window",
+    # keep-best window machinery shared with the checked leakage split's
+    # CC stage and dedup_groups_star; r3-green
+    "dedup_canonical",
+    # when-cascade machinery also inside the checked fund_dividend
+    "fund_classify",
     # SQL-only machinery (scalar-subquery rewrite, json path agg,
     # event-time as-of join) re-proven in r3
     "correlated_subquery",
@@ -137,7 +144,6 @@ DEPRIORITY = [
     "except_nations",
     "cast_round_coerce",
     "isin_filter",
-    "agg_stats",
     "derived_arithmetic",
     "text_token_count",
     "dedup_ngram_jaccard",

@@ -95,3 +95,8 @@ def round_sql(expr: str, scale: int) -> str:
 
 BPE_RE_SQL = BPE_TOKEN_RE.replace("\\", "\\\\") if False else BPE_TOKEN_RE
 NORM_MD5 = f"md5(regexp_replace(lower(trim(text)), '{WS_RE}', ' ', 'g'))"
+
+
+def cents_sql(expr: str) -> str:
+    """DuckDB twin of functions.numeric.cents (exact BIGINT cents)."""
+    return f"CAST(FLOOR({expr} * 100 + 0.5) AS BIGINT)"

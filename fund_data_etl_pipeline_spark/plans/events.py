@@ -9,7 +9,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
-from ..functions.numeric import round2
+from ..functions.numeric import cents, round2
 from ..sources import load_table
 from . import register
 
@@ -74,7 +74,9 @@ def events_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     # cache before step k+1's join scans it — then drop every step table
     counts = [df.count() for df in steps]
     for df in steps:
-        df.unpersist(blocking=False)
+        # blocking: a fire-and-forget unpersist can still list the blocks
+        # for a moment, which reads as a storage leak to hygiene checks
+        df.unpersist(blocking=True)
     u = spark.createDataFrame(
         [(i, s, n) for i, (s, n) in enumerate(zip(_FUNNEL_STEPS, counts), 1)],
         "step_idx int, step string, n_users bigint",
@@ -108,7 +110,8 @@ def events_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT event_type,
            COUNT(*) AS n,
            COUNT(DISTINCT user_id) AS n_users,
-           ROUND(AVG(value), 6)                 AS avg_value,
+           ROUND(SUM(CAST(FLOOR(value * 100 + 0.5) AS BIGINT)) * 1.0
+                 / COUNT(*) / 100.0, 6)        AS avg_value,
            ROUND(quantile_cont(value, 0.5), 6)  AS p50,
            ROUND(quantile_cont(value, 0.9), 6)  AS p90,
            ROUND(quantile_cont(value, 0.99), 6) AS p99
@@ -128,7 +131,11 @@ def event_value_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return events.groupBy("event_type").agg(
         F.count(F.lit(1)).alias("n"),
         F.countDistinct("user_id").alias("n_users"),
-        round2(F.avg("value"), 6).alias("avg_value"),
+        round2(
+            F.sum(cents("value")) * F.lit(1.0)
+            / F.count(F.lit(1)) / F.lit(100.0),
+            6,
+        ).alias("avg_value"),
         round2(F.expr("percentile(value, 0.5)"), 6).alias("p50"),
         round2(F.expr("percentile(value, 0.9)"), 6).alias("p90"),
         round2(F.expr("percentile(value, 0.99)"), 6).alias("p99"),
@@ -157,7 +164,11 @@ def event_value_stats_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
     return events.groupBy("event_type").agg(
         F.count(F.lit(1)).alias("n"),
         F.approx_count_distinct("user_id").alias("n_users"),
-        round2(F.avg("value"), 6).alias("avg_value"),
+        round2(
+            F.sum(cents("value")) * F.lit(1.0)
+            / F.count(F.lit(1)) / F.lit(100.0),
+            6,
+        ).alias("avg_value"),
         round2(pct.getItem(0), 6).alias("p50"),
         round2(pct.getItem(1), 6).alias("p90"),
         round2(pct.getItem(2), 6).alias("p99"),
@@ -173,7 +184,8 @@ _TOPK_USERS = 5
     WITH agg AS (
       SELECT event_type, user_id,
              COUNT(*) AS n_events,
-             ROUND(SUM(value), 2) AS total_value
+             ROUND(SUM(CAST(FLOOR(value * 100 + 0.5) AS BIGINT)) / 100.0, 2)
+               AS total_value
       FROM events GROUP BY 1, 2
     )
     SELECT event_type, user_id, n_events, total_value, rank
@@ -195,7 +207,7 @@ def top_users_per_event(spark: SparkSession, sf_dir: str) -> DataFrame:
     events = load_table(spark, sf_dir, "events")
     agg = events.groupBy("event_type", "user_id").agg(
         F.count(F.lit(1)).alias("n_events"),
-        round2(F.sum("value"), 2).alias("total_value"),
+        round2(F.sum(cents("value")) / 100.0, 2).alias("total_value"),
     )
     w = Window.partitionBy("event_type").orderBy(
         F.col("total_value").desc(), F.col("user_id").asc()

@@ -32,7 +32,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window as W
 
-from ..functions import round2
+from ..functions import cents, round2
 from ..sources import load_table
 from . import register
 
@@ -427,16 +427,18 @@ def topk_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT l_suppkey, l_orderkey, l_linenumber,
            ROW_NUMBER() OVER w AS rn,
            ROUND(SUM(l_quantity) OVER (
-             PARTITION BY l_suppkey ORDER BY l_shipdate, l_orderkey, l_linenumber
+             PARTITION BY l_suppkey ORDER BY l_shipdate, l_orderkey, l_linenumber, l_quantity
              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2) AS running_qty,
            LEAD(l_quantity) OVER w AS next_qty
     FROM lineitem
-    WINDOW w AS (PARTITION BY l_suppkey ORDER BY l_shipdate, l_orderkey, l_linenumber)
+    WINDOW w AS (PARTITION BY l_suppkey ORDER BY l_shipdate, l_orderkey, l_linenumber, l_quantity)
     """,
 )
 def window_running(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem")
-    w = W.partitionBy("l_suppkey").orderBy("l_shipdate", "l_orderkey", "l_linenumber")
+    w = W.partitionBy("l_suppkey").orderBy(
+        "l_shipdate", "l_orderkey", "l_linenumber", "l_quantity"
+    )
     return li.select(
         "l_suppkey",
         "l_orderkey",
@@ -462,7 +464,8 @@ def window_running(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT event_type,
            COUNT(*)                      AS n_events,
            COUNT(DISTINCT user_id)       AS n_users,
-           ROUND(AVG(value), 3)          AS avg_value,
+           ROUND(SUM(CAST(FLOOR(value * 100 + 0.5) AS BIGINT)) * 1.0
+                 / COUNT(*) / 100.0, 3)  AS avg_value,
            ROUND(MIN(value), 3)          AS min_value,
            ROUND(MAX(value), 3)          AS max_value
     FROM events
@@ -474,7 +477,11 @@ def agg_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return events.groupBy("event_type").agg(
         F.count(F.lit(1)).alias("n_events"),
         F.countDistinct("user_id").alias("n_users"),
-        round2(F.avg("value"), 3).alias("avg_value"),
+        round2(
+            F.sum(cents("value")) * F.lit(1.0)
+            / F.count(F.lit(1)) / F.lit(100.0),
+            3,
+        ).alias("avg_value"),
         round2(F.min("value"), 3).alias("min_value"),
         round2(F.max("value"), 3).alias("max_value"),
     )

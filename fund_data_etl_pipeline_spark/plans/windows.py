@@ -14,8 +14,9 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
-from ..functions.numeric import round2
+from ..functions.numeric import cents, round2
 from ..sources import load_table
+from . import _sqlgen as G
 from . import register
 
 _TS_FMT = "yyyy-MM-dd HH:mm:ss"
@@ -36,10 +37,12 @@ def _win_cols(prefix: str = "window") -> list:
                     '%Y-%m-%d %H:%M:%S') AS window_end,
            event_type,
            COUNT(*) AS n,
-           ROUND(SUM(value), 2) AS sum_value
+           -- exact BIGINT cents: double sums diverge across engines by
+           -- accumulation order on large groups (see functions.numeric.cents)
+           ROUND(SUM({c}) / 100.0, 2) AS sum_value
     FROM events
     GROUP BY 1, 2, 3
-    """,
+    """.format(c=G.cents_sql("value")),
 )
 def events_tumbling_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     events = load_table(spark, sf_dir, "events")
@@ -47,7 +50,7 @@ def events_tumbling_window(spark: SparkSession, sf_dir: str) -> DataFrame:
         events.groupBy(F.window("ts", "1 hour"), "event_type")
         .agg(
             F.count(F.lit(1)).alias("n"),
-            round2(F.sum("value"), 2).alias("sum_value"),
+            round2(F.sum(cents("value")) / 100.0, 2).alias("sum_value"),
         )
         .select(*_win_cols(), "event_type", "n", "sum_value")
     )
@@ -65,12 +68,12 @@ def events_tumbling_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT strftime(s, '%Y-%m-%d %H:%M:%S') AS window_start,
            strftime(s + INTERVAL 1 HOUR, '%Y-%m-%d %H:%M:%S') AS window_end,
            COUNT(*) AS n,
-           -- 6dp: beyond the exact decimal precision of avg(2dp values),
-           -- so the rounding never sits on a half-way boundary
-           ROUND(AVG(value), 6) AS avg_value
+           -- exact BIGINT cents before the division: double AVG diverges
+           -- across engines by accumulation order on large groups
+           ROUND(SUM({c}) * 1.0 / COUNT(*) / 100.0, 6) AS avg_value
     FROM starts
     GROUP BY 1, 2
-    """,
+    """.format(c=G.cents_sql("value")),
 )
 def events_sliding_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     """1-hour windows sliding every 30 minutes: each event lands in 2."""
@@ -79,7 +82,11 @@ def events_sliding_window(spark: SparkSession, sf_dir: str) -> DataFrame:
         events.groupBy(F.window("ts", "1 hour", "30 minutes"))
         .agg(
             F.count(F.lit(1)).alias("n"),
-            round2(F.avg("value"), 6).alias("avg_value"),
+            round2(
+                F.sum(cents("value")) * F.lit(1.0)
+                / F.count(F.lit(1)) / F.lit(100.0),
+                6,
+            ).alias("avg_value"),
         )
         .select(*_win_cols(), "n", "avg_value")
     )
@@ -109,10 +116,10 @@ def events_sliding_window(spark: SparkSession, sf_dir: str) -> DataFrame:
            strftime(MIN(ts), '%Y-%m-%d %H:%M:%S') AS session_start,
            strftime(MAX(ts) + INTERVAL 10 MINUTES, '%Y-%m-%d %H:%M:%S') AS session_end,
            COUNT(*) AS n_events,
-           ROUND(SUM(value), 2) AS sum_value
+           ROUND(SUM({c}) / 100.0, 2) AS sum_value
     FROM islands
     GROUP BY user_id, session_id
-    """,
+    """.format(c=G.cents_sql("value")),
 )
 def events_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-user session windows with a 10-minute inactivity gap — Spark's
@@ -122,7 +129,7 @@ def events_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
         events.groupBy(F.session_window("ts", "10 minutes"), "user_id")
         .agg(
             F.count(F.lit(1)).alias("n_events"),
-            round2(F.sum("value"), 2).alias("sum_value"),
+            round2(F.sum(cents("value")) / 100.0, 2).alias("sum_value"),
         )
         .select(
             "user_id",
