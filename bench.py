@@ -65,6 +65,12 @@ HEADLINE = [
     "doc_chunking",
     "leakage_safe_split",
     "zorder_layout",
+    # change-feed maintenance (CDC compaction / SCD2 history), robust
+    # stats, and the TPC-H Q3 multi-join shape
+    "cdc_latest_snapshot",
+    "scd2_intervals",
+    "event_value_winsorized",
+    "shipping_priority_topk",
 ]
 
 

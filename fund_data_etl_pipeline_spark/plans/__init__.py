@@ -41,6 +41,7 @@ def register(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryF
 def load_all() -> None:
     """Import every plan module so registration side effects run."""
     from . import (  # noqa: F401
+        changefeed,
         dedup,
         events,
         fundetl,
@@ -107,6 +108,10 @@ PRIORITY = [
     "zorder_layout",
     "table_profile",
     "quality_deciles",
+    "cdc_latest_snapshot",
+    "scd2_intervals",
+    "event_value_winsorized",
+    "shipping_priority_topk",
     # round-4 exact-cents hardening (code changed; must re-prove):
     # window_running is already listed above; these two moved back out
     # of DEPRIORITY for the same reason
@@ -122,6 +127,16 @@ PRIORITY = [
 # unlisted queries (r3-green, diverse machinery) sit between PRIORITY and
 # this list in registration order and fill the remaining checked slots.
 DEPRIORITY = [
+    # r3-green, displaced by the four round-4 first-appearance queries
+    # (cdc/scd2/winsorize/q3): machinery covered by checked peers —
+    # agg-then-window by quality_deciles + top-k forms, C4 signal columns
+    # by corpus_curation, hash-bucket sampling by stratified_sample /
+    # epoch_shuffle, tumbling window by the checked sliding/session forms.
+    # They rotate back into PRIORITY next round (two-round-green window).
+    "top_users_per_event",
+    "text_c4_filters",
+    "quality_weighted_sample",
+    "events_tumbling_window",
     # keep-best window machinery shared with the checked leakage split's
     # CC stage and dedup_groups_star; r3-green
     "dedup_canonical",

@@ -9,7 +9,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..functions.numeric import round2
+from ..functions.numeric import cents, round2
 from ..operators.joins import asof_join, salted_agg
 from ..sources import load_table
 from . import register
@@ -382,3 +382,75 @@ def table_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         ]
     )
     return one.select(F.explode(entries).alias("e")).select("e.*")
+
+
+# --------------------------------------------------------------------------
+# TPC-H Q3-shaped shipping-priority top-k: the canonical 3-table
+# fact-to-fact join the optimizer must order correctly.
+# --------------------------------------------------------------------------
+
+_Q3_SEGMENT = "BUILDING"
+_Q3_DATE = "1997-06-30"
+
+
+@register(
+    "shipping_priority_topk",
+    oracle=f"""
+    SELECT l_orderkey,
+           ROUND(SUM(CAST(FLOOR(l_extendedprice * (1 - l_discount) * 100 + 0.5)
+                          AS BIGINT)) / 100.0, 2) AS revenue,
+           strftime(o_orderdate, '%Y-%m-%d') AS o_orderdate,
+           o_orderpriority
+    FROM customer
+    JOIN orders   ON c_custkey = o_custkey
+    JOIN lineitem ON l_orderkey = o_orderkey
+    WHERE c_mktsegment = '{_Q3_SEGMENT}'
+      AND o_orderdate < TIMESTAMP '{_Q3_DATE}'
+      AND l_shipdate  > TIMESTAMP '{_Q3_DATE}'
+    GROUP BY l_orderkey, o_orderdate, o_orderpriority
+    ORDER BY revenue DESC, l_orderkey
+    LIMIT 10
+    """,
+)
+def shipping_priority_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q3 shape: unshipped-revenue top-10 over customer ⋈ orders ⋈
+    lineitem with segment + date predicates — the multi-join aggregate
+    whose join ORDER the optimizer must get right.
+
+    Scale shape: all three predicates reach their parquet scans as
+    PushedFilters; the segment-filtered customer keyset is tiny (1/5 of a
+    dimension-sized table) and carries an explicit ``broadcast()`` hint,
+    so orders never shuffles for it — the only exchange is the
+    orders ⋈ lineitem equi-join on orderkey, which AQE co-partitions,
+    followed by a partial+final hash agg on the same key (no second
+    shuffle: the agg key contains the join key). TakeOrderedAndProject
+    caps the sort at k rows per partition — no global sort materializes.
+
+    Cross-engine exactness: per-row revenue quantizes to BIGINT cents
+    before the sum, so the group totals — and therefore the top-10
+    ordering — are addition-order-independent; ties break on l_orderkey.
+    """
+    cust = load_table(spark, sf_dir, "customer").filter(
+        F.col("c_mktsegment") == _Q3_SEGMENT
+    )
+    orders = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") < F.lit(_Q3_DATE).cast("timestamp")
+    )
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") > F.lit(_Q3_DATE).cast("timestamp")
+    )
+    rev_c = cents(F.col("l_extendedprice") * (1 - F.col("l_discount")))
+    return (
+        li.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(cust), F.col("o_custkey") == F.col("c_custkey"))
+        .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(round2(F.sum(rev_c) / 100.0, 2).alias("revenue"))
+        .select(
+            "l_orderkey",
+            "revenue",
+            F.date_format("o_orderdate", "yyyy-MM-dd").alias("o_orderdate"),
+            "o_orderpriority",
+        )
+        .orderBy(F.col("revenue").desc(), "l_orderkey")
+        .limit(10)
+    )

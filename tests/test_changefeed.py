@@ -1,0 +1,123 @@
+"""Change-feed maintenance queries (plans/changefeed.py) and the TPC-H
+Q3-shaped join: semantics + the physical-plan shapes the scale story
+rests on."""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+
+
+def _physical_plan(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_cdc_snapshot_one_row_per_key_latest_wins(spark, sf_dir):
+    from fund_data_etl_pipeline_spark.plans.changefeed import cdc_latest_snapshot
+    from fund_data_etl_pipeline_spark.sources import load_table
+
+    snap = cdc_latest_snapshot(spark, sf_dir)
+    rows = snap.collect()
+    keys = {(r["user_id"], r["event_type"]) for r in rows}
+    assert len(keys) == len(rows), "snapshot must be unique per key"
+
+    events = load_table(spark, sf_dir, "events")
+    assert sum(r["n_changes"] for r in rows) == events.count()
+
+    # spot-check: the reported last_event_id really is the max-(ts,
+    # event_id) change for its key
+    some = rows[0]
+    feed = (
+        events.filter(
+            (F.col("user_id") == some["user_id"])
+            & (F.col("event_type") == some["event_type"])
+        )
+        .orderBy(F.col("ts").desc(), F.col("event_id").desc())
+        .first()
+    )
+    assert feed["event_id"] == some["last_event_id"]
+
+
+def test_cdc_snapshot_partial_aggregates_before_shuffle(spark, sf_dir):
+    """The compaction must be an aggregate with a map-side partial pass
+    (shuffle moves |keys| rows, not |changes|) — NOT a row_number window
+    (which would sort the whole feed inside each key partition)."""
+    from fund_data_etl_pipeline_spark.plans.changefeed import cdc_latest_snapshot
+
+    plan = _physical_plan(cdc_latest_snapshot(spark, sf_dir))
+    assert "Window" not in plan
+    # two aggregate operators (partial + final) around the exchange
+    assert plan.count("Aggregate") >= 2
+
+
+def test_scd2_intervals_chain_and_current_flag(spark, sf_dir):
+    from fund_data_etl_pipeline_spark.plans.changefeed import scd2_intervals
+
+    hist = scd2_intervals(spark, sf_dir).collect()
+    by_key: dict[tuple, list] = {}
+    for r in hist:
+        by_key.setdefault((r["user_id"], r["event_type"]), []).append(r)
+    for rows in by_key.values():
+        rows.sort(key=lambda r: r["version"])
+        assert [r["version"] for r in rows] == list(range(1, len(rows) + 1))
+        # intervals chain: each version's valid_to is the next's valid_from
+        for a, b in zip(rows, rows[1:]):
+            assert a["valid_to"] == b["valid_from"]
+            assert not a["is_current"]
+        assert rows[-1]["is_current"] and rows[-1]["valid_to"] is None
+
+
+def test_scd2_single_window_shuffle(spark, sf_dir):
+    """Version + closing timestamp must come from ONE window over the key
+    (a single exchange), never a self-join of the feed."""
+    from fund_data_etl_pipeline_spark.plans.changefeed import scd2_intervals
+
+    plan = _physical_plan(scd2_intervals(spark, sf_dir))
+    assert "Join" not in plan
+    assert plan.count("Exchange") == 1
+
+
+def test_winsorized_bounds_and_robustness(spark, sf_dir):
+    from fund_data_etl_pipeline_spark.plans.changefeed import (
+        event_value_winsorized,
+    )
+    from fund_data_etl_pipeline_spark.plans.events import event_value_stats
+
+    win = {r["event_type"]: r for r in event_value_winsorized(spark, sf_dir).collect()}
+    exact = {r["event_type"]: r for r in event_value_stats(spark, sf_dir).collect()}
+    assert set(win) == set(exact)
+    for et, w in win.items():
+        assert w["lo_value"] <= w["hi_value"]
+        # clipped mean lives inside the clip bounds
+        assert w["lo_value"] - 0.01 <= w["avg_winsorized"] <= w["hi_value"] + 0.01
+        # ~5% of rows clip on each side (fuzzy: ties move the boundary)
+        assert w["n_clip_lo"] <= 0.10 * w["n"] + 2
+        assert w["n_clip_hi"] <= 0.10 * w["n"] + 2
+        assert w["n"] == exact[et]["n"]
+
+
+def test_winsorized_thresholds_broadcast(spark, sf_dir):
+    """The per-type thresholds must reach the clip pass via a broadcast
+    join — the corpus never shuffles for them."""
+    from fund_data_etl_pipeline_spark.plans.changefeed import (
+        event_value_winsorized,
+    )
+
+    plan = _physical_plan(event_value_winsorized(spark, sf_dir))
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_shipping_priority_matches_duckdb_shape(spark, sf_dir):
+    from fund_data_etl_pipeline_spark.plans.relational2 import (
+        shipping_priority_topk,
+    )
+
+    df = shipping_priority_topk(spark, sf_dir)
+    rows = df.collect()
+    assert len(rows) <= 10
+    revs = [r["revenue"] for r in rows]
+    assert revs == sorted(revs, reverse=True)
+    plan = _physical_plan(df)
+    # the filtered customer side must broadcast; top-k must not globally sort
+    assert "BroadcastHashJoin" in plan
+    assert "TakeOrderedAndProject" in plan
