@@ -54,14 +54,20 @@ def cdc_latest_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale shape: ``max_by(payload, (ts, event_id))`` is a hash aggregate
     with map-side partial merge — each task keeps ONE candidate row per
-    key, so the shuffle moves |keys| rows, not |changes|. The naive
+    key, so the shuffle moves one row per key, not per change. The naive
     row_number-over-window form (what the oracle runs) must instead
     shuffle and SORT every change within each key partition — at 100 TB of
     change log against a much smaller key space, partial aggregation is
     the difference between moving the log and moving the snapshot.
     event_id breaks exact-timestamp ties so the "latest" row is
     deterministic on both engines."""
-    events = load_table(spark, sf_dir, "events")
+    return latest_snapshot(load_table(spark, sf_dir, "events"))
+
+
+def latest_snapshot(events: DataFrame) -> DataFrame:
+    """The compaction aggregate itself, reusable on any change-feed frame
+    (the streaming twin ``streaming/stateful.streaming_cdc_snapshot``
+    asserts row parity against this batch form in pytest)."""
     ord_key = F.struct(F.col("ts"), F.col("event_id"))
     return events.groupBy("user_id", "event_type").agg(
         F.date_format(F.max_by(F.col("ts"), ord_key), _TS_FMT).alias("last_ts"),
