@@ -71,6 +71,7 @@ HEADLINE = [
     "scd2_intervals",
     "event_value_winsorized",
     "shipping_priority_topk",
+    "cdc_incremental_merge",
 ]
 
 

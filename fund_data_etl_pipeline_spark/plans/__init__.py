@@ -112,6 +112,7 @@ PRIORITY = [
     "scd2_intervals",
     "event_value_winsorized",
     "shipping_priority_topk",
+    "cdc_incremental_merge",
     # round-4 exact-cents hardening (code changed; must re-prove):
     # window_running is already listed above; these two moved back out
     # of DEPRIORITY for the same reason
@@ -137,6 +138,9 @@ DEPRIORITY = [
     "text_c4_filters",
     "quality_weighted_sample",
     "events_tumbling_window",
+    # r3-green, displaced by cdc_incremental_merge: per-user window-MIN
+    # machinery also inside the checked scd2_intervals window family
+    "user_retention_cohorts",
     # keep-best window machinery shared with the checked leakage split's
     # CC stage and dedup_groups_star; r3-green
     "dedup_canonical",

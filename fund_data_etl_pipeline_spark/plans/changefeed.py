@@ -199,3 +199,76 @@ def event_value_winsorized(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(wv) * F.lit(1.0) / F.count(F.lit(1)) / F.lit(100.0), 6
         ).alias("avg_winsorized"),
     )
+
+
+_MERGE_CUTOFF = "2024-01-15"
+
+
+@register(
+    "cdc_incremental_merge",
+    # invariant oracle: merging the pre-cutoff snapshot with the
+    # post-cutoff delta must equal compacting the WHOLE feed — the same
+    # SQL as cdc_latest_snapshot
+    oracle=f"""
+    SELECT user_id, event_type,
+           strftime(ts, '{_TS_FMT_SQL}') AS last_ts,
+           event_id                      AS last_event_id,
+           ROUND(value, 2)               AS last_value,
+           n_changes
+    FROM (
+      SELECT *,
+             COUNT(*) OVER (PARTITION BY user_id, event_type) AS n_changes,
+             ROW_NUMBER() OVER (PARTITION BY user_id, event_type
+                                ORDER BY ts DESC, event_id DESC) AS rn
+      FROM events
+    ) WHERE rn = 1
+    """,
+)
+def cdc_incremental_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental snapshot maintenance: compact only the NEW slice of the
+    change feed and merge it onto the existing snapshot — the
+    incremental-view-maintenance shape that never recompacts the historic
+    log. The oracle is the full-feed compaction, so the query PROVES the
+    invariant merge(snapshot(<t), compact(>=t)) == snapshot(all).
+
+    Scale shape: the historic feed is touched only through its (much
+    smaller) snapshot; the delta compaction shuffles delta-sized data; the
+    merge is a key-equi full-outer join of two snapshot-sized tables — on
+    a cluster both sides are bucketed by the key, so the merge is
+    co-partitioned with no extra exchange. Conflict resolution is a pure
+    expression: the lexicographically greater (last_ts, last_event_id)
+    struct wins (the formatted timestamp string orders chronologically),
+    change counts add."""
+    events = load_table(spark, sf_dir, "events")
+    cutoff = F.lit(_MERGE_CUTOFF).cast("timestamp")
+    base = latest_snapshot(events.filter(F.col("ts") < cutoff))
+    delta = latest_snapshot(events.filter(F.col("ts") >= cutoff))
+    return merge_snapshots(base, delta)
+
+
+def merge_snapshots(base: DataFrame, delta: DataFrame) -> DataFrame:
+    """Apply a compacted delta onto a snapshot (both in
+    ``latest_snapshot`` layout): per key the later (last_ts,
+    last_event_id) payload wins, n_changes accumulates."""
+    key = ["user_id", "event_type"]
+
+    def packed(df: DataFrame, tag: str) -> DataFrame:
+        return df.select(
+            *key,
+            F.struct("last_ts", "last_event_id", "last_value").alias(f"p_{tag}"),
+            F.col("n_changes").alias(f"n_{tag}"),
+        )
+
+    j = packed(base, "b").join(packed(delta, "d"), key, "full_outer")
+    # greatest() skips NULLs (one-sided keys) and orders structs
+    # lexicographically — (string ts, event_id) is the change order
+    win = F.greatest(F.col("p_b"), F.col("p_d"))
+    return j.select(
+        *key,
+        win["last_ts"].alias("last_ts"),
+        win["last_event_id"].alias("last_event_id"),
+        win["last_value"].alias("last_value"),
+        (
+            F.coalesce(F.col("n_b"), F.lit(0)) + F.coalesce(F.col("n_d"), F.lit(0))
+        ).alias("n_changes"),
+    )

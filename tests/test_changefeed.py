@@ -198,3 +198,44 @@ def test_streaming_cdc_snapshot_parity_with_batch(spark, tmp_path):
         assert (
             s["last_ts"], s["last_event_id"], s["last_value"], s["n_changes"]
         ) == (e["last_ts"], e["last_event_id"], e["last_value"], e["n_changes"]), key
+
+
+def test_merge_snapshots_conflict_and_one_sided_keys(spark):
+    """merge_snapshots: delta wins only when its (last_ts, last_event_id)
+    is later; one-sided keys pass through; n_changes accumulates."""
+    from fund_data_etl_pipeline_spark.plans.changefeed import merge_snapshots
+
+    layout = (
+        "user_id long, event_type string, last_ts string,"
+        " last_event_id long, last_value double, n_changes long"
+    )
+    base = spark.createDataFrame(
+        [
+            (1, "click", "2026-01-15 10:00:00", 5, 1.0, 3),   # delta is later
+            (2, "view", "2026-01-15 12:00:00", 9, 2.0, 2),    # base is later
+            (3, "view", "2026-01-15 09:00:00", 2, 3.0, 1),    # base-only key
+            (4, "click", "2026-01-15 10:00:00", 7, 4.0, 1),   # ts tie: eid wins
+        ],
+        layout,
+    )
+    delta = spark.createDataFrame(
+        [
+            (1, "click", "2026-01-15 11:00:00", 6, 10.0, 1),
+            (2, "view", "2026-01-15 11:00:00", 8, 20.0, 1),
+            (5, "view", "2026-01-15 13:00:00", 11, 30.0, 2),  # delta-only key
+            (4, "click", "2026-01-15 10:00:00", 8, 40.0, 1),
+        ],
+        layout,
+    )
+    got = {
+        (r["user_id"], r["event_type"]): r
+        for r in merge_snapshots(base, delta).collect()
+    }
+    assert len(got) == 5
+    assert got[(1, "click")]["last_event_id"] == 6
+    assert got[(1, "click")]["n_changes"] == 4
+    assert got[(2, "view")]["last_event_id"] == 9  # later base survives delta
+    assert got[(2, "view")]["last_value"] == 2.0
+    assert got[(3, "view")]["n_changes"] == 1
+    assert got[(5, "view")]["last_value"] == 30.0
+    assert got[(4, "click")]["last_event_id"] == 8  # exact-ts tie -> higher eid

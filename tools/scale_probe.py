@@ -51,6 +51,11 @@ PROBE_QUERIES = [
     "top_users_per_event",
     "user_retention_cohorts",
     "events_funnel",
+    # round-4 change-feed maintenance + robust stats: agg/window-on-key
+    # shapes whose work is linear in the feed
+    "cdc_latest_snapshot",
+    "scd2_intervals",
+    "event_value_winsorized",
 ]
 
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
