@@ -72,6 +72,7 @@ HEADLINE = [
     "event_value_winsorized",
     "shipping_priority_topk",
     "cdc_incremental_merge",
+    "events_hourly_gapfill",
 ]
 
 

@@ -113,6 +113,7 @@ PRIORITY = [
     "event_value_winsorized",
     "shipping_priority_topk",
     "cdc_incremental_merge",
+    "events_hourly_gapfill",
     # round-4 exact-cents hardening (code changed; must re-prove):
     # window_running is already listed above; these two moved back out
     # of DEPRIORITY for the same reason
@@ -141,6 +142,9 @@ DEPRIORITY = [
     # r3-green, displaced by cdc_incremental_merge: per-user window-MIN
     # machinery also inside the checked scd2_intervals window family
     "user_retention_cohorts",
+    # r3-green, displaced by events_hourly_gapfill: event-time bucketing
+    # machinery also inside the checked sliding window + gapfill queries
+    "events_session_window",
     # keep-best window machinery shared with the checked leakage split's
     # CC stage and dedup_groups_star; r3-green
     "dedup_canonical",

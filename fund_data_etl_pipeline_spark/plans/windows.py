@@ -203,3 +203,95 @@ def user_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
             "retention_rate"
         ),
     )
+
+
+# --------------------------------------------------------------------------
+# Time-series gap fill: hourly resample + forward fill over a fixed grid
+# --------------------------------------------------------------------------
+
+_GAP_START = "2024-01-01 00:00:00"
+_GAP_END = "2024-01-05 23:00:00"
+
+
+@register(
+    "events_hourly_gapfill",
+    oracle=f"""
+    WITH obs AS (
+      SELECT event_type, time_bucket(INTERVAL 1 HOUR, ts) AS hour_ts,
+             COUNT(*) AS n,
+             SUM(CAST(FLOOR(value * 100 + 0.5) AS BIGINT)) AS v_c
+      FROM events
+      WHERE ts >= TIMESTAMP '{_GAP_START}'
+        AND ts < TIMESTAMP '{_GAP_END}' + INTERVAL 1 HOUR
+      GROUP BY 1, 2
+    ),
+    grid AS (
+      SELECT t.event_type, h.hour_ts
+      FROM (SELECT DISTINCT event_type FROM events) t
+      CROSS JOIN (SELECT unnest(generate_series(TIMESTAMP '{_GAP_START}',
+                    TIMESTAMP '{_GAP_END}', INTERVAL 1 HOUR)) AS hour_ts) h
+    )
+    SELECT event_type,
+           strftime(hour_ts, '%Y-%m-%d %H:%M:%S') AS hour_ts,
+           COALESCE(n, 0) AS n,
+           (n IS NOT NULL) AS is_observed,
+           ROUND(last_value(v_c IGNORE NULLS) OVER (
+               PARTITION BY event_type ORDER BY hour_ts
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+           ) / 100.0, 2) AS hourly_value_ffill
+    FROM grid LEFT JOIN obs USING (event_type, hour_ts)
+    """,
+)
+def events_hourly_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-series resampling with gap fill: hourly per-type totals on a
+    COMPLETE hour grid, empty hours forward-filled from the last observed
+    value — the regularization pass before charting, anomaly detection,
+    or feature windows that assume a dense series.
+
+    Scale shape: the heavy pass is the partial hash agg collapsing raw
+    events to (type, hour) rows — after that everything operates on the
+    tiny grid (|types| x |hours|): the grid generates map-side via one
+    sequence/explode, the observed rows broadcast-join onto it, and the
+    forward-fill window sorts only grid-sized partitions. The naive
+    formulation (window over raw events, or generating the grid per
+    event) never touches the fact table twice here. Hour totals sum in
+    BIGINT cents (order-independent); the fill is last-non-null over the
+    hour ordering, identical IGNORE NULLS contract both engines."""
+    events = load_table(spark, sf_dir, "events")
+    start = F.lit(_GAP_START).cast("timestamp")
+    end = F.lit(_GAP_END).cast("timestamp")
+    obs = (
+        events.filter(
+            (F.col("ts") >= start) & (F.col("ts") < end + F.expr("INTERVAL 1 HOUR"))
+        )
+        .groupBy("event_type", F.date_trunc("hour", "ts").alias("hour_ts"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(cents("value")).alias("v_c"),
+        )
+    )
+    grid = (
+        events.select("event_type")
+        .distinct()
+        .select(
+            "event_type",
+            F.explode(
+                F.sequence(start, end, F.expr("INTERVAL 1 HOUR"))
+            ).alias("hour_ts"),
+        )
+    )
+    j = grid.join(F.broadcast(obs), ["event_type", "hour_ts"], "left")
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("hour_ts")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return j.select(
+        "event_type",
+        F.date_format("hour_ts", _TS_FMT).alias("hour_ts"),
+        F.coalesce(F.col("n"), F.lit(0)).alias("n"),
+        F.col("n").isNotNull().alias("is_observed"),
+        round2(
+            F.last("v_c", ignorenulls=True).over(w) / 100.0, 2
+        ).alias("hourly_value_ffill"),
+    )

@@ -239,3 +239,28 @@ def test_merge_snapshots_conflict_and_one_sided_keys(spark):
     assert got[(3, "view")]["n_changes"] == 1
     assert got[(5, "view")]["last_value"] == 30.0
     assert got[(4, "click")]["last_event_id"] == 8  # exact-ts tie -> higher eid
+
+
+def test_hourly_gapfill_dense_grid_and_ffill(spark, sf_dir):
+    """Grid is complete per type; unobserved hours carry the last observed
+    value forward; hours before the first observation stay NULL."""
+    from fund_data_etl_pipeline_spark.plans.windows import events_hourly_gapfill
+
+    rows = events_hourly_gapfill(spark, sf_dir).collect()
+    by_type: dict[str, list] = {}
+    for r in rows:
+        by_type.setdefault(r["event_type"], []).append(r)
+    n_hours = {len(v) for v in by_type.values()}
+    assert len(n_hours) == 1, "every type must get the identical grid"
+    (hours,) = n_hours
+    assert hours == 120  # 5 days x 24
+    for series in by_type.values():
+        series.sort(key=lambda r: r["hour_ts"])
+        last = None
+        for r in series:
+            if r["is_observed"]:
+                assert r["n"] > 0
+                last = r["hourly_value_ffill"]
+            else:
+                assert r["n"] == 0
+                assert r["hourly_value_ffill"] == last  # None before first obs
