@@ -73,6 +73,12 @@ HEADLINE = [
     "shipping_priority_topk",
     "cdc_incremental_merge",
     "events_hourly_gapfill",
+    # deep multi-join shapes (TPC-H Q5/Q18), BM25 retrieval scoring, and
+    # the trailing-window anomaly gate
+    "local_supplier_revenue",
+    "large_order_customers",
+    "bm25_topk",
+    "events_anomaly_zscore",
 ]
 
 

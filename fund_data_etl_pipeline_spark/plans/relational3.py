@@ -1,0 +1,169 @@
+"""Deep multi-join relational shapes: TPC-H Q5 (region-local supplier
+revenue, a 6-table join with a cross-dimension equality) and Q18 (large-
+quantity orders, aggregate-as-semi-join-filter).
+
+Engine extension (the reference has no relational query surface beyond
+its ETL joins — SURVEY §2.5 note): these are the canonical "did the
+optimizer pick the right join order / join strategy" probes a Spark user
+runs, proven value-exact against DuckDB.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..functions.numeric import cents, round2
+from ..sources import load_table
+from . import register
+
+_Q5_REGION = "ASIA"
+_Q5_FROM = "1996-01-01"
+_Q5_TO = "1997-01-01"  # exclusive
+
+
+@register(
+    "local_supplier_revenue",
+    oracle=f"""
+    SELECT n_name,
+           ROUND(SUM(CAST(FLOOR(l_extendedprice * (1 - l_discount) * 100 + 0.5)
+                          AS BIGINT)) / 100.0, 2) AS revenue
+    FROM customer
+    JOIN orders   ON c_custkey = o_custkey
+    JOIN lineitem ON l_orderkey = o_orderkey
+    JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+    JOIN nation   ON s_nationkey = n_nationkey
+    JOIN region   ON n_regionkey = r_regionkey
+    WHERE r_name = '{_Q5_REGION}'
+      AND o_orderdate >= TIMESTAMP '{_Q5_FROM}'
+      AND o_orderdate <  TIMESTAMP '{_Q5_TO}'
+    GROUP BY n_name
+    ORDER BY revenue DESC, n_name
+    """,
+)
+def local_supplier_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q5 shape: revenue by nation where the ordering customer and
+    the supplying supplier sit in the SAME nation of one region — the
+    6-table join whose distinguishing feature is the non-key equality
+    c_nationkey = s_nationkey linking two otherwise-independent join
+    branches.
+
+    Scale shape: the o_orderdate range predicate reaches the orders scan
+    as a PushedFilter; the fact-side spine is the single shuffle
+    lineitem ⋈ orders on orderkey. region ⋈ nation collapses to a handful
+    of rows and rides a broadcast; customer and supplier get NO explicit
+    hint — at this corpus size AQE broadcasts them, while at 100 TB
+    (where TPC-H customer/supplier are fact-sized) the same plan falls
+    back to shuffle joins on custkey/suppkey — exactly the
+    strategy-by-statistics behavior you want, not something hand-pinned.
+    The same-nation predicate is applied as the supplier join's second
+    conjunct, so mismatching rows die inside the join instead of in a
+    post-join filter. Final agg groups 25 nations — partial map-side agg
+    collapses everything before one tiny exchange.
+
+    Cross-engine exactness: per-row revenue quantizes to BIGINT cents
+    before summing (order-independent); ties in the ORDER BY break on
+    n_name.
+    """
+    region = load_table(spark, sf_dir, "region").filter(
+        F.col("r_name") == _Q5_REGION
+    )
+    nation = load_table(spark, sf_dir, "nation")
+    # region ⋈ nation: dimension-sized forever; explicit broadcast.
+    local_nations = F.broadcast(
+        nation.join(region, F.col("n_regionkey") == F.col("r_regionkey")).select(
+            "n_nationkey", "n_name"
+        )
+    )
+    orders = load_table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit(_Q5_FROM).cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit(_Q5_TO).cast("timestamp"))
+    )
+    cust = load_table(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    supp = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_suppkey", "l_extendedprice", "l_discount"
+    )
+    rev_c = cents(F.col("l_extendedprice") * (1 - F.col("l_discount")))
+    return (
+        li.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(cust, F.col("o_custkey") == F.col("c_custkey"))
+        .join(
+            supp,
+            (F.col("l_suppkey") == F.col("s_suppkey"))
+            & (F.col("c_nationkey") == F.col("s_nationkey")),
+        )
+        .join(local_nations, F.col("s_nationkey") == F.col("n_nationkey"))
+        .groupBy("n_name")
+        .agg(round2(F.sum(rev_c) / 100.0, 2).alias("revenue"))
+        .orderBy(F.col("revenue").desc(), "n_name")
+    )
+
+
+_Q18_MIN_QTY = 250  # ~p99 of per-order quantity in this corpus
+
+
+@register(
+    "large_order_customers",
+    oracle=f"""
+    WITH big AS (
+      SELECT l_orderkey AS bk, SUM(l_quantity) AS total_qty
+      FROM lineitem GROUP BY l_orderkey
+      HAVING SUM(l_quantity) > {_Q18_MIN_QTY}
+    )
+    SELECT c_name, c_custkey, o_orderkey,
+           strftime(o_orderdate, '%Y-%m-%d') AS o_orderdate,
+           ROUND(o_totalprice, 2) AS o_totalprice,
+           ROUND(total_qty, 1)    AS total_qty
+    FROM big
+    JOIN orders   ON o_orderkey = bk
+    JOIN customer ON c_custkey = o_custkey
+    ORDER BY o_totalprice DESC, o_orderkey
+    LIMIT 100
+    """,
+)
+def large_order_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q18 shape: customers holding orders whose summed line
+    quantity exceeds a threshold — the aggregate-as-filter pattern where
+    a GROUP BY ... HAVING over the fact table gates a join back to the
+    header tables.
+
+    Scale shape: the quantity rollup is a partial-aggregable hash agg on
+    l_orderkey — map-side combine collapses the 4-line average order
+    before the one fact shuffle, and the HAVING cut (~1% survival here)
+    happens at the aggregate, so the subsequent joins move only surviving
+    orderkeys. The big→orders join shares the orderkey the agg just
+    shuffled on, so AQE plans it without re-exchanging the aggregated
+    side (or broadcasts it outright — post-HAVING it is tiny). Unlike
+    TPC-H's textbook form there is no second lineitem re-join: total_qty
+    rides out of the aggregate, saving a whole fact-table pass —
+    ``ROWS-per-order`` semantics are identical. TakeOrderedAndProject
+    caps the final sort at 100 rows per partition.
+
+    Cross-engine exactness: l_quantity is an integral-valued double
+    (1..50), so SUM is exact in both engines; ROUND(total, 1) only
+    normalizes the display. Ties in the ORDER BY break on o_orderkey.
+    """
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_quantity")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(F.sum("l_quantity").alias("qty"))
+        .filter(F.col("qty") > _Q18_MIN_QTY)
+        .select(F.col("l_orderkey").alias("bk"), "qty")
+    )
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer").select("c_custkey", "c_name")
+    return (
+        big.join(orders, F.col("o_orderkey") == F.col("bk"))
+        .join(cust, F.col("o_custkey") == F.col("c_custkey"))
+        .select(
+            "c_name",
+            "c_custkey",
+            "o_orderkey",
+            F.date_format("o_orderdate", "yyyy-MM-dd").alias("o_orderdate"),
+            round2(F.col("o_totalprice"), 2).alias("o_totalprice"),
+            round2(F.col("qty"), 1).alias("total_qty"),
+        )
+        .orderBy(F.col("o_totalprice").desc(), "o_orderkey")
+        .limit(100)
+    )

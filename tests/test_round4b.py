@@ -1,0 +1,193 @@
+"""Round-4 second batch: TPC-H Q5/Q18 join shapes, BM25 ranking, and the
+trailing-window z-score anomaly gate — behavior plus the plan shapes the
+docstrings claim."""
+
+from __future__ import annotations
+
+import datetime
+
+from pyspark.sql import functions as F
+
+from fund_data_etl_pipeline_spark.plans.scoring import (
+    BM25_TERMS,
+    BM25_TOPK,
+    Z_MIN_N,
+    Z_SIGMA,
+)
+
+
+def _plan(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def _queries():
+    import __spark_entry__ as e
+
+    return e.queries()
+
+
+def test_q5_revenue_descending_and_plan(spark, sf_dir):
+    q = _queries()
+    df = q["local_supplier_revenue"](spark, sf_dir)
+    plan = _plan(df)
+    # the date range must reach the orders parquet scan
+    assert "PushedFilters" in plan and "o_orderdate" in plan
+    # region ⋈ nation rides a broadcast
+    assert "BroadcastHashJoin" in plan
+    rows = df.collect()
+    assert 0 < len(rows) <= 25
+    revs = [r["revenue"] for r in rows]
+    assert revs == sorted(revs, reverse=True)
+
+
+def test_q5_same_nation_constraint(spark, sf_dir):
+    """Every contributing (customer, supplier) pair shares a nation: zero
+    revenue can come from cross-nation pairs."""
+    from fund_data_etl_pipeline_spark.sources import load_table
+
+    q = _queries()
+    got = {r["n_name"]: r["revenue"] for r in
+           q["local_supplier_revenue"](spark, sf_dir).collect()}
+    # recompute one nation's revenue with an independent dataframe chain
+    nation = next(iter(got))
+    n = load_table(spark, sf_dir, "nation").filter(F.col("n_name") == nation)
+    cust = load_table(spark, sf_dir, "customer").join(
+        n, F.col("c_nationkey") == F.col("n_nationkey")
+    )
+    supp = load_table(spark, sf_dir, "supplier").join(
+        n, F.col("s_nationkey") == F.col("n_nationkey")
+    )
+    orders = load_table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1997-01-01").cast("timestamp"))
+    )
+    li = load_table(spark, sf_dir, "lineitem")
+    manual = (
+        li.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(cust.select("c_custkey"), F.col("o_custkey") == F.col("c_custkey"))
+        .join(supp.select("s_suppkey"), F.col("l_suppkey") == F.col("s_suppkey"))
+        .agg(
+            F.round(
+                F.sum(
+                    F.floor(
+                        F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100
+                        + 0.5
+                    ).cast("bigint")
+                )
+                / 100.0,
+                2,
+            ).alias("rev")
+        )
+        .collect()[0]["rev"]
+    )
+    assert abs(manual - got[nation]) < 0.01
+
+
+def test_q18_threshold_and_topcap(spark, sf_dir):
+    q = _queries()
+    df = q["large_order_customers"](spark, sf_dir)
+    plan = _plan(df)
+    # aggregate-as-filter: the qty rollup hash-aggregates BEFORE any join
+    assert "HashAggregate" in plan
+    assert "TakeOrderedAndProject" in plan
+    rows = df.collect()
+    assert 0 < len(rows) <= 100
+    assert all(r["total_qty"] > 250 for r in rows)
+    prices = [r["o_totalprice"] for r in rows]
+    assert prices == sorted(prices, reverse=True)
+
+
+def test_bm25_plan_is_scan_shaped(spark, sf_dir):
+    """BM25 never explodes the corpus: tf comes from array HOFs, the
+    stats row rides a broadcast, top-k is TakeOrderedAndProject."""
+    q = _queries()
+    df = q["bm25_topk"](spark, sf_dir)
+    plan = _plan(df)
+    assert "Generate explode" not in plan
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan
+    assert "TakeOrderedAndProject" in plan
+    rows = df.collect()
+    assert len(rows) == BM25_TOPK
+    scores = [r["bm25"] for r in rows]
+    assert scores == sorted(scores, reverse=True)
+    assert all(s > 0 for s in scores)
+
+
+def test_bm25_top_doc_actually_matches(spark, sf_dir):
+    from fund_data_etl_pipeline_spark.sources import load_table
+
+    q = _queries()
+    top = q["bm25_topk"](spark, sf_dir).collect()[0]
+    text = (
+        load_table(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") == top["doc_id"])
+        .collect()[0]["text"]
+        .lower()
+    )
+    assert any(t in text for t in BM25_TERMS)
+
+
+def test_bm25_favors_term_density(spark):
+    """A doc stuffed with query terms outranks one with a single hit."""
+    from fund_data_etl_pipeline_spark.plans.scoring import bm25_topk
+    import __spark_entry__ as e  # noqa: F401  (registry import side effects)
+
+    docs = [
+        (1, "spark join window spark join window spark join"),
+        (2, "filler words only one spark here among much padding " + "x " * 40),
+        (3, "no relevant terms at all " + "y " * 40),
+    ]
+    df = spark.createDataFrame(docs, ["doc_id", "text"])
+    # run through the same scoring pipeline by monkey-loading: reuse the
+    # registered fn against a temp dir would need parquet; instead assert
+    # via the public fn's building blocks on a temp view is overkill —
+    # simplest faithful check: write parquet and call the query fn.
+    import tempfile, os
+
+    with tempfile.TemporaryDirectory() as d:
+        (df.withColumn("lang", F.lit("en"))
+           .withColumn("source", F.lit("t"))
+           .withColumn("n_chars", F.length("text").cast("bigint"))
+           .write.mode("overwrite").parquet(os.path.join(d, "documents.parquet")))
+        got = bm25_topk(spark, d).collect()
+    ids = [r["doc_id"] for r in got]
+    assert ids[0] == 1
+    assert 3 not in ids
+
+
+def test_zscore_single_window_exchange(spark, sf_dir):
+    q = _queries()
+    df = q["events_anomaly_zscore"](spark, sf_dir)
+    plan = _plan(df)
+    assert plan.count("Exchange hashpartitioning") == 1, plan[:1500]
+    rows = df.collect()
+    assert rows, "sf corpus should contain at least one 3-sigma event"
+    for r in rows:
+        assert r["n_window"] >= Z_MIN_N
+        assert abs(r["zscore"]) > Z_SIGMA - 1e-9
+
+
+def test_zscore_flags_planted_spike(spark):
+    """A flat per-user series with one spike flags exactly the spike."""
+    from fund_data_etl_pipeline_spark.plans.scoring import events_anomaly_zscore
+    import tempfile, os
+
+    base = datetime.datetime(2026, 1, 1)
+    rows = []
+    for i in range(30):
+        # mild jitter so variance > 0; one huge spike at i == 25
+        v = 10.0 + (0.02 if i % 2 else -0.02)
+        if i == 25:
+            v = 500.0
+        rows.append((i, base + datetime.timedelta(minutes=i), 7, "click", v, "{}"))
+    df = spark.createDataFrame(
+        rows, ["event_id", "ts", "user_id", "event_type", "value", "props"]
+    )
+    with tempfile.TemporaryDirectory() as d:
+        df.write.mode("overwrite").parquet(os.path.join(d, "events.parquet"))
+        got = events_anomaly_zscore(spark, d).collect()
+    flagged = {r["event_id"] for r in got}
+    assert 25 in flagged
+    # rows after the spike may legitimately flag (the spike inflates the
+    # trailing mean), but nothing BEFORE it can
+    assert all(e >= 25 for e in flagged)
