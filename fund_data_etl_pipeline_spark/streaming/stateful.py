@@ -134,3 +134,102 @@ def streaming_cdc_snapshot(
         outputMode=output_mode,
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+# --------------------------------------------------------------------------
+# Streaming anomaly gate: the stateful twin of
+# plans/scoring.events_anomaly_zscore (trailing-window z-score).
+# --------------------------------------------------------------------------
+
+ZS_OUTPUT_SCHEMA = (
+    "event_id long, user_id long, event_type string, ts string,"
+    " value double, zscore double, n_window long"
+)
+# bounded deque of the user's trailing values in exact BIGINT cents,
+# newest last — O(Z_LOOKBACK) state per key regardless of history length
+ZS_STATE_SCHEMA = "vals array<long>"
+_ZS_TS_FMT = "%Y-%m-%d %H:%M:%S"
+
+
+def _zscore_update(
+    key: tuple[Any, ...],
+    batches: Iterator[pd.DataFrame],
+    state: GroupState,
+) -> Iterator[pd.DataFrame]:
+    import math
+
+    from ..plans.scoring import Z_LOOKBACK, Z_MIN_N, Z_SIGMA
+
+    (vals,) = state.get if state.exists else ([],)
+    vals = list(vals)
+
+    def round_half_away(x: float, scale: int) -> float:
+        p = float(10**scale)
+        return math.copysign(math.floor(abs(x) * p + 0.5), x) / p
+
+    out: dict[str, list] = {c: [] for c in (
+        "event_id", "user_id", "event_type", "ts", "value", "zscore", "n_window"
+    )}
+    for pdf in batches:
+        if not len(pdf):
+            continue
+        # events must be applied in (ts, event_id) order — the batch
+        # window's frame order — regardless of arrival order in the batch
+        pdf = pdf.sort_values(["ts", "event_id"])
+        for _, row in pdf.iterrows():
+            # exact integer cents, same quantization as functions.numeric.cents
+            v_c = math.floor(float(row["value"]) * 100 + 0.5)
+            n = len(vals)
+            if n >= Z_MIN_N:
+                s = sum(vals)
+                ssq = sum(x * x for x in vals)
+                # identical IEEE expression to the batch plan: moments from
+                # exact ints, then double divide/multiply/sqrt
+                mean_c = s * 1.0 / n
+                var_c = ssq * 1.0 / n - mean_c * mean_c
+                if var_c > 0:
+                    z = (v_c - mean_c) / math.sqrt(var_c)
+                    if abs(z) > Z_SIGMA:
+                        out["event_id"].append(int(row["event_id"]))
+                        out["user_id"].append(key[0])
+                        out["event_type"].append(row["event_type"])
+                        out["ts"].append(
+                            pd.Timestamp(row["ts"]).strftime(_ZS_TS_FMT)
+                        )
+                        out["value"].append(round_half_away(v_c / 100.0, 2))
+                        out["zscore"].append(round_half_away(z, 4))
+                        out["n_window"].append(n)
+            vals.append(v_c)
+            if len(vals) > Z_LOOKBACK:
+                vals.pop(0)
+    state.update((vals,))
+    if out["event_id"]:
+        yield pd.DataFrame(out)
+
+
+def streaming_anomaly_zscore(
+    events_stream: DataFrame, output_mode: str = "append"
+) -> DataFrame:
+    """Flag events >3σ from the user's trailing-window baseline,
+    incrementally: the stateful-streaming twin of the batch
+    ``plans/scoring.events_anomaly_zscore``.
+
+    Batch/streaming parity: the keyed state is exactly the batch window's
+    frame — the last ``Z_LOOKBACK`` values in (ts, event_id) order, held
+    as exact BIGINT cents — and mean/var/z use the same IEEE expression,
+    so (given in-order delivery, which a watermark+sort front-end
+    provides at ingest) the flagged set is bit-equal to the batch query;
+    a pytest replays a feed in micro-batches and asserts it.
+
+    Scale shape: state per key is a bounded O(Z_LOOKBACK) integer array —
+    never the user's history — partitioned by user across executors;
+    per-event work is O(Z_LOOKBACK) on plain ints. This is the alerting
+    deployment of the batch gate: the batch form backfills/audits, this
+    form fires per micro-batch with checkpointed resume."""
+    return events_stream.groupBy("user_id").applyInPandasWithState(
+        _zscore_update,
+        outputStructType=ZS_OUTPUT_SCHEMA,
+        stateStructType=ZS_STATE_SCHEMA,
+        outputMode=output_mode,
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

@@ -1,0 +1,192 @@
+"""Streaming twins added in round 4b: the stateful z-score anomaly gate
+(parity with the batch window query) and the watermarked stream-stream
+attribution join (parity with the batch join)."""
+
+from __future__ import annotations
+
+import json
+import os
+
+from pyspark.sql import functions as F
+
+from fund_data_etl_pipeline_spark.streaming.joins import click_purchase_attribution
+from fund_data_etl_pipeline_spark.streaming.stateful import streaming_anomaly_zscore
+
+EVENT_SCHEMA = (
+    "event_id long, ts timestamp, user_id long, event_type string, value double"
+)
+
+
+def _write_jsonl(path, rows):
+    with open(path, "w") as f:
+        for r in rows:
+            f.write(json.dumps(r) + "\n")
+
+
+def _mk_events():
+    """Two users, flat-with-jitter series, one planted spike each —
+    ordered by ts so streamed delivery matches the batch frame order."""
+    rows = []
+    eid = 0
+    for i in range(40):
+        for uid, base_v, spike_at in ((1, 10.0, 30), (2, 50.0, 35)):
+            v = base_v + (0.05 if i % 2 else -0.05) + (i % 3) * 0.01
+            if i == spike_at:
+                v = base_v * 40
+            rows.append(
+                {
+                    "event_id": eid,
+                    "ts": "2026-01-15 10:%02d:%02d" % (i, uid),
+                    "user_id": uid,
+                    "event_type": "click" if i % 2 else "view",
+                    "value": round(v, 2),
+                }
+            )
+            eid += 1
+    return rows
+
+
+def test_streaming_anomaly_parity_with_batch(spark, tmp_path):
+    """Replaying the feed in two micro-batch runs flags the SAME rows
+    with the SAME zscores as the batch window query over the union."""
+    from fund_data_etl_pipeline_spark.plans.scoring import events_anomaly_zscore
+
+    rows = _mk_events()
+    cut = len(rows) // 2  # rows are ts-ordered; split is a time boundary
+    src = tmp_path / "stream"
+    src.mkdir()
+    out = str(tmp_path / "flags")
+    ckpt = str(tmp_path / "ckpt")
+
+    def run():
+        stream = spark.readStream.schema(EVENT_SCHEMA).json(str(src))
+        q = (
+            streaming_anomaly_zscore(stream)
+            .writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ckpt)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    _write_jsonl(src / "b1.json", rows[:cut])
+    run()
+    _write_jsonl(src / "b2.json", rows[cut:])
+    run()
+
+    streamed = {
+        r["event_id"]: (r["user_id"], r["value"], r["zscore"], r["n_window"])
+        for r in spark.read.parquet(out).collect()
+    }
+
+    batch_dir = str(tmp_path / "batch")
+    (
+        spark.createDataFrame(
+            [tuple(r.values()) for r in rows],
+            "event_id long, ts string, user_id long,"
+            " event_type string, value double",
+        )
+        .withColumn("ts", F.to_timestamp("ts"))
+        .withColumn("props", F.lit("{}"))
+        .write.mode("overwrite")
+        .parquet(os.path.join(batch_dir, "events.parquet"))
+    )
+    expected = {
+        r["event_id"]: (r["user_id"], r["value"], r["zscore"], r["n_window"])
+        for r in events_anomaly_zscore(spark, batch_dir).collect()
+    }
+
+    assert expected, "planted spikes must flag in batch"
+    assert streamed == expected
+    # both planted spikes among the flags (spikes are events of users 1/2
+    # at i==30/35, i.e. values 400.0 / 2000.0)
+    flagged_vals = {v[1] for v in streamed.values()}
+    assert 400.0 in flagged_vals and 2000.0 in flagged_vals
+
+
+def test_streaming_anomaly_state_is_bounded(spark, tmp_path):
+    """n_window never exceeds Z_LOOKBACK even with a long history — the
+    deque is the bound, not the stream length."""
+    from fund_data_etl_pipeline_spark.plans.scoring import Z_LOOKBACK
+
+    rows = _mk_events()
+    src = tmp_path / "stream"
+    src.mkdir()
+    _write_jsonl(src / "all.json", rows)
+    stream = spark.readStream.schema(EVENT_SCHEMA).json(str(src))
+    q = (
+        streaming_anomaly_zscore(stream)
+        .writeStream.format("memory")
+        .queryName("zs_bounded")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = spark.sql("SELECT * FROM zs_bounded").collect()
+    assert got
+    assert all(r["n_window"] <= Z_LOOKBACK for r in got)
+
+
+def _mk_attribution_feed():
+    clicks, purchases = [], []
+    # user 1: click 10:00, purchases 10:10 (inside) and 10:45 (outside)
+    clicks.append({"event_id": 1, "ts": "2026-01-15 10:00:00", "user_id": 1,
+                   "event_type": "click", "value": 0.5})
+    purchases.append({"event_id": 100, "ts": "2026-01-15 10:10:00",
+                      "user_id": 1, "event_type": "purchase", "value": 9.99})
+    purchases.append({"event_id": 101, "ts": "2026-01-15 10:45:00",
+                      "user_id": 1, "event_type": "purchase", "value": 5.00})
+    # user 2: two clicks before one purchase -> two candidate rows
+    clicks.append({"event_id": 2, "ts": "2026-01-15 10:05:00", "user_id": 2,
+                   "event_type": "click", "value": 0.1})
+    clicks.append({"event_id": 3, "ts": "2026-01-15 10:20:00", "user_id": 2,
+                   "event_type": "click", "value": 0.2})
+    purchases.append({"event_id": 102, "ts": "2026-01-15 10:25:00",
+                      "user_id": 2, "event_type": "purchase", "value": 20.0})
+    # user 3: purchase with no prior click -> inner join drops it
+    purchases.append({"event_id": 103, "ts": "2026-01-15 10:30:00",
+                      "user_id": 3, "event_type": "purchase", "value": 1.0})
+    return clicks, purchases
+
+
+def test_stream_stream_attribution_matches_batch(spark, tmp_path):
+    clicks, purchases = _mk_attribution_feed()
+    cdir, pdir = tmp_path / "clicks", tmp_path / "purchases"
+    cdir.mkdir(), pdir.mkdir()
+    # two micro-batch files per side, so matches span file boundaries
+    _write_jsonl(cdir / "c1.json", clicks[:1])
+    _write_jsonl(cdir / "c2.json", clicks[1:])
+    _write_jsonl(pdir / "p1.json", purchases[:2])
+    _write_jsonl(pdir / "p2.json", purchases[2:])
+
+    cs = spark.readStream.schema(EVENT_SCHEMA).json(str(cdir))
+    ps = spark.readStream.schema(EVENT_SCHEMA).json(str(pdir))
+    q = (
+        click_purchase_attribution(cs, ps)
+        .writeStream.format("memory")
+        .queryName("attrib")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    streamed = {
+        (r["purchase_id"], r["click_id"])
+        for r in spark.sql("SELECT * FROM attrib").collect()
+    }
+
+    cb = spark.read.schema(EVENT_SCHEMA).json(str(cdir))
+    pb = spark.read.schema(EVENT_SCHEMA).json(str(pdir))
+    batch = {
+        (r["purchase_id"], r["click_id"])
+        for r in click_purchase_attribution(cb, pb).collect()
+    }
+
+    assert streamed == batch
+    assert (100, 1) in streamed          # inside the 30-min window
+    assert (101, 1) not in streamed      # 45 min later: outside
+    assert (102, 2) in streamed and (102, 3) in streamed
+    assert all(p != 103 for p, _ in streamed)  # no prior click
