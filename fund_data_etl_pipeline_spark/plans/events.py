@@ -44,17 +44,25 @@ _FUNNEL_STEPS = ("view", "click", "purchase")
 )
 def events_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Strictly-ordered conversion funnel (view -> click -> purchase):
-    per-user step times chain through min-after-previous-step filters;
+    per-user step times chain through min-after-previous-step rules;
     step counts and step-to-step conversion rates.
 
-    Scale shape: each step is a filtered scan aggregated on user_id, then
-    a join back on that SAME key (co-partitioned, no extra exchange under
-    AQE); each stage's row count only shrinks. Step tables persist only
-    while the three counts materialize (each step feeds both its own count
-    and the next step's join), then unpersist deterministically — repeated
-    builds in a long-lived session must not accumulate storage memory. The
-    final conversion window runs on exactly three local rows. Filters on
-    event_type reach the parquet scan as PushedFilters.
+    Scale shape: step 1 (the high-volume step — views dominate real
+    event streams) NEVER shuffles raw rows: its per-user min collapses
+    map-side in a partial agg, so one tiny (user, t1) row per user
+    crosses the wire. The later, smaller steps (click/purchase) shuffle
+    ONCE to co-partition with t1 on user_id; the following groupBy
+    reuses that partitioning (no third keyed exchange), building one
+    bounded per-user array of later-step events (bounded by per-user
+    activity, not corpus size). The chained step times (t_k = min ts of
+    step-k events strictly after t_{k-1}) are array HOFs in codegen: a
+    null t_{k-1} nulls the comparison, so strict ordering needs no
+    per-step joins. The step counts collapse via ONE partial-aggregable
+    indicator sum — lazy, single-action, nothing persisted (the round-3
+    builder persisted three step tables; the round-4 eager-count hygiene
+    fix traded the leak for 5x in driver-synchronized jobs; this form
+    has neither) — and ``stack`` unpivots the 1-row result so the
+    conversion window runs on exactly three rows.
 
     Degenerate-data note: an empty intermediate step yields NULL
     conversion (guarded division; ANSI mode would otherwise raise
@@ -62,24 +70,55 @@ def events_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     "undefined", normalized alike by the value-hash.
     """
     events = load_table(spark, sf_dir, "events")
-    steps: list[DataFrame] = []
-    prev: DataFrame | None = None
-    for step in _FUNNEL_STEPS:
-        e = events.filter(F.col("event_type") == step)
-        if prev is not None:
-            e = e.join(prev, "user_id").filter(F.col("ts") > F.col("t")).drop("t")
-        prev = e.groupBy("user_id").agg(F.min("ts").alias("t")).persist()
-        steps.append(prev)
-    # materialize the three tiny counts now — step k's count populates its
-    # cache before step k+1's join scans it — then drop every step table
-    counts = [df.count() for df in steps]
-    for df in steps:
-        # blocking: a fire-and-forget unpersist can still list the blocks
-        # for a moment, which reads as a storage leak to hygiene checks
-        df.unpersist(blocking=True)
-    u = spark.createDataFrame(
-        [(i, s, n) for i, (s, n) in enumerate(zip(_FUNNEL_STEPS, counts), 1)],
-        "step_idx int, step string, n_users bigint",
+    first_step, later_steps = _FUNNEL_STEPS[0], _FUNNEL_STEPS[1:]
+    s1 = (
+        events.filter(F.col("event_type") == first_step)
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("__t1"))
+    )
+    later = events.filter(F.col("event_type").isin(*later_steps)).select(
+        "user_id", "ts", "event_type"
+    )
+    g = (
+        s1.join(later, "user_id", "left")
+        .groupBy("user_id")
+        .agg(
+            F.first("__t1").alias("__t1"),
+            F.collect_list(F.struct("ts", "event_type")).alias("__evs"),
+        )
+    )
+    # chain t2 -> t3 through dependent selects; each is min(ts of step-k
+    # events strictly after the previous step's time)
+
+    def step_pred(step: str, prev_t: str):
+        # NB: HOF predicate lambdas must be unary — extra (defaulted)
+        # params make pyspark pass the element index instead
+        return lambda x: (x.event_type == step) & (x.ts > F.col(prev_t))
+
+    for i, step in enumerate(later_steps, 2):
+        g = g.withColumn(
+            f"__t{i}",
+            F.array_min(
+                F.transform(
+                    F.filter("__evs", step_pred(step, f"__t{i - 1}")),
+                    lambda x: x.ts,
+                )
+            ),
+        )
+    one = g.agg(
+        *[
+            F.coalesce(
+                F.sum(F.col(f"__t{i}").isNotNull().cast("long")), F.lit(0)
+            ).alias(f"__n{i}")
+            for i in range(1, len(_FUNNEL_STEPS) + 1)
+        ]
+    )
+    stack_args = ", ".join(
+        f"{i}, '{s}', __n{i}" for i, s in enumerate(_FUNNEL_STEPS, 1)
+    )
+    u = one.selectExpr(
+        f"stack({len(_FUNNEL_STEPS)}, {stack_args})"
+        " AS (step_idx, step, n_users)"
     )
     w = Window.orderBy("step_idx")
     first_n = F.first("n_users").over(w)

@@ -11,10 +11,10 @@ def _n_persistent_rdds(spark) -> int:
 
 
 def test_funnel_repeated_builds_leave_no_cached_state(spark, sf_dir):
-    """events_funnel persists its three step tables while the counts
-    materialize but must unpersist them before returning — repeated builds
-    in a long-lived session must not accumulate storage memory (round-3
-    ADVICE; the BASELINE.md note-8 pathology)."""
+    """Repeated funnel builds must not accumulate storage memory (round-3
+    ADVICE; the BASELINE.md note-8 pathology). Since r4b the builder is a
+    single lazy plan that persists nothing at all, so the persistent-RDD
+    count must stay flat across builds AND executions."""
     from fund_data_etl_pipeline_spark.plans.events import events_funnel
 
     before = _n_persistent_rdds(spark)

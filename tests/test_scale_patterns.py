@@ -127,13 +127,18 @@ def test_round3_analytics_plan_shapes(spark, sf_dir):
     ret = _plan(q["user_retention_cohorts"](spark, sf_dir))
     assert ret.count("Scan parquet") == 1, "retention must scan events once"
 
-    # funnel (since r4) computes its step counts eagerly inside the
-    # builder — step tables persist only during the build and unpersist
-    # before returning (tests/test_pipeline_round4.py) — so the RETURNED
-    # plan must be the tiny 3-row local relation with the rate window,
-    # never a re-execution of the corpus scans
+    # funnel (since r4b) is one lazy single-action plan: two filtered
+    # events scans (step-1 collapses map-side to per-user mins; the
+    # later steps' scan co-partitions with it), at most two keyed
+    # exchanges (one when AQE broadcasts the t1 side, as at this SF),
+    # chained HOF step times — no per-step joins, nothing persisted —
+    # then the indicator-sum collapse, stack, and the 3-row rate window
     fun = _plan(q["events_funnel"](spark, sf_dir))
-    assert "Scan parquet" not in fun, "funnel result must not rescan events"
+    assert fun.count("Scan parquet") == 2, "funnel is two filtered scans"
+    assert 1 <= fun.count("Exchange hashpartitioning") <= 2, (
+        "funnel's keyed shuffles are at most (t1 agg, later-step group)"
+    )
+    assert "InMemoryTableScan" not in fun
     assert "Window" in fun
 
     mix = _plan(q["source_mixture_weights"](spark, sf_dir))
