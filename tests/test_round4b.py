@@ -191,3 +191,39 @@ def test_zscore_flags_planted_spike(spark):
     # rows after the spike may legitimately flag (the spike inflates the
     # trailing mean), but nothing BEFORE it can
     assert all(e >= 25 for e in flagged)
+
+
+def test_zscore_constant_series_never_flags(spark):
+    """Zero variance -> no flags, no divide-by-zero under ANSI mode."""
+    from fund_data_etl_pipeline_spark.plans.scoring import events_anomaly_zscore
+    import tempfile, os
+
+    base = datetime.datetime(2026, 1, 1)
+    rows = [
+        (i, base + datetime.timedelta(minutes=i), 1, "view", 5.0, "{}")
+        for i in range(30)
+    ]
+    df = spark.createDataFrame(
+        rows, ["event_id", "ts", "user_id", "event_type", "value", "props"]
+    )
+    with tempfile.TemporaryDirectory() as d:
+        df.write.mode("overwrite").parquet(os.path.join(d, "events.parquet"))
+        assert events_anomaly_zscore(spark, d).count() == 0
+
+
+def test_bm25_empty_docs_excluded(spark):
+    """Docs with no query terms score 0 and never enter the top-k; empty
+    corpus-stats division paths stay finite."""
+    from fund_data_etl_pipeline_spark.plans.scoring import bm25_topk
+    import tempfile, os
+
+    docs = [(i, "nothing matches here at all " + "pad " * i) for i in range(1, 6)]
+    df = (
+        spark.createDataFrame(docs, ["doc_id", "text"])
+        .withColumn("lang", F.lit("en"))
+        .withColumn("source", F.lit("t"))
+        .withColumn("n_chars", F.length("text").cast("bigint"))
+    )
+    with tempfile.TemporaryDirectory() as d:
+        df.write.mode("overwrite").parquet(os.path.join(d, "documents.parquet"))
+        assert bm25_topk(spark, d).count() == 0

@@ -56,6 +56,10 @@ PROBE_QUERIES = [
     "cdc_latest_snapshot",
     "scd2_intervals",
     "event_value_winsorized",
+    # round-4b: scoring + anomaly shapes (scan + broadcast-stats +
+    # per-row arithmetic; one rows-bounded window on user_id)
+    "bm25_topk",
+    "events_anomaly_zscore",
 ]
 
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
