@@ -152,3 +152,14 @@ def test_round3_analytics_plan_shapes(spark, sf_dir):
     assert cur.count("Scan parquet") <= 2, (
         "curation is one signal scan + one hash scan at most"
     )
+
+
+def test_registry_plan_hygiene_audit(spark, sf_dir):
+    """tools/audit_plans.py over the ENTIRE registry: no row-wise Python
+    UDFs, no unlabeled cartesian products, no undeclared persisted
+    intermediates in any returned plan. The whitelists live in the tool
+    so the judge-facing CLI and this gate can't drift apart."""
+    import importlib
+
+    audit_mod = importlib.import_module("tools.audit_plans")
+    assert audit_mod.audit(sf_dir) == 0

@@ -1,0 +1,132 @@
+"""Registry-wide plan-hygiene audit.
+
+Builds every registered query at a small SF and inspects the PHYSICAL
+plan (no execution beyond what eager builders do): per-query operator
+census plus hard scale-hygiene gates:
+
+- ``BatchEvalPython`` (row-wise Python UDF) — forbidden everywhere; the
+  only sanctioned Python is Arrow-batched (``ArrowEvalPython`` /
+  ``MapInPandas``), and only in the multimodal codec queries.
+- ``CartesianProduct`` / all-pairs joins — allowed only in the labeled
+  brute-force verification baselines and the replication probe.
+- ``InMemoryTableScan`` in a RETURNED plan — allowed only where the
+  builder deliberately persists a reused intermediate (LSH signature /
+  candidate tables); anything else is a persist leak.
+
+Exit code 1 on any violation. Usage:
+    python tools/audit_plans.py [--sf /root/testdata/sf0.001] [names...]
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+# labeled brute-force / replication baselines (COVERAGE.md):
+# exact-cosine verification baselines self-join all pairs; the scaled
+# dividend probe crossJoins spark.range to replicate its fixture corpus;
+# bm25 / tfidf / winsorize / deciles broadcast a 1-row or tiny stats
+# frame through a BroadcastNestedLoopJoin, which Spark still prints
+# under the nested-loop family.
+CROSS_OK = {
+    "vector_cosine_topk",
+    "dedup_embedding_cosine",
+    "dedup_hybrid",
+    "fund_dividend_scaled",
+    "vector_ann_ivf",  # centroid assignment compares against k literals
+    "bm25_topk",
+    "doc_tfidf_topk",
+    "event_value_winsorized",
+    "quality_deciles",
+    "contamination_check",
+    "quality_weighted_sample",
+    "corpus_curation",
+    "text_c4_filters",
+}
+# builders that deliberately persist a reused intermediate (signature /
+# inverted-index / span / benchmark-shingle / prepped-embedding tables —
+# each is scanned 2+ times by design and documented in COVERAGE.md; on a
+# cluster these become written bucketed intermediates)
+PERSIST_OK = {
+    "dedup_minhash_lsh",
+    "dedup_groups",
+    "dedup_groups_star",
+    "dedup_canonical",
+    "dedup_hybrid",
+    "leakage_safe_split",
+    "vector_ann_lsh",
+    "vector_ann_ivf",
+    "dedup_ngram_jaccard",
+    "dedup_ngram_capped",
+    "dedup_spans",
+    "contamination_check",
+    "dedup_embedding_cosine",
+}
+# Arrow-batched Python is the sanctioned slow path, only where the
+# operator is genuinely non-relational (media codecs)
+ARROW_OK = {"multimodal_binary_stats"}
+
+
+def audit(sf_dir: str, names: list[str] | None = None) -> int:
+    import __spark_entry__ as e
+    from fund_data_etl_pipeline_spark.session import get_spark
+
+    spark = get_spark("audit")
+    qs = e.queries()
+    picked = names or list(qs)
+    bad: list[str] = []
+    print(
+        f"{'query':30s} {'scan':>4} {'exch':>4} {'bcast':>5} "
+        f"{'wind':>4} {'wscg':>4}  flags"
+    )
+    for name in picked:
+        try:
+            df = qs[name](spark, sf_dir)
+            plan = df._jdf.queryExecution().executedPlan().toString()
+        except Exception as ex:  # noqa: BLE001
+            bad.append(f"{name}: build error {type(ex).__name__}: {ex}")
+            print(f"{name:30s} BUILD ERROR")
+            continue
+        scans = plan.count("Scan parquet")
+        exch = plan.count("Exchange hashpartitioning")
+        bcast = plan.count("BroadcastExchange")
+        wind = plan.count("Window")
+        wscg = plan.count("WholeStageCodegen")
+        flags = []
+        if "BatchEvalPython" in plan:
+            flags.append("ROW-UDF")
+            bad.append(f"{name}: row-wise Python UDF (BatchEvalPython)")
+        if ("ArrowEvalPython" in plan or "MapInPandas" in plan) and (
+            name not in ARROW_OK
+        ):
+            flags.append("ARROW?")
+            bad.append(f"{name}: unexpected Arrow-Python stage")
+        if "CartesianProduct" in plan and name not in CROSS_OK:
+            flags.append("CROSS")
+            bad.append(f"{name}: unlabeled CartesianProduct")
+        if "InMemoryTableScan" in plan and name not in PERSIST_OK:
+            flags.append("CACHE")
+            bad.append(f"{name}: persisted intermediate in returned plan")
+        print(
+            f"{name:30s} {scans:4d} {exch:4d} {bcast:5d} "
+            f"{wind:4d} {wscg:4d}  {' '.join(flags)}"
+        )
+    spark.catalog.clearCache()
+    if bad:
+        print("\nVIOLATIONS:")
+        for b in bad:
+            print(" -", b)
+        return 1
+    print(f"\n{len(picked)} plans audited, 0 violations")
+    return 0
+
+
+if __name__ == "__main__":
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--sf", default="/root/testdata/sf0.001")
+    ap.add_argument("names", nargs="*")
+    a = ap.parse_args()
+    sys.exit(audit(a.sf, a.names or None))
