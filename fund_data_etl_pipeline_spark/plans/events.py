@@ -254,3 +254,54 @@ def top_users_per_event(spark: SparkSession, sf_dir: str) -> DataFrame:
     return agg.withColumn("rank", F.row_number().over(w)).filter(
         F.col("rank") <= _TOPK_USERS
     )
+
+
+@register(
+    "attribution_join",
+    oracle="""
+    SELECT p.event_id AS purchase_id,
+           p.user_id,
+           strftime(p.ts, '%Y-%m-%d %H:%M:%S') AS purchase_ts,
+           ROUND(p.value, 2) AS purchase_value,
+           c.event_id AS click_id,
+           strftime(c.ts, '%Y-%m-%d %H:%M:%S') AS click_ts,
+           ROUND(c.value, 2) AS click_value
+    FROM events p
+    JOIN events c
+      ON c.user_id = p.user_id
+     AND c.ts <= p.ts
+     AND p.ts < c.ts + INTERVAL 30 MINUTES
+    WHERE p.event_type = 'purchase' AND c.event_type = 'click'
+    """,
+)
+def attribution_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Click→purchase attribution candidates: each purchase joined to the
+    same user's clicks at most 30 minutes before it — the BATCH
+    registration of ``streaming/joins.click_purchase_attribution``,
+    running the literally-same builder the watermarked stream-stream
+    join runs (batch/streaming parity is code-level, not copied logic).
+
+    Scale shape: one co-shuffle of both filtered sides on user_id; the
+    event-time range condition evaluates inside the join (per-user
+    candidate pairs, never a global interval join), and on streams the
+    same two-sided bound is what lets Spark evict join state — see the
+    streaming module. event_type predicates reach both scans as
+    PushedFilters. Output timestamps format to strings and values round
+    to 2dp only in this registration wrapper, keeping the shared builder
+    schema-clean for streaming sinks.
+    """
+    from ..streaming.joins import click_purchase_attribution
+
+    events = load_table(spark, sf_dir, "events")
+    clicks = events.filter(F.col("event_type") == "click")
+    purchases = events.filter(F.col("event_type") == "purchase")
+    out = click_purchase_attribution(clicks, purchases)
+    return out.select(
+        "purchase_id",
+        "user_id",
+        F.date_format("purchase_ts", "yyyy-MM-dd HH:mm:ss").alias("purchase_ts"),
+        round2(F.col("purchase_value"), 2).alias("purchase_value"),
+        "click_id",
+        F.date_format("click_ts", "yyyy-MM-dd HH:mm:ss").alias("click_ts"),
+        round2(F.col("click_value"), 2).alias("click_value"),
+    )

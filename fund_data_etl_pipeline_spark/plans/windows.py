@@ -295,3 +295,55 @@ def events_hourly_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.last("v_c", ignorenulls=True).over(w) / 100.0, 2
         ).alias("hourly_value_ffill"),
     )
+
+
+@register(
+    "user_rolling_7d_spend",
+    oracle="""
+    SELECT event_id, user_id,
+           strftime(ts, '%Y-%m-%d %H:%M:%S') AS ts,
+           ROUND(value, 2) AS value,
+           ROUND(SUM(CAST(FLOOR(value * 100 + 0.5) AS BIGINT))
+                   OVER w / 100.0, 2) AS spend_7d,
+           COUNT(*) OVER w AS n_7d
+    FROM events
+    WHERE event_type = 'purchase'
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts
+                 RANGE BETWEEN INTERVAL 7 DAYS PRECEDING AND CURRENT ROW)
+    """,
+)
+def user_rolling_7d_spend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trailing-7-day purchase total per purchase event — the time-RANGE
+    window frame (peers by event time, not row position) that rows-based
+    frames can't express: every purchase in [t-7d, t] contributes,
+    however many there are.
+
+    Scale shape: event_type reaches the scan as a PushedFilter, then ONE
+    window exchange on user_id; the range frame advances two pointers
+    over each user's time-sorted partition (O(n) per user, state bounded
+    by the 7-day traffic). Keys are users — high-cardinality, naturally
+    balanced. This is the batch form of the feature-engineering rollup a
+    training pipeline computes per entity; sums accumulate in exact
+    BIGINT cents so the totals are addition-order-independent.
+
+    Cross-engine exactness: Spark numeric rangeBetween over epoch
+    SECONDS == DuckDB RANGE INTERVAL PRECEDING on microsecond-precision
+    timestamps only because the corpus's timestamps are whole seconds
+    (check_schemas preflight); equal-ts peers are in-frame for both.
+    """
+    events = load_table(spark, sf_dir, "events").filter(
+        F.col("event_type") == "purchase"
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.col("ts").cast("long"))
+        .rangeBetween(-7 * 86400, 0)
+    )
+    return events.select(
+        "event_id",
+        "user_id",
+        F.date_format("ts", _TS_FMT).alias("ts"),
+        round2(F.col("value"), 2).alias("value"),
+        round2(F.sum(cents("value")).over(w) / 100.0, 2).alias("spend_7d"),
+        F.count(F.lit(1)).over(w).alias("n_7d"),
+    )
