@@ -45,6 +45,7 @@ def load_all() -> None:
         dedup,
         events,
         fundetl,
+        graph,
         multimodal,
         relational,
         relational2,
