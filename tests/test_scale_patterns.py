@@ -163,3 +163,87 @@ def test_registry_plan_hygiene_audit(spark, sf_dir):
 
     audit_mod = importlib.import_module("tools.audit_plans")
     assert audit_mod.audit(sf_dir) == 0
+
+
+def _with_confs(spark, confs):
+    """Set confs, return dict of previous values for restore."""
+    prev = {}
+    for k, v in confs.items():
+        try:
+            prev[k] = spark.conf.get(k)
+        except Exception:
+            prev[k] = None
+        spark.conf.set(k, v)
+    return prev
+
+
+def _restore_confs(spark, prev):
+    for k, v in prev.items():
+        if v is None:
+            spark.conf.unset(k)
+        else:
+            spark.conf.set(k, v)
+
+
+def test_runtime_bloom_filter_prunes_shuffle_join(spark, sf_dir):
+    """Runtime row-level bloom filter (Spark 3.5+/4): a selective filter
+    on the dim side of a SHUFFLE join injects bloom_filter_might_contain
+    onto the fact side, discarding non-matching fact rows BEFORE the
+    shuffle — at 100 TB this is the difference between shuffling the
+    whole fact table and shuffling the ~matching slice. Locally the
+    application-side size threshold (default 10 GB) blocks injection, so
+    the test lowers it to prove the plan shape the production session
+    gets for free."""
+    prev = _with_confs(spark, {
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+        "spark.sql.optimizer.runtime.bloomFilter.enabled": "true",
+        "spark.sql.optimizer.runtime.bloomFilter."
+        "applicationSideScanSizeThreshold": "0",
+    })
+    try:
+        li = load_table(spark, sf_dir, "lineitem")
+        part = load_table(spark, sf_dir, "part").filter(F.col("p_size") == 1)
+        j = li.join(part, F.col("l_partkey") == F.col("p_partkey"))
+        plan = j._jdf.queryExecution().optimizedPlan().toString()
+        assert "bloom_filter_agg" in plan and "might_contain" in plan, (
+            "expected runtime bloom filter on the fact side:\n" + plan[:2000]
+        )
+        # and it must not change results
+        expected = li.join(
+            part.hint("broadcast"), F.col("l_partkey") == F.col("p_partkey")
+        ).count()
+        assert j.count() == expected
+    finally:
+        _restore_confs(spark, prev)
+
+
+def test_aqe_splits_skewed_join_partition(spark):
+    """AQE skew-join: a hot key whose shuffle partition dwarfs the median
+    is split into subpartitions at runtime (SortMergeJoin(skew=true)) —
+    the no-code-change answer to skewed 100 TB joins, complementing the
+    manual salting operator (salted_agg). Thresholds are lowered so the
+    local corpus trips the same code path a production hot key would."""
+    prev = _with_confs(spark, {
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes": "32KB",
+        "spark.sql.adaptive.advisoryPartitionSizeInBytes": "16KB",
+        "spark.sql.adaptive.skewJoin.skewedPartitionFactor": "1.2",
+    })
+    try:
+        big = spark.range(0, 200000).select(
+            F.when(F.col("id") % 10 < 9, 0).otherwise(F.col("id")).alias("k"),
+            F.col("id").alias("v"),
+        )
+        right = spark.range(0, 50000).select(
+            F.col("id").alias("k"), (F.col("id") * 2).alias("w")
+        )
+        j = big.join(right, "k")
+        n = len(j.collect())  # execute THIS QueryExecution so AQE finalizes
+        assert n == 185000  # 180k hot-key rows hit k=0, 5k tail in range
+        plan = j._jdf.queryExecution().executedPlan().toString()
+        assert "isFinalPlan=true" in plan
+        assert "skew=true" in plan, (
+            "expected AQE to mark the skewed join:\n" + plan[:2000]
+        )
+    finally:
+        _restore_confs(spark, prev)
