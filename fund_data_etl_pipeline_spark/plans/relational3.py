@@ -100,6 +100,93 @@ def local_supplier_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_Q7_NATION_A = "NATION_3"
+_Q7_NATION_B = "NATION_7"
+_Q7_FROM = "1995-01-01"
+_Q7_TO = "1997-01-01"  # exclusive
+
+
+@register(
+    "volume_shipping",
+    oracle=f"""
+    SELECT n1.n_name AS supp_nation,
+           n2.n_name AS cust_nation,
+           CAST(year(l_shipdate) AS INT) AS ship_year,
+           ROUND(SUM(CAST(FLOOR(l_extendedprice * (1 - l_discount) * 100 + 0.5)
+                          AS BIGINT)) / 100.0, 2) AS volume
+    FROM lineitem
+    JOIN orders   ON l_orderkey = o_orderkey
+    JOIN supplier ON l_suppkey = s_suppkey
+    JOIN customer ON o_custkey = c_custkey
+    JOIN nation n1 ON s_nationkey = n1.n_nationkey
+    JOIN nation n2 ON c_nationkey = n2.n_nationkey
+    WHERE n1.n_name IN ('{_Q7_NATION_A}', '{_Q7_NATION_B}')
+      AND n2.n_name IN ('{_Q7_NATION_A}', '{_Q7_NATION_B}')
+      AND n1.n_name <> n2.n_name
+      AND l_shipdate >= TIMESTAMP '{_Q7_FROM}'
+      AND l_shipdate <  TIMESTAMP '{_Q7_TO}'
+    GROUP BY supp_nation, cust_nation, ship_year
+    ORDER BY supp_nation, cust_nation, ship_year
+    """,
+)
+def volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q7 shape: bilateral trade volume between two nations by ship
+    year — the two-role dimension pattern (nation joins BOTH the supplier
+    and the customer branch) with a cross-branch inequality.
+
+    Scale shape: the textbook OR of nation pairs rewrites to an IN
+    prefilter on EACH nation role plus one ``supp <> cust`` cut after
+    both joins — the prefilter shrinks supplier/customer to the two
+    nations' slice BEFORE the fact join (and would partition-prune a
+    nation-partitioned layout), which the un-rewritten OR cannot do since
+    it correlates the two branches. Both nation dims broadcast; the
+    l_shipdate range is a PushedFilter on the fact scan; the one big
+    shuffle is lineitem ⋈ orders on orderkey. The 2×2×years result
+    collapses map-side.
+
+    Cross-engine exactness: BIGINT-cents volume; the full group key is
+    the sort key — total order.
+    """
+    nation = load_table(spark, sf_dir, "nation").filter(
+        F.col("n_name").isin(_Q7_NATION_A, _Q7_NATION_B)
+    )
+    supp = (
+        load_table(spark, sf_dir, "supplier")
+        .join(
+            F.broadcast(nation.select("n_nationkey", "n_name")),
+            F.col("s_nationkey") == F.col("n_nationkey"),
+        )
+        .select("s_suppkey", F.col("n_name").alias("supp_nation"))
+    )
+    cust = (
+        load_table(spark, sf_dir, "customer")
+        .join(
+            F.broadcast(nation.select("n_nationkey", "n_name")),
+            F.col("c_nationkey") == F.col("n_nationkey"),
+        )
+        .select("c_custkey", F.col("n_name").alias("cust_nation"))
+    )
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit(_Q7_FROM).cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit(_Q7_TO).cast("timestamp"))
+    )
+    orders = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    vol_c = cents(F.col("l_extendedprice") * (1 - F.col("l_discount")))
+    return (
+        li.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(supp, F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(cust, F.col("o_custkey") == F.col("c_custkey"))
+        .filter(F.col("supp_nation") != F.col("cust_nation"))
+        .groupBy(
+            "supp_nation",
+            "cust_nation",
+            F.year("l_shipdate").cast("int").alias("ship_year"),
+        )
+        .agg(round2(F.sum(vol_c) / 100.0, 2).alias("volume"))
+        .orderBy("supp_nation", "cust_nation", "ship_year")
+    )
+
+
 _Q18_MIN_QTY = 250  # ~p99 of per-order quantity in this corpus
 
 

@@ -325,3 +325,25 @@ def test_attribution_join_batch_matches_window_rule(spark, sf_dir):
         c = datetime.datetime.strptime(r["click_ts"], fmt)
         p = datetime.datetime.strptime(r["purchase_ts"], fmt)
         assert c <= p < c + datetime.timedelta(minutes=30)
+
+
+def test_q7_plan_and_symmetry(spark, sf_dir):
+    """volume_shipping: shipdate range pushed to the lineitem scan, nation
+    dims broadcast, and the nation-pair rule holds — every row's
+    (supp_nation, cust_nation) is one of the two cross pairs, never a
+    same-nation pair."""
+    q = _queries()
+    df = q["volume_shipping"](spark, sf_dir)
+    plan = _plan(df)
+    assert "PushedFilters" in plan and "l_shipdate" in plan
+    assert "BroadcastHashJoin" in plan
+    rows = df.collect()
+    assert rows, "two-nation trade must exist in this corpus"
+    pairs = {(r["supp_nation"], r["cust_nation"]) for r in rows}
+    from fund_data_etl_pipeline_spark.plans.relational3 import (
+        _Q7_NATION_A,
+        _Q7_NATION_B,
+    )
+    assert pairs <= {(_Q7_NATION_A, _Q7_NATION_B), (_Q7_NATION_B, _Q7_NATION_A)}
+    years = [r["ship_year"] for r in rows]
+    assert all(1995 <= y <= 1996 for y in years)
