@@ -68,3 +68,22 @@ def click_purchase_attribution(
         "click_ts",
         "click_value",
     )
+
+
+def enrich_with_dim(
+    stream: DataFrame, dim: DataFrame, key: str = "user_id"
+) -> DataFrame:
+    """Stream-static dimension enrichment: left-join each incoming row to
+    a broadcast static dim on ``key``; unmatched rows keep NULL attrs.
+
+    This completes the streaming join matrix next to the stream-stream
+    attribution join above — and unlike it, a stream-static join is
+    STATELESS: the static side is (re)read and broadcast per micro-batch,
+    so no watermark, no join state, and a file-backed dim picks up
+    dimension updates between batches. That makes it the right tool for
+    the ingest-time enrichment the batch pipeline does with
+    ``normalize.dim_join`` (J1) — identical code runs on batch frames,
+    so batch/streaming parity is code-level, proven in pytest by
+    replaying micro-batches against the batch join.
+    """
+    return stream.join(F.broadcast(dim), on=key, how="left")

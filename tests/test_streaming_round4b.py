@@ -190,3 +190,56 @@ def test_stream_stream_attribution_matches_batch(spark, tmp_path):
     assert (101, 1) not in streamed      # 45 min later: outside
     assert (102, 2) in streamed and (102, 3) in streamed
     assert all(p != 103 for p, _ in streamed)  # no prior click
+
+
+def test_stream_static_enrichment_parity(spark, tmp_path):
+    """enrich_with_dim over two micro-batch runs row-equals the batch
+    left join; rows whose key misses the dim keep NULL attributes."""
+    from fund_data_etl_pipeline_spark.streaming.joins import enrich_with_dim
+
+    rows = _mk_events()
+    cut = len(rows) // 2
+    # dim covers user 1 only — user 2 must surface with NULL segment
+    dim = spark.createDataFrame(
+        [(1, "premium", "EU")], "user_id long, segment string, region string"
+    )
+    src = tmp_path / "enrich_stream"
+    src.mkdir()
+    out = str(tmp_path / "enriched")
+    ckpt = str(tmp_path / "enrich_ckpt")
+
+    def run():
+        stream = spark.readStream.schema(EVENT_SCHEMA).json(str(src))
+        q = (
+            enrich_with_dim(stream, dim)
+            .writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ckpt)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    _write_jsonl(src / "b1.json", rows[:cut])
+    run()
+    _write_jsonl(src / "b2.json", rows[cut:])
+    run()
+
+    streamed = {
+        r["event_id"]: (r["user_id"], r["segment"], r["region"])
+        for r in spark.read.parquet(out).collect()
+    }
+    batch_src = tmp_path / "enrich_batch.json"
+    _write_jsonl(batch_src, rows)
+    batch = {
+        r["event_id"]: (r["user_id"], r["segment"], r["region"])
+        for r in enrich_with_dim(
+            spark.read.schema(EVENT_SCHEMA).json(str(batch_src)), dim
+        ).collect()
+    }
+    assert streamed == batch
+    assert len(streamed) == len(rows)
+    segs = {v[0]: (v[1], v[2]) for v in streamed.values()}
+    assert segs[1] == ("premium", "EU")
+    assert segs[2] == (None, None)
