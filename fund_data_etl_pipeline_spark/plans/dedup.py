@@ -6,6 +6,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window as W
 
 from ..functions.text import MINHASH_A, MINHASH_BANDS, SIMHASH_BITS
 from ..operators import dedup as D
@@ -472,4 +473,120 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     sim = round2(dot(F.col("v1"), F.col("v2")) / (F.col("n1") * F.col("n2")), 6)
     return pairs.select("d1", "d2", sim.alias("cos_sim")).filter(
         F.col("cos_sim") >= _COS_T
+    )
+
+
+_SEM_K = 8  # clusters; scales with corpus so cluster sizes stay bounded
+_SEM_T = 0.30  # within-cluster duplicate threshold for this corpus
+
+_SEM_COS = (
+    "list_dot_product(ea.v, eb.v) /"
+    " (sqrt(list_dot_product(ea.v, ea.v)) * sqrt(list_dot_product(eb.v, eb.v)))"
+)
+_SEM_ASSIGN_COS = (
+    "list_dot_product(e.v, s.sv) /"
+    " (sqrt(list_dot_product(e.v, e.v)) * sqrt(list_dot_product(s.sv, s.sv)))"
+)
+
+
+@register(
+    "dedup_semantic",
+    oracle=f"""
+    WITH e AS (SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v
+               FROM embeddings),
+    seeds AS (
+      SELECT vec_id AS seed_id, v AS sv FROM e
+      ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT {_SEM_K}
+    ),
+    scored AS (
+      SELECT e.vec_id, s.seed_id, {G.round_sql(_SEM_ASSIGN_COS, 6)} AS cos_r
+      FROM e CROSS JOIN seeds s
+    ),
+    assign AS (
+      SELECT vec_id, seed_id AS cluster_id FROM (
+        SELECT *, ROW_NUMBER() OVER (
+          PARTITION BY vec_id ORDER BY cos_r DESC, seed_id) AS rn
+        FROM scored) WHERE rn = 1
+    ),
+    dups AS (
+      SELECT DISTINCT b.vec_id AS dup_id
+      FROM assign a
+      JOIN assign b ON a.cluster_id = b.cluster_id AND a.vec_id < b.vec_id
+      JOIN e ea ON ea.vec_id = a.vec_id
+      JOIN e eb ON eb.vec_id = b.vec_id
+      WHERE {G.round_sql(_SEM_COS, 6)} >= {_SEM_T}
+    )
+    SELECT a.vec_id, a.cluster_id, (d.dup_id IS NULL) AS keep
+    FROM assign a LEFT JOIN dups d ON d.dup_id = a.vec_id
+    """,
+)
+def dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup-style cluster-scoped semantic dedup (Abbas et al. 2023
+    shape): assign every embedding to its nearest of K seed centroids,
+    then search duplicate pairs ONLY within a cluster — the device that
+    turns corpus-wide O(N²) semantic dedup into K independent
+    O((N/K)²) problems, each small enough to pair exhaustively.
+
+    The quantizer is deterministic instead of KMeans: seeds are the K
+    vectors with the smallest md5(vec_id) (a hash-uniform draw, the same
+    role as IVF's sampled training set) — which is what makes this the
+    oracle-checkable twin of ``vector_ann_ivf``'s rows-only path.
+
+    Scale shape: seeds are a TakeOrderedAndProject top-K and ship as a
+    BROADCAST to the assignment join, so cluster assignment is map-side
+    (one cosine per (vector, seed)); the only shuffle is the cluster-key
+    self-join, whose per-cluster fan-out K bounds by construction — at
+    100 TB, K grows with the corpus to hold N/K constant. Keep rule is
+    greedy first-occurrence (a vector drops iff ANY smaller-id neighbor
+    in its cluster clears the threshold), matching dedup_exact's
+    canonical-min convention; rounded-to-6 cosines make every
+    comparison engine-stable.
+    """
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", as_double(F.col("embedding")).alias("v")
+    )
+    seeds = (
+        emb.orderBy(F.md5(F.col("vec_id").cast("string")), "vec_id")
+        .limit(_SEM_K)
+        .select(F.col("vec_id").alias("seed_id"), F.col("v").alias("sv"))
+    )
+    scored = emb.crossJoin(F.broadcast(seeds)).select(
+        "vec_id",
+        "seed_id",
+        round2(cosine(F.col("v"), F.col("sv")), 6).alias("cos_r"),
+    )
+    assign = (
+        scored.withColumn(
+            "rn",
+            F.row_number().over(
+                W.partitionBy("vec_id").orderBy(
+                    F.col("cos_r").desc(), F.col("seed_id")
+                )
+            ),
+        )
+        .filter(F.col("rn") == 1)
+        .select("vec_id", F.col("seed_id").alias("cluster_id"))
+    )
+    av = assign.join(emb, "vec_id")
+    a = av.select(
+        F.col("vec_id").alias("a_id"), F.col("cluster_id").alias("a_c"),
+        F.col("v").alias("a_v"),
+    )
+    b = av.select(
+        F.col("vec_id").alias("b_id"), F.col("cluster_id").alias("b_c"),
+        F.col("v").alias("b_v"),
+    )
+    dups = (
+        a.join(
+            b,
+            (F.col("a_c") == F.col("b_c")) & (F.col("a_id") < F.col("b_id")),
+        )
+        .filter(round2(cosine(F.col("a_v"), F.col("b_v")), 6) >= _SEM_T)
+        .select(F.col("b_id").alias("dup_id"))
+        .distinct()
+    )
+    return assign.join(
+        dups, assign["vec_id"] == dups["dup_id"], "left"
+    ).select(
+        "vec_id", "cluster_id", F.col("dup_id").isNull().alias("keep")
     )

