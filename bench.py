@@ -79,6 +79,11 @@ HEADLINE = [
     "large_order_customers",
     "bm25_topk",
     "events_anomaly_zscore",
+    # round-4c additions: Q7 two-role dimension shape, iterative
+    # integer-exact PageRank, SemDeDup cluster-scoped embedding dedup
+    "volume_shipping",
+    "graph_pagerank",
+    "dedup_semantic",
 ]
 
 

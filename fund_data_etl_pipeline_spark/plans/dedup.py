@@ -541,19 +541,33 @@ def dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
     in its cluster clears the threshold), matching dedup_exact's
     canonical-min convention; rounded-to-6 cosines make every
     comparison engine-stable.
+
+    Norms are computed ONCE per vector on the persisted prepped table
+    (the dedup_embedding_cosine rule): both the N×K assignment and the
+    within-cluster pairing evaluate a single dot-product fold per pair
+    instead of re-folding the two norm aggregates — 3 HOF folds → 1.
+    sqrt(n_a)·sqrt(n_b) is the oracle's exact expression tree, so values
+    stay bit-identical.
     """
     emb = load_table(spark, sf_dir, "embeddings").select(
         "vec_id", as_double(F.col("embedding")).alias("v")
     )
+    prepped = emb.select("vec_id", "v", norm(F.col("v")).alias("nv")).persist()
     seeds = (
-        emb.orderBy(F.md5(F.col("vec_id").cast("string")), "vec_id")
+        prepped.orderBy(F.md5(F.col("vec_id").cast("string")), "vec_id")
         .limit(_SEM_K)
-        .select(F.col("vec_id").alias("seed_id"), F.col("v").alias("sv"))
+        .select(
+            F.col("vec_id").alias("seed_id"),
+            F.col("v").alias("sv"),
+            F.col("nv").alias("ns"),
+        )
     )
-    scored = emb.crossJoin(F.broadcast(seeds)).select(
+    scored = prepped.crossJoin(F.broadcast(seeds)).select(
         "vec_id",
         "seed_id",
-        round2(cosine(F.col("v"), F.col("sv")), 6).alias("cos_r"),
+        round2(
+            dot(F.col("v"), F.col("sv")) / (F.col("nv") * F.col("ns")), 6
+        ).alias("cos_r"),
     )
     assign = (
         scored.withColumn(
@@ -567,21 +581,27 @@ def dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rn") == 1)
         .select("vec_id", F.col("seed_id").alias("cluster_id"))
     )
-    av = assign.join(emb, "vec_id")
+    av = assign.join(prepped, "vec_id")
     a = av.select(
         F.col("vec_id").alias("a_id"), F.col("cluster_id").alias("a_c"),
-        F.col("v").alias("a_v"),
+        F.col("v").alias("a_v"), F.col("nv").alias("a_n"),
     )
     b = av.select(
         F.col("vec_id").alias("b_id"), F.col("cluster_id").alias("b_c"),
-        F.col("v").alias("b_v"),
+        F.col("v").alias("b_v"), F.col("nv").alias("b_n"),
     )
     dups = (
         a.join(
             b,
             (F.col("a_c") == F.col("b_c")) & (F.col("a_id") < F.col("b_id")),
         )
-        .filter(round2(cosine(F.col("a_v"), F.col("b_v")), 6) >= _SEM_T)
+        .filter(
+            round2(
+                dot(F.col("a_v"), F.col("b_v")) / (F.col("a_n") * F.col("b_n")),
+                6,
+            )
+            >= _SEM_T
+        )
         .select(F.col("b_id").alias("dup_id"))
         .distinct()
     )

@@ -50,21 +50,30 @@ def pagerank(edges: DataFrame, iters: int = PR_ITERS) -> DataFrame:
     re-shuffling the edge list per iteration — at 100 TB the edge table
     dominates and must not move after round 0. Per-round rank state is
     localCheckpoint'ed (the CC lesson, operators/dedup.py:465): constant
-    lineage depth, no plan growth across iterations. The only per-round
-    shuffles are the rank⋈degree equi-join and the dst aggregation.
+    lineage depth, no plan growth across iterations — but LAZILY
+    (eager=False): each round's state persists when the next round first
+    computes it, so the whole fixpoint runs as ONE chained job instead
+    of paying per-round driver-synchronized materialization (the
+    BASELINE.md note-13 lesson: never schedule from the driver what a
+    chain can express). The only per-round shuffles are the rank⋈degree
+    equi-join and the dst aggregation.
 
     The node count (one tiny COUNT) sets the uniform initial rank and the
     teleport term on the driver — the same role as CC's convergence
     aggregate.
     """
-    edges = edges.select("src", "dst").repartition("src").localCheckpoint()
+    edges = (
+        edges.select("src", "dst")
+        .repartition("src")
+        .localCheckpoint(eager=False)
+    )
     deg = (
         edges.groupBy("src")
         .agg(F.count(F.lit(1)).alias("deg"))
         .withColumnRenamed("src", "node")
-        .localCheckpoint()
+        .localCheckpoint(eager=False)
     )
-    n = deg.count()
+    n = deg.count()  # materializes edges + deg; the loop reuses both
     init = PR_SCALE // n
     base = (PR_SCALE * (PR_DAMP_DEN - PR_DAMP_NUM)) // (n * PR_DAMP_DEN)
     ranks = deg.select("node", F.lit(init).cast("long").alias("rank_units"))
@@ -89,7 +98,7 @@ def pagerank(edges: DataFrame, iters: int = PR_ITERS) -> DataFrame:
                     )
                 ).alias("rank_units"),
             )
-            .localCheckpoint()
+            .localCheckpoint(eager=False)
         )
     return ranks
 

@@ -64,6 +64,7 @@ PERSIST_OK = {
     "dedup_spans",
     "contamination_check",
     "dedup_embedding_cosine",
+    "dedup_semantic",
 }
 # Arrow-batched Python is the sanctioned slow path, only where the
 # operator is genuinely non-relational (media codecs)
