@@ -4,6 +4,8 @@ a value-exact DuckDB oracle (same md5-derived hash constants both sides).
 
 from __future__ import annotations
 
+import math
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window as W
@@ -476,7 +478,14 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-_SEM_K = 8  # clusters; scales with corpus so cluster sizes stay bounded
+# clusters K = max(K_MIN, ceil(sqrt(N))): the SemDeDup cost is
+# assignment O(N·K) + within-cluster pairing O(N·(N/K)); K = sqrt(N)
+# balances the two at the algorithm's optimal O(N^1.5) total — a fixed
+# K makes pairing quadratic, K ∝ N makes ASSIGNMENT quadratic (the 10x
+# scale probe measured that mistake at 31.5x before this rule; ~10^1.5
+# ≈ 31.6x is the expected exponent-bound ratio, reached with a ~9x
+# smaller constant)
+_SEM_K_MIN = 8
 _SEM_T = 0.30  # within-cluster duplicate threshold for this corpus
 
 _SEM_COS = (
@@ -496,7 +505,10 @@ _SEM_ASSIGN_COS = (
                FROM embeddings),
     seeds AS (
       SELECT vec_id AS seed_id, v AS sv FROM e
-      ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT {_SEM_K}
+      QUALIFY ROW_NUMBER() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id)
+        <= GREATEST({_SEM_K_MIN},
+                    CAST(CEIL(SQRT((SELECT COUNT(*) FROM e)))
+                         AS BIGINT))
     ),
     scored AS (
       SELECT e.vec_id, s.seed_id, {G.round_sql(_SEM_ASSIGN_COS, 6)} AS cos_r
@@ -532,15 +544,23 @@ def dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
     role as IVF's sampled training set) — which is what makes this the
     oracle-checkable twin of ``vector_ann_ivf``'s rows-only path.
 
-    Scale shape: seeds are a TakeOrderedAndProject top-K and ship as a
-    BROADCAST to the assignment join, so cluster assignment is map-side
-    (one cosine per (vector, seed)); the only shuffle is the cluster-key
-    self-join, whose per-cluster fan-out K bounds by construction — at
-    100 TB, K grows with the corpus to hold N/K constant. Keep rule is
-    greedy first-occurrence (a vector drops iff ANY smaller-id neighbor
-    in its cluster clears the threshold), matching dedup_exact's
-    canonical-min convention; rounded-to-6 cosines make every
-    comparison engine-stable.
+    Scale shape: K = max(K_MIN, ceil(√N)), from one tiny COUNT (the
+    PageRank/CC pattern). √N is not arbitrary — SemDeDup's total cost
+    is assignment O(N·K) plus pairing O(N·N/K), minimized at K = √N
+    for the algorithm's optimal O(N^1.5); the 10x scale probe measured
+    the K ∝ N variant at 31.5x (assignment had gone quadratic) before
+    this rule pinned the exponent at the bound (~10^1.5 ≈ 31.6x per
+    10x, with a ~9x smaller constant — see BASELINE.md). An engine
+    needing strictly linear semantic dedup should use the LSH/ANN
+    bucket family (vector_ann_lsh, dedup_hybrid) instead; SemDeDup
+    buys exact within-cluster recall for the extra √N. Seeds are a
+    TakeOrderedAndProject top-K shipped as a BROADCAST to the
+    assignment join, so cluster assignment is map-side (one dot fold
+    per (vector, seed)); the only data shuffle is the cluster-key
+    self-join. Keep rule is greedy first-occurrence (a vector drops iff
+    ANY smaller-id neighbor in its cluster clears the threshold),
+    matching dedup_exact's canonical-min convention; rounded-to-6
+    cosines make every comparison engine-stable.
 
     Norms are computed ONCE per vector on the persisted prepped table
     (the dedup_embedding_cosine rule): both the N×K assignment and the
@@ -553,9 +573,11 @@ def dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
         "vec_id", as_double(F.col("embedding")).alias("v")
     )
     prepped = emb.select("vec_id", "v", norm(F.col("v")).alias("nv")).persist()
+    n = prepped.count()  # also materializes the persisted prep
+    k = max(_SEM_K_MIN, math.ceil(math.sqrt(n)))
     seeds = (
         prepped.orderBy(F.md5(F.col("vec_id").cast("string")), "vec_id")
-        .limit(_SEM_K)
+        .limit(k)
         .select(
             F.col("vec_id").alias("seed_id"),
             F.col("v").alias("sv"),

@@ -60,6 +60,11 @@ PROBE_QUERIES = [
     # per-row arithmetic; one rows-bounded window on user_id)
     "bm25_topk",
     "events_anomaly_zscore",
+    # round-4c: adaptive-K semantic dedup (K tracks N, so the pairing
+    # stage must scale ~linearly, NOT quadratically) and iterative
+    # PageRank (per-round work linear in the 10x edge list)
+    "dedup_semantic",
+    "graph_pagerank",
 ]
 
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
@@ -105,8 +110,50 @@ def build_scaled_dir(spark, sf_dir: str, factor: int) -> str:
         .parquet(os.path.join(out_dir, "events.parquet"))
     )
 
+    # embeddings: 10x vectors, each replica nudged on dimension ``rep``
+    # so the scaled corpus is 10x distinct near-neighbors, not 10 exact
+    # aliases (which would degenerate the semantic-dedup probe)
+    emb = load_table(spark, sf_dir, "embeddings")
+    (
+        emb.select("*", rep)
+        .select(
+            (F.col("vec_id") * factor + F.col("rep")).alias("vec_id"),
+            F.transform(
+                "embedding",
+                lambda x, i: F.when(i == F.col("rep"), x + F.lit(0.05))
+                .otherwise(x)
+                .cast("float"),
+            ).alias("embedding"),
+            "label",
+        )
+        .write.mode("overwrite")
+        .parquet(os.path.join(out_dir, "embeddings.parquet"))
+    )
+
+    # lineitem: 10x rows with part/supp keys remapped per replica — the
+    # co-purchase graph becomes 10 disjoint copies (10x nodes AND edges)
+    li = load_table(spark, sf_dir, "lineitem")
+    (
+        li.select("*", rep)
+        .select(
+            "l_orderkey",
+            (F.col("l_partkey") * factor + F.col("rep")).alias("l_partkey"),
+            (F.col("l_suppkey") * factor + F.col("rep")).alias("l_suppkey"),
+            "l_linenumber",
+            "l_quantity",
+            "l_extendedprice",
+            "l_discount",
+            "l_tax",
+            "l_returnflag",
+            "l_linestatus",
+            "l_shipdate",
+        )
+        .write.mode("overwrite")
+        .parquet(os.path.join(out_dir, "lineitem.parquet"))
+    )
+
     for name in TABLE_NAMES:
-        if name in ("documents", "events"):
+        if name in ("documents", "events", "embeddings", "lineitem"):
             continue
         link = os.path.join(out_dir, f"{name}.parquet")
         if not os.path.exists(link):
