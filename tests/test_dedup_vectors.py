@@ -339,3 +339,36 @@ def test_semantic_dedup_drops_planted_cluster_dup(spark, sf_dir, tmp_path):
     assert rows[3]["keep"] is True, "original (smaller id) must keep"
     # copy and original share a cluster (cosine 1.0 beats any other seed)
     assert rows[30]["cluster_id"] == rows[3]["cluster_id"]
+
+
+def test_semantic_dedup_keep_rule_invariant(spark, sf_dir):
+    """Oracle-independent invariant on the real corpus: a vector keeps
+    iff NO smaller-id vector in its cluster clears the threshold —
+    recomputed here by brute force from the same embeddings."""
+    from fund_data_etl_pipeline_spark.plans.dedup import _SEM_T, dedup_semantic
+    from fund_data_etl_pipeline_spark.sources import load_table
+
+    rows = dedup_semantic(spark, sf_dir).collect()
+    cluster = {r["vec_id"]: r["cluster_id"] for r in rows}
+    keep = {r["vec_id"]: r["keep"] for r in rows}
+    vecs = {
+        r["vec_id"]: r["embedding"]
+        for r in load_table(spark, sf_dir, "embeddings").collect()
+    }
+
+    def cos(a, b):
+        num = sum(x * y for x, y in zip(a, b))
+        import math as m
+
+        return round(num / (m.sqrt(sum(x * x for x in a)) * m.sqrt(sum(y * y for y in b))), 6)
+
+    by_cluster: dict[int, list[int]] = {}
+    for v, c in cluster.items():
+        by_cluster.setdefault(c, []).append(v)
+    for c, members in by_cluster.items():
+        members.sort()
+        for i, b in enumerate(members):
+            has_dup = any(
+                cos(vecs[a], vecs[b]) >= _SEM_T for a in members[:i]
+            )
+            assert keep[b] == (not has_dup), (c, b)

@@ -74,3 +74,41 @@ def test_deterministic_across_builds(spark):
     pairs = [(i, (i * 7) % 13) for i in range(13) if i != (i * 7) % 13]
     e = _edges(spark, pairs)
     assert _ranks(pagerank(e, 3)) == _ranks(pagerank(e, 3))
+
+
+def test_random_graph_matches_float_reference(spark):
+    # randomized-structure parity (fixed seeds, 3 graphs to bound Spark
+    # job count): the integer fixpoint must track the float reference on
+    # arbitrary symmetric graphs, not just the handcrafted ones.
+    import random
+
+    for seed in (11, 23, 47):
+        rng = random.Random(seed)
+        n = rng.randint(5, 14)
+        pairs = {
+            (a, b)
+            for _ in range(rng.randint(n, 3 * n))
+            for a, b in [(rng.randrange(n), rng.randrange(n))]
+            if a != b
+        }
+        if not pairs:
+            continue
+        edges = _edges(spark, sorted(pairs))
+        adj: dict[int, list[int]] = {}
+        for r in edges.collect():
+            adj.setdefault(r["src"], []).append(r["dst"])
+        nn = len(adj)
+        d = PR_DAMP_NUM / PR_DAMP_DEN
+        ref = {v: 1.0 / nn for v in adj}
+        for _ in range(5):
+            recv = {v: 0.0 for v in adj}
+            for v, outs in adj.items():
+                for w in outs:
+                    recv[w] += ref[v] / len(outs)
+            ref = {v: (1 - d) / nn + d * recv[v] for v in adj}
+        got = _ranks(pagerank(edges, 5))
+        assert set(got) == set(ref), f"seed {seed}: node set mismatch"
+        for v in ref:
+            assert got[v] / PR_SCALE == pytest.approx(ref[v], abs=1e-6), (
+                f"seed {seed}, node {v}"
+            )
