@@ -47,6 +47,7 @@ def load_all() -> None:
         fundetl,
         graph,
         multimodal,
+        quality,
         relational,
         relational2,
         relational3,
@@ -129,14 +130,15 @@ PRIORITY = [
     "bm25_topk",
     "events_anomaly_zscore",
 ]
-# PRIORITY is at the 50-query driver cap. Five late round-4 additions —
+# PRIORITY is at the 50-query driver cap. Seven late round-4 additions —
 # user_rolling_7d_spend (time-RANGE window frame), attribution_join
 # (batch registration of the stream-stream join's shared builder),
 # graph_pagerank (integer-exact iterative centrality), volume_shipping
-# (TPC-H Q7 two-role dimension shape) and dedup_semantic (SemDeDup
-# cluster-scoped embedding dedup) — sit just past the cap this round
-# (registration order puts unlisted names right after PRIORITY): all
-# five are exact-oracle-green in the local gate
+# (TPC-H Q7 two-role dimension shape), dedup_semantic (SemDeDup
+# cluster-scoped embedding dedup), dq_constraint_report (Deequ-style
+# contract suite) and k_anonymity_audit — sit just past the cap this
+# round (registration order puts unlisted names right after PRIORITY):
+# all seven are exact-oracle-green in the local gate
 # (tools/check_correctness.py) and pytest-proven; they are ROUND-5
 # FRONT-OF-QUEUE alongside the names rotating back out of DEPRIORITY.
 
