@@ -217,3 +217,30 @@ def chunk_documents(
             F.md5(F.concat_ws(" ", chunk)).alias("chunk_hash"),
         )
     )
+
+
+def group_capped_sample(
+    df: DataFrame,
+    group_col: str,
+    cap: int,
+    id_col: str = "doc_id",
+    salt: str = "cap-v1",
+) -> DataFrame:
+    """Deterministic per-group cap (the Common-Crawl per-host/per-source
+    rule): keep at most ``cap`` rows per group, chosen by hash order — a
+    reproducible reservoir, not an RNG one. Appends ``slot`` (1-based
+    rank within the group's hash order).
+
+    Scale shape: one exchange on the group key, then a group-local rank
+    window ordered by (hash bucket, id) — the hash order decorrelates
+    survivorship from any value ordering, and the id tie-break makes the
+    cut a total order. An EXACT cap needs the rank; when an approximate
+    per-group rate suffices, ``stratified_sample``'s map-only bucket
+    test is the shuffle-free alternative.
+    """
+    w = Window.partitionBy(group_col).orderBy(
+        split_bucket(F.col(id_col), salt), F.col(id_col)
+    )
+    return df.withColumn("slot", F.row_number().over(w)).filter(
+        F.col("slot") <= cap
+    )

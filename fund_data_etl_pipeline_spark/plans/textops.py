@@ -29,6 +29,7 @@ from ..operators.sampling import (
     SPLIT_BUCKETS,
     chunk_documents,
     epoch_shuffle,
+    group_capped_sample,
     hash_split,
     pack_sequences,
     split_bucket,
@@ -381,6 +382,42 @@ def stratified_sample_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     return stratified_sample(docs, _STRAT_RATES, salt=_STRAT_SALT).select(
         "doc_id", "lang"
     )
+
+
+# --------------------------------------------------------------------------
+# Per-source document cap: deterministic reservoir
+# --------------------------------------------------------------------------
+
+_CAP_SALT = "cap-v1"
+_CAP_M = 10
+
+
+@register(
+    "source_capped_sample",
+    oracle=f"""
+    SELECT doc_id, source, slot FROM (
+      SELECT doc_id, source,
+             ROW_NUMBER() OVER (
+               PARTITION BY source
+               ORDER BY {G.H(f"'{_CAP_SALT}' || doc_id::VARCHAR")}
+                          % {SPLIT_BUCKETS}, doc_id) AS slot
+      FROM documents)
+    WHERE slot <= {_CAP_M}
+    """,
+)
+def source_capped_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source hard cap (the Common-Crawl per-host rule): at most
+    {m} docs per source survive, chosen by deterministic hash order —
+    no source can dominate the training mixture however large its
+    crawl. One exchange on source, group-local rank window; the
+    approximate-rate alternative is stratified_sample (map-only)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return group_capped_sample(
+        docs, "source", _CAP_M, salt=_CAP_SALT
+    ).select("doc_id", "source", "slot")
+
+
+source_capped_sample.__doc__ = source_capped_sample.__doc__.format(m=_CAP_M)
 
 
 # --------------------------------------------------------------------------

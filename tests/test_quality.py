@@ -69,3 +69,22 @@ def test_k_anonymity_flags_small_groups(spark, sf_dir):
     assert rows
     for r in rows:
         assert r["anonymous"] == (r["group_size"] >= 5)
+
+
+def test_group_capped_sample_caps_and_is_deterministic(spark):
+    from fund_data_etl_pipeline_spark.operators.sampling import (
+        group_capped_sample,
+    )
+
+    df = spark.createDataFrame(
+        [(i, "big" if i < 40 else "small") for i in range(43)],
+        "doc_id long, source string",
+    )
+    out = group_capped_sample(df, "source", cap=5).collect()
+    by_src: dict[str, list[int]] = {}
+    for r in out:
+        by_src.setdefault(r["source"], []).append(r["doc_id"])
+    assert len(by_src["big"]) == 5  # capped
+    assert len(by_src["small"]) == 3  # under cap -> kept whole
+    again = group_capped_sample(df, "source", cap=5).collect()
+    assert sorted(map(tuple, out)) == sorted(map(tuple, again))
