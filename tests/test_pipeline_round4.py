@@ -14,14 +14,17 @@ def test_funnel_repeated_builds_leave_no_cached_state(spark, sf_dir):
     """Repeated funnel builds must not accumulate storage memory (round-3
     ADVICE; the BASELINE.md note-8 pathology). Since r4b the builder is a
     single lazy plan that persists nothing at all, so the persistent-RDD
-    count must stay flat across builds AND executions."""
+    count must never GROW across builds and executions. (<= not ==: the
+    ContextCleaner may asynchronously drop lingering checkpointed RDDs
+    from earlier tests — e.g. PageRank's lazy localCheckpoints — while
+    this test runs, so a concurrent DECREASE is fine.)"""
     from fund_data_etl_pipeline_spark.plans.events import events_funnel
 
     before = _n_persistent_rdds(spark)
     for _ in range(3):
         rows = events_funnel(spark, sf_dir).collect()
         assert len(rows) == 3
-    assert _n_persistent_rdds(spark) == before
+        assert _n_persistent_rdds(spark) <= before
 
 
 def test_funnel_conversion_rates_well_formed(spark, sf_dir):
