@@ -80,10 +80,14 @@ HEADLINE = [
     "bm25_topk",
     "events_anomaly_zscore",
     # round-4c additions: Q7 two-role dimension shape, iterative
-    # integer-exact PageRank, SemDeDup cluster-scoped embedding dedup
+    # integer-exact PageRank, SemDeDup cluster-scoped embedding dedup,
+    # governance (contract suite, k-anonymity) and the per-source cap
     "volume_shipping",
     "graph_pagerank",
     "dedup_semantic",
+    "dq_constraint_report",
+    "k_anonymity_audit",
+    "source_capped_sample",
 ]
 
 
