@@ -88,6 +88,7 @@ HEADLINE = [
     "dq_constraint_report",
     "k_anonymity_audit",
     "source_capped_sample",
+    "market_share",
 ]
 
 

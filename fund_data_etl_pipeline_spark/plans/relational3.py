@@ -100,6 +100,118 @@ def local_supplier_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_Q8_NATION = "NATION_3"
+_Q8_REGION = "EUROPE"
+_Q8_TYPE = "PROMO"
+_Q8_FROM = "1995-01-01"
+_Q8_TO = "1997-01-01"  # exclusive
+
+
+@register(
+    "market_share",
+    oracle=f"""
+    WITH rev AS (
+      SELECT CAST(year(o_orderdate) AS INT) AS order_year,
+             CAST(FLOOR(l_extendedprice * (1 - l_discount) * 100 + 0.5)
+                  AS BIGINT) AS rev_c,
+             n_s.n_name AS supp_nation
+      FROM lineitem
+      JOIN part     ON l_partkey = p_partkey AND p_type = '{_Q8_TYPE}'
+      JOIN orders   ON l_orderkey = o_orderkey
+      JOIN customer ON o_custkey = c_custkey
+      JOIN nation n_c ON c_nationkey = n_c.n_nationkey
+      JOIN region   ON n_c.n_regionkey = r_regionkey AND r_name = '{_Q8_REGION}'
+      JOIN supplier ON l_suppkey = s_suppkey
+      JOIN nation n_s ON s_nationkey = n_s.n_nationkey
+      WHERE o_orderdate >= TIMESTAMP '{_Q8_FROM}'
+        AND o_orderdate <  TIMESTAMP '{_Q8_TO}'
+    )
+    SELECT order_year,
+           ROUND(SUM(CASE WHEN supp_nation = '{_Q8_NATION}' THEN rev_c
+                          ELSE 0 END) * 1.0 / SUM(rev_c), 6) AS mkt_share
+    FROM rev GROUP BY order_year ORDER BY order_year
+    """,
+)
+def market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q8 shape: one nation's share of {t}-part revenue sold into
+    one region's customers, by order year — the ratio-of-conditional-
+    aggregate pattern (numerator and denominator fold in the SAME
+    aggregate pass; never two scans joined back).
+
+    Scale shape: three independent dimension chains prune the fact —
+    part filtered to the type (broadcast; a runtime bloom filter prunes
+    fact rows behind it on a shuffle plan), customer⋈nation⋈region
+    collapses to the region's custkeys, supplier⋈nation ships the
+    supplier→nation map — and the orderdate range is a PushedFilter on
+    orders. The single fact shuffle is lineitem ⋈ orders on orderkey;
+    the share is a map-side conditional sum over BIGINT cents, one tiny
+    exchange for ~2 year-groups. The numerator condition rides INTO the
+    aggregate as a CASE, so the nation cut costs nothing extra.
+
+    Cross-engine exactness: both sums are exact BIGINT cents; the one
+    float op is the final division (identical operands both engines),
+    rounded to 6.
+    """
+    part = load_table(spark, sf_dir, "part").filter(
+        F.col("p_type") == _Q8_TYPE
+    ).select("p_partkey")
+    region = load_table(spark, sf_dir, "region").filter(
+        F.col("r_name") == _Q8_REGION
+    )
+    nation = load_table(spark, sf_dir, "nation")
+    cust = (
+        load_table(spark, sf_dir, "customer")
+        .join(
+            F.broadcast(
+                nation.join(
+                    region, F.col("n_regionkey") == F.col("r_regionkey")
+                ).select("n_nationkey")
+            ),
+            F.col("c_nationkey") == F.col("n_nationkey"),
+        )
+        .select("c_custkey")
+    )
+    supp = (
+        load_table(spark, sf_dir, "supplier")
+        .join(
+            F.broadcast(nation.select("n_nationkey", "n_name")),
+            F.col("s_nationkey") == F.col("n_nationkey"),
+        )
+        .select("s_suppkey", F.col("n_name").alias("supp_nation"))
+    )
+    orders = load_table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit(_Q8_FROM).cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit(_Q8_TO).cast("timestamp"))
+    )
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_partkey", "l_suppkey", "l_extendedprice", "l_discount"
+    )
+    rev_c = cents(F.col("l_extendedprice") * (1 - F.col("l_discount")))
+    return (
+        li.join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
+        .join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(cust, F.col("o_custkey") == F.col("c_custkey"))
+        .join(supp, F.col("l_suppkey") == F.col("s_suppkey"))
+        .groupBy(F.year("o_orderdate").cast("int").alias("order_year"))
+        .agg(
+            round2(
+                F.sum(
+                    F.when(F.col("supp_nation") == _Q8_NATION, rev_c).otherwise(
+                        F.lit(0)
+                    )
+                )
+                * 1.0
+                / F.sum(rev_c),
+                6,
+            ).alias("mkt_share")
+        )
+        .orderBy("order_year")
+    )
+
+
+market_share.__doc__ = market_share.__doc__.format(t=_Q8_TYPE)
+
+
 _Q7_NATION_A = "NATION_3"
 _Q7_NATION_B = "NATION_7"
 _Q7_FROM = "1995-01-01"

@@ -347,3 +347,18 @@ def test_q7_plan_and_symmetry(spark, sf_dir):
     assert pairs <= {(_Q7_NATION_A, _Q7_NATION_B), (_Q7_NATION_B, _Q7_NATION_A)}
     years = [r["ship_year"] for r in rows]
     assert all(1995 <= y <= 1996 for y in years)
+
+
+def test_q8_share_bounds_and_plan(spark, sf_dir):
+    """market_share: every yearly share sits in [0,1]; the orderdate
+    range reaches a parquet scan and the dimension chains broadcast."""
+    q = _queries()
+    df = q["market_share"](spark, sf_dir)
+    plan = _plan(df)
+    assert "PushedFilters" in plan and "o_orderdate" in plan
+    assert "BroadcastHashJoin" in plan
+    rows = df.collect()
+    assert rows
+    for r in rows:
+        assert 0.0 <= r["mkt_share"] <= 1.0
+        assert 1995 <= r["order_year"] <= 1996
