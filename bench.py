@@ -89,6 +89,7 @@ HEADLINE = [
     "k_anonymity_audit",
     "source_capped_sample",
     "market_share",
+    "late_sole_supplier",
 ]
 
 

@@ -130,17 +130,18 @@ PRIORITY = [
     "bm25_topk",
     "events_anomaly_zscore",
 ]
-# PRIORITY is at the 50-query driver cap. Nine late round-4 additions —
+# PRIORITY is at the 50-query driver cap. Ten late round-4 additions —
 # user_rolling_7d_spend (time-RANGE window frame), attribution_join
 # (batch registration of the stream-stream join's shared builder),
 # graph_pagerank (integer-exact iterative centrality), volume_shipping
 # (TPC-H Q7 two-role dimension shape), dedup_semantic (SemDeDup
 # cluster-scoped embedding dedup), dq_constraint_report (Deequ-style
 # contract suite), k_anonymity_audit, source_capped_sample
-# (per-source reservoir cap) and market_share (TPC-H Q8
-# ratio-of-conditional-aggregate) — sit just past the cap this round
+# (per-source reservoir cap), market_share (TPC-H Q8
+# ratio-of-conditional-aggregate) and late_sole_supplier (TPC-H Q21
+# decorrelated double-EXISTS) — sit just past the cap this round
 # (registration order puts unlisted names right after PRIORITY):
-# all nine are exact-oracle-green in the local gate
+# all ten are exact-oracle-green in the local gate
 # (tools/check_correctness.py) and pytest-proven; they are ROUND-5
 # FRONT-OF-QUEUE alongside the names rotating back out of DEPRIORITY.
 

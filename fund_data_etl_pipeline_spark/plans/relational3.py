@@ -299,6 +299,102 @@ def volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_Q21_LATE_DAYS = 60
+_Q21_TOPK = 20
+
+
+@register(
+    "late_sole_supplier",
+    # The oracle is deliberately the TEXTBOOK doubly-correlated
+    # EXISTS / NOT EXISTS form, while the Spark plan is the decorrelated
+    # window rewrite — the green row proves the rewrite's semantic
+    # equivalence, not just arithmetic agreement.
+    oracle=f"""
+    WITH lo AS (
+      SELECT l_orderkey, l_suppkey,
+             (l_shipdate > o_orderdate + INTERVAL {_Q21_LATE_DAYS} DAY) AS late
+      FROM lineitem JOIN orders ON o_orderkey = l_orderkey
+      WHERE o_orderstatus = 'F'
+    )
+    SELECT s_suppkey, COUNT(*) AS numwait FROM (
+      SELECT DISTINCT l1.l_suppkey AS s_suppkey, l1.l_orderkey
+      FROM lo l1
+      WHERE l1.late
+        AND EXISTS (SELECT 1 FROM lo l2
+                    WHERE l2.l_orderkey = l1.l_orderkey
+                      AND l2.l_suppkey <> l1.l_suppkey)
+        AND NOT EXISTS (SELECT 1 FROM lo l3
+                        WHERE l3.l_orderkey = l1.l_orderkey
+                          AND l3.l_suppkey <> l1.l_suppkey
+                          AND l3.late)
+    ) t GROUP BY s_suppkey
+    ORDER BY numwait DESC, s_suppkey
+    LIMIT {_Q21_TOPK}
+    """,
+)
+def late_sole_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q21 shape: suppliers solely to blame for late multi-supplier
+    orders — the doubly-correlated EXISTS (another supplier shares the
+    order) + NOT EXISTS (no other supplier was also late) pattern, the
+    canonical hard case for subquery decorrelation. "Late" is
+    l_shipdate > o_orderdate + {_Q21_LATE_DAYS} days (this corpus
+    carries no commit/receipt dates).
+
+    Scale shape: instead of two correlated re-probes of the fact table
+    (the textbook plan executes the subqueries per outer row), BOTH
+    existence tests decorrelate into ONE window pass over the order key
+    — per-order distinct-supplier and distinct-late-supplier counts via
+    collect_set over the orderkey partition (state bounded by the ~4
+    suppliers of an order, never the corpus) — so the whole query costs
+    one fact shuffle. The sole-blame filter (late ∧ n_supp ≥ 2 ∧
+    n_late = 1) is then map-side, the (supplier, order) distinct
+    collapses to one row per blame, and TakeOrderedAndProject caps the
+    supplier leaderboard at {_Q21_TOPK}.
+
+    Cross-engine exactness: pure integer counts; ties break on
+    s_suppkey — a total order through the LIMIT cut.
+    """
+    from pyspark.sql.window import Window
+
+    orders_f = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderstatus") == "F"
+    ).select("o_orderkey", "o_orderdate")
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_suppkey", "l_shipdate"
+    )
+    late = F.col("l_shipdate") > F.col("o_orderdate") + F.expr(
+        f"INTERVAL {_Q21_LATE_DAYS} DAYS"
+    )
+    lo = li.join(orders_f, F.col("l_orderkey") == F.col("o_orderkey")).select(
+        "l_orderkey", "l_suppkey", late.alias("late")
+    )
+    w = Window.partitionBy("l_orderkey")
+    per = lo.select(
+        "l_orderkey",
+        "l_suppkey",
+        "late",
+        F.size(F.collect_set("l_suppkey").over(w)).alias("n_supp"),
+        F.size(
+            F.collect_set(
+                F.when(F.col("late"), F.col("l_suppkey"))
+            ).over(w)
+        ).alias("n_late"),
+    )
+    sole = (
+        per.filter(
+            F.col("late") & (F.col("n_supp") >= 2) & (F.col("n_late") == 1)
+        )
+        .select(F.col("l_suppkey").alias("s_suppkey"), "l_orderkey")
+        .distinct()
+    )
+    return (
+        sole.groupBy("s_suppkey")
+        .agg(F.count(F.lit(1)).alias("numwait"))
+        .orderBy(F.col("numwait").desc(), "s_suppkey")
+        .limit(_Q21_TOPK)
+    )
+
+
 _Q18_MIN_QTY = 250  # ~p99 of per-order quantity in this corpus
 
 

@@ -362,3 +362,50 @@ def test_q8_share_bounds_and_plan(spark, sf_dir):
     for r in rows:
         assert 0.0 <= r["mkt_share"] <= 1.0
         assert 1995 <= r["order_year"] <= 1996
+
+
+def test_q21_sole_blame_recompute(spark, sf_dir):
+    """late_sole_supplier: recompute one supplier's numwait with an
+    independent per-order aggregate chain (groupBy instead of window)
+    and check the leaderboard row; ordering is numwait desc, suppkey."""
+    from fund_data_etl_pipeline_spark.plans.relational3 import (
+        _Q21_LATE_DAYS,
+    )
+    from fund_data_etl_pipeline_spark.sources import load_table
+
+    q = _queries()
+    rows = q["late_sole_supplier"](spark, sf_dir).collect()
+    assert 0 < len(rows) <= 20
+    waits = [(r["numwait"], -r["s_suppkey"]) for r in rows]
+    assert waits == sorted(waits, key=lambda t: (-t[0], -t[1]))
+
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderstatus") == "F"
+    )
+    lo = li.join(orders, F.col("l_orderkey") == F.col("o_orderkey")).select(
+        "l_orderkey",
+        "l_suppkey",
+        (
+            F.col("l_shipdate")
+            > F.col("o_orderdate") + F.expr(f"INTERVAL {_Q21_LATE_DAYS} DAYS")
+        ).alias("late"),
+    )
+    per_order = lo.groupBy("l_orderkey").agg(
+        F.count_distinct("l_suppkey").alias("n_supp"),
+        F.count_distinct(
+            F.when(F.col("late"), F.col("l_suppkey"))
+        ).alias("n_late"),
+    )
+    target = rows[0]["s_suppkey"]
+    expected = (
+        lo.filter(F.col("late") & (F.col("l_suppkey") == target))
+        .select("l_orderkey")
+        .distinct()
+        .join(
+            per_order.filter((F.col("n_supp") >= 2) & (F.col("n_late") == 1)),
+            "l_orderkey",
+        )
+        .count()
+    )
+    assert rows[0]["numwait"] == expected
