@@ -75,8 +75,23 @@ def build_scaled_dir(spark, sf_dir: str, factor: int) -> str:
 
     out_dir = os.path.join(REPO, f".scale_probe_x{factor}")
     marker = os.path.join(out_dir, ".complete")
+    # fingerprint the SOURCE tables: the driver regenerates /root/testdata
+    # between rounds, and a stale staged replica would silently compare
+    # old scaled data against new base data (the round-2 schema-drift
+    # lesson applied to this cache)
+    fp_parts = []
+    for name in sorted(os.listdir(sf_dir)):
+        p = os.path.join(sf_dir, name)
+        st = os.stat(p)
+        fp_parts.append(f"{name}:{st.st_size}:{int(st.st_mtime)}")
+    fingerprint = "|".join(fp_parts)
     if os.path.exists(marker):
-        return out_dir
+        with open(marker) as fh:
+            if fh.read() == fingerprint:
+                return out_dir
+        import shutil
+
+        shutil.rmtree(out_dir)  # stale: source tables changed
     os.makedirs(out_dir, exist_ok=True)
 
     rep = F.explode(F.array(*[F.lit(i) for i in range(factor)])).alias("rep")
@@ -159,7 +174,7 @@ def build_scaled_dir(spark, sf_dir: str, factor: int) -> str:
         if not os.path.exists(link):
             os.symlink(os.path.join(sf_dir, f"{name}.parquet"), link)
     with open(marker, "w") as fh:
-        fh.write("ok")
+        fh.write(fingerprint)
     return out_dir
 
 
