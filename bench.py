@@ -98,7 +98,15 @@ def main() -> None:
     import __spark_entry__ as e
     from fund_data_etl_pipeline_spark.session import get_spark
 
-    spark = get_spark("bench")
+    # BENCH_r04 was lost to output truncation: Spark's stage-progress \r
+    # spam pushed the one-line JSON past the driver's tail-capture window
+    # (`parsed: null`). Suppress the progress bar at session creation and
+    # drop log level to ERROR so the tail of the combined stream is the
+    # payload, not telemetry.
+    spark = get_spark(
+        "bench", extra_conf={"spark.ui.showConsoleProgress": "false"}
+    )
+    spark.sparkContext.setLogLevel("ERROR")
     qs = e.queries()
 
     # Per-query protocol, with fault isolation (a single broken query —
@@ -163,7 +171,19 @@ def main() -> None:
     }
     if errors:
         payload["errors"] = errors
-    print(json.dumps(payload, ensure_ascii=False))
+    line = json.dumps(payload, ensure_ascii=False)
+    print(line, flush=True)
+    # belt-and-braces for the tail capture: persist the same line to a
+    # sibling file so a truncated stream never loses the round's number
+    try:
+        with open(
+            os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                         "bench_last.json"),
+            "w",
+        ) as fh:
+            fh.write(line + "\n")
+    except OSError:
+        pass
     spark.stop()
 
 

@@ -568,6 +568,15 @@ def dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
     instead of re-folding the two norm aggregates — 3 HOF folds → 1.
     sqrt(n_a)·sqrt(n_b) is the oracle's exact expression tree, so values
     stay bit-identical.
+
+    The prepped cache intentionally outlives this call (PERSIST_OK in
+    tools/audit_plans.py): the returned plan is LAZY and scans prepped
+    three more times (seed top-K, assignment, pairing) only when the
+    caller materializes it — unpersisting before return would silently
+    recompute the norm HOF fold per scan (the contamination_check
+    1 s → 81 s pathology, bench.py docstring). Callers that batch many
+    queries (bench.py, the driver gate) clearCache() between queries,
+    which is the designed reclamation point.
     """
     emb = load_table(spark, sf_dir, "embeddings").select(
         "vec_id", as_double(F.col("embedding")).alias("v")

@@ -15,6 +15,7 @@ from pyspark.sql import functions as F
 
 from ..functions.numeric import cents, round2
 from ..sources import load_table
+from . import _sqlgen as G
 from . import register
 
 _Q5_REGION = "ASIA"
@@ -127,8 +128,9 @@ _Q8_TO = "1997-01-01"  # exclusive
         AND o_orderdate <  TIMESTAMP '{_Q8_TO}'
     )
     SELECT order_year,
-           ROUND(SUM(CASE WHEN supp_nation = '{_Q8_NATION}' THEN rev_c
-                          ELSE 0 END) * 1.0 / SUM(rev_c), 6) AS mkt_share
+           {G.round_sql(
+               f"SUM(CASE WHEN supp_nation = '{_Q8_NATION}' THEN rev_c"
+               " ELSE 0 END) * 1.0 / SUM(rev_c)", 6)} AS mkt_share
     FROM rev GROUP BY order_year ORDER BY order_year
     """,
 )
@@ -224,8 +226,9 @@ _Q7_TO = "1997-01-01"  # exclusive
     SELECT n1.n_name AS supp_nation,
            n2.n_name AS cust_nation,
            CAST(year(l_shipdate) AS INT) AS ship_year,
-           ROUND(SUM(CAST(FLOOR(l_extendedprice * (1 - l_discount) * 100 + 0.5)
-                          AS BIGINT)) / 100.0, 2) AS volume
+           {G.round_sql(
+               "SUM(CAST(FLOOR(l_extendedprice * (1 - l_discount) * 100 + 0.5)"
+               " AS BIGINT)) / 100.0", 2)} AS volume
     FROM lineitem
     JOIN orders   ON l_orderkey = o_orderkey
     JOIN supplier ON l_suppkey = s_suppkey

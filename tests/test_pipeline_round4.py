@@ -6,25 +6,31 @@ from __future__ import annotations
 import pyspark.sql.functions as F
 
 
-def _n_persistent_rdds(spark) -> int:
-    return spark.sparkContext._jsc.sc().getPersistentRDDs().size()
+def _persistent_rdd_ids(spark) -> set[int]:
+    it = spark.sparkContext._jsc.sc().getPersistentRDDs().keysIterator()
+    ids = set()
+    while it.hasNext():
+        ids.add(it.next())
+    return ids
 
 
 def test_funnel_repeated_builds_leave_no_cached_state(spark, sf_dir):
     """Repeated funnel builds must not accumulate storage memory (round-3
     ADVICE; the BASELINE.md note-8 pathology). Since r4b the builder is a
-    single lazy plan that persists nothing at all, so the persistent-RDD
-    count must never GROW across builds and executions. (<= not ==: the
-    ContextCleaner may asynchronously drop lingering checkpointed RDDs
-    from earlier tests — e.g. PageRank's lazy localCheckpoints — while
-    this test runs, so a concurrent DECREASE is fine.)"""
+    single lazy plan that persists nothing at all, so NO NEW persistent
+    RDD id may appear across builds and executions. Comparing id SETS
+    rather than counts (round-4 ADVICE): the ContextCleaner may
+    asynchronously drop lingering checkpointed RDDs from earlier tests —
+    e.g. PageRank's lazy localCheckpoints — while this test runs, and a
+    raw-count <= would let that concurrent decrease mask a genuine new
+    funnel cache leak."""
     from fund_data_etl_pipeline_spark.plans.events import events_funnel
 
-    before = _n_persistent_rdds(spark)
+    before = _persistent_rdd_ids(spark)
     for _ in range(3):
         rows = events_funnel(spark, sf_dir).collect()
         assert len(rows) == 3
-        assert _n_persistent_rdds(spark) <= before
+        assert _persistent_rdd_ids(spark) - before == set()
 
 
 def test_funnel_conversion_rates_well_formed(spark, sf_dir):

@@ -83,7 +83,10 @@ def build_scaled_dir(spark, sf_dir: str, factor: int) -> str:
     for name in sorted(os.listdir(sf_dir)):
         p = os.path.join(sf_dir, name)
         st = os.stat(p)
-        fp_parts.append(f"{name}:{st.st_size}:{int(st.st_mtime)}")
+        # nanosecond mtime: whole-second truncation could serve a stale
+        # replica if the driver regenerated same-sized testdata within
+        # the same second (ADVICE r4)
+        fp_parts.append(f"{name}:{st.st_size}:{st.st_mtime_ns}")
     fingerprint = "|".join(fp_parts)
     if os.path.exists(marker):
         with open(marker) as fh:
