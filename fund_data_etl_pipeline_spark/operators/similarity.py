@@ -166,6 +166,108 @@ def ivf_topk(
     )
 
 
+def ivf_seed_topk(
+    vectors: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    n_lists: int = 16,
+    n_probe: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF ANN with a DETERMINISTIC seed quantizer: the coarse centroids
+    are the ``n_lists`` corpus vectors with the smallest md5(id) — a
+    hash-uniform draw standing in for KMeans' sampled training set (the
+    random-init special case of ``ivf_topk``; FAISS calls the same idea
+    a flat coarse quantizer over sampled points). That substitution is
+    what makes this ANN path EXACTLY reproducible in SQL: seed choice,
+    cosine list assignment (rounded to 6), n_probe probing and the final
+    exact-cosine rank are all engine-stable expressions, so the DuckDB
+    oracle replays the whole pipeline bit-for-bit — the
+    vector_ann_lsh / dedup_semantic treatment applied to IVF.
+
+    Metric is cosine (inner-product IVF): assignment and ranking share
+    one rounded expression tree. Scale shape: seeds are a
+    TakeOrderedAndProject top-K broadcast to a map-side assignment (one
+    dot fold per (vector, seed)); the only data shuffle is the list_id
+    equi-join, whose candidate set shrinks ~n_probe/n_lists vs the
+    brute-force cross join. Norms are computed once per vector on the
+    persisted prepped table (3 HOF folds -> 1 per pair); the cache must
+    outlive the call because the returned plan is lazy and scans prepped
+    for seeds, assignment and neighbor-side scoring (see dedup_semantic).
+    """
+    from pyspark.sql.window import Window as W
+
+    prepped = (
+        vectors.select(
+            F.col(id_col).alias("vid"), as_double(F.col(vec_col)).alias("v")
+        )
+        .select("vid", "v", norm(F.col("v")).alias("nv"))
+        .persist()
+    )
+    seeds = (
+        prepped.orderBy(F.md5(F.col("vid").cast("string")), "vid")
+        .limit(n_lists)
+        .select(
+            F.col("vid").alias("list_id"),
+            F.col("v").alias("sv"),
+            F.col("nv").alias("ns"),
+        )
+    )
+
+    def nearest_lists(df: DataFrame, idn: str, n: int) -> DataFrame:
+        scored = df.crossJoin(F.broadcast(seeds)).select(
+            F.col("vid").alias(idn),
+            "list_id",
+            round2(
+                dot(F.col("v"), F.col("sv")) / (F.col("nv") * F.col("ns")), 6
+            ).alias("cos_r"),
+        )
+        w = W.partitionBy(idn).orderBy(F.col("cos_r").desc(), F.col("list_id"))
+        return (
+            scored.withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") <= n)
+            .select(idn, "list_id")
+        )
+
+    q_prepped = queries.select(
+        F.col(id_col).alias("vid"), as_double(F.col(vec_col)).alias("v")
+    ).select("vid", "v", norm(F.col("v")).alias("nv"))
+    assigned = nearest_lists(prepped, "neighbor_id", 1)
+    probes = nearest_lists(q_prepped, "query_id", n_probe)
+    qv = q_prepped.select(
+        F.col("vid").alias("query_id"),
+        F.col("v").alias("q_v"),
+        F.col("nv").alias("q_n"),
+    )
+    nv = prepped.select(
+        F.col("vid").alias("neighbor_id"),
+        F.col("v").alias("n_v"),
+        F.col("nv").alias("n_n"),
+    )
+    scored = (
+        probes.join(assigned, "list_id")
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .join(qv, "query_id")
+        .join(nv, "neighbor_id")
+        .select(
+            "query_id",
+            "neighbor_id",
+            round2(
+                dot(F.col("q_v"), F.col("n_v"))
+                / (F.col("q_n") * F.col("n_n")),
+                6,
+            ).alias("cos_sim"),
+        )
+    )
+    w = W.partitionBy("query_id").orderBy(
+        F.col("cos_sim").desc(), F.col("neighbor_id")
+    )
+    return scored.withColumn("rank", F.row_number().over(w)).filter(
+        F.col("rank") <= k
+    )
+
+
 def rhp_sign_vector(plane: int, dims: int) -> list[int]:
     """The +-1 hyperplane for ``plane``: component d is the parity of
     H(plane || '_' || d). Deterministic constants — the same list feeds

@@ -58,15 +58,114 @@ def load_all() -> None:
     )
 
 
-# Round-4 rotation policy: the driver caps its correctness sweep at ~50
-# queries (in registry order) while 85 are registered, so ordering decides
-# who gets a row. Invariant maintained: every query holds a GREEN driver
-# row within the last two rounds. This round's front: the 28 queries whose
-# only green row is round 2 (they sat past the cap in round 3 — the
-# two-round window closes on them NOW), every query whose code or oracle
-# changed this round (must re-prove), and the 7 first-appearance queries.
+# Round-5 rotation policy (VERDICT r4 next-step #1). The driver caps its
+# correctness sweep at 50 queries (in registry order) while 105 are
+# registered — a 100-provable-slot two-round window. Registry growth is
+# FROZEN this round so the window can catch up. Invariant: every
+# oracle-bearing query is driver-green within the last two rounds, OR is
+# on the documented peer-coverage exception list below (re-proven by the
+# local gate at all three SFs instead).
+#
+# This round's 50 slots: (a) the ten round-4c queries the driver has
+# never sampled, (b) vector_ann_ivf, whose quantizer was rebuilt this
+# round around deterministic hash-chosen seed centroids so it now carries
+# an exact DuckDB oracle (first provable row), and (c) the 39 stalest
+# names whose only green row is round 3 (their two-round window closes
+# after round 5), everything else rotating to DEPRIORITY.
 PRIORITY = [
-    # only green row is r2 — re-prove or the invariant breaks
+    # (a) round-4c additions — never sampled by the driver (judge-verified
+    # locally in r4; they must record their first driver row now)
+    "graph_pagerank",
+    "dedup_semantic",
+    "volume_shipping",
+    "market_share",
+    "late_sole_supplier",
+    "dq_constraint_report",
+    "k_anonymity_audit",
+    "source_capped_sample",
+    "user_rolling_7d_spend",
+    "attribution_join",
+    # (b) first exact-oracle row for the IVF ANN path (round-5 change:
+    # deterministic seed quantizer, the dedup_semantic/vector_ann_lsh
+    # treatment — KMeans variant remains as operator API with recall
+    # pytests)
+    "vector_ann_ivf",
+    # (c) only green row is r3 — re-prove or the invariant breaks
+    "dedup_ngram_jaccard",
+    "dedup_minhash_lsh",
+    "dedup_canonical",
+    "event_value_stats",
+    "top_users_per_event",
+    "fund_classify",
+    "fund_dividend",
+    "fund_dividend_merged",
+    "fund_quarantine",
+    "fund_purchase_apply",
+    "fund_purchase_confirm",
+    "fund_redemption_confirm",
+    "fund_conversion",
+    "multimodal_binary_stats",
+    "dim_join_left",
+    "group_merge",
+    "isin_filter",
+    "cast_round_coerce",
+    "date_math",
+    "derived_arithmetic",
+    "union_slices",
+    "mixed_sort_key",
+    "topk_revenue",
+    "json_extract_agg",
+    "anti_join_customers",
+    "semi_join_parts",
+    "distinct_pairs",
+    "asof_last_click",
+    "cube_lineitem",
+    "grouping_sets_sql",
+    "correlated_subquery",
+    "text_token_count",
+    "corpus_curation",
+    "text_c4_filters",
+    "quality_weighted_sample",
+    "vector_cosine_topk",
+    "events_tumbling_window",
+    "events_session_window",
+    "user_retention_cohorts",
+]
+# PRIORITY is exactly at the 50-query driver cap (10 + 1 + 39).
+
+# EXCEPTION LIST (the arithmetic overflow — 56 names needed a row this
+# round against the 50 cap, so these six r3-green queries go a third
+# round without a driver row). Each is chosen because its machinery is
+# provably inside PRIORITY peers this round, and each is re-proven by
+# the local gate (tools/check_correctness.py) at sf0.001/0.01/0.1:
+#   fund_manual_apply / fund_manual_confirm / fund_manual_redemption /
+#   fund_manual_dividend — the manual-doc cascade (C3) composes the SAME
+#     spec-interpreter machinery as the checked fund_purchase_* /
+#     fund_redemption_confirm / fund_dividend jobs (when-cascade C1/C2,
+#     candidate-max P12, OCR repair P13, isin gate Q1 via jobs.py shared
+#     exprs);
+#   intersect_nations / except_nations — set-op rewrites whose
+#     machinery (hash-distinct + null-safe key compare) is inside the
+#     checked union_slices / distinct_pairs / anti_join_customers /
+#     semi_join_parts.
+#
+# DEPRIORITY: names that safely fall past the cap this round. The 48
+# r4-green names (fresh driver rows, window open through round 6), the
+# six exception-list names above, and the rows-only-by-design sketch
+# query. 48 + 6 + 1 = 55 = registered 105 - cap 50, so the cap's cut is
+# wholly chosen here — nothing falls past by registration-order accident.
+DEPRIORITY = [
+    # six exception-list names (peer coverage documented above)
+    "fund_manual_apply",
+    "fund_manual_confirm",
+    "fund_manual_redemption",
+    "fund_manual_dividend",
+    "intersect_nations",
+    "except_nations",
+    # rows-only by design (KLL/HLL sketch aggregate; rank-contract parity
+    # is pytest-asserted) — its weak row adds nothing over r4's
+    "event_value_stats_approx",
+    # r4-green (driver rows in CORRECTNESS_r04): window open to round 6
     "window_running",
     "salted_skew_agg",
     "pivot_status",
@@ -92,20 +191,11 @@ PRIORITY = [
     "text_lang_id",
     "text_quality",
     "pricing_summary",
-    # never held a green row — r4 adds oracles (VERDICT #2/#3); ivf stays
-    # rows-only but should record its weak row inside the window too
     "fund_dividend_scaled",
     "vector_ann_lsh",
-    "vector_ann_ivf",
-    # round-4 code changes — green r3 rows no longer vouch for the new
-    # code paths (funnel unpersist+guards, mixture-weight guards,
-    # two-phase CC convergence signature)
     "events_funnel",
     "source_mixture_weights",
     "dedup_groups_star",
-    # first appearance (rows-only by design: sketch aggregates)
-    "event_value_stats_approx",
-    # first appearance (exact oracles)
     "epoch_shuffle",
     "leakage_safe_split",
     "doc_chunking",
@@ -118,115 +208,12 @@ PRIORITY = [
     "shipping_priority_topk",
     "cdc_incremental_merge",
     "events_hourly_gapfill",
-    # round-4 exact-cents hardening (code changed; must re-prove):
-    # window_running is already listed above; these two moved back out
-    # of DEPRIORITY for the same reason
     "events_sliding_window",
     "agg_stats",
-    # first appearance, second batch (exact oracles): TPC-H Q5/Q18 join
-    # shapes, BM25 retrieval scoring, trailing-window anomaly gate
     "local_supplier_revenue",
     "large_order_customers",
     "bm25_topk",
     "events_anomaly_zscore",
-]
-# PRIORITY is at the 50-query driver cap. Ten late round-4 additions —
-# user_rolling_7d_spend (time-RANGE window frame), attribution_join
-# (batch registration of the stream-stream join's shared builder),
-# graph_pagerank (integer-exact iterative centrality), volume_shipping
-# (TPC-H Q7 two-role dimension shape), dedup_semantic (SemDeDup
-# cluster-scoped embedding dedup), dq_constraint_report (Deequ-style
-# contract suite), k_anonymity_audit, source_capped_sample
-# (per-source reservoir cap), market_share (TPC-H Q8
-# ratio-of-conditional-aggregate) and late_sole_supplier (TPC-H Q21
-# decorrelated double-EXISTS) — sit just past the cap this round
-# (registration order puts unlisted names right after PRIORITY):
-# all ten are exact-oracle-green in the local gate
-# (tools/check_correctness.py) and pytest-proven; they are ROUND-5
-# FRONT-OF-QUEUE alongside the names rotating back out of DEPRIORITY.
-
-
-# Names that may safely fall past the driver's cap THIS round: all 35 are
-# r3-green with unchanged code, and their machinery is also exercised by
-# checked queries. Sized to >= (registered 85 - 50) so the cap's cut is
-# wholly chosen here, never an arbitrary registration-order tail. The 12
-# unlisted queries (r3-green, diverse machinery) sit between PRIORITY and
-# this list in registration order and fill the remaining checked slots.
-DEPRIORITY = [
-    # r3-green flagships displaced by the second first-appearance batch
-    # (Q5/Q18/bm25/zscore): all four are benched every round (BENCH_r4
-    # re-executes them at sf0.1) and their machinery is inside checked
-    # peers — LSH banding inside vector_ann_lsh + dedup_hybrid, exact
-    # percentiles inside quality_deciles/winsorize, the fund cascade
-    # inside fund_dividend_scaled, curation signals inside text_c4 peers.
-    # They rotate back into PRIORITY next round.
-    "dedup_minhash_lsh",
-    "event_value_stats",
-    "fund_dividend",
-    "corpus_curation",
-    # r3-green, displaced by the four round-4 first-appearance queries
-    # (cdc/scd2/winsorize/q3): machinery covered by checked peers —
-    # agg-then-window by quality_deciles + top-k forms, C4 signal columns
-    # by corpus_curation, hash-bucket sampling by stratified_sample /
-    # epoch_shuffle, tumbling window by the checked sliding/session forms.
-    # They rotate back into PRIORITY next round (two-round-green window).
-    "top_users_per_event",
-    "text_c4_filters",
-    "quality_weighted_sample",
-    "events_tumbling_window",
-    # r3-green, displaced by cdc_incremental_merge: per-user window-MIN
-    # machinery also inside the checked scd2_intervals window family
-    "user_retention_cohorts",
-    # r3-green, displaced by events_hourly_gapfill: event-time bucketing
-    # machinery also inside the checked sliding window + gapfill queries
-    "events_session_window",
-    # keep-best window machinery shared with the checked leakage split's
-    # CC stage and dedup_groups_star; r3-green
-    "dedup_canonical",
-    # when-cascade machinery also inside the checked fund_dividend
-    "fund_classify",
-    # SQL-only machinery (scalar-subquery rewrite, json path agg,
-    # event-time as-of join) re-proven in r3
-    "correlated_subquery",
-    "json_extract_agg",
-    "asof_last_click",
-    # Arrow-batch multimodal plumbing re-proven in r3 and by pytests
-    "multimodal_binary_stats",
-    # date arithmetic re-proven in r3; also inside the checked fund jobs
-    "date_math",
-    # TPC-H-ish relational forms re-proven in r3; cheap, stable
-    "union_slices",
-    "distinct_pairs",
-    "mixed_sort_key",
-    "intersect_nations",
-    "except_nations",
-    "cast_round_coerce",
-    "isin_filter",
-    "derived_arithmetic",
-    "text_token_count",
-    "dedup_ngram_jaccard",
-    "semi_join_parts",
-    "anti_join_customers",
-    "cube_lineitem",
-    "grouping_sets_sql",
-    "topk_revenue",
-    "dim_join_left",
-    "group_merge",
-    # exact-cosine baseline: same expression tree proven inside the
-    # checked vector_ann_lsh rank stage
-    "vector_cosine_topk",
-    # fund jobs r3-green; the checked fund_dividend + fund_classify +
-    # fund_dividend_scaled cover the cascade/extract/normalize machinery
-    "fund_dividend_merged",
-    "fund_quarantine",
-    "fund_purchase_apply",
-    "fund_purchase_confirm",
-    "fund_redemption_confirm",
-    "fund_conversion",
-    "fund_manual_apply",
-    "fund_manual_confirm",
-    "fund_manual_redemption",
-    "fund_manual_dividend",
 ]
 
 

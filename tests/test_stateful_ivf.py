@@ -120,3 +120,34 @@ def test_ivf_tiny_sample_falls_back_to_full_training(spark, sf_dir):
         emb, queries, k=3, n_lists=8, n_probe=2, train_fraction=0.01
     ).collect()
     assert len(out) > 0
+
+
+def test_ivf_seed_quantizer_recall_and_determinism(spark, sf_dir):
+    """The oracle-checkable seed-quantizer IVF (ivf_seed_topk — the
+    registered vector_ann_ivf path) keeps recall in the same band as the
+    KMeans variant, returns contiguous per-query ranks, and is exactly
+    reproducible run-to-run (the property its DuckDB oracle relies on)."""
+    from fund_data_etl_pipeline_spark.operators.similarity import ivf_seed_topk
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 10)
+    exact = {
+        (r["query_id"], r["neighbor_id"])
+        for r in cosine_topk(emb, queries, k=5).collect()
+    }
+    rows = ivf_seed_topk(emb, queries, k=5, n_lists=8, n_probe=2).collect()
+    approx = {(r["query_id"], r["neighbor_id"]) for r in rows}
+    recall = len(approx & exact) / len(exact)
+    assert recall >= 0.2, f"seed-IVF recall too low: {recall:.2f}"
+    by_q = {}
+    for r in rows:
+        by_q.setdefault(r["query_id"], []).append(r["rank"])
+    for ranks in by_q.values():
+        assert sorted(ranks) == list(range(1, len(ranks) + 1))
+    again = {
+        (r["query_id"], r["neighbor_id"], r["cos_sim"], r["rank"])
+        for r in ivf_seed_topk(emb, queries, k=5, n_lists=8, n_probe=2).collect()
+    }
+    assert again == {
+        (r["query_id"], r["neighbor_id"], r["cos_sim"], r["rank"]) for r in rows
+    }
