@@ -165,7 +165,12 @@ DEPRIORITY = [
     # rows-only by design (KLL/HLL sketch aggregate; rank-contract parity
     # is pytest-asserted) — its weak row adds nothing over r4's
     "event_value_stats_approx",
-    # r4-green (driver rows in CORRECTNESS_r04): window open to round 6
+    # r4-green (driver rows in CORRECTNESS_r04): window open to round 6.
+    # events_anomaly_zscore's arithmetic was refactored this round into
+    # the shared z_moments/z_score functions (same expression tree; the
+    # streaming twin now composes the literally-same code) and re-proven
+    # by the local gate at sf0.001/0.01/0.1 since its r4 row predates
+    # the refactor.
     "window_running",
     "salted_skew_agg",
     "pivot_status",

@@ -158,7 +158,13 @@ def _zscore_update(
 ) -> Iterator[pd.DataFrame]:
     import math
 
-    from ..plans.scoring import Z_LOOKBACK, Z_MIN_N, Z_SIGMA
+    from ..plans.scoring import (
+        Z_LOOKBACK,
+        Z_MIN_N,
+        Z_SIGMA,
+        z_moments,
+        z_score,
+    )
 
     (vals,) = state.get if state.exists else ([],)
     vals = list(vals)
@@ -183,12 +189,13 @@ def _zscore_update(
             if n >= Z_MIN_N:
                 s = sum(vals)
                 ssq = sum(x * x for x in vals)
-                # identical IEEE expression to the batch plan: moments from
-                # exact ints, then double divide/multiply/sqrt
-                mean_c = s * 1.0 / n
-                var_c = ssq * 1.0 / n - mean_c * mean_c
+                # the LITERALLY SAME functions the batch plan composes its
+                # Column expressions from (plans/scoring.z_moments /
+                # z_score) — shared code, not a parallel re-implementation,
+                # so batch/streaming parity is structural
+                mean_c, var_c = z_moments(n, s, ssq)
                 if var_c > 0:
-                    z = (v_c - mean_c) / math.sqrt(var_c)
+                    z = z_score(v_c, mean_c, var_c, math.sqrt)
                     if abs(z) > Z_SIGMA:
                         out["event_id"].append(int(row["event_id"]))
                         out["user_id"].append(key[0])
@@ -214,12 +221,17 @@ def streaming_anomaly_zscore(
     incrementally: the stateful-streaming twin of the batch
     ``plans/scoring.events_anomaly_zscore``.
 
-    Batch/streaming parity: the keyed state is exactly the batch window's
-    frame — the last ``Z_LOOKBACK`` values in (ts, event_id) order, held
-    as exact BIGINT cents — and mean/var/z use the same IEEE expression,
-    so (given in-order delivery, which a watermark+sort front-end
-    provides at ingest) the flagged set is bit-equal to the batch query;
-    a pytest replays a feed in micro-batches and asserts it.
+    Batch/streaming parity is STRUCTURAL, not coincidental: the keyed
+    state is exactly the batch window's frame — the last ``Z_LOOKBACK``
+    values in (ts, event_id) order, held as exact BIGINT cents — and
+    mean/var/z come from the literally-shared ``plans/scoring.z_moments``
+    / ``z_score`` functions the oracle-green batch twin builds its Column
+    expressions from (the attribution_join shared-builder pattern), so
+    (given in-order delivery, which a watermark+sort front-end provides
+    at ingest) the flagged set is bit-equal to the batch query; a pytest
+    replays a feed in micro-batches and asserts it. The batch twin's
+    exact DuckDB oracle therefore anchors this op's arithmetic to the
+    driver gate.
 
     Scale shape: state per key is a bounded O(Z_LOOKBACK) integer array —
     never the user's history — partitioned by user across executors;
