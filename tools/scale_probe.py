@@ -23,7 +23,13 @@ intrinsically linear work (scan, map-side signals, hash-agg, window);
 pair-finding dedup is excluded — its output size is a property of the
 corpus's duplicate structure, not of engine scaling.
 
-Usage: python tools/scale_probe.py [--factor 10] [--sf /root/testdata/sf0.1]
+Usage: python tools/scale_probe.py [--factors 10,100] [--queries a,b]
+       [--passes 2] [--sf /root/testdata/sf0.1]
+
+With multiple factors the tool times every requested query at 1x and at
+each factor and fits the empirical cost exponent (least-squares slope on
+log-log): two decades (1x/10x/100x) bound the exponent far better than
+one (round-4 VERDICT #4).
 """
 
 from __future__ import annotations
@@ -181,12 +187,14 @@ def build_scaled_dir(spark, sf_dir: str, factor: int) -> str:
     return out_dir
 
 
-def timed_suite(spark, qs, sf_dir: str) -> dict[str, float]:
+def timed_suite(
+    spark, qs, sf_dir: str, queries: list[str], passes: int = 2
+) -> dict[str, float]:
     times: dict[str, float] = {}
-    for name in PROBE_QUERIES:
+    for name in queries:
         try:
             qs[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
-            for _ in range(2):
+            for _ in range(passes):
                 spark.catalog.clearCache()
                 t1 = time.time()
                 qs[name](spark, sf_dir).write.format("noop").mode(
@@ -201,11 +209,51 @@ def timed_suite(spark, qs, sf_dir: str) -> dict[str, float]:
     return times
 
 
+def fit_exponent(points: list[tuple[float, float]]) -> float | None:
+    """Least-squares slope of log10(t) vs log10(scale) over the measured
+    (scale, seconds) points — the empirical cost exponent. Two decades
+    (1x/10x/100x) bound it far better than one (round-4 VERDICT #4)."""
+    import math
+
+    pts = [(math.log10(f), math.log10(t)) for f, t in points if t]
+    if len(pts) < 2:
+        return None
+    n = len(pts)
+    mx = sum(x for x, _ in pts) / n
+    my = sum(y for _, y in pts) / n
+    den = sum((x - mx) ** 2 for x, _ in pts)
+    if den == 0:
+        return None
+    return round(sum((x - mx) * (y - my) for x, y in pts) / den, 3)
+
+
 def main() -> None:
     ap = argparse.ArgumentParser()
-    ap.add_argument("--factor", type=int, default=10)
+    ap.add_argument(
+        "--factors",
+        default="10",
+        help="comma-separated replication factors, e.g. 10,100",
+    )
     ap.add_argument("--sf", default="/root/testdata/sf0.1")
+    ap.add_argument(
+        "--queries",
+        default=None,
+        help="comma-separated subset of the probe suite (default: all)",
+    )
+    ap.add_argument(
+        "--passes",
+        type=int,
+        default=2,
+        help="timed fresh passes per query (1 is fine at 100x: runtimes "
+        "are long enough to amortize JIT noise)",
+    )
     args = ap.parse_args()
+    factors = [int(f) for f in args.factors.split(",")]
+    queries = (
+        [q.strip() for q in args.queries.split(",") if q.strip()]
+        if args.queries
+        else PROBE_QUERIES
+    )
 
     import __spark_entry__ as e
     from fund_data_etl_pipeline_spark.session import get_spark
@@ -213,17 +261,22 @@ def main() -> None:
     spark = get_spark("scale-probe")
     qs = e.queries()
 
-    scaled_dir = build_scaled_dir(spark, args.sf, args.factor)
-    base = timed_suite(spark, qs, args.sf)
-    scaled = timed_suite(spark, qs, scaled_dir)
+    scaled_dirs = {f: build_scaled_dir(spark, args.sf, f) for f in factors}
+    by_scale: dict[int, dict[str, float]] = {
+        1: timed_suite(spark, qs, args.sf, queries, args.passes)
+    }
+    for f in factors:
+        by_scale[f] = timed_suite(spark, qs, scaled_dirs[f], queries, args.passes)
 
     rows = []
-    for name in PROBE_QUERIES:
-        b, s = base.get(name), scaled.get(name)
-        ratio = round(s / b, 2) if b and s else None
-        rows.append({"query": name, "base_s": b, "scaled_s": s, "ratio": ratio})
-        print(f"{name:<28} {b!s:>8}  {s!s:>8}  x{ratio}")
-    print(json.dumps({"factor": args.factor, "rows": rows}))
+    scales = [1] + factors
+    for name in queries:
+        ts = {s: by_scale[s].get(name) for s in scales}
+        exp = fit_exponent([(s, ts[s]) for s in scales])
+        rows.append({"query": name, "times": ts, "exponent": exp})
+        cells = "  ".join(f"{s}x={ts[s]!s}" for s in scales)
+        print(f"{name:<28} {cells}  exp={exp}")
+    print(json.dumps({"factors": factors, "rows": rows}))
     spark.stop()
 
 
