@@ -151,3 +151,23 @@ def test_ivf_seed_quantizer_recall_and_determinism(spark, sf_dir):
     assert again == {
         (r["query_id"], r["neighbor_id"], r["cos_sim"], r["rank"]) for r in rows
     }
+
+
+def test_ivf_seed_plan_shape(spark, sf_dir):
+    """The seed-IVF plan must be the scale shape its docstring claims:
+    seeds reach the assignment as a BROADCAST (map-side dot folds, no
+    shuffle of the corpus against seeds) and nothing degenerates to an
+    unbroadcast CartesianProduct; the candidate stage is an equi-join on
+    list_id."""
+    from fund_data_etl_pipeline_spark.operators.similarity import ivf_seed_topk
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 10)
+    plan = (
+        ivf_seed_topk(emb, queries, k=5, n_lists=8, n_probe=2)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "BroadcastExchange" in plan
+    assert "CartesianProduct" not in plan
