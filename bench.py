@@ -61,6 +61,10 @@ HEADLINE = [
     # round-4 additions: the oracle-exact ANN path, training read order,
     # RAG chunking, and the group-keyed leakage-safe split composition
     "vector_ann_lsh",
+    # round-5: the IVF ANN path rebuilt around the deterministic seed
+    # quantizer (now oracle-exact) — a distinct cost shape from LSH:
+    # broadcast seed assignment + one list_id equi-join
+    "vector_ann_ivf",
     "epoch_shuffle",
     "doc_chunking",
     "leakage_safe_split",
