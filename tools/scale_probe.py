@@ -71,6 +71,12 @@ PROBE_QUERIES = [
     # PageRank (per-round work linear in the 10x edge list)
     "dedup_semantic",
     "graph_pagerank",
+    # round-5: both ANN paths (embeddings are staged with per-replica
+    # nudged vectors, so the scaled corpus is NxF distinct near-neighbors)
+    # — the bucketed/probed candidate generation is exactly the machinery
+    # whose scaling the 100 TB story rests on
+    "vector_ann_lsh",
+    "vector_ann_ivf",
 ]
 
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))

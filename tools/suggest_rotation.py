@@ -70,8 +70,16 @@ def main() -> None:
           f"DEPRIORITY needs >= {need_dep}):")
     for n in greens:
         print(f"  {n}")
-    if len(unchecked) + len(red) > args.cap:
-        print("\nWARNING: must-check set exceeds the cap — invariant at risk")
+    overflow = len(unchecked) + len(red) - args.cap
+    if overflow > 0:
+        print(
+            f"\nWARNING: must-check set exceeds the cap by {overflow} — "
+            "apply the round-5 exception policy: pick the overflow from "
+            "names whose machinery is provably inside PRIORITY peers, "
+            "document each with its covering peer in plans/__init__.py, "
+            "and re-prove them with tools/check_correctness.py at "
+            "sf0.001/0.01/0.1 before the driver sweep."
+        )
 
 
 if __name__ == "__main__":
