@@ -23,6 +23,21 @@ def round2(col: Column | str, scale: int = 2) -> Column:
     return F.signum(c) * F.floor(F.abs(c) * p + F.lit(0.5)) / p
 
 
+def round2_py(x: float, scale: int = 2) -> float:
+    """Scalar twin of ``round2`` — the SAME half-away-from-zero-on-the-
+    binary-double expression (copysign(floor(|x|·p + 0.5)) / p), for the
+    Python side of stateful streaming updaters. Keeping it here, beside
+    the Column form, is what keeps the convention single-sourced: the
+    streaming CDC snapshot and anomaly gate round with this function, so
+    their outputs stay bit-equal to the batch plans their parity pytests
+    compare against (a pytest asserts this function matches the Column
+    form on a value grid including negative halves)."""
+    import math
+
+    p = float(10**scale)
+    return math.copysign(math.floor(abs(x) * p + 0.5), x) / p
+
+
 def cents(col: Column | str) -> Column:
     """Exact integer cents of a 2-decimal DOUBLE (money/value columns).
 

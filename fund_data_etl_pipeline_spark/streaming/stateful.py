@@ -89,11 +89,11 @@ def _cdc_update(
             v = float(ties["value"].loc[j])
     state.update((ts_us, eid, v, n))
     last_ts = pd.Timestamp(ts_us * 1000).strftime(_CDC_TS_FMT)
-    # round half away from zero on the binary double — the batch round2
-    # convention, so parity with the batch snapshot is bit-exact
-    import math
+    # the canonical scalar twin of the batch round2 convention — shared
+    # with the anomaly gate and pytest-pinned to the Column form
+    from ..functions.numeric import round2_py
 
-    rounded = math.copysign(math.floor(abs(v) * 100 + 0.5), v) / 100
+    rounded = round2_py(v, 2)
     yield pd.DataFrame(
         {
             "user_id": [key[0]],
@@ -166,12 +166,10 @@ def _zscore_update(
         z_score,
     )
 
+    from ..functions.numeric import round2_py
+
     (vals,) = state.get if state.exists else ([],)
     vals = list(vals)
-
-    def round_half_away(x: float, scale: int) -> float:
-        p = float(10**scale)
-        return math.copysign(math.floor(abs(x) * p + 0.5), x) / p
 
     out: dict[str, list] = {c: [] for c in (
         "event_id", "user_id", "event_type", "ts", "value", "zscore", "n_window"
@@ -203,8 +201,8 @@ def _zscore_update(
                         out["ts"].append(
                             pd.Timestamp(row["ts"]).strftime(_ZS_TS_FMT)
                         )
-                        out["value"].append(round_half_away(v_c / 100.0, 2))
-                        out["zscore"].append(round_half_away(z, 4))
+                        out["value"].append(round2_py(v_c / 100.0, 2))
+                        out["zscore"].append(round2_py(z, 4))
                         out["n_window"].append(n)
             vals.append(v_c)
             if len(vals) > Z_LOOKBACK:

@@ -126,3 +126,27 @@ def test_pack_sequences_conserves_tokens(spark, counts):
         last = rows_[-1]
         total = sum(r["n_tokens"] for r in rows_)
         assert last["seq_bin"] * 128 + last["pack_offset"] + last["n_tokens"] == total
+
+
+def test_round2_py_matches_column_form(spark):
+    """round2_py (the scalar twin used by the stateful-streaming
+    updaters) must agree bit-for-bit with the round2 Column expression —
+    the pin that keeps the repo's single rounding convention actually
+    single. The grid covers negative values, exact halves at both
+    scales, values whose shortest decimal string rounds differently than
+    their binary value (the F.round divergence class), and zero."""
+    from fund_data_etl_pipeline_spark.functions.numeric import round2, round2_py
+
+    values = [
+        0.0, 1.0, -1.0, 2.5, -2.5, 0.125, -0.125, 130.545, -130.545,
+        0.005, -0.005, 1.005, 2.675, -2.675, 99999999.995, 3.14159,
+        -3.14159, 0.00005, -0.00005, 123456.789,
+    ]
+    for scale in (2, 4, 6):
+        df = spark.createDataFrame([(v,) for v in values], "v double")
+        col_out = [
+            r["o"]
+            for r in df.select(round2(F.col("v"), scale).alias("o")).collect()
+        ]
+        py_out = [round2_py(v, scale) for v in values]
+        assert col_out == py_out, (scale, list(zip(values, col_out, py_out)))
