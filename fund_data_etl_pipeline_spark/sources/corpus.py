@@ -95,13 +95,18 @@ def decode_document(content: bytes) -> str:
     """S3/S4 codec dispatch on magic bytes, import-gated per library.
 
     - ``%PDF`` container -> pdfplumber (reference codec,
-      dividend_extractor.py:1292-1298), falling back to pypdf;
+      dividend_extractor.py:1292-1298), falling back to pypdf, falling
+      back to the builtin from-spec extractor (sources/pdf_text.py:
+      object scan + FlateDecode + Tj/TJ + ToUnicode CMaps — so plain
+      generated PDFs decode even with no third-party PDF library
+      installed);
     - PNG/JPEG -> easyocr (manual_purchase_apply_extractor.py:75-181);
     - anything else -> UTF-8 decode (test fixtures are plain-text
       ``.pdf``s).
-    A missing library raises ImportError HERE, inside the caller's
-    try/except, so the file quarantines with a named-dependency error
-    instead of crashing the job.
+    A missing OCR library (or a PDF feature outside the builtin
+    extractor's documented subset) raises HERE, inside the caller's
+    try/except, so the file quarantines with a named error instead of
+    crashing the job.
     """
     if content.startswith(b"%PDF"):
         try:
@@ -116,9 +121,14 @@ def decode_document(content: bytes) -> str:
         try:
             from pypdf import PdfReader
         except ImportError:
-            raise ImportError(
-                "PDF container needs pdfplumber or pypdf (neither installed)"
-            ) from None
+            # neither library installed: the from-spec builtin extractor
+            # (sources/pdf_text.py — the xls_writer precedent applied to
+            # S3). Raises a NAMED error for the features it deliberately
+            # doesn't cover (encryption, /ObjStm, LZW/DCT), which the S7
+            # side-channel turns into an informative quarantine row.
+            from .pdf_text import extract_pdf_text
+
+            return extract_pdf_text(content)
         reader = PdfReader(io.BytesIO(content))
         return "\n".join(p.extract_text() or "" for p in reader.pages)
     if content.startswith(_IMAGE_MAGIC):

@@ -1,0 +1,356 @@
+"""Minimal from-spec PDF text extractor (S3 fallback codec).
+
+The reference decodes fund-announcement PDFs with pdfplumber
+(dividend_extractor.py:1292-1298). This container ships neither
+pdfplumber nor pypdf, so — the operators/xls_writer.py precedent: build
+the adapter from the PUBLIC spec instead of stubbing — this module
+implements the subset of ISO 32000-1 needed to pull text out of
+ordinary generated announcement PDFs:
+
+- object scan: every ``N G obj … endobj`` body located by a byte scan
+  (robust to linearized files and broken/absent xref tables, which a
+  quarantine-grade codec must tolerate; the xref is an OPTIMIZATION for
+  random access, not the object store itself — §7.5.4);
+- streams: ``stream``/``endstream`` payloads, ``/FlateDecode`` inflated
+  with stdlib zlib (§7.4.4); unsupported filters raise a NAMED error so
+  the file quarantines informatively (S7), never silently;
+- page tree: ``/Type /Page`` objects, their ``/Contents`` (single ref or
+  array) and ``/Resources /Font`` dicts (§7.7.3);
+- content streams: a tokenizer for literal ``(…)`` strings with escapes
+  and octal (§7.3.4.2), hex ``<…>`` strings, names, numbers and arrays;
+  text shown by ``Tj``, ``'``, ``"`` and ``TJ`` is collected per
+  ``BT…ET`` block (§9.4.3);
+- encodings: the active font (tracked via ``Tf``) selects a
+  ``/ToUnicode`` CMap when the font carries one — ``bfchar``/``bfrange``
+  parsed per Adobe CMap conventions (§9.10.3), which is what makes
+  CID-keyed Chinese announcement text come out as real Unicode; fonts
+  without a CMap decode bytes as Latin-1 (the WinAnsi/Standard ASCII
+  overlap, right for the numeric/Latin runs the extractors parse).
+
+Deliberately out of scope (documented, quarantine-with-named-error, not
+silently wrong): encrypted files, object streams (/ObjStm), LZW/DCT
+filters, and glyph metrics/positioning (runs are concatenated per text
+block; the downstream regex extractors are whitespace-tolerant by
+design — functions/extract.py P5 letter-spacing).
+"""
+
+from __future__ import annotations
+
+import re
+import zlib
+
+_OBJ_RE = re.compile(rb"(\d+)\s+(\d+)\s+obj\b(.*?)endobj", re.S)
+_STREAM_RE = re.compile(rb"stream\r?\n(.*?)\r?\nendstream", re.S)
+_REF_RE = re.compile(rb"(\d+)\s+\d+\s+R")
+_NAME_RE = re.compile(rb"/([A-Za-z0-9.#+-]+)")
+
+
+def _scan_objects(data: bytes) -> dict[int, bytes]:
+    """num -> object body (dict/stream bytes), last definition wins
+    (incremental updates append redefinitions — §7.5.6)."""
+    objs: dict[int, bytes] = {}
+    for m in _OBJ_RE.finditer(data):
+        objs[int(m.group(1))] = m.group(3)
+    return objs
+
+
+def _dict_of(body: bytes) -> bytes:
+    """The top-level << … >> dictionary slice of an object body."""
+    start = body.find(b"<<")
+    if start < 0:
+        return b""
+    depth = 0
+    i = start
+    while i < len(body) - 1:
+        pair = body[i : i + 2]
+        if pair == b"<<":
+            depth += 1
+            i += 2
+        elif pair == b">>":
+            depth -= 1
+            i += 2
+            if depth == 0:
+                return body[start:i]
+        else:
+            i += 1
+    return body[start:]
+
+
+def _value_after(d: bytes, key: bytes) -> bytes:
+    """The raw token(s) following /key in a dict slice: a reference,
+    number, name, or a balanced [...] array."""
+    m = re.search(rb"/" + key + rb"\b", d)
+    if not m:
+        return b""
+    rest = d[m.end() :].lstrip()
+    if rest.startswith(b"["):
+        depth = 0
+        for i, ch in enumerate(rest):
+            if ch == 0x5B:
+                depth += 1
+            elif ch == 0x5D:
+                depth -= 1
+                if depth == 0:
+                    return rest[: i + 1]
+        return rest
+    if rest.startswith(b"<<"):
+        return _dict_of(rest)
+    if rest.startswith(b"/"):  # name value, e.g. /Filter /FlateDecode
+        m2 = re.match(rb"/[A-Za-z0-9.#+-]+", rest)
+        return m2.group(0) if m2 else b""
+    m2 = re.match(rb"[^/\]>\r\n]*", rest)
+    return m2.group(0).strip() if m2 else b""
+
+
+def _stream_data(body: bytes, objs: dict[int, bytes]) -> bytes:
+    """Decoded stream payload of an object body (FlateDecode or none)."""
+    sm = _STREAM_RE.search(body)
+    if not sm:
+        return b""
+    raw = sm.group(1)
+    d = _dict_of(body)
+    filt = _value_after(d, b"Filter")
+    if not filt:
+        return raw
+    names = _NAME_RE.findall(filt)
+    if names == [b"FlateDecode"]:
+        try:
+            return zlib.decompress(raw)
+        except zlib.error:
+            # some writers pad Length; try raw deflate
+            return zlib.decompressobj().decompress(raw)
+    raise ValueError(
+        f"unsupported PDF stream filter {b'/'.join(names).decode('latin-1')}"
+    )
+
+
+def _resolve(ref_or_body: bytes, objs: dict[int, bytes]) -> bytes:
+    """Follow a single ``N 0 R`` reference, else return the bytes."""
+    m = re.fullmatch(rb"\s*(\d+)\s+\d+\s+R\s*", ref_or_body or b"")
+    if m:
+        return objs.get(int(m.group(1)), b"")
+    return ref_or_body
+
+
+# -- ToUnicode CMap (§9.10.3) ------------------------------------------------
+
+_BFCHAR_RE = re.compile(rb"beginbfchar(.*?)endbfchar", re.S)
+_BFRANGE_RE = re.compile(rb"beginbfrange(.*?)endbfrange", re.S)
+_HEX_RE = re.compile(rb"<([0-9A-Fa-f]+)>")
+
+
+def _utf16be(hexs: bytes) -> str:
+    return bytes.fromhex(hexs.decode("ascii")).decode("utf-16-be", "replace")
+
+
+def parse_tounicode(cmap: bytes) -> dict[int, str]:
+    """code -> unicode string, from bfchar pairs and bfrange triples
+    (the array-destination bfrange form is also handled)."""
+    out: dict[int, str] = {}
+    for m in _BFCHAR_RE.finditer(cmap):
+        toks = _HEX_RE.findall(m.group(1))
+        for src, dst in zip(toks[0::2], toks[1::2]):
+            out[int(src, 16)] = _utf16be(dst)
+    for m in _BFRANGE_RE.finditer(cmap):
+        body = m.group(1)
+        # form A: <lo> <hi> <dst>      form B: <lo> <hi> [<d0> <d1> …]
+        for rm in re.finditer(
+            rb"<([0-9A-Fa-f]+)>\s*<([0-9A-Fa-f]+)>\s*(\[[^\]]*\]|<[0-9A-Fa-f]+>)",
+            body,
+        ):
+            lo, hi = int(rm.group(1), 16), int(rm.group(2), 16)
+            dst = rm.group(3)
+            if dst.startswith(b"["):
+                dsts = _HEX_RE.findall(dst)
+                for i, d in enumerate(dsts):
+                    if lo + i <= hi:
+                        out[lo + i] = _utf16be(d)
+            else:
+                base = int(dst[1:-1], 16)
+                for c in range(lo, hi + 1):
+                    out[c] = chr(base + (c - lo))
+    return out
+
+
+def _font_cmaps(
+    page_dict: bytes, objs: dict[int, bytes]
+) -> dict[bytes, dict[int, str] | None]:
+    """font resource name -> ToUnicode map (None = no CMap, byte font)."""
+    res = _resolve(_value_after(page_dict, b"Resources"), objs)
+    if res and not res.lstrip().startswith(b"<<"):
+        res = _dict_of(res)
+    fonts_val = _value_after(res, b"Font")
+    fonts_dict = _resolve(fonts_val, objs)
+    if fonts_dict and not fonts_dict.lstrip().startswith(b"<<"):
+        fonts_dict = _dict_of(fonts_dict)
+    cmaps: dict[bytes, dict[int, str] | None] = {}
+    for fm in re.finditer(rb"/([A-Za-z0-9.#+-]+)\s+(\d+)\s+\d+\s+R", fonts_dict or b""):
+        name, ref = fm.group(1), int(fm.group(2))
+        fbody = objs.get(ref, b"")
+        tu = _value_after(_dict_of(fbody), b"ToUnicode")
+        tub = _resolve(tu, objs)
+        cmaps[name] = parse_tounicode(_stream_data(tub, objs)) if tub else None
+    return cmaps
+
+
+# -- content-stream text (§9.4.3) -------------------------------------------
+
+_ESCAPES = {
+    b"n": "\n", b"r": "\r", b"t": "\t", b"b": "\b", b"f": "\f",
+    b"(": "(", b")": ")", b"\\": "\\",
+}
+
+
+def _literal_string(data: bytes, i: int) -> tuple[bytes, int]:
+    """Raw bytes of the ``(…)`` literal starting at data[i] == '(' and
+    the index just past its closing paren; escapes resolved."""
+    out = bytearray()
+    depth = 1
+    i += 1
+    while i < len(data) and depth:
+        ch = data[i : i + 1]
+        if ch == b"\\":
+            nxt = data[i + 1 : i + 2]
+            if nxt in _ESCAPES:
+                out += _ESCAPES[nxt].encode("latin-1")
+                i += 2
+            elif nxt.isdigit():
+                oct_m = re.match(rb"[0-7]{1,3}", data[i + 1 :])
+                out.append(int(oct_m.group(0), 8) & 0xFF)
+                i += 1 + len(oct_m.group(0))
+            elif nxt in (b"\n", b"\r"):
+                i += 2  # line continuation
+            else:
+                i += 1
+        elif ch == b"(":
+            depth += 1
+            out += ch
+            i += 1
+        elif ch == b")":
+            depth -= 1
+            if depth:
+                out += ch
+            i += 1
+        else:
+            out += ch
+            i += 1
+    return bytes(out), i
+
+
+def _decode_bytes(raw: bytes, cmap: dict[int, str] | None) -> str:
+    if cmap is None:
+        return raw.decode("latin-1", "replace")
+    # CID fonts address glyphs with 2-byte codes (the common Identity-H
+    # layout); odd trailing byte falls back to 1-byte lookup
+    out = []
+    i = 0
+    while i + 1 < len(raw):
+        code = (raw[i] << 8) | raw[i + 1]
+        if code in cmap:
+            out.append(cmap[code])
+            i += 2
+        elif raw[i] in cmap:
+            out.append(cmap[raw[i]])
+            i += 1
+        else:
+            i += 2  # unmapped glyph
+    if i < len(raw) and raw[i] in cmap:
+        out.append(cmap[raw[i]])
+    return "".join(out)
+
+
+def _page_text(
+    content: bytes, cmaps: dict[bytes, dict[int, str] | None]
+) -> str:
+    """Concatenate shown strings; newline per BT…ET block and per
+    ``'``/``"``/``T*``/``TD``/``Td`` line move."""
+    blocks: list[str] = []
+    cur: list[str] = []
+    cmap: dict[int, str] | None = None
+    pending: list[bytes] = []  # raw strings since last operator
+    i = 0
+    n = len(content)
+
+    def flush_shown() -> None:
+        for raw in pending:
+            cur.append(_decode_bytes(raw, cmap))
+        pending.clear()
+
+    while i < n:
+        ch = content[i : i + 1]
+        if ch == b"(":
+            raw, i = _literal_string(content, i)
+            pending.append(raw)
+            continue
+        if ch == b"<" and content[i : i + 2] != b"<<":
+            m = re.match(rb"<([0-9A-Fa-f\s]*)>", content[i:])
+            if m:
+                hx = re.sub(rb"\s", b"", m.group(1))
+                if len(hx) % 2:
+                    hx += b"0"
+                pending.append(bytes.fromhex(hx.decode("ascii")))
+                i += m.end()
+                continue
+        if ch == b"/":
+            m = _NAME_RE.match(content, i)
+            if m:
+                name = m.group(1)
+                i = m.end()
+                # lookahead for Tf: "/F1 12 Tf"
+                la = content[i : i + 32]
+                if re.match(rb"\s+[\d.+-]+\s+Tf\b", la):
+                    cmap = cmaps.get(name)
+                continue
+        m = re.match(rb"[A-Za-z'\"*]+", content[i:])
+        if m:
+            op = m.group(0)
+            if op in (b"'", b"\"", b"T*", b"TD", b"Td") and cur:
+                cur.append("\n")  # ' and " imply T* BEFORE showing (§9.4.3)
+            if op in (b"Tj", b"TJ", b"'", b"\""):
+                flush_shown()
+            elif op == b"BT":
+                cur = []
+            elif op == b"ET":
+                blocks.append("".join(cur))
+                cur = []
+            else:
+                pending.clear()  # strings were operands of a non-text op
+            i += m.end()
+            continue
+        i += 1
+    if cur:  # unterminated BT block: keep what was shown
+        blocks.append("".join(cur))
+    return "\n".join(b for b in blocks if b)
+
+
+def extract_pdf_text(content: bytes) -> str:
+    """Text of every page, pages joined by newline — the same contract
+    as the pdfplumber branch in sources/corpus.decode_document."""
+    if not content.startswith(b"%PDF"):
+        raise ValueError("not a PDF (missing %PDF header)")
+    if b"/Encrypt" in content[: content.find(b"%%EOF") + 6 or len(content)]:
+        raise ValueError("encrypted PDF not supported by builtin extractor")
+    objs = _scan_objects(content)
+    pages: list[str] = []
+    for num in sorted(objs):
+        body = objs[num]
+        d = _dict_of(body)
+        if not re.search(rb"/Type\s*/Page\b(?!s)", d):
+            continue
+        cmaps = _font_cmaps(d, objs)
+        contents = _value_after(d, b"Contents")
+        refs = [int(r) for r in _REF_RE.findall(contents)]
+        stream = b"".join(_stream_data(objs.get(r, b""), objs) for r in refs)
+        pages.append(_page_text(stream, cmaps))
+    if not pages:
+        # empty text is a silent lie for a truncated/unsupported file —
+        # quarantine with a named reason instead (S7)
+        if b"/ObjStm" in content:
+            raise ValueError(
+                "PDF stores pages in object streams (/ObjStm) — builtin "
+                "extractor needs plain indirect objects"
+            )
+        raise ValueError(
+            "no page objects found (truncated or unsupported PDF)"
+        )
+    return "\n".join(pages)

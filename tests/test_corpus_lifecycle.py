@@ -159,5 +159,9 @@ def test_codec_dispatch_magic_bytes(spark, tmp_path):
         # library present: truncated container fails parse, still quarantined
         assert pdf["status"] in ("ok", "error")
     else:
+        # no third-party libs: the builtin from-spec extractor
+        # (sources/pdf_text.py) takes the file; this truncated container
+        # has no page objects, so it quarantines with that named reason
+        # (real parseable PDFs round-trip in tests/test_pdf_text.py)
         assert pdf["status"] == "error"
-        assert "pdfplumber" in pdf["error"] or "pypdf" in pdf["error"]
+        assert "page objects" in pdf["error"]

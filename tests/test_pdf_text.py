@@ -1,0 +1,170 @@
+"""Round-trip tests for the from-spec builtin PDF text extractor
+(sources/pdf_text.py): an independently-written minimal spec-conformant
+PDF WRITER here builds real %PDF files (proper xref/trailer, FlateDecode
+streams, CID font with ToUnicode CMap), and the extractor must read the
+text back — the operators/xls_writer.py round-trip strategy applied to
+S3. Also covers the decode_document dispatch: with neither pdfplumber
+nor pypdf installed (this container), real PDF bytes must decode via the
+builtin instead of quarantining."""
+
+from __future__ import annotations
+
+import zlib
+
+
+def build_pdf(objects: list[bytes]) -> bytes:
+    """Assemble numbered objects (1-based, in order) into a valid PDF:
+    header, bodies, xref table, trailer. Object 1 must be the Catalog."""
+    out = bytearray(b"%PDF-1.4\n%\xe2\xe3\xcf\xd3\n")
+    offsets = []
+    for i, body in enumerate(objects, start=1):
+        offsets.append(len(out))
+        out += b"%d 0 obj\n" % i + body + b"\nendobj\n"
+    xref_at = len(out)
+    out += b"xref\n0 %d\n" % (len(objects) + 1)
+    out += b"0000000000 65535 f \n"
+    for off in offsets:
+        out += b"%010d 00000 n \n" % off
+    out += (
+        b"trailer\n<< /Size %d /Root 1 0 R >>\nstartxref\n%d\n%%%%EOF\n"
+        % (len(objects) + 1, xref_at)
+    )
+    return bytes(out)
+
+
+def stream_obj(payload: bytes, extra: bytes = b"", compress: bool = False) -> bytes:
+    if compress:
+        payload = zlib.compress(payload)
+        extra += b" /Filter /FlateDecode"
+    return (
+        b"<< /Length %d%s >>\nstream\n" % (len(payload), extra)
+        + payload
+        + b"\nendstream"
+    )
+
+
+def simple_pdf(
+    content: bytes, compress: bool = False, font_extra: bytes = b""
+) -> bytes:
+    return build_pdf(
+        [
+            b"<< /Type /Catalog /Pages 2 0 R >>",
+            b"<< /Type /Pages /Kids [3 0 R] /Count 1 >>",
+            b"<< /Type /Page /Parent 2 0 R /MediaBox [0 0 612 792] "
+            b"/Resources << /Font << /F1 5 0 R >> >> /Contents 4 0 R >>",
+            stream_obj(content, compress=compress),
+            b"<< /Type /Font /Subtype /Type1 /BaseFont /Helvetica"
+            + font_extra
+            + b" >>",
+        ]
+    )
+
+
+def test_plain_ascii_tj():
+    from fund_data_etl_pipeline_spark.sources.pdf_text import extract_pdf_text
+
+    pdf = simple_pdf(b"BT /F1 12 Tf 72 720 Td (Fund Report 2025) Tj ET")
+    assert extract_pdf_text(pdf) == "Fund Report 2025"
+
+
+def test_flate_tj_array_and_lines():
+    """FlateDecode content; TJ array concatenates runs; Td/T* break
+    lines; literal-string escapes and octal decode."""
+    from fund_data_etl_pipeline_spark.sources.pdf_text import extract_pdf_text
+
+    content = (
+        b"BT /F1 10 Tf 72 720 Td [(amount:) -250 (123.45)] TJ "
+        b"0 -14 Td (line\\(2\\) \\101\\102) Tj ET"
+    )
+    pdf = simple_pdf(content, compress=True)
+    assert extract_pdf_text(pdf) == "amount:123.45\nline(2) AB"
+
+
+def test_cid_font_tounicode_chinese():
+    """2-byte CID codes through a ToUnicode CMap (bfchar + bfrange) must
+    come out as real Chinese text — the encoding path the reference's
+    announcement corpus needs."""
+    from fund_data_etl_pipeline_spark.sources.pdf_text import extract_pdf_text
+
+    # codes: 0001->基 0002->金, bfrange 0003..0005 -> 分红派 (consecutive)
+    cmap = (
+        b"/CIDInit /ProcSet findresource begin\n"
+        b"begincmap\n"
+        b"1 begincodespacerange <0000> <FFFF> endcodespacerange\n"
+        b"2 beginbfchar\n"
+        b"<0001> <57FA>\n"
+        b"<0002> <91D1>\n"
+        b"endbfchar\n"
+        b"1 beginbfrange\n"
+        b"<0003> <0005> <5206>\n"
+        b"endbfrange\n"
+        b"endcmap\nend\n"
+    )
+    objects = [
+        b"<< /Type /Catalog /Pages 2 0 R >>",
+        b"<< /Type /Pages /Kids [3 0 R] /Count 1 >>",
+        b"<< /Type /Page /Parent 2 0 R /MediaBox [0 0 612 792] "
+        b"/Resources << /Font << /F1 5 0 R >> >> /Contents 4 0 R >>",
+        stream_obj(b"BT /F1 12 Tf <00010002> Tj <000300040005> Tj ET"),
+        b"<< /Type /Font /Subtype /Type0 /BaseFont /STSong-Light "
+        b"/Encoding /Identity-H /ToUnicode 6 0 R >>",
+        stream_obj(cmap, compress=True),
+    ]
+    pdf = build_pdf(objects)
+    # 5206="分" 5207=bfrange+1="切"? no: consecutive codepoints from 5206
+    assert extract_pdf_text(pdf) == "基金" + chr(0x5206) + chr(0x5207) + chr(0x5208)
+
+
+def test_multipage_and_quote_operator():
+    from fund_data_etl_pipeline_spark.sources.pdf_text import extract_pdf_text
+
+    objects = [
+        b"<< /Type /Catalog /Pages 2 0 R >>",
+        b"<< /Type /Pages /Kids [3 0 R 4 0 R] /Count 2 >>",
+        b"<< /Type /Page /Parent 2 0 R /Resources << /Font << /F1 7 0 R >> >>"
+        b" /Contents 5 0 R >>",
+        b"<< /Type /Page /Parent 2 0 R /Resources << /Font << /F1 7 0 R >> >>"
+        b" /Contents 6 0 R >>",
+        stream_obj(b"BT /F1 9 Tf (page one) Tj ET"),
+        stream_obj(b"BT /F1 9 Tf (first) Tj (second) ' ET"),
+        b"<< /Type /Font /Subtype /Type1 /BaseFont /Courier >>",
+    ]
+    pdf = build_pdf(objects)
+    assert extract_pdf_text(pdf) == "page one\nfirst\nsecond"
+
+
+def test_unsupported_filter_names_the_problem():
+    import pytest
+
+    from fund_data_etl_pipeline_spark.sources.pdf_text import extract_pdf_text
+
+    objects = [
+        b"<< /Type /Catalog /Pages 2 0 R >>",
+        b"<< /Type /Pages /Kids [3 0 R] /Count 1 >>",
+        b"<< /Type /Page /Parent 2 0 R /Contents 4 0 R >>",
+        b"<< /Length 4 /Filter /LZWDecode >>\nstream\n\x80\x0b\x60\x50\nendstream",
+    ]
+    with pytest.raises(ValueError, match="LZWDecode"):
+        extract_pdf_text(build_pdf(objects))
+
+
+def test_decode_document_uses_builtin_for_real_pdfs():
+    """In this container (no pdfplumber/pypdf) decode_document must
+    route real %PDF bytes through the builtin extractor — S3 works, not
+    just quarantines."""
+    from fund_data_etl_pipeline_spark.sources.corpus import decode_document
+
+    pdf = simple_pdf(b"BT /F1 12 Tf (dispatch works) Tj ET", compress=True)
+    assert decode_document(pdf) == "dispatch works"
+
+
+def test_decode_document_quarantines_encrypted(tmp_path):
+    import pytest
+
+    from fund_data_etl_pipeline_spark.sources.pdf_text import extract_pdf_text
+
+    pdf = simple_pdf(b"BT (x) Tj ET").replace(
+        b"/Root 1 0 R", b"/Root 1 0 R /Encrypt 9 0 R"
+    )
+    with pytest.raises(ValueError, match="encrypted"):
+        extract_pdf_text(pdf)
