@@ -86,7 +86,7 @@ def test_cid_font_tounicode_chinese():
     announcement corpus needs."""
     from fund_data_etl_pipeline_spark.sources.pdf_text import extract_pdf_text
 
-    # codes: 0001->基 0002->金, bfrange 0003..0005 -> 分红派 (consecutive)
+    # bfchar: 0001->基 0002->金; bfrange 0003..0005 -> U+5206..U+5208
     cmap = (
         b"/CIDInit /ProcSet findresource begin\n"
         b"begincmap\n"
@@ -111,7 +111,6 @@ def test_cid_font_tounicode_chinese():
         stream_obj(cmap, compress=True),
     ]
     pdf = build_pdf(objects)
-    # 5206="分" 5207=bfrange+1="切"? no: consecutive codepoints from 5206
     assert extract_pdf_text(pdf) == "基金" + chr(0x5206) + chr(0x5207) + chr(0x5208)
 
 
@@ -168,3 +167,39 @@ def test_decode_document_quarantines_encrypted(tmp_path):
     )
     with pytest.raises(ValueError, match="encrypted"):
         extract_pdf_text(pdf)
+
+
+def _escape_literal(s: str) -> bytes:
+    """PDF literal-string escaping for the in-test writer (§7.3.4.2)."""
+    out = bytearray()
+    for b in s.encode("latin-1"):
+        if b in (0x5C, 0x28, 0x29):  # \ ( )
+            out += b"\\" + bytes([b])
+        else:
+            out.append(b)
+    return bytes(out)
+
+
+def test_roundtrip_property_random_latin1_text():
+    """Property: any Latin-1 text line (parens, backslashes, digits …)
+    written as an escaped literal string survives the writer->extractor
+    round trip byte-identically."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from fund_data_etl_pipeline_spark.sources.pdf_text import extract_pdf_text
+
+    @settings(max_examples=30, deadline=None)
+    @given(
+        st.text(
+            alphabet=st.characters(min_codepoint=0x20, max_codepoint=0xFF),
+            min_size=1,
+            max_size=80,
+        )
+    )
+    def prop(s):
+        content = b"BT /F1 10 Tf (" + _escape_literal(s) + b") Tj ET"
+        pdf = simple_pdf(content, compress=True)
+        assert extract_pdf_text(pdf) == s
+
+    prop()
