@@ -2,12 +2,14 @@
 opaque ``binary`` columns with typed metadata).
 
 The Spark-side plumbing — schemas, Arrow-batched ``mapInPandas`` operator
-shape, partition sizing — is real and tested; the actual codec calls are
-STUBBED (this container ships no image/audio libraries): ``decode_image``
-raises ``NotImplementedError`` unless ``fake=True``, in which case a
-deterministic md5-derived fake decode stands in so the downstream plumbing
-(feature extraction, resize bookkeeping, frame sampling) is executable and
-assertable.
+shape, partition sizing — is real and tested. The codec stage (round 5):
+PNG decodes for real via the builtin from-spec codec
+(operators/png_codec.py, zero third-party libraries); JPEG/audio/video
+remain honestly STUBBED (``NotImplementedError`` naming the missing
+capability) since DCT/audio codecs are genuine library territory, and
+``fake=True`` substitutes a deterministic md5-derived decode so the
+downstream plumbing (feature extraction, resize bookkeeping, frame
+sampling) stays executable and assertable codec-independently.
 
 Scale notes: media blobs make rows wide — the loaders keep
 ``spark.sql.files.maxPartitionBytes`` small relative to blob size, and all
@@ -69,24 +71,38 @@ def _fake_decode(data: bytes, width: int, height: int) -> list[int]:
 
 def decode_image_features(df: DataFrame, fake: bool = False) -> DataFrame:
     """Image decode + feature extraction as an Arrow-batched mapInPandas
-    operator. Without a codec library this is a clearly-marked stub; with
-    ``fake=True`` a deterministic fake decode exercises the full plumbing
-    (batch iteration, metadata access, schema contract)."""
+    operator.
+
+    Real path (round 5): PNG blobs decode with the builtin from-spec
+    codec (operators/png_codec.py — zlib inflate + scanline unfilter),
+    so width/height come from IHDR and mean_luma from actual pixels with
+    zero third-party libraries. JPEG remains an honest
+    ``NotImplementedError`` (DCT entropy decoding is out of scope), and
+    ``fake=True`` keeps the deterministic md5 stand-in for plumbing
+    tests that want codec-independent values."""
 
     def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from .png_codec import PNG_MAGIC, decode_png, mean_luma
+
         for pdf in batches:
-            if not fake:
-                raise NotImplementedError(
-                    "image codec not available in this environment; "
-                    "run with fake=True for plumbing tests"
-                )
             rows = []
             for _, r in pdf.iterrows():
                 data = bytes(r["data"]) if r["data"] is not None else b""
                 meta = r["meta"]
-                w = int(meta["width"] or 0) if meta is not None else 0
-                h = int(meta["height"] or 0) if meta is not None else 0
-                pixels = _fake_decode(data, w, h)
+                if fake:
+                    w = int(meta["width"] or 0) if meta is not None else 0
+                    h = int(meta["height"] or 0) if meta is not None else 0
+                    pixels = _fake_decode(data, w, h)
+                    luma = (sum(pixels) / len(pixels)) if pixels else 0.0
+                elif data.startswith(PNG_MAGIC):
+                    w, h, _ch, px = decode_png(data)
+                    luma = mean_luma(px)
+                else:
+                    raise NotImplementedError(
+                        "no builtin codec for this image format (PNG is "
+                        "decoded from spec; JPEG needs a DCT library); "
+                        "run with fake=True for plumbing tests"
+                    )
                 rows.append(
                     {
                         "media_id": r["media_id"],
@@ -94,7 +110,7 @@ def decode_image_features(df: DataFrame, fake: bool = False) -> DataFrame:
                         "bytes_md5": hashlib.md5(data).hexdigest(),
                         "width": w,
                         "height": h,
-                        "mean_luma": (sum(pixels) / len(pixels)) if pixels else 0.0,
+                        "mean_luma": luma,
                     }
                 )
             yield pd.DataFrame(rows)
