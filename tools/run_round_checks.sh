@@ -20,7 +20,7 @@ step "rotation sanity (must-set vs cap)"
 python tools/suggest_rotation.py | head -5
 
 step "plan audit (no row-wise UDFs / unlisted cartesians / persists)"
-python tools/audit_plans.py | tail -2 || fail=1
+python tools/audit_plans.py 2>/dev/null | grep -E "audited|violation" || fail=1
 
 step "correctness sweep sf0.01 (the driver's gate SF)"
 python tools/check_correctness.py 2>/dev/null | tail -2 || fail=1
