@@ -175,19 +175,29 @@ def main() -> None:
     }
     if errors:
         payload["errors"] = errors
-    line = json.dumps(payload, ensure_ascii=False)
-    print(line, flush=True)
-    # belt-and-braces for the tail capture: persist the same line to a
-    # sibling file so a truncated stream never loses the round's number
+    # Full payload (queries + cold_queries + errors) goes to
+    # bench_last.json; stdout gets a SLIM line as the very last output.
+    # The driver's tail-capture window is ~2.2 KB and the full object is
+    # ~2.7 KB, so the driver's copy truncated mid-map and never parsed
+    # (BENCH_r04/r05 "parsed": null). The slim line keeps the per-query
+    # warm map (the spec's "queries" field, ~1.4 KB total) and drops only
+    # the cold per-query map and error details to bench_last.json.
     try:
         with open(
             os.path.join(os.path.dirname(os.path.abspath(__file__)),
                          "bench_last.json"),
             "w",
         ) as fh:
-            fh.write(line + "\n")
+            fh.write(json.dumps(payload, ensure_ascii=False) + "\n")
     except OSError:
         pass
+    slim = {
+        k: v for k, v in payload.items() if k not in ("cold_queries", "errors")
+    }
+    slim["n_queries"] = len(times)
+    if errors:
+        slim["n_errors"] = len(errors)
+    print(json.dumps(slim, ensure_ascii=False), flush=True)
     spark.stop()
 
 

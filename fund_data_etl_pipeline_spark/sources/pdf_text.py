@@ -39,18 +39,69 @@ from __future__ import annotations
 import re
 import zlib
 
-_OBJ_RE = re.compile(rb"(\d+)\s+(\d+)\s+obj\b(.*?)endobj", re.S)
-_STREAM_RE = re.compile(rb"stream\r?\n(.*?)\r?\nendstream", re.S)
+_OBJ_HDR_RE = re.compile(rb"(\d+)\s+(\d+)\s+obj\b")
+_STREAM_KW_RE = re.compile(rb"stream\r?\n")
+_INT_OBJ_RE = re.compile(rb"(\d+)\s+\d+\s+obj\s*(\d+)\s*endobj")
+_LEN_IND_RE = re.compile(rb"/Length\s+(\d+)\s+\d+\s+R")
+_LEN_DIR_RE = re.compile(rb"/Length\s+(\d+)(?!\s+\d+\s+R)")
 _REF_RE = re.compile(rb"(\d+)\s+\d+\s+R")
 _NAME_RE = re.compile(rb"/([A-Za-z0-9.#+-]+)")
 
 
+def _declared_length(head: bytes, int_objs: dict[int, int]) -> int | None:
+    """The stream dict's /Length in bytes, following a single indirect
+    integer-object reference (§7.3.8.2), or None when unresolvable."""
+    m = _LEN_IND_RE.search(head)
+    if m:
+        return int_objs.get(int(m.group(1)))
+    m = _LEN_DIR_RE.search(head)
+    return int(m.group(1)) if m else None
+
+
 def _scan_objects(data: bytes) -> dict[int, bytes]:
     """num -> object body (dict/stream bytes), last definition wins
-    (incremental updates append redefinitions — §7.5.6)."""
+    (incremental updates append redefinitions — §7.5.6).
+
+    Sequential walk, not one big regex: FlateDecode payloads are
+    arbitrary binary and can contain ``endobj`` / ``N G obj`` by chance,
+    so each stream payload is SKIPPED using the dict's /Length (indirect
+    integer refs resolved via a pre-pass) before looking for the object
+    terminator; only when /Length is missing or inconsistent does the
+    scan fall back to the first ``endstream`` marker."""
+    # pre-pass: bare integer objects (the usual indirect /Length targets)
+    # are tiny and stream-free, so a regex scan is safe for them
+    int_objs = {
+        int(m.group(1)): int(m.group(2))
+        for m in _INT_OBJ_RE.finditer(data)
+    }
     objs: dict[int, bytes] = {}
-    for m in _OBJ_RE.finditer(data):
-        objs[int(m.group(1))] = m.group(3)
+    pos = 0
+    while True:
+        m = _OBJ_HDR_RE.search(data, pos)
+        if not m:
+            break
+        num = int(m.group(1))
+        start = m.end()
+        end = data.find(b"endobj", start)
+        sm = _STREAM_KW_RE.search(data, start, end if end >= 0 else len(data))
+        if sm is not None:
+            # stream object: jump over the payload before trusting any
+            # terminator keyword
+            length = _declared_length(data[start : sm.start()], int_objs)
+            pstart = sm.end()
+            if length is not None and data[
+                pstart + length : pstart + length + 11
+            ].lstrip(b"\r\n").startswith(b"endstream"):
+                es = data.find(b"endstream", pstart + length)
+            else:
+                es = data.find(b"endstream", pstart)
+            if es < 0:
+                break  # truncated file: nothing trustworthy past here
+            end = data.find(b"endobj", es)
+        if end < 0:
+            break
+        objs[num] = data[start:end]
+        pos = end + len(b"endobj")
     return objs
 
 
@@ -103,12 +154,38 @@ def _value_after(d: bytes, key: bytes) -> bytes:
 
 
 def _stream_data(body: bytes, objs: dict[int, bytes]) -> bytes:
-    """Decoded stream payload of an object body (FlateDecode or none)."""
-    sm = _STREAM_RE.search(body)
+    """Decoded stream payload of an object body (FlateDecode or none).
+
+    The payload slice honors the dict's /Length when it is consistent;
+    otherwise it brackets on the LAST ``endstream`` in the body — correct
+    because _scan_objects guarantees the body ends right after this
+    object's own endstream/endobj, so binary payload bytes that happen to
+    spell ``endstream`` can no longer truncate the slice."""
+    sm = _STREAM_KW_RE.search(body)
     if not sm:
         return b""
-    raw = sm.group(1)
     d = _dict_of(body)
+    pstart = sm.end()
+    head = body[: sm.start()]
+    ind = _LEN_IND_RE.search(head)
+    if ind:
+        num_m = re.search(rb"\d+", objs.get(int(ind.group(1)), b""))
+        length = int(num_m.group(0)) if num_m else None
+    else:
+        length = _declared_length(head, {})
+    if length is not None and body[
+        pstart + length : pstart + length + 11
+    ].lstrip(b"\r\n").startswith(b"endstream"):
+        raw = body[pstart : pstart + length]
+    else:
+        es = body.rfind(b"endstream")
+        raw = body[pstart : es if es > pstart else len(body)]
+        # strip the single EOL the writer places before endstream
+        # (§7.3.8.1) — it is not part of the stream data
+        if raw.endswith(b"\r\n"):
+            raw = raw[:-2]
+        elif raw.endswith(b"\n") or raw.endswith(b"\r"):
+            raw = raw[:-1]
     filt = _value_after(d, b"Filter")
     if not filt:
         return raw
@@ -219,7 +296,11 @@ def _literal_string(data: bytes, i: int) -> tuple[bytes, int]:
                 out.append(int(oct_m.group(0), 8) & 0xFF)
                 i += 1 + len(oct_m.group(0))
             elif nxt in (b"\n", b"\r"):
-                i += 2  # line continuation
+                # line continuation: \<EOL> elides the whole EOL, and
+                # §7.3.4.2 treats \<CRLF> as ONE end-of-line — consume
+                # the LF after a CR too, else continued literals gain a
+                # spurious newline
+                i += 3 if nxt == b"\r" and data[i + 2 : i + 3] == b"\n" else 2
             else:
                 i += 1
         elif ch == b"(":
@@ -328,7 +409,12 @@ def extract_pdf_text(content: bytes) -> str:
     as the pdfplumber branch in sources/corpus.decode_document."""
     if not content.startswith(b"%PDF"):
         raise ValueError("not a PDF (missing %PDF header)")
-    if b"/Encrypt" in content[: content.find(b"%%EOF") + 6 or len(content)]:
+    # Whole-buffer scan: linearized / incrementally-updated files place
+    # the trailer's /Encrypt after the FIRST %%EOF, so a prefix scan
+    # misses it and the file silently decodes to garbage. A false
+    # positive (the 8-byte ASCII sequence appearing inside a compressed
+    # payload) merely quarantines — the safe direction.
+    if b"/Encrypt" in content:
         raise ValueError("encrypted PDF not supported by builtin extractor")
     objs = _scan_objects(content)
     pages: list[str] = []

@@ -203,3 +203,70 @@ def test_roundtrip_property_random_latin1_text():
         assert extract_pdf_text(pdf) == s
 
     prop()
+
+
+def test_encrypt_after_first_eof_still_quarantines():
+    """Incremental updates append a second body + trailer after the
+    first %%EOF; /Encrypt living only in the appended trailer must still
+    quarantine (the r5 prefix-scan bug decoded such files to garbage)."""
+    import pytest
+
+    from fund_data_etl_pipeline_spark.sources.pdf_text import extract_pdf_text
+
+    base = simple_pdf(b"BT (x) Tj ET")
+    updated = base + (
+        b"7 0 obj\n<< /Filter /Standard /V 1 >>\nendobj\n"
+        b"trailer\n<< /Size 8 /Root 1 0 R /Encrypt 7 0 R /Prev 9 >>\n"
+        b"startxref\n9\n%%EOF\n"
+    )
+    with pytest.raises(ValueError, match="encrypted"):
+        extract_pdf_text(updated)
+
+
+def test_binary_stream_payload_containing_object_keywords():
+    """A stream payload containing ``endobj`` / ``N G obj`` /
+    ``endstream`` ASCII must not truncate the object scan or spawn
+    phantom objects — /Length is honored to skip the payload."""
+    from fund_data_etl_pipeline_spark.sources.pdf_text import extract_pdf_text
+
+    marker = b"\nendobj\n9 0 obj\nendstream\n"
+    objects = [
+        b"<< /Type /Catalog /Pages 2 0 R >>",
+        b"<< /Type /Pages /Kids [3 0 R] /Count 1 >>",
+        b"<< /Type /Page /Parent 2 0 R /Resources << /Font << /F1 5 0 R"
+        b" >> >> /Contents 4 0 R >>",
+        stream_obj(b"BT /F1 8 Tf (before " + marker + b" after) Tj ET"),
+        b"<< /Type /Font /Subtype /Type1 /BaseFont /Helvetica >>",
+    ]
+    out = extract_pdf_text(build_pdf(objects))
+    assert "before" in out and "after" in out
+
+
+def test_indirect_length_reference_resolved():
+    """/Length given as an indirect integer-object reference (§7.3.8.2)
+    must resolve and bound the payload skip."""
+    from fund_data_etl_pipeline_spark.sources.pdf_text import extract_pdf_text
+
+    content = b"BT /F1 8 Tf (indirect length endobj inside) Tj ET"
+    objects = [
+        b"<< /Type /Catalog /Pages 2 0 R >>",
+        b"<< /Type /Pages /Kids [3 0 R] /Count 1 >>",
+        b"<< /Type /Page /Parent 2 0 R /Resources << /Font << /F1 5 0 R"
+        b" >> >> /Contents 4 0 R >>",
+        b"<< /Length 6 0 R >>\nstream\n" + content + b"\nendstream",
+        b"<< /Type /Font /Subtype /Type1 /BaseFont /Helvetica >>",
+        b"%d" % len(content),
+    ]
+    assert (
+        extract_pdf_text(build_pdf(objects))
+        == "indirect length endobj inside"
+    )
+
+
+def test_backslash_crlf_continuation_elides_whole_eol():
+    """§7.3.4.2: \\<CRLF> is ONE elided end-of-line — the continued
+    literal must not gain a spurious newline from the LF half."""
+    from fund_data_etl_pipeline_spark.sources.pdf_text import extract_pdf_text
+
+    pdf = simple_pdf(b"BT /F1 8 Tf (contin\\\r\nued) Tj ET")
+    assert extract_pdf_text(pdf) == "continued"

@@ -6,7 +6,7 @@
 #
 #   bash tools/run_round_checks.sh            # full sequence
 #   bash tools/run_round_checks.sh --fast     # skip sf0.1 sweep + bench
-set -u
+set -u -o pipefail
 cd "$(dirname "$0")/.."
 FAST="${1:-}"
 fail=0
@@ -20,7 +20,13 @@ step "rotation sanity (must-set vs cap)"
 python tools/suggest_rotation.py | head -5
 
 step "plan audit (no row-wise UDFs / unlisted cartesians / persists)"
-python tools/audit_plans.py 2>/dev/null | grep -E "audited|violation" || fail=1
+# grep SUCCEEDING on "violation" lines must still fail the run, so gate
+# on the audit exit code AND on the word appearing in its output
+audit_out=$(python tools/audit_plans.py 2>/dev/null) || fail=1
+printf '%s\n' "$audit_out" | grep -E "audited|violation"
+# the summary line itself says "0 violations" — fail only on a
+# nonzero count or a per-plan VIOLATION detail line
+printf '%s\n' "$audit_out" | grep -qE "VIOLATION|[1-9][0-9]* violation" && fail=1
 
 step "correctness sweep sf0.01 (the driver's gate SF)"
 python tools/check_correctness.py 2>/dev/null | tail -2 || fail=1
