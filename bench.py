@@ -89,6 +89,8 @@ HEADLINE = [
     "volume_shipping",
     "graph_pagerank",
     "dedup_semantic",
+    # round-6: the linear-exponent LSH twin of dedup_semantic
+    "dedup_semantic_lsh",
     "dq_constraint_report",
     "k_anonymity_audit",
     "source_capped_sample",

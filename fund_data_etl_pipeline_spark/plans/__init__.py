@@ -58,23 +58,117 @@ def load_all() -> None:
     )
 
 
-# Round-5 rotation policy (VERDICT r4 next-step #1). The driver caps its
-# correctness sweep at 50 queries (in registry order) while 105 are
-# registered — a 100-provable-slot two-round window. Registry growth is
-# FROZEN this round so the window can catch up. Invariant: every
-# oracle-bearing query is driver-green within the last two rounds, OR is
-# on the documented peer-coverage exception list below (re-proven by the
-# local gate at all three SFs instead).
+# Round-6 rotation policy (VERDICT r5 next-step #1). Cap is still 50
+# driver slots; 106 queries are registered this round (the one FREEZE
+# exception is dedup_semantic_lsh, which VERDICT r5 next-step #4
+# explicitly ordered registered). Invariant: every oracle-bearing query
+# is driver-green within the last two rounds, OR on the documented
+# peer-coverage exception list below (re-proven by the local gate at all
+# three SFs instead).
 #
-# This round's 50 slots: (a) the ten round-4c queries the driver has
-# never sampled, (b) vector_ann_ivf, whose quantizer was rebuilt this
-# round around deterministic hash-chosen seed centroids so it now carries
-# an exact DuckDB oracle (first provable row), and (c) the 39 stalest
-# names whose only green row is round 3 (their two-round window closes
-# after round 5), everything else rotating to DEPRIORITY.
+# This round's 50 slots: (a) the six names that went without a driver
+# row in r4 AND r5 (three rounds stale after this round — they go
+# first), (b) the new dedup_semantic_lsh (first driver row), (c) 43 of
+# the 48 r4-green names whose two-round window closes at r6. The five
+# r4-green names that overflow the cap move to the exception list with
+# peer coverage.
 PRIORITY = [
-    # (a) round-4c additions — never sampled by the driver (judge-verified
-    # locally in r4; they must record their first driver row now)
+    # (a) exception-list names from r5 — three rounds without a driver
+    # row after this one; they MUST record rows now
+    "fund_manual_apply",
+    "fund_manual_confirm",
+    "fund_manual_redemption",
+    "fund_manual_dividend",
+    "intersect_nations",
+    "except_nations",
+    # (b) new this round (judge-ordered): the linear-exponent semantic
+    # dedup twin — first driver row
+    "dedup_semantic_lsh",
+    # (c) r4-green names whose window closes at r6
+    "salted_skew_agg",
+    "pivot_status",
+    "text_fingerprint",
+    "dedup_simhash",
+    "dedup_groups",
+    "doc_hash_split",
+    "corpus_top_terms",
+    "text_repetition_filter",
+    "text_scrub",
+    "doc_tfidf_topk",
+    "dedup_hybrid",
+    "dedup_spans",
+    "contamination_check",
+    "stratified_sample",
+    "sequence_packing",
+    "range_join_ship_window",
+    "dedup_exact",
+    "text_lang_id",
+    "text_quality",
+    "pricing_summary",
+    "fund_dividend_scaled",
+    "vector_ann_lsh",
+    "events_funnel",
+    "source_mixture_weights",
+    "dedup_groups_star",
+    "epoch_shuffle",
+    "leakage_safe_split",
+    "doc_chunking",
+    "zorder_layout",
+    "table_profile",
+    "quality_deciles",
+    "cdc_latest_snapshot",
+    "scd2_intervals",
+    "event_value_winsorized",
+    "shipping_priority_topk",
+    "cdc_incremental_merge",
+    "events_hourly_gapfill",
+    "events_sliding_window",
+    "agg_stats",
+    "local_supplier_revenue",
+    "large_order_customers",
+    "bm25_topk",
+    "events_anomaly_zscore",
+]
+
+# PRIORITY is exactly at the 50-query driver cap (6 + 1 + 43).
+
+# EXCEPTION LIST (this round's cap overflow — 55 oracle-bearing names
+# owed a row vs 50 slots, so these five r4-green queries go one round on
+# peer coverage). Each is chosen because its machinery is provably
+# inside r5-green or r6-PRIORITY peers, and each is re-proven by the
+# local gate (tools/check_correctness.py) at sf0.001/0.01/0.1:
+#   dedup_ngram_capped — the max_doc_freq-capped variant of the r5-green
+#     dedup_ngram_jaccard (same shingle CTE, same posting-list join; the
+#     cap only ADDS a HAVING-style filter);
+#   dedup_embedding_cosine — the brute-force cosine baseline whose
+#     prepped-norm + rounded-cosine expression tree is literally shared
+#     with the r5-green vector_cosine_topk / dedup_semantic;
+#   when_cascade_tier — the standalone when-cascade demo; the C1/C2
+#     cascade machinery is inside every r5-green fund_* query
+#     (fund_classify runs the full 87-rule cascade);
+#   window_running — running-sum window over events; the same
+#     Window.partitionBy().orderBy().rowsBetween machinery is inside the
+#     r5-green user_rolling_7d_spend (range frame) and topk windows;
+#   rollup_priority — ROLLUP grouping-set expansion; the same
+#     expand-node machinery is inside the r5-green cube_lineitem /
+#     grouping_sets_sql.
+#
+# DEPRIORITY: names that safely fall past the cap this round. The 50
+# r5-green names (fresh driver rows, window open through round 7), the
+# five exception-list names above, and the rows-only-by-design sketch
+# query. 50 + 5 + 1 = 56 = registered 106 - cap 50, so the cap's cut is
+# wholly chosen here — nothing falls past by registration-order accident.
+DEPRIORITY = [
+    # five exception-list names (peer coverage documented above)
+    "dedup_ngram_capped",
+    "dedup_embedding_cosine",
+    "when_cascade_tier",
+    "window_running",
+    "rollup_priority",
+    # rows-only by design (KLL/HLL sketch aggregate; rank-contract parity
+    # is pytest-asserted) — its weak row adds nothing over r4's
+    "event_value_stats_approx",
+    # r5-green (driver rows in CORRECTNESS_r05): window open to round 7
     "graph_pagerank",
     "dedup_semantic",
     "volume_shipping",
@@ -85,12 +179,7 @@ PRIORITY = [
     "source_capped_sample",
     "user_rolling_7d_spend",
     "attribution_join",
-    # (b) first exact-oracle row for the IVF ANN path (round-5 change:
-    # deterministic seed quantizer, the dedup_semantic/vector_ann_lsh
-    # treatment — KMeans variant remains as operator API with recall
-    # pytests)
     "vector_ann_ivf",
-    # (c) only green row is r3 — re-prove or the invariant breaks
     "dedup_ngram_jaccard",
     "dedup_minhash_lsh",
     "dedup_canonical",
@@ -130,95 +219,6 @@ PRIORITY = [
     "events_tumbling_window",
     "events_session_window",
     "user_retention_cohorts",
-]
-# PRIORITY is exactly at the 50-query driver cap (10 + 1 + 39).
-
-# EXCEPTION LIST (the arithmetic overflow — 56 names needed a row this
-# round against the 50 cap, so these six r3-green queries go a third
-# round without a driver row). Each is chosen because its machinery is
-# provably inside PRIORITY peers this round, and each is re-proven by
-# the local gate (tools/check_correctness.py) at sf0.001/0.01/0.1:
-#   fund_manual_apply / fund_manual_confirm / fund_manual_redemption /
-#   fund_manual_dividend — the manual-doc cascade (C3) composes the SAME
-#     spec-interpreter machinery as the checked fund_purchase_* /
-#     fund_redemption_confirm / fund_dividend jobs (when-cascade C1/C2,
-#     candidate-max P12, OCR repair P13, isin gate Q1 via jobs.py shared
-#     exprs);
-#   intersect_nations / except_nations — set-op rewrites whose
-#     machinery (hash-distinct + null-safe key compare) is inside the
-#     checked union_slices / distinct_pairs / anti_join_customers /
-#     semi_join_parts.
-#
-# DEPRIORITY: names that safely fall past the cap this round. The 48
-# r4-green names (fresh driver rows, window open through round 6), the
-# six exception-list names above, and the rows-only-by-design sketch
-# query. 48 + 6 + 1 = 55 = registered 105 - cap 50, so the cap's cut is
-# wholly chosen here — nothing falls past by registration-order accident.
-DEPRIORITY = [
-    # six exception-list names (peer coverage documented above)
-    "fund_manual_apply",
-    "fund_manual_confirm",
-    "fund_manual_redemption",
-    "fund_manual_dividend",
-    "intersect_nations",
-    "except_nations",
-    # rows-only by design (KLL/HLL sketch aggregate; rank-contract parity
-    # is pytest-asserted) — its weak row adds nothing over r4's
-    "event_value_stats_approx",
-    # r4-green (driver rows in CORRECTNESS_r04): window open to round 6.
-    # events_anomaly_zscore's arithmetic was refactored this round into
-    # the shared z_moments/z_score functions (same expression tree; the
-    # streaming twin now composes the literally-same code) and re-proven
-    # by the local gate at sf0.001/0.01/0.1 since its r4 row predates
-    # the refactor.
-    "window_running",
-    "salted_skew_agg",
-    "pivot_status",
-    "text_fingerprint",
-    "rollup_priority",
-    "when_cascade_tier",
-    "dedup_ngram_capped",
-    "dedup_simhash",
-    "dedup_groups",
-    "doc_hash_split",
-    "corpus_top_terms",
-    "text_repetition_filter",
-    "text_scrub",
-    "doc_tfidf_topk",
-    "dedup_hybrid",
-    "dedup_spans",
-    "contamination_check",
-    "stratified_sample",
-    "sequence_packing",
-    "range_join_ship_window",
-    "dedup_embedding_cosine",
-    "dedup_exact",
-    "text_lang_id",
-    "text_quality",
-    "pricing_summary",
-    "fund_dividend_scaled",
-    "vector_ann_lsh",
-    "events_funnel",
-    "source_mixture_weights",
-    "dedup_groups_star",
-    "epoch_shuffle",
-    "leakage_safe_split",
-    "doc_chunking",
-    "zorder_layout",
-    "table_profile",
-    "quality_deciles",
-    "cdc_latest_snapshot",
-    "scd2_intervals",
-    "event_value_winsorized",
-    "shipping_priority_topk",
-    "cdc_incremental_merge",
-    "events_hourly_gapfill",
-    "events_sliding_window",
-    "agg_stats",
-    "local_supplier_revenue",
-    "large_order_customers",
-    "bm25_topk",
-    "events_anomaly_zscore",
 ]
 
 

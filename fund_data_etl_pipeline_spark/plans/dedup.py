@@ -641,3 +641,188 @@ def dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select(
         "vec_id", "cluster_id", F.col("dup_id").isNull().alias("keep")
     )
+
+
+# -- dedup_semantic_lsh: the LINEAR-exponent semantic-dedup path --------------
+# Same duplicate semantics as dedup_semantic (drop a vector iff ANY
+# smaller-id near neighbor clears the cosine threshold) but candidate
+# generation is multi-table random-hyperplane LSH bucketing instead of
+# nearest-of-K-centroid clustering.
+#
+# Occupancy-stabilized banding — the device that makes this LINEAR where
+# SemDeDup is O(N^1.5): with a FIXED signature width, bucket occupancy
+# grows with N and within-bucket pairing is quadratic again (the first
+# cut of this query measured exactly that at the 100x probe). Instead the
+# signature width grows with log N — planes(N) = the smallest p in
+# [P_MIN, P_MAX] with N <= OCC * 2^p — holding EXPECTED occupancy at
+# ~OCC rows per bucket, so candidate pairs stay ~TABLES * N * OCC / 2,
+# linear in N. The p-bit bucket is a PREFIX of the P_MAX-bit signature
+# (plane family offsets are indexed by P_MAX), which is what lets the
+# static DuckDB oracle compute the same adaptive bucket: it builds the
+# full P_MAX signature and takes substr(1, planes) with planes from an
+# exact integer CASE ladder — no float log2 that could round differently
+# across engines. Skewed (clustered) corpora concentrate occupancy above
+# the expectation; at cluster scale that is the standard LSH skew
+# trade-off (more tables / AQE skew-join), documented not hidden.
+_SLSH_P_MIN = 4
+_SLSH_P_MAX = 16
+_SLSH_OCC = 16  # target expected rows per bucket per table
+_SLSH_TABLES = 4
+_SLSH_DIMS = 64
+
+from .vectors import rhp_bucket_sql  # noqa: E402 — shared oracle twin
+
+
+def slsh_planes(n: int) -> int:
+    """Smallest p in [P_MIN, P_MAX] with n <= OCC * 2**p — the Python
+    twin of the oracle's integer CASE ladder (same thresholds, so both
+    engines derive the same signature width from the same count)."""
+    p = _SLSH_P_MIN
+    while p < _SLSH_P_MAX and n > _SLSH_OCC * (1 << p):
+        p += 1
+    return p
+
+
+_SLSH_PLANES_SQL = (
+    "CASE "
+    + " ".join(
+        f"WHEN cnt <= {_SLSH_OCC * (1 << p)} THEN {p}"
+        for p in range(_SLSH_P_MIN, _SLSH_P_MAX)
+    )
+    + f" ELSE {_SLSH_P_MAX} END"
+)
+
+_SLSH_SIG_SQL = "\n      UNION ALL\n      ".join(
+    f"SELECT vec_id, v, {t} AS tbl,"
+    f" {rhp_bucket_sql(t, _SLSH_P_MAX, _SLSH_DIMS)} AS sig FROM e"
+    for t in range(_SLSH_TABLES)
+)
+
+
+@register(
+    "dedup_semantic_lsh",
+    oracle=f"""
+    WITH e AS (SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v
+               FROM embeddings),
+    np AS (SELECT {_SLSH_PLANES_SQL} AS planes
+           FROM (SELECT COUNT(*) AS cnt FROM e)),
+    sig AS (
+      {_SLSH_SIG_SQL}
+    ),
+    b AS (
+      SELECT vec_id, v, tbl,
+             substr(sig, 1, (SELECT planes FROM np)) AS bucket
+      FROM sig
+    ),
+    cand AS (
+      SELECT DISTINCT a.vec_id AS d1, b2.vec_id AS d2
+      FROM b a JOIN b b2 ON a.tbl = b2.tbl AND a.bucket = b2.bucket
+      WHERE a.vec_id < b2.vec_id
+    ),
+    dups AS (
+      SELECT DISTINCT c.d2 AS dup_id
+      FROM cand c
+      JOIN e ea ON ea.vec_id = c.d1
+      JOIN e eb ON eb.vec_id = c.d2
+      WHERE {G.round_sql(_SEM_COS, 6)} >= {_SEM_T}
+    )
+    SELECT e.vec_id,
+           substr({rhp_bucket_sql(0, _SLSH_P_MAX, _SLSH_DIMS, vec="e.v")},
+                  1, (SELECT planes FROM np)) AS bucket0,
+           (d.dup_id IS NULL) AS keep
+    FROM e LEFT JOIN dups d ON d.dup_id = e.vec_id
+    """,
+)
+def dedup_semantic_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH-bucketed semantic dedup — the strictly-linear alternative to
+    ``dedup_semantic`` that BASELINE.md's scale table points at ("an
+    engine needing a linear exponent for semantic dedup should take the
+    LSH/ANN bucket family").
+
+    Shape: each vector gets ``_SLSH_TABLES`` independent
+    random-hyperplane signatures (operators/similarity.rhp_bucket —
+    deterministic +-1 constants, the vector_ann_lsh device that makes an
+    "approximate" path exactly oracle-checkable) of ``slsh_planes(N)``
+    bits — the occupancy-stabilized width (see the module comment above:
+    fixed-width banding degrades to quadratic pairing at scale; the
+    log-N width pins expected bucket occupancy at ~{_SLSH_OCC} so
+    candidate pairs stay linear, the measured-exponent claim in
+    BASELINE.md). A candidate pair is any two vectors sharing at least
+    one table's bucket; the exact rounded cosine then confirms. Keep
+    rule matches dedup_semantic: greedy first-occurrence — a vector
+    drops iff ANY smaller-id confirmed neighbor exists. ``bucket0``
+    (table-0 signature) is exposed as the cluster-ish key so the oracle
+    checks the adaptive bucket assignment itself, not just survivorship.
+
+    Scale: signatures are map-only (one fold per plane per row, built
+    once per table); the only shuffles are the (tbl, bucket) equi-join,
+    the pair dedup, and the final left join — no crossJoin, no O(N·K)
+    assignment stage. The N that sizes the width comes from one
+    metadata-cheap parquet count (the dedup_semantic K = sqrt(N)
+    pattern). Probed at 10x/100x alongside dedup_semantic — BASELINE.md
+    shows the exponent pair (~linear vs the designed 1.5).
+
+    Reference anchor: the dedup family extends the reference's
+    exact-match merge semantics (merge_and_deduplication/merge_files.py)
+    to the near-dup regime a 100 TB corpus needs.
+    """
+    from ..operators.similarity import rhp_bucket
+
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", as_double(F.col("embedding")).alias("v")
+    )
+    planes = slsh_planes(emb.count())
+    prepped = emb.select("vec_id", "v", norm(F.col("v")).alias("nv"))
+    # offset indexed by P_MAX, NOT by planes: the p-bit bucket must be
+    # the prefix of the P_MAX-bit signature the oracle computes
+    buckets = F.array(
+        *[
+            F.struct(
+                F.lit(t).alias("tbl"),
+                rhp_bucket(
+                    F.col("v"), planes, _SLSH_DIMS, offset=t * _SLSH_P_MAX
+                ).alias("bucket"),
+            )
+            for t in range(_SLSH_TABLES)
+        ]
+    )
+    sig = prepped.select(
+        "vec_id", "v", "nv", F.explode(buckets).alias("tb")
+    ).select(
+        "vec_id",
+        "v",
+        "nv",
+        F.col("tb.tbl").alias("tbl"),
+        F.col("tb.bucket").alias("bucket"),
+    )
+    a = sig.select(
+        F.col("vec_id").alias("d1"), F.col("v").alias("v1"),
+        F.col("nv").alias("n1"), "tbl", "bucket",
+    )
+    b = sig.select(
+        F.col("vec_id").alias("d2"), F.col("v").alias("v2"),
+        F.col("nv").alias("n2"), "tbl", "bucket",
+    )
+    cand = (
+        a.join(b, ["tbl", "bucket"])
+        .filter(F.col("d1") < F.col("d2"))
+        .select("d1", "d2", "v1", "n1", "v2", "n2")
+        .dropDuplicates(["d1", "d2"])
+    )
+    dups = (
+        cand.filter(
+            round2(
+                dot(F.col("v1"), F.col("v2")) / (F.col("n1") * F.col("n2")), 6
+            )
+            >= _SEM_T
+        )
+        .select(F.col("d2").alias("dup_id"))
+        .distinct()
+    )
+    keyed = prepped.select(
+        "vec_id",
+        rhp_bucket(F.col("v"), planes, _SLSH_DIMS, offset=0).alias("bucket0"),
+    )
+    return keyed.join(
+        dups, keyed["vec_id"] == dups["dup_id"], "left"
+    ).select("vec_id", "bucket0", F.col("dup_id").isNull().alias("keep"))

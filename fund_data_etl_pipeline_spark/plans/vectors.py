@@ -67,19 +67,25 @@ _LSH_TABLES = 4
 _LSH_DIMS = 64
 
 
-def _bucket_sql(tbl: int) -> str:
+def rhp_bucket_sql(tbl: int, planes: int, dims: int, vec: str = "v") -> str:
     """DuckDB twin of ``rhp_bucket``: the same +-1 hyperplane constants as
     array literals, the same sequential dot product, the same >= 0 sign
-    bit, concatenated in the same plane order."""
+    bit, concatenated in the same plane order. Shared by every
+    hyperplane-bucketed oracle (vector_ann_lsh here, dedup_semantic_lsh
+    in plans/dedup.py)."""
     bits = []
-    for p in range(_LSH_PLANES):
-        signs = rhp_sign_vector(tbl * _LSH_PLANES + p, _LSH_DIMS)
+    for p in range(planes):
+        signs = rhp_sign_vector(tbl * planes + p, dims)
         arr = ", ".join(f"{s:.1f}" for s in signs)
         bits.append(
-            f"CASE WHEN list_dot_product(v, [{arr}]) >= 0"
+            f"CASE WHEN list_dot_product({vec}, [{arr}]) >= 0"
             " THEN '1' ELSE '0' END"
         )
     return " || ".join(bits)
+
+
+def _bucket_sql(tbl: int) -> str:
+    return rhp_bucket_sql(tbl, _LSH_PLANES, _LSH_DIMS)
 
 
 _SIG_SQL = "\n      UNION ALL\n      ".join(

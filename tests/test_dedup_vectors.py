@@ -372,3 +372,109 @@ def test_semantic_dedup_keep_rule_invariant(spark, sf_dir):
                 cos(vecs[a], vecs[b]) >= _SEM_T for a in members[:i]
             )
             assert keep[b] == (not has_dup), (c, b)
+
+
+def test_semantic_lsh_drops_planted_bucket_dup(spark, tmp_path):
+    """dedup_semantic_lsh on a corpus with a planted exact-duplicate
+    vector: identical vectors share every table's bucket by construction,
+    so the copy (higher vec_id) drops and the original keeps."""
+    import numpy as np
+    import pandas as pd
+
+    from fund_data_etl_pipeline_spark.plans.dedup import dedup_semantic_lsh
+
+    rng = np.random.default_rng(11)
+    vecs = [
+        rng.standard_normal(64).round(3).astype("float32") for _ in range(30)
+    ]
+    vecs.append(vecs[5].copy())  # vec_id 30 duplicates vec_id 5
+    pdf = pd.DataFrame(
+        {"vec_id": range(31), "embedding": [v.tolist() for v in vecs],
+         "label": [0] * 31}
+    )
+    d = tmp_path / "slsh"
+    d.mkdir()
+    pdf.to_parquet(d / "embeddings.parquet")
+    rows = {r["vec_id"]: r for r in dedup_semantic_lsh(spark, str(d)).collect()}
+    assert len(rows) == 31
+    assert rows[30]["keep"] is False, "planted copy must drop"
+    assert rows[5]["keep"] is True, "original (smaller id) must keep"
+    assert rows[30]["bucket0"] == rows[5]["bucket0"]
+
+
+def test_semantic_lsh_keep_rule_invariant(spark, sf_dir):
+    """Oracle-independent invariant on the real corpus: a vector keeps
+    iff NO smaller-id vector sharing at least one table's bucket clears
+    the cosine threshold — signatures and cosines recomputed here by
+    brute force with the same deterministic hyperplane constants and the
+    same sequential fold order Spark uses."""
+    from fund_data_etl_pipeline_spark.operators.similarity import (
+        rhp_sign_vector,
+    )
+    from fund_data_etl_pipeline_spark.plans.dedup import (
+        _SEM_T,
+        _SLSH_DIMS,
+        _SLSH_P_MAX,
+        _SLSH_TABLES,
+        slsh_planes,
+        dedup_semantic_lsh,
+    )
+    from fund_data_etl_pipeline_spark.sources import load_table
+
+    rows = dedup_semantic_lsh(spark, sf_dir).collect()
+    keep = {r["vec_id"]: r["keep"] for r in rows}
+    bucket0 = {r["vec_id"]: r["bucket0"] for r in rows}
+    vecs = {
+        r["vec_id"]: [float(x) for x in r["embedding"]]
+        for r in load_table(spark, sf_dir, "embeddings").collect()
+    }
+
+    planes = slsh_planes(len(vecs))
+
+    def sig(v, tbl):
+        bits = []
+        # plane family offsets indexed by P_MAX (the prefix property the
+        # adaptive-width oracle relies on)
+        for p in range(planes):
+            signs = rhp_sign_vector(tbl * _SLSH_P_MAX + p, _SLSH_DIMS)
+            acc = 0.0
+            for x, s in zip(v, signs):
+                acc = acc + x * float(s)
+            bits.append("1" if acc >= 0 else "0")
+        return "".join(bits)
+
+    def cos(a, b):
+        import math as m
+
+        num = 0.0
+        for x, y in zip(a, b):
+            num = num + x * y
+        return round(
+            num
+            / (
+                m.sqrt(sum(x * x for x in a))
+                * m.sqrt(sum(y * y for y in b))
+            ),
+            6,
+        )
+
+    sigs = {
+        vid: [sig(v, t) for t in range(_SLSH_TABLES)]
+        for vid, v in vecs.items()
+    }
+    for vid in vecs:
+        assert bucket0[vid] == sigs[vid][0]
+    ids = sorted(vecs)
+    by_bucket: dict[tuple[int, str], list[int]] = {}
+    for vid in ids:
+        for t in range(_SLSH_TABLES):
+            by_bucket.setdefault((t, sigs[vid][t]), []).append(vid)
+    neighbors: dict[int, set[int]] = {vid: set() for vid in ids}
+    for members in by_bucket.values():
+        for i, b in enumerate(members):
+            neighbors[b].update(members[:i])
+    for vid in ids:
+        has_dup = any(
+            cos(vecs[a], vecs[vid]) >= _SEM_T for a in neighbors[vid]
+        )
+        assert keep[vid] == (not has_dup), vid

@@ -76,6 +76,12 @@ def audit(sf_dir: str, names: list[str] | None = None) -> int:
     from fund_data_etl_pipeline_spark.session import get_spark
 
     spark = get_spark("audit")
+    # audit each plan on a CLEAN cache: a shared test session may hold a
+    # persist from an earlier query (e.g. dedup_semantic's prepped
+    # embeddings), and Spark's cache manager substitutes
+    # InMemoryTableScan into ANY later plan with the same subtree —
+    # which would flag an innocent query as CACHE here
+    spark.catalog.clearCache()
     qs = e.queries()
     picked = names or list(qs)
     bad: list[str] = []

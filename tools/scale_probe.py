@@ -70,6 +70,7 @@ PROBE_QUERIES = [
     # stage must scale ~linearly, NOT quadratically) and iterative
     # PageRank (per-round work linear in the 10x edge list)
     "dedup_semantic",
+    "dedup_semantic_lsh",
     "graph_pagerank",
     # round-5: both ANN paths (embeddings are staged with per-replica
     # nudged vectors, so the scaled corpus is NxF distinct near-neighbors)
