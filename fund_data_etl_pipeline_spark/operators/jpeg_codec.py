@@ -1,0 +1,324 @@
+"""Minimal from-spec baseline JPEG decoder (the multimodal image stage).
+
+Fourth from-spec codec after operators/xls_writer.py (BIFF8/CFB),
+sources/pdf_text.py (ISO 32000) and operators/png_codec.py (W3C PNG):
+the container ships no image library, and ITU-T T.81 (the JPEG spec) is
+public, so the baseline-sequential subset that real corpora overwhelmingly
+use is decoded here with stdlib + numpy:
+
+- marker stream: SOI, APPn/COM skipped, DQT (8-bit precision), SOF0
+  (baseline sequential DCT), DHT (canonical Huffman, Annex C), DRI
+  restart intervals, SOS, EOI;
+- entropy decode: per-component DC (difference categories + EXTEND,
+  F.2.2.1) and AC (run/size with ZRL and EOB, F.2.2.2) Huffman streams
+  with 0xFF00 byte-stuffing undone and RSTn boundaries resetting the DC
+  predictors;
+- reconstruction: dequantize, inverse zigzag, 2-D IDCT as the separable
+  8x8 DCT-III matrix product (A.3.3) in float64, level shift +128,
+  clamp to uint8;
+- color: 1-component grayscale or 3-component YCbCr (JFIF full-range
+  BT.601, upsampling by sample replication for subsampled chroma),
+  h/v sampling factors 1 or 2.
+
+Out of scope, raising a NAMED error (the S7 quarantine convention —
+never silently wrong): progressive (SOF2) and extended/lossless/
+arithmetic modes, 12-bit precision, 4-component CMYK/Adobe transforms.
+Round-trip tests in tests/test_jpeg_codec.py drive this decoder against
+an independently-written in-test baseline ENCODER (FDCT + Annex K
+tables), the xls_writer/pdf_text/png_codec strategy.
+"""
+
+from __future__ import annotations
+
+import struct
+
+import numpy as np
+
+JPEG_MAGIC = b"\xff\xd8\xff"
+
+# zigzag order (T.81 Figure 5): index i of the scan -> (row, col)
+ZIGZAG = np.array(
+    [
+        0, 1, 8, 16, 9, 2, 3, 10, 17, 24, 32, 25, 18, 11, 4, 5,
+        12, 19, 26, 33, 40, 48, 41, 34, 27, 20, 13, 6, 7, 14, 21, 28,
+        35, 42, 49, 56, 57, 50, 43, 36, 29, 22, 15, 23, 30, 37, 44, 51,
+        58, 59, 52, 45, 38, 31, 39, 46, 53, 60, 61, 54, 47, 55, 62, 63,
+    ],
+    dtype=np.int64,
+)
+
+# 8x8 IDCT basis: M[u, x] = c(u)/2 * cos((2x+1) u pi / 16); the 2-D IDCT
+# of coefficient block F is M.T @ F @ M (A.3.3 separability)
+_IDCT_M = np.zeros((8, 8))
+for _u in range(8):
+    _c = (1.0 / np.sqrt(2.0)) if _u == 0 else 1.0
+    for _x in range(8):
+        _IDCT_M[_u, _x] = _c / 2.0 * np.cos((2 * _x + 1) * _u * np.pi / 16)
+
+
+class _HuffTable:
+    """Canonical Huffman table (Annex C): decode one symbol at a time
+    from the bit reader via (length, code) lookup."""
+
+    def __init__(self, bits: list[int], values: bytes) -> None:
+        if len(bits) < 16 or sum(bits) > len(values):
+            raise ValueError("JPEG DHT segment truncated")
+        self.lut: dict[tuple[int, int], int] = {}
+        code = 0
+        k = 0
+        for length in range(1, 17):
+            for _ in range(bits[length - 1]):
+                self.lut[(length, code)] = values[k]
+                code += 1
+                k += 1
+            code <<= 1
+
+
+class _BitReader:
+    """MSB-first bit reader over a de-stuffed entropy segment."""
+
+    def __init__(self, data: bytes) -> None:
+        self.data = data
+        self.pos = 0
+        self.bit = 0
+
+    def read_bit(self) -> int:
+        if self.pos >= len(self.data):
+            raise ValueError("JPEG entropy segment truncated")
+        b = (self.data[self.pos] >> (7 - self.bit)) & 1
+        self.bit += 1
+        if self.bit == 8:
+            self.bit = 0
+            self.pos += 1
+        return b
+
+    def read_bits(self, n: int) -> int:
+        v = 0
+        for _ in range(n):
+            v = (v << 1) | self.read_bit()
+        return v
+
+    def decode(self, table: _HuffTable) -> int:
+        code = 0
+        for length in range(1, 17):
+            code = (code << 1) | self.read_bit()
+            sym = table.lut.get((length, code))
+            if sym is not None:
+                return sym
+        raise ValueError("invalid JPEG Huffman code")
+
+
+def _extend(v: int, t: int) -> int:
+    """EXTEND (F.2.2.1): map t low bits to the signed difference."""
+    if t == 0:
+        return 0
+    return v if v >= (1 << (t - 1)) else v - (1 << t) + 1
+
+
+def _decode_block(
+    r: _BitReader, dc_tab: _HuffTable, ac_tab: _HuffTable, pred: int
+) -> tuple[np.ndarray, int]:
+    """One 8x8 block's 64 zigzag coefficients + updated DC predictor."""
+    zz = np.zeros(64, dtype=np.int32)
+    t = r.decode(dc_tab)
+    diff = _extend(r.read_bits(t), t)
+    pred += diff
+    zz[0] = pred
+    k = 1
+    while k < 64:
+        rs = r.decode(ac_tab)
+        run, size = rs >> 4, rs & 0x0F
+        if size == 0:
+            if run == 15:  # ZRL: sixteen zeros
+                k += 16
+                continue
+            break  # EOB
+        k += run
+        if k > 63:
+            raise ValueError("JPEG AC run past end of block")
+        zz[k] = _extend(r.read_bits(size), size)
+        k += 1
+    return zz, pred
+
+
+def _entropy_segments(data: bytes, pos: int) -> tuple[list[bytes], int]:
+    """De-stuffed entropy-coded segments from ``pos`` up to the next
+    non-RST marker; RSTn boundaries split segments."""
+    segs: list[bytes] = []
+    cur = bytearray()
+    n = len(data)
+    while pos < n:
+        b = data[pos]
+        if b != 0xFF:
+            cur.append(b)
+            pos += 1
+            continue
+        nxt = data[pos + 1] if pos + 1 < n else None
+        if nxt == 0x00:  # stuffed 0xFF data byte
+            cur.append(0xFF)
+            pos += 2
+        elif nxt is not None and 0xD0 <= nxt <= 0xD7:  # RSTn
+            segs.append(bytes(cur))
+            cur = bytearray()
+            pos += 2
+        else:
+            break  # a real marker ends the scan
+    segs.append(bytes(cur))
+    return segs, pos
+
+
+def decode_jpeg(data: bytes) -> tuple[int, int, int, np.ndarray]:
+    """(width, height, channels, pixels[h, w, c] uint8) of a baseline
+    JPEG blob. Named errors for non-baseline modes (S7 quarantine)."""
+    if not data.startswith(JPEG_MAGIC[:2]):
+        raise ValueError("not a JPEG (missing SOI)")
+    pos = 2
+    qt: dict[int, np.ndarray] = {}
+    huff_dc: dict[int, _HuffTable] = {}
+    huff_ac: dict[int, _HuffTable] = {}
+    restart_interval = 0
+    frame = None  # (width, height, components)
+    out = None
+    while pos + 4 <= len(data):
+        if data[pos] != 0xFF:
+            raise ValueError("JPEG marker stream desynchronized")
+        marker = data[pos + 1]
+        if marker == 0xD9:  # EOI
+            break
+        (seg_len,) = struct.unpack(">H", data[pos + 2 : pos + 4])
+        body = data[pos + 4 : pos + 2 + seg_len]
+        pos += 2 + seg_len
+        if marker == 0xDB:  # DQT
+            i = 0
+            while i < len(body):
+                prec, tid = body[i] >> 4, body[i] & 0x0F
+                if prec != 0:
+                    raise ValueError(
+                        "16-bit JPEG quantization tables not supported "
+                        "(baseline is 8-bit)"
+                    )
+                qt[tid] = np.frombuffer(
+                    body[i + 1 : i + 65], dtype=np.uint8
+                ).astype(np.int32)
+                i += 65
+        elif marker == 0xC4:  # DHT
+            i = 0
+            while i < len(body):
+                cls, tid = body[i] >> 4, body[i] & 0x0F
+                bits = list(body[i + 1 : i + 17])
+                nval = sum(bits)
+                values = body[i + 17 : i + 17 + nval]
+                (huff_dc if cls == 0 else huff_ac)[tid] = _HuffTable(
+                    bits, values
+                )
+                i += 17 + nval
+        elif marker == 0xC0:  # SOF0 baseline sequential
+            _prec, h, w, nc = struct.unpack(">BHHB", body[:6])
+            if _prec != 8:
+                raise ValueError("only 8-bit JPEG precision supported")
+            comps = []
+            for c in range(nc):
+                cid, hv, tq = body[6 + 3 * c : 9 + 3 * c]
+                comps.append(
+                    {"id": cid, "h": hv >> 4, "v": hv & 0x0F, "tq": tq}
+                )
+            frame = (w, h, comps)
+        elif marker in (0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA,
+                        0xCB, 0xCD, 0xCE, 0xCF):
+            raise ValueError(
+                f"JPEG SOF{marker - 0xC0} (non-baseline mode) not "
+                "supported — baseline sequential (SOF0) only"
+            )
+        elif marker == 0xDD:  # DRI
+            (restart_interval,) = struct.unpack(">H", body[:2])
+        elif marker == 0xDA:  # SOS
+            if frame is None:
+                raise ValueError("JPEG SOS before SOF0")
+            ns = body[0]
+            scan_tabs = {}
+            for c in range(ns):
+                cid, tabs = body[1 + 2 * c : 3 + 2 * c]
+                scan_tabs[cid] = (tabs >> 4, tabs & 0x0F)
+            segs, pos = _entropy_segments(data, pos)
+            out = _decode_scan(
+                frame, qt, huff_dc, huff_ac, scan_tabs, segs,
+                restart_interval,
+            )
+        else:
+            continue  # APPn / COM / unknown: skipped
+    if out is None:
+        raise ValueError("JPEG has no decoded scan (truncated?)")
+    return out
+
+
+def _decode_scan(frame, qt, huff_dc, huff_ac, scan_tabs, segs,
+                 restart_interval) -> tuple[int, int, int, np.ndarray]:
+    w, h, comps = frame
+    nc = len(comps)
+    if nc not in (1, 3):
+        raise ValueError(
+            f"{nc}-component JPEG (CMYK/unknown) not supported"
+        )
+    hmax = max(c["h"] for c in comps)
+    vmax = max(c["v"] for c in comps)
+    if hmax > 2 or vmax > 2 or any(
+        c["h"] not in (1, 2) or c["v"] not in (1, 2) for c in comps
+    ):
+        raise ValueError("JPEG sampling factors beyond 2 not supported")
+    mcus_x = -(-w // (8 * hmax))
+    mcus_y = -(-h // (8 * vmax))
+    # per-component coefficient planes at full MCU-grid size
+    planes = [
+        np.zeros((mcus_y * c["v"] * 8, mcus_x * c["h"] * 8)) for c in comps
+    ]
+    n_mcus = mcus_x * mcus_y
+    mcu = 0
+    for seg in segs:
+        if mcu >= n_mcus:
+            break
+        r = _BitReader(seg)
+        preds = [0] * nc
+        end = min(
+            n_mcus, mcu + (restart_interval or n_mcus - mcu)
+        )
+        while mcu < end:
+            my, mx = divmod(mcu, mcus_x)
+            for ci, c in enumerate(comps):
+                dc_t, ac_t = scan_tabs[c["id"]]
+                q = qt[c["tq"]]
+                for by in range(c["v"]):
+                    for bx in range(c["h"]):
+                        zz, preds[ci] = _decode_block(
+                            r, huff_dc[dc_t], huff_ac[ac_t], preds[ci]
+                        )
+                        coeff = np.zeros(64)
+                        coeff[ZIGZAG] = zz * q
+                        block = (
+                            _IDCT_M.T @ coeff.reshape(8, 8) @ _IDCT_M
+                        )
+                        y0 = (my * c["v"] + by) * 8
+                        x0 = (mx * c["h"] + bx) * 8
+                        planes[ci][y0 : y0 + 8, x0 : x0 + 8] = block
+            mcu += 1
+    if mcu < n_mcus:
+        raise ValueError("JPEG entropy data ends before last MCU")
+    # upsample subsampled components by replication, crop, level shift
+    full = []
+    for ci, c in enumerate(comps):
+        p = planes[ci]
+        p = np.repeat(np.repeat(p, vmax // c["v"], 0), hmax // c["h"], 1)
+        full.append(p[:h, :w] + 128.0)
+    if nc == 1:
+        px = np.clip(np.round(full[0]), 0, 255).astype(np.uint8)
+        return w, h, 1, px[:, :, None]
+    y, cb, cr = full[0], full[1] - 128.0, full[2] - 128.0
+    # JFIF full-range BT.601 (T.871)
+    rgb = np.stack(
+        [
+            y + 1.402 * cr,
+            y - 0.344136 * cb - 0.714136 * cr,
+            y + 1.772 * cb,
+        ],
+        axis=-1,
+    )
+    return w, h, 3, np.clip(np.round(rgb), 0, 255).astype(np.uint8)

@@ -73,15 +73,18 @@ def decode_image_features(df: DataFrame, fake: bool = False) -> DataFrame:
     """Image decode + feature extraction as an Arrow-batched mapInPandas
     operator.
 
-    Real path (round 5): PNG blobs decode with the builtin from-spec
-    codec (operators/png_codec.py — zlib inflate + scanline unfilter),
-    so width/height come from IHDR and mean_luma from actual pixels with
-    zero third-party libraries. JPEG remains an honest
-    ``NotImplementedError`` (DCT entropy decoding is out of scope), and
-    ``fake=True`` keeps the deterministic md5 stand-in for plumbing
-    tests that want codec-independent values."""
+    Real path (round 5 PNG, round 6 JPEG): PNG blobs decode with the
+    builtin from-spec codec (operators/png_codec.py — zlib inflate +
+    scanline unfilter) and baseline JPEG blobs with the from-spec
+    ITU-T T.81 decoder (operators/jpeg_codec.py — canonical Huffman +
+    dequant + separable IDCT + YCbCr), so width/height/mean_luma come
+    from actual pixels with zero third-party libraries. Audio/video
+    remain honest ``NotImplementedError`` stubs, and ``fake=True`` keeps
+    the deterministic md5 stand-in for plumbing tests that want
+    codec-independent values."""
 
     def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from .jpeg_codec import JPEG_MAGIC, decode_jpeg
         from .png_codec import PNG_MAGIC, decode_png, mean_luma
 
         for pdf in batches:
@@ -97,11 +100,14 @@ def decode_image_features(df: DataFrame, fake: bool = False) -> DataFrame:
                 elif data.startswith(PNG_MAGIC):
                     w, h, _ch, px = decode_png(data)
                     luma = mean_luma(px)
+                elif data.startswith(JPEG_MAGIC[:2]):
+                    w, h, _ch, px = decode_jpeg(data)
+                    luma = mean_luma(px)
                 else:
                     raise NotImplementedError(
-                        "no builtin codec for this image format (PNG is "
-                        "decoded from spec; JPEG needs a DCT library); "
-                        "run with fake=True for plumbing tests"
+                        "no builtin codec for this image format (PNG and "
+                        "baseline JPEG decode from spec; others need a "
+                        "library); run with fake=True for plumbing tests"
                     )
                 rows.append(
                     {
