@@ -165,3 +165,94 @@ def test_codec_dispatch_magic_bytes(spark, tmp_path):
         # (real parseable PDFs round-trip in tests/test_pdf_text.py)
         assert pdf["status"] == "error"
         assert "page objects" in pdf["error"]
+
+
+def _cid_pdf(text: str) -> bytes:
+    """In-test writer for a REAL multi-line PDF carrying arbitrary BMP
+    text: a CID-keyed Type0 font whose ToUnicode CMap maps synthetic
+    2-byte CIDs to the text's code points, FlateDecode-compressed content
+    and CMap streams. Independent of sources/pdf_text.py — this is the
+    round-trip counterpart (the xls_writer test strategy), reused here to
+    prove S1->S3->C3->P12/P13 compose on real PDF BYTES, not just on
+    pre-extracted fixture text (VERDICT r5 next-step #3; reference:
+    manual_purchase_apply_extractor.py:283-311)."""
+    from test_pdf_text import build_pdf, stream_obj
+
+    lines = text.split("\n")
+    cid = {c: i + 1 for i, c in enumerate(sorted(set("".join(lines))))}
+    items = list(cid.items())
+    blocks = []
+    for j in range(0, len(items), 100):  # <=100 entries per bfchar block
+        chunk = items[j : j + 100]
+        blocks.append(
+            f"{len(chunk)} beginbfchar\n"
+            + "".join(f"<{i:04X}> <{ord(c):04X}>\n" for c, i in chunk)
+            + "endbfchar\n"
+        )
+    cmap = (
+        "/CIDInit /ProcSet findresource begin\nbegincmap\n"
+        "1 begincodespacerange <0000> <FFFF> endcodespacerange\n"
+        + "".join(blocks)
+        + "endcmap\nend\n"
+    ).encode("ascii")
+
+    def hexstr(line: str) -> str:
+        return "<" + "".join(f"{cid[c]:04X}" for c in line) + ">"
+
+    content = (
+        "BT /F1 10 Tf "
+        + hexstr(lines[0])
+        + " Tj "
+        + " ".join(hexstr(ln) + " '" for ln in lines[1:])
+        + " ET"
+    ).encode("ascii")
+    return build_pdf(
+        [
+            b"<< /Type /Catalog /Pages 2 0 R >>",
+            b"<< /Type /Pages /Kids [3 0 R] /Count 1 >>",
+            b"<< /Type /Page /Parent 2 0 R /MediaBox [0 0 612 792] "
+            b"/Resources << /Font << /F1 5 0 R >> >> /Contents 4 0 R >>",
+            stream_obj(content, compress=True),
+            b"<< /Type /Font /Subtype /Type0 /BaseFont /STSong-Light "
+            b"/Encoding /Identity-H /ToUnicode 6 0 R >>",
+            stream_obj(cmap, compress=True),
+        ]
+    )
+
+
+def test_manual_jobs_through_real_pdf_codec(spark, tmp_path):
+    """E2E on real bytes: the MANUAL_DOCS fixture texts are written as
+    genuine CID-font FlateDecode PDFs, scanned via the binaryFile source,
+    decoded by the from-spec builtin extractor (this container ships no
+    pdfplumber/pypdf), and driven through all four manual-job cascades —
+    golden rows must match the pre-extracted-text path exactly."""
+    from test_fund_jobs import expected_set, rows_set
+
+    root = tmp_path / "corpus"
+    for _doc_id, filename, rel, text in FX.MANUAL_DOCS:
+        d = root / rel
+        d.mkdir(parents=True, exist_ok=True)
+        (d / filename).write_bytes(_cid_pdf(text))
+
+    parsed = load_corpus(spark, str(root))
+    rows = parsed.collect()
+    assert {r["status"] for r in rows} == {"ok"}, [
+        (r["filename"], r["error"]) for r in rows if r["status"] == "error"
+    ]
+    # byte-level round trip: extracted text is exactly the fixture text
+    texts = {r["filename"]: r["text"] for r in rows}
+    for _doc_id, filename, _rel, text in FX.MANUAL_DOCS:
+        assert texts[filename] == text
+
+    ok = parsed.filter(F.col("status") == "ok").select(
+        "doc_id", "filename", "rel_path", "text"
+    )
+    dim = FX.dim_df(spark)
+    assert rows_set(jobs.manual_purchase_apply_job(ok, dim, FX.RUN_DATE)) == \
+        expected_set(FX.EXPECTED_MANUAL_APPLY)
+    assert rows_set(jobs.manual_purchase_confirm_job(ok, dim, FX.RUN_DATE)) == \
+        expected_set(FX.EXPECTED_MANUAL_CONFIRM)
+    assert rows_set(jobs.manual_redemption_job(ok, dim, FX.RUN_DATE)) == \
+        expected_set(FX.EXPECTED_MANUAL_REDEMPTION)
+    assert rows_set(jobs.manual_dividend_job(ok, dim, FX.RUN_DATE)) == \
+        expected_set(FX.EXPECTED_MANUAL_DIVIDEND)
