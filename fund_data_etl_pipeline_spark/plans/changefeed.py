@@ -15,7 +15,7 @@ ties deterministically.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window as W
 
@@ -25,6 +25,25 @@ from . import register
 
 _TS_FMT = "yyyy-MM-dd HH:mm:ss"
 _TS_FMT_SQL = "%Y-%m-%d %H:%M:%S"
+# strftime twin of _TS_FMT — imported by streaming/stateful.py so the
+# streaming CDC snapshot renders last_ts with the SAME format string
+TS_FMT_PY = _TS_FMT_SQL
+
+
+def cdc_order_key(ts, event_id):
+    """The last-write-wins ordering key — (ts, then event_id as the
+    exact-timestamp tiebreak) — polymorphic over engines, the
+    z_moments/z_score device applied to CDC: given pyspark Columns it
+    returns the struct that ``latest_snapshot`` feeds to every max_by;
+    given plain scalars it returns the tuple the streaming keyed state
+    (``streaming/stateful._cdc_update``) compares. ONE definition of
+    "later change", so the batch aggregate and the streaming state
+    update cannot drift. (The streaming side passes epoch-microsecond
+    ints for ``ts`` — a strictly monotone recoding of the timestamp, so
+    tuple order and struct order agree on every pair.)"""
+    if isinstance(ts, Column) or isinstance(event_id, Column):
+        return F.struct(ts, event_id)
+    return (ts, event_id)
 
 
 @register(
@@ -65,10 +84,15 @@ def cdc_latest_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def latest_snapshot(events: DataFrame) -> DataFrame:
-    """The compaction aggregate itself, reusable on any change-feed frame
-    (the streaming twin ``streaming/stateful.streaming_cdc_snapshot``
-    asserts row parity against this batch form in pytest)."""
-    ord_key = F.struct(F.col("ts"), F.col("event_id"))
+    """The compaction aggregate itself, reusable on any change-feed frame.
+
+    Parity-by-construction with the streaming twin
+    (``streaming/stateful.streaming_cdc_snapshot``): the ordering every
+    max_by consumes here is ``cdc_order_key`` — the SAME function whose
+    scalar form the streaming state update compares — and the pytest
+    replay asserts the resulting rows bit-equal. Code-level sharing, not
+    parity-by-test alone (the z_moments/z_score pattern)."""
+    ord_key = cdc_order_key(F.col("ts"), F.col("event_id"))
     return events.groupBy("user_id", "event_type").agg(
         F.date_format(F.max_by(F.col("ts"), ord_key), _TS_FMT).alias("last_ts"),
         F.max_by(F.col("event_id"), ord_key).alias("last_event_id"),

@@ -64,7 +64,9 @@ CDC_OUTPUT_SCHEMA = (
 )
 # last change's order key (epoch micros + event_id), payload, count
 CDC_STATE_SCHEMA = "ts_us long, eid long, v double, n long"
-_CDC_TS_FMT = "%Y-%m-%d %H:%M:%S"
+# the batch plan's strftime twin of its date_format pattern — imported
+# so the two sides cannot render last_ts differently
+from ..plans.changefeed import TS_FMT_PY as _CDC_TS_FMT  # noqa: E402
 
 
 def _cdc_update(
@@ -72,19 +74,28 @@ def _cdc_update(
     batches: Iterator[pd.DataFrame],
     state: GroupState,
 ) -> Iterator[pd.DataFrame]:
+    """Keyed-state update for the CDC snapshot. The ordering it applies
+    is ``plans/changefeed.cdc_order_key`` — the LITERAL function whose
+    Column form feeds every max_by in the batch ``latest_snapshot`` —
+    so "which change is later" is defined once for both engines
+    (parity-by-construction, the z_moments/z_score pattern). The
+    vectorized block below is the pandas argmax of that key: max ts
+    rows first, then max event_id among the exact-ts ties."""
+    from ..plans.changefeed import cdc_order_key
+
     ts_us, eid, v, n = state.get if state.exists else (-1, -1, 0.0, 0)
     for pdf in batches:
         if not len(pdf):
             continue
         n += len(pdf)
-        # vectorized lexicographic argmax on (ts, event_id): max ts rows,
-        # then max event_id among the ties — no per-row Python loop
+        # vectorized lexicographic argmax on cdc_order_key(ts, event_id):
+        # max ts rows, then max event_id among the ties — no per-row loop
         us = pdf["ts"].astype("int64") // 1000  # ns -> us
         t_max = int(us.max())
         ties = pdf[us == t_max]
         j = ties["event_id"].idxmax()
-        cand = (t_max, int(ties["event_id"].loc[j]))
-        if cand > (ts_us, eid):
+        cand = cdc_order_key(t_max, int(ties["event_id"].loc[j]))
+        if cand > cdc_order_key(ts_us, eid):
             ts_us, eid = cand
             v = float(ties["value"].loc[j])
     state.update((ts_us, eid, v, n))
@@ -114,9 +125,12 @@ def streaming_cdc_snapshot(
     latest change's (ts, event_id, value) and the change count, updated
     per micro-batch — the streaming MERGE/upsert read-side.
 
-    Batch/streaming parity: per-key state applies the SAME (ts, event_id)
-    max-ordering and the same half-away-from-zero value rounding as the
-    batch ``plans/changefeed.latest_snapshot``; a pytest replays a feed in
+    Batch/streaming parity — by construction, not just by test: the
+    state update's ordering IS ``plans/changefeed.cdc_order_key`` (the
+    same function whose Column form feeds every max_by in the batch
+    ``latest_snapshot``), the last_ts format string is imported from the
+    batch module, and the value rounding is the pytest-pinned scalar
+    twin of the batch round2. A pytest additionally replays a feed in
     multiple micro-batches and asserts the final per-key snapshot rows
     equal the batch aggregate over the union.
 
