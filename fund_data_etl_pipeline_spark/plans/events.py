@@ -120,7 +120,12 @@ def events_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
         f"stack({len(_FUNNEL_STEPS)}, {stack_args})"
         " AS (step_idx, step, n_users)"
     )
-    w = Window.orderBy("step_idx")
+    # The window input is the 3-row stacked funnel (one row per step) —
+    # constant-size by construction, so a single global partition is
+    # harmless at any data scale. Partitioning by a literal says so to
+    # Spark and silences the "No Partition Defined ... moving all data
+    # to a single partition" warning an operator would otherwise chase.
+    w = Window.partitionBy(F.lit(0)).orderBy("step_idx")
     first_n = F.first("n_users").over(w)
     prev_n = F.lag("n_users", 1, None).over(w)
     return u.select(
