@@ -126,6 +126,121 @@ def decode_image_features(df: DataFrame, fake: bool = False) -> DataFrame:
     )
 
 
+AUDIO_FEATURES_SCHEMA = (
+    "media_id long, n_bytes long, bytes_md5 string, sample_rate int, "
+    "channels int, n_frames long, duration_s double, rms double"
+)
+
+
+def decode_audio_features(df: DataFrame, fake: bool = False) -> DataFrame:
+    """Audio decode + feature extraction as an Arrow-batched mapInPandas
+    operator — the audio twin of ``decode_image_features``.
+
+    Real path (round 6): linear-PCM WAV blobs decode with the builtin
+    from-spec RIFF codec (operators/wav_codec.py — chunk walk + 8/16/
+    24/32-bit PCM), so sample_rate/channels/duration/rms come from
+    actual samples with zero third-party libraries. Compressed audio
+    (MP3/AAC/float WAV) raises a named ``ValueError`` -> S7-style
+    quarantine at the caller; ``fake=True`` substitutes the
+    deterministic md5 keystream (scaled to [-1, 1)) for plumbing tests
+    that want codec-independent values."""
+
+    def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        from .wav_codec import WAV_MAGIC, decode_wav, rms
+
+        for pdf in batches:
+            rows = []
+            for _, r in pdf.iterrows():
+                data = bytes(r["data"]) if r["data"] is not None else b""
+                meta = r["meta"]
+                if fake:
+                    rate = (
+                        int(meta["sample_rate"] or 0)
+                        if meta is not None
+                        else 0
+                    )
+                    ch = 1
+                    keyst = _fake_decode(data, 16, 16)
+                    samples = (
+                        np.array(keyst, dtype=np.float64)[:, None] - 128.0
+                    ) / 128.0
+                elif data.startswith(WAV_MAGIC):
+                    rate, ch, samples = decode_wav(data)
+                else:
+                    raise NotImplementedError(
+                        "no builtin codec for this audio format (linear-"
+                        "PCM WAV decodes from spec; MP3/AAC need a DSP "
+                        "library); run with fake=True for plumbing tests"
+                    )
+                frames = int(samples.shape[0])
+                rows.append(
+                    {
+                        "media_id": r["media_id"],
+                        "n_bytes": len(data),
+                        "bytes_md5": hashlib.md5(data).hexdigest(),
+                        "sample_rate": rate,
+                        "channels": ch,
+                        "n_frames": frames,
+                        "duration_s": (frames / rate) if rate else 0.0,
+                        "rms": rms(samples),
+                    }
+                )
+            yield pd.DataFrame(rows)
+
+    return df.filter(F.col("kind") == "audio").mapInPandas(
+        op, schema=AUDIO_FEATURES_SCHEMA
+    )
+
+
+VIDEO_META_SCHEMA = (
+    "media_id long, n_bytes long, bytes_md5 string, duration_s double, "
+    "width int, height int, n_frames int, fps double"
+)
+
+
+def decode_video_meta(df: DataFrame) -> DataFrame:
+    """Video CONTAINER metadata from real bytes as an Arrow-batched
+    mapInPandas operator (round 6): ISO-BMFF/MP4 blobs parse with the
+    builtin from-spec box reader (operators/mp4_meta.py — mvhd/tkhd/stsz
+    walk), so duration/dims/frame-count/fps come from the file, not from
+    caller-supplied metadata; ``sample_frames`` can then run on a meta
+    column rebuilt from these values. FRAME decode remains the honest
+    named stub (H.264/AV1 entropy decoding is codec-library territory);
+    non-BMFF containers raise the named ``NotImplementedError`` -> S7
+    quarantine at the caller."""
+
+    def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from .mp4_meta import read_mp4_meta
+
+        for pdf in batches:
+            rows = []
+            for _, r in pdf.iterrows():
+                data = bytes(r["data"]) if r["data"] is not None else b""
+                if len(data) >= 12 and data[4:8] == b"ftyp":
+                    m = read_mp4_meta(data)
+                else:
+                    raise NotImplementedError(
+                        "no builtin container reader for this video "
+                        "format (ISO-BMFF/MP4 metadata parses from "
+                        "spec; AVI/MKV need a demuxer library)"
+                    )
+                rows.append(
+                    {
+                        "media_id": r["media_id"],
+                        "n_bytes": len(data),
+                        "bytes_md5": hashlib.md5(data).hexdigest(),
+                        **m,
+                    }
+                )
+            yield pd.DataFrame(rows)
+
+    return df.filter(F.col("kind") == "video").mapInPandas(
+        op, schema=VIDEO_META_SCHEMA
+    )
+
+
 RESIZE_SCHEMA = "media_id long, out_width int, out_height int, scale double"
 
 
