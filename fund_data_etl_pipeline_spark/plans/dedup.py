@@ -786,31 +786,42 @@ def dedup_semantic_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
             for t in range(_SLSH_TABLES)
         ]
     )
-    sig = prepped.select(
-        "vec_id", "v", "nv", F.explode(buckets).alias("tb")
-    ).select(
+    # candidate generation is ID-ONLY (vec_id, tbl, bucket — ~30 bytes a
+    # row): the 64-dim vectors must NOT ride through the bucket join, or
+    # the join side grows ~20x and the planner is tempted into a
+    # gigabyte broadcast at scale. Vectors join back AFTER the pair
+    # dedup, keyed by vec_id against the slim prepped table — the same
+    # candidates-then-verify shape the DuckDB oracle states.
+    sig = emb.select("vec_id", F.explode(buckets).alias("tb")).select(
         "vec_id",
-        "v",
-        "nv",
         F.col("tb.tbl").alias("tbl"),
         F.col("tb.bucket").alias("bucket"),
     )
-    a = sig.select(
-        F.col("vec_id").alias("d1"), F.col("v").alias("v1"),
-        F.col("nv").alias("n1"), "tbl", "bucket",
-    )
-    b = sig.select(
-        F.col("vec_id").alias("d2"), F.col("v").alias("v2"),
-        F.col("nv").alias("n2"), "tbl", "bucket",
-    )
+    a, b = sig.alias("a"), sig.alias("b")
     cand = (
-        a.join(b, ["tbl", "bucket"])
-        .filter(F.col("d1") < F.col("d2"))
-        .select("d1", "d2", "v1", "n1", "v2", "n2")
+        a.join(
+            b,
+            (F.col("a.tbl") == F.col("b.tbl"))
+            & (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col("a.vec_id") < F.col("b.vec_id")),
+        )
+        .select(
+            F.col("a.vec_id").alias("d1"), F.col("b.vec_id").alias("d2")
+        )
         .dropDuplicates(["d1", "d2"])
     )
+    ea = prepped.select(
+        F.col("vec_id").alias("d1"), F.col("v").alias("v1"),
+        F.col("nv").alias("n1"),
+    )
+    eb = prepped.select(
+        F.col("vec_id").alias("d2"), F.col("v").alias("v2"),
+        F.col("nv").alias("n2"),
+    )
     dups = (
-        cand.filter(
+        cand.join(ea, "d1")
+        .join(eb, "d2")
+        .filter(
             round2(
                 dot(F.col("v1"), F.col("v2")) / (F.col("n1") * F.col("n2")), 6
             )
@@ -819,6 +830,7 @@ def dedup_semantic_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("d2").alias("dup_id"))
         .distinct()
     )
+    # bucket0 computes table-0's planes directly (one fold per plane)
     keyed = prepped.select(
         "vec_id",
         rhp_bucket(F.col("v"), planes, _SLSH_DIMS, offset=0).alias("bucket0"),
