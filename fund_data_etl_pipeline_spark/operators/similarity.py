@@ -17,6 +17,7 @@ from pyspark.sql import functions as F
 
 from ..functions.numeric import round2
 from ..functions.text import HASH_P
+from .caching import release_on_gc
 
 
 def as_double(vec: Column) -> Column:
@@ -263,9 +264,10 @@ def ivf_seed_topk(
     w = W.partitionBy("query_id").orderBy(
         F.col("cos_sim").desc(), F.col("neighbor_id")
     )
-    return scored.withColumn("rank", F.row_number().over(w)).filter(
+    out = scored.withColumn("rank", F.row_number().over(w)).filter(
         F.col("rank") <= k
     )
+    return release_on_gc(out, prepped)
 
 
 def rhp_sign_vector(plane: int, dims: int) -> list[int]:

@@ -12,6 +12,7 @@ from pyspark.sql.window import Window as W
 
 from ..functions.text import MINHASH_A, MINHASH_BANDS, SIMHASH_BITS
 from ..operators import dedup as D
+from ..operators.caching import release_on_gc
 from ..operators.similarity import as_double, cosine, dot, norm
 from ..functions.numeric import round2
 from ..sources import load_table
@@ -473,9 +474,10 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     pairs = a.crossJoin(b).filter(F.col("d1") < F.col("d2"))
     sim = round2(dot(F.col("v1"), F.col("v2")) / (F.col("n1") * F.col("n2")), 6)
-    return pairs.select("d1", "d2", sim.alias("cos_sim")).filter(
+    out = pairs.select("d1", "d2", sim.alias("cos_sim")).filter(
         F.col("cos_sim") >= _COS_T
     )
+    return release_on_gc(out, prepped)
 
 
 # clusters K = max(K_MIN, ceil(sqrt(N))): the SemDeDup cost is
@@ -574,9 +576,11 @@ def dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
     three more times (seed top-K, assignment, pairing) only when the
     caller materializes it — unpersisting before return would silently
     recompute the norm HOF fold per scan (the contamination_check
-    1 s → 81 s pathology, bench.py docstring). Callers that batch many
-    queries (bench.py, the driver gate) clearCache() between queries,
-    which is the designed reclamation point.
+    1 s → 81 s pathology, bench.py docstring). Reclamation is GC-tied
+    (operators/caching.release_on_gc): prepped unpersists when the
+    returned handle is garbage-collected, so the cache lives exactly as
+    long as a caller can still materialize the plan; batch callers'
+    clearCache() remains a harmless earlier reclamation point.
     """
     emb = load_table(spark, sf_dir, "embeddings").select(
         "vec_id", as_double(F.col("embedding")).alias("v")
@@ -636,11 +640,12 @@ def dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("b_id").alias("dup_id"))
         .distinct()
     )
-    return assign.join(
+    out = assign.join(
         dups, assign["vec_id"] == dups["dup_id"], "left"
     ).select(
         "vec_id", "cluster_id", F.col("dup_id").isNull().alias("keep")
     )
+    return release_on_gc(out, prepped)
 
 
 # -- dedup_semantic_lsh: the LINEAR-exponent semantic-dedup path --------------

@@ -1,0 +1,93 @@
+"""GC-tied cache reclamation (operators/caching.release_on_gc).
+
+The PERSIST_OK builders cache a prepped intermediate that must outlive
+the builder call (the returned plan scans it 2+ times lazily) but must
+NOT outlive the returned handle — round-5 VERDICT "What's wrong" #2.
+These tests pin both sides of that contract:
+
+1. while the caller holds the handle, the cache exists and serves the
+   plan (no 81 s recompute pathology);
+2. once the handle is dropped, the persisted table unpersists without
+   any caller-side clearCache().
+"""
+
+from __future__ import annotations
+
+import gc
+
+from pyspark.sql import functions as F
+
+from fund_data_etl_pipeline_spark.operators.caching import release_on_gc
+
+SF = "/root/testdata/sf0.001"
+
+
+def test_release_on_gc_unpersists_when_handle_dropped(spark):
+    spark.catalog.clearCache()
+    base = spark.range(100).select(
+        F.col("id"), (F.col("id") * 2).alias("x")
+    )
+    cached = base.persist()
+    out = release_on_gc(cached.filter(F.col("x") > 10), cached)
+    assert out.count() == 94
+    jcm = spark._jsparkSession.sharedState().cacheManager()
+    assert not jcm.isEmpty()  # cache alive while the handle is held
+    del out
+    gc.collect()
+    assert jcm.isEmpty()  # reclaimed with no clearCache()
+
+
+def test_release_on_gc_result_still_correct_after_parent_dropped(spark):
+    # children derived from the handle stay CORRECT even if the parent
+    # is dropped first (cache miss -> recompute, never a wrong answer)
+    spark.catalog.clearCache()
+    cached = spark.range(50).persist()
+    parent = release_on_gc(cached.select((F.col("id") + 1).alias("y")), cached)
+    child = parent.groupBy().agg(F.sum("y").alias("s"))
+    del parent
+    gc.collect()
+    assert child.collect()[0]["s"] == sum(range(1, 51))
+
+
+def test_dedup_semantic_reclaims_prepped(spark):
+    from fund_data_etl_pipeline_spark.plans.dedup import dedup_semantic
+
+    spark.catalog.clearCache()
+    jcm = spark._jsparkSession.sharedState().cacheManager()
+    df = dedup_semantic(spark, SF)
+    assert not jcm.isEmpty()  # prepped persisted and materialized
+    n = df.count()
+    assert n > 0
+    assert not jcm.isEmpty()  # still serving the held handle
+    del df
+    gc.collect()
+    assert jcm.isEmpty()
+
+
+def test_ivf_seed_topk_reclaims_prepped(spark):
+    from fund_data_etl_pipeline_spark.plans.vectors import vector_ann_ivf
+
+    spark.catalog.clearCache()
+    jcm = spark._jsparkSession.sharedState().cacheManager()
+    df = vector_ann_ivf(spark, SF)
+    assert df.count() > 0
+    assert not jcm.isEmpty()
+    del df
+    gc.collect()
+    assert jcm.isEmpty()
+
+
+def test_finalizer_never_raises():
+    # a finalizer must never propagate (e.g. unpersist after session
+    # stop): release against an object whose unpersist throws
+    class Boom:
+        def unpersist(self):
+            raise RuntimeError("unpersist after stop")
+
+    class Handle:
+        pass
+
+    h = Handle()
+    release_on_gc(h, Boom())  # type: ignore[arg-type]
+    del h
+    gc.collect()  # must not raise

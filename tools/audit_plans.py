@@ -49,7 +49,13 @@ CROSS_OK = {
 # builders that deliberately persist a reused intermediate (signature /
 # inverted-index / span / benchmark-shingle / prepped-embedding tables —
 # each is scanned 2+ times by design and documented in COVERAGE.md; on a
-# cluster these become written bucketed intermediates)
+# cluster these become written bucketed intermediates). Same-function
+# persists (dedup_semantic, dedup_embedding_cosine, vector_ann_ivf) are
+# reclaimed when the returned handle is GC'd
+# (operators/caching.release_on_gc); the operator-internal ones keep the
+# caller-clearCache() contract because their results are derived further
+# before return (see caching.py module docstring for the early-fire
+# hazard).
 PERSIST_OK = {
     "dedup_minhash_lsh",
     "dedup_groups",
