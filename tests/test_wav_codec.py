@@ -145,3 +145,129 @@ def test_audio_features_quarantines_compressed(spark):
     with pytest.raises(Exception) as e:
         decode_audio_features(df, fake=False).collect()
     assert "NotImplementedError" in str(e.value) or "codec" in str(e.value)
+
+
+# --- ITU-T G.711 A-law / mu-law (format tags 6/7) ------------------------
+# In-test INDEPENDENT compressors implementing the spec's forward
+# (compress) direction, segment-search style — the decoder under test
+# implements the expand direction from the same tables, so
+# expand(compress(x)) must land within one quantization step of x.
+
+def _linear2ulaw(pcm: int) -> int:
+    BIAS, CLIP = 0x84, 32635
+    pcm = max(-CLIP, min(CLIP, pcm))
+    if pcm < 0:
+        pcm, mask = BIAS - pcm, 0x7F
+    else:
+        pcm, mask = pcm + BIAS, 0xFF
+    seg = 0
+    for top in (0xFF, 0x1FF, 0x3FF, 0x7FF, 0xFFF, 0x1FFF, 0x3FFF, 0x7FFF):
+        if pcm <= top:
+            break
+        seg += 1
+    return ((seg << 4) | ((pcm >> (seg + 3)) & 0xF)) ^ mask
+
+
+def _linear2alaw(pcm: int) -> int:
+    pcm13 = pcm >> 3
+    if pcm13 >= 0:
+        mask = 0xD5
+    else:
+        mask, pcm13 = 0x55, -pcm13 - 1
+    seg = 0
+    for top in (0x1F, 0x3F, 0x7F, 0xFF, 0x1FF, 0x3FF, 0x7FF, 0xFFF):
+        if pcm13 <= top:
+            break
+        seg += 1
+    if seg >= 8:
+        return 0x7F ^ mask
+    aval = seg << 4
+    aval |= (pcm13 >> 1) & 0xF if seg < 2 else (pcm13 >> seg) & 0xF
+    return aval ^ mask
+
+
+def write_g711_wav(companded: bytes, tag: int, rate=8000, channels=1) -> bytes:
+    fmt = struct.pack("<HHIIHH", tag, channels, rate, rate * channels,
+                      channels, 8)
+    chunks = b"fmt " + struct.pack("<I", len(fmt)) + fmt
+    chunks += b"data" + struct.pack("<I", len(companded)) + companded
+    if len(companded) & 1:
+        chunks += b"\x00"
+    return b"RIFF" + struct.pack("<I", 4 + len(chunks)) + b"WAVE" + chunks
+
+
+def test_g711_spot_values():
+    from fund_data_etl_pipeline_spark.operators.wav_codec import (
+        expand_alaw,
+        expand_mulaw,
+    )
+
+    # mu-law 0xFF complements to 0x00: seg 0, mantissa 0 -> exactly 0
+    assert expand_mulaw(np.array([0xFF]))[0] == 0.0
+    # mu-law 0x80 complements to 0x7F: +seg7/mant15 -> the spec max 32124
+    assert expand_mulaw(np.array([0x80]))[0] * 32768.0 == 32124.0
+    # A-law 0xD5 toggles to 0x80: positive, seg 0, mantissa 0 -> +8
+    assert expand_alaw(np.array([0xD5]))[0] * 32768.0 == 8.0
+    # A-law 0x55 toggles to 0x00: negative, seg 0, mantissa 0 -> -8
+    assert expand_alaw(np.array([0x55]))[0] * 32768.0 == -8.0
+    # A-law 0x2A toggles to 0x7F: negative, seg 7, mant 15 -> the max
+    assert expand_alaw(np.array([0x2A]))[0] * 32768.0 == -32256.0
+
+
+def test_g711_roundtrip_within_one_step():
+    from fund_data_etl_pipeline_spark.operators.wav_codec import (
+        expand_alaw,
+        expand_mulaw,
+    )
+
+    pcm = np.arange(-32768, 32768, 17, dtype=np.int64)
+    ub = np.array([_linear2ulaw(int(v)) for v in pcm], dtype=np.uint8)
+    dec = expand_mulaw(ub) * 32768.0
+    seg = ((~ub.astype(np.int64)) >> 4) & 7
+    step = 1 << (seg + 3)
+    assert np.all(np.abs(dec - np.clip(pcm, -32635, 32635)) <= step)
+
+    ab = np.array([_linear2alaw(int(v)) for v in pcm], dtype=np.uint8)
+    adec = expand_alaw(ab) * 32768.0
+    aseg = ((ab.astype(np.int64) ^ 0x55) >> 4) & 7
+    # A-law operates on the 13-bit value: step is 2^(seg+1) 13-bit units
+    # = 2^(seg+4) in 16-bit units (segment 0/1 share the smallest step)
+    astep = 1 << (np.maximum(aseg, 1) + 4)
+    assert np.all(np.abs(adec - pcm) <= astep)
+
+
+def test_g711_wav_container_and_spark_path(spark):
+    from fund_data_etl_pipeline_spark.operators.multimodal import (
+        MEDIA_SCHEMA,
+        decode_audio_features,
+    )
+    from fund_data_etl_pipeline_spark.operators.wav_codec import (
+        decode_wav,
+        expand_mulaw,
+        rms,
+    )
+
+    t = np.arange(800) / 8000.0
+    pcm = np.round(0.4 * np.sin(2 * np.pi * 440 * t) * 32768.0).astype(int)
+    comp = bytes(_linear2ulaw(int(v)) for v in pcm)
+    blob = write_g711_wav(comp, tag=7)
+    rate, ch, samples = decode_wav(blob)
+    assert (rate, ch) == (8000, 1) and samples.shape == (800, 1)
+    ref = expand_mulaw(np.frombuffer(comp, dtype=np.uint8))
+    assert np.array_equal(samples.reshape(-1), ref)
+    # quantized tone keeps its level: companding error is ~sub-percent
+    assert abs(rms(samples) - 0.4 / np.sqrt(2)) < 0.01
+
+    rows = [(11, "audio", blob, (None, None, None, 8000, None, None))]
+    df = spark.createDataFrame(rows, MEDIA_SCHEMA)
+    r = decode_audio_features(df, fake=False).collect()[0]
+    assert r["sample_rate"] == 8000 and r["channels"] == 1
+    assert r["n_frames"] == 800
+    assert abs(r["rms"] - rms(samples)) < 1e-9
+
+    # G.711 must be 8-bit: a 16-bit G.711 header is a NAMED error
+    bad = bytearray(write_g711_wav(comp, tag=6))
+    i = bad.index(b"fmt ") + 8 + 14
+    bad[i:i + 2] = struct.pack("<H", 16)
+    with pytest.raises(ValueError, match="8 bits"):
+        decode_wav(bytes(bad))
