@@ -73,17 +73,20 @@ def decode_image_features(df: DataFrame, fake: bool = False) -> DataFrame:
     """Image decode + feature extraction as an Arrow-batched mapInPandas
     operator.
 
-    Real path (round 5 PNG, round 6 JPEG): PNG blobs decode with the
-    builtin from-spec codec (operators/png_codec.py — zlib inflate +
-    scanline unfilter) and baseline JPEG blobs with the from-spec
+    Real path (round 5 PNG, round 6 JPEG + GIF): PNG blobs decode with
+    the builtin from-spec codec (operators/png_codec.py — zlib inflate
+    + scanline unfilter), baseline JPEG blobs with the from-spec
     ITU-T T.81 decoder (operators/jpeg_codec.py — canonical Huffman +
-    dequant + separable IDCT + YCbCr), so width/height/mean_luma come
-    from actual pixels with zero third-party libraries. Audio/video
+    dequant + separable IDCT + YCbCr), and GIF blobs with the from-spec
+    LZW decoder (operators/gif_codec.py — variable-width codes,
+    interlace, palettes), so width/height/mean_luma come from actual
+    pixels with zero third-party libraries. Audio/video
     remain honest ``NotImplementedError`` stubs, and ``fake=True`` keeps
     the deterministic md5 stand-in for plumbing tests that want
     codec-independent values."""
 
     def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from .gif_codec import GIF_MAGIC, decode_gif
         from .jpeg_codec import JPEG_MAGIC, decode_jpeg
         from .png_codec import PNG_MAGIC, decode_png, mean_luma
 
@@ -103,11 +106,15 @@ def decode_image_features(df: DataFrame, fake: bool = False) -> DataFrame:
                 elif data.startswith(JPEG_MAGIC[:2]):
                     w, h, _ch, px = decode_jpeg(data)
                     luma = mean_luma(px)
+                elif data.startswith(GIF_MAGIC):
+                    w, h, _ch, px = decode_gif(data)
+                    luma = mean_luma(px)
                 else:
                     raise NotImplementedError(
-                        "no builtin codec for this image format (PNG and "
-                        "baseline JPEG decode from spec; others need a "
-                        "library); run with fake=True for plumbing tests"
+                        "no builtin codec for this image format (PNG, "
+                        "baseline JPEG and GIF decode from spec; others "
+                        "need a library); run with fake=True for "
+                        "plumbing tests"
                     )
                 rows.append(
                     {
