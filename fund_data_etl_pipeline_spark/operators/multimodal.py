@@ -86,6 +86,7 @@ def decode_image_features(df: DataFrame, fake: bool = False) -> DataFrame:
     codec-independent values."""
 
     def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from .bmp_codec import BMP_MAGIC, decode_bmp
         from .gif_codec import GIF_MAGIC, decode_gif
         from .jpeg_codec import JPEG_MAGIC, decode_jpeg
         from .png_codec import PNG_MAGIC, decode_png, mean_luma
@@ -109,11 +110,14 @@ def decode_image_features(df: DataFrame, fake: bool = False) -> DataFrame:
                 elif data.startswith(GIF_MAGIC):
                     w, h, _ch, px = decode_gif(data)
                     luma = mean_luma(px)
+                elif data.startswith(BMP_MAGIC):
+                    w, h, _ch, px = decode_bmp(data)
+                    luma = mean_luma(px)
                 else:
                     raise NotImplementedError(
                         "no builtin codec for this image format (PNG, "
-                        "baseline JPEG and GIF decode from spec; others "
-                        "need a library); run with fake=True for "
+                        "baseline JPEG, GIF and BMP decode from spec; "
+                        "others need a library); run with fake=True for "
                         "plumbing tests"
                     )
                 rows.append(
