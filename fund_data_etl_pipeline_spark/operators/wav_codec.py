@@ -15,12 +15,16 @@ struct parsing plus numpy, no DSP library needed:
   the telephony-corpus standard): 8-bit companded bytes expand to the
   spec's 13/14-bit linear values via the published segment/mantissa
   formulas (G.711 Tables 1a/2a), scaled into 16-bit range like every
-  reference C implementation, then normalized by 32768.
+  reference C implementation, then normalized by 32768;
+- IMA/DVI ADPCM (format tag 0x11; IMA Digital Audio recommendation /
+  RFC 3551 DVI4): 4-bit differential nibbles expanded block-by-block
+  through the spec's 89-entry step table and predictor recurrence,
+  per-channel block headers and round-robin 4-byte nibble interleave.
 
 Out of scope, raising a NAMED error (the S7 quarantine convention —
-never silently wrong): other compressed formats (MP3/AAC/ADPCM/
-IEEE-float/extensible need real DSP or float handling the corpora we
-model don't), and truncated containers. Round-trip tests in
+never silently wrong): other compressed formats (MP3/AAC/IEEE-float/
+extensible need real DSP or float handling the corpora we model
+don't), and truncated containers. Round-trip tests in
 tests/test_wav_codec.py drive this against an independently-written
 in-test WAV writer, and the G.711 expanders against an in-test
 compressor implementing the spec's forward (compress) direction.
@@ -35,10 +39,42 @@ import numpy as np
 WAV_MAGIC = b"RIFF"
 
 # WAVE format tags (RIFF registry): linear PCM plus the two G.711
-# companded telephony formats this codec expands from spec
+# companded telephony formats and IMA/DVI ADPCM, all expanded from spec
 _TAG_PCM = 1
 _TAG_ALAW = 6
 _TAG_MULAW = 7
+_TAG_IMA_ADPCM = 0x11
+
+# IMA ADPCM tables (IMA Digital Audio recommendation; also RFC 3551
+# DVI4): 89-entry step-size table and the 3-bit index adjustment
+_IMA_STEP = (
+    7, 8, 9, 10, 11, 12, 13, 14, 16, 17, 19, 21, 23, 25, 28, 31, 34, 37,
+    41, 45, 50, 55, 60, 66, 73, 80, 88, 97, 107, 118, 130, 143, 157, 173,
+    190, 209, 230, 253, 279, 307, 337, 371, 408, 449, 494, 544, 598, 658,
+    724, 796, 876, 963, 1060, 1166, 1282, 1411, 1552, 1707, 1878, 2066,
+    2272, 2499, 2749, 3024, 3327, 3660, 4026, 4428, 4871, 5358, 5894,
+    6484, 7132, 7845, 8630, 9493, 10442, 11487, 12635, 13899, 15289,
+    16818, 18500, 20350, 22385, 24623, 27086, 29794, 32767,
+)
+_IMA_INDEX = (-1, -1, -1, -1, 2, 4, 6, 8)
+
+
+def ima_adpcm_step(pred: int, index: int, nibble: int) -> tuple[int, int]:
+    """One IMA ADPCM update (spec decode recurrence): returns the new
+    (predictor, step index) after ``nibble``. Shared by the decoder and
+    by any forward encoder, which must simulate the decoder exactly."""
+    step = _IMA_STEP[index]
+    diff = step >> 3
+    if nibble & 1:
+        diff += step >> 2
+    if nibble & 2:
+        diff += step >> 1
+    if nibble & 4:
+        diff += step
+    pred = pred - diff if nibble & 8 else pred + diff
+    pred = max(-32768, min(32767, pred))
+    index = max(0, min(88, index + _IMA_INDEX[nibble & 7]))
+    return pred, index
 
 
 def expand_mulaw(b: np.ndarray) -> np.ndarray:
@@ -99,13 +135,15 @@ def decode_wav(data: bytes) -> tuple[int, int, np.ndarray]:
             tag, channels, rate, _br, _ba, bits = struct.unpack(
                 "<HHIIHH", body[:16]
             )
-            if tag not in (_TAG_PCM, _TAG_ALAW, _TAG_MULAW):
+            if tag not in (
+                _TAG_PCM, _TAG_ALAW, _TAG_MULAW, _TAG_IMA_ADPCM
+            ):
                 raise ValueError(
                     f"WAV format tag {tag} (non-PCM: float/compressed/"
-                    "extensible) not supported — linear PCM or G.711 "
-                    "A-law/mu-law only"
+                    "extensible) not supported — linear PCM, G.711 "
+                    "A-law/mu-law or IMA ADPCM only"
                 )
-            fmt = (tag, channels, rate, bits)
+            fmt = (tag, channels, rate, bits, _ba)
         elif cid == b"data":
             if len(body) < size:
                 raise ValueError("WAV data chunk truncated")
@@ -113,9 +151,16 @@ def decode_wav(data: bytes) -> tuple[int, int, np.ndarray]:
         pos += 8 + size + (size & 1)  # chunks are word-aligned
     if fmt is None or payload is None:
         raise ValueError("WAV missing fmt/data chunk (truncated?)")
-    tag, channels, rate, bits = fmt
+    tag, channels, rate, bits, block_align = fmt
     if channels < 1:
         raise ValueError("WAV with zero channels")
+    if tag == _TAG_IMA_ADPCM:
+        if bits != 4:
+            raise ValueError(
+                f"IMA ADPCM WAV must be 4 bits per sample, got {bits}"
+            )
+        x = _decode_ima(payload, channels, block_align)
+        return rate, channels, x
     if tag in (_TAG_ALAW, _TAG_MULAW):
         if bits != 8:
             raise ValueError(
@@ -145,6 +190,47 @@ def decode_wav(data: bytes) -> tuple[int, int, np.ndarray]:
         raise ValueError(f"{bits}-bit WAV PCM not supported (8/16/24/32)")
     frames = len(x) // channels
     return rate, channels, x[: frames * channels].reshape(frames, channels)
+
+
+def _decode_ima(
+    payload: bytes, channels: int, block_align: int
+) -> np.ndarray:
+    """IMA ADPCM WAV data chunk -> [frames, channels] float64.
+
+    Block layout per the MS WAVE IMA spec: each ``block_align``-sized
+    block opens with a 4-byte header per channel (int16 predictor,
+    step-index byte, reserved), whose predictor IS the block's first
+    output sample; nibble data follows in 4-byte units round-robin
+    across channels, low nibble first within each byte. The recurrence
+    is inherently sequential (each sample feeds the next predictor), so
+    this is a Python loop — ADPCM blobs in a corpus are small and the
+    operator runs per-blob inside Arrow batches.
+    """
+    if block_align < 4 * channels + 4:
+        raise ValueError("IMA ADPCM block align too small for headers")
+    chans: list[list[int]] = [[] for _ in range(channels)]
+    for boff in range(0, len(payload), block_align):
+        block = payload[boff : boff + block_align]
+        if len(block) < 4 * channels:
+            raise ValueError("WAV data chunk truncated mid ADPCM block")
+        states = []
+        for c in range(channels):
+            (pred,) = struct.unpack("<h", block[4 * c : 4 * c + 2])
+            index = min(88, block[4 * c + 2])
+            chans[c].append(pred)
+            states.append((pred, index))
+        data = block[4 * channels :]
+        group = 4 * channels
+        for i in range(0, len(data) - (len(data) % group), group):
+            for c in range(channels):
+                pred, index = states[c]
+                for byte in data[i + 4 * c : i + 4 * c + 4]:
+                    for nib in (byte & 0xF, byte >> 4):
+                        pred, index = ima_adpcm_step(pred, index, nib)
+                        chans[c].append(pred)
+                states[c] = (pred, index)
+    arr = np.array(chans, dtype=np.float64).T / 32768.0
+    return arr
 
 
 def rms(samples: np.ndarray) -> float:

@@ -271,3 +271,146 @@ def test_g711_wav_container_and_spark_path(spark):
     bad[i:i + 2] = struct.pack("<H", 16)
     with pytest.raises(ValueError, match="8 bits"):
         decode_wav(bytes(bad))
+
+
+# --- IMA/DVI ADPCM (format tag 0x11) --------------------------------------
+# In-test forward encoder (spec quantizer: sign + three step
+# comparisons) that reuses the codec's shared ima_adpcm_step state
+# update, so the encoder's internal reconstruction must equal the
+# decoder's output BIT-EXACTLY.
+
+def _ima_encode(samples: np.ndarray, pred: int, index: int):
+    from fund_data_etl_pipeline_spark.operators.wav_codec import (
+        _IMA_STEP,
+        ima_adpcm_step,
+    )
+
+    nibbles, recon = [], []
+    for s in samples:
+        step = _IMA_STEP[index]
+        diff = int(s) - pred
+        nib = 8 if diff < 0 else 0
+        diff = abs(diff)
+        if diff >= step:
+            nib |= 4
+            diff -= step
+        if diff >= step >> 1:
+            nib |= 2
+            diff -= step >> 1
+        if diff >= step >> 2:
+            nib |= 1
+        pred, index = ima_adpcm_step(pred, index, nib)
+        nibbles.append(nib)
+        recon.append(pred)
+    return nibbles, recon, pred, index
+
+
+def write_ima_wav(pcm: np.ndarray, rate=8000, samples_per_block=505):
+    """pcm[frames, channels] int -> IMA ADPCM WAV + the encoder's exact
+    per-channel reconstruction (headers' first sample + nibble chain)."""
+    frames, channels = pcm.shape
+    nibs_per_block = samples_per_block - 1
+    assert nibs_per_block % 8 == 0
+    ba = 4 * channels + nibs_per_block * channels // 2
+    recon = [[] for _ in range(channels)]
+    blocks = bytearray()
+    states = [(0, 0)] * channels  # carried across blocks like encoders do
+    pos = 0
+    while pos < frames:
+        chunk = pcm[pos:pos + samples_per_block]
+        hdr = bytearray()
+        chan_nibs = []
+        for c in range(channels):
+            pred = int(chunk[0, c])
+            _, index = states[c]
+            hdr += struct.pack("<hBB", pred, index, 0)
+            recon[c].append(pred)
+            nb, rc, pred, index = _ima_encode(chunk[1:, c], pred, index)
+            nb += [0] * (nibs_per_block - len(nb))  # pad final block
+            chan_nibs.append(nb)
+            recon[c].extend(rc)
+            states[c] = (pred, index)
+        data = bytearray()
+        for i in range(0, nibs_per_block, 8):
+            for c in range(channels):
+                for j in range(i, i + 8, 2):
+                    lo, hi = chan_nibs[c][j], chan_nibs[c][j + 1]
+                    data.append(lo | (hi << 4))
+        blocks += hdr + data
+        pos += samples_per_block
+    fmt = struct.pack("<HHIIHHHH", 0x11, channels, rate,
+                      rate * ba // samples_per_block, ba, 4, 2,
+                      samples_per_block)
+    out = b"fmt " + struct.pack("<I", len(fmt)) + fmt
+    out += b"data" + struct.pack("<I", len(blocks)) + bytes(blocks)
+    return (
+        b"RIFF" + struct.pack("<I", 4 + len(out)) + b"WAVE" + out,
+        recon,
+    )
+
+
+def test_ima_adpcm_mono_bit_exact_and_close():
+    from fund_data_etl_pipeline_spark.operators.wav_codec import decode_wav
+
+    t = np.arange(1010) / 8000.0
+    pcm = np.round(12000 * np.sin(2 * np.pi * 440 * t)).astype(int)
+    blob, recon = write_ima_wav(pcm.reshape(-1, 1))
+    rate, ch, samples = decode_wav(blob)
+    assert (rate, ch) == (8000, 1)
+    dec = np.round(samples.reshape(-1) * 32768.0).astype(int)
+    ref = np.array(recon[0])
+    assert dec.shape == ref.shape and np.array_equal(dec, ref)
+    # and the lossy reconstruction tracks the original tone closely
+    n = len(pcm)
+    assert np.mean(np.abs(dec[:n] - pcm)) < 600  # ~2% of amplitude
+
+
+def test_ima_adpcm_stereo_interleave():
+    from fund_data_etl_pipeline_spark.operators.wav_codec import decode_wav
+
+    rng = np.random.default_rng(13)
+    pcm = rng.integers(-20000, 20000, size=(505, 2))
+    blob, recon = write_ima_wav(pcm, samples_per_block=505)
+    _, ch, samples = decode_wav(blob)
+    assert ch == 2
+    dec = np.round(samples * 32768.0).astype(int)
+    assert np.array_equal(dec[:, 0], np.array(recon[0]))
+    assert np.array_equal(dec[:, 1], np.array(recon[1]))
+
+
+def test_ima_adpcm_named_errors():
+    from fund_data_etl_pipeline_spark.operators.wav_codec import decode_wav
+
+    pcm = np.zeros((17, 1), dtype=int)
+    blob, _ = write_ima_wav(pcm, samples_per_block=9)
+    bad = bytearray(blob)
+    i = bad.index(b"fmt ") + 8 + 14
+    bad[i:i + 2] = struct.pack("<H", 16)  # claim 16 bits/sample
+    with pytest.raises(ValueError, match="4 bits"):
+        decode_wav(bytes(bad))
+    # truncating inside the data chunk is a named error
+    j = blob.index(b"data") + 8
+    with pytest.raises(ValueError, match="truncated"):
+        decode_wav(blob[: j + 2])
+
+
+def test_ima_adpcm_spark_audio_path(spark):
+    from fund_data_etl_pipeline_spark.operators.multimodal import (
+        MEDIA_SCHEMA,
+        decode_audio_features,
+    )
+    from fund_data_etl_pipeline_spark.operators.wav_codec import (
+        decode_wav,
+        rms,
+    )
+
+    t = np.arange(505) / 8000.0
+    pcm = np.round(10000 * np.sin(2 * np.pi * 220 * t)).astype(int)
+    blob, _ = write_ima_wav(pcm.reshape(-1, 1))
+    _, _, samples = decode_wav(blob)
+    rows = [(41, "audio", blob, (None, None, None, 8000, None, None))]
+    df = spark.createDataFrame(rows, MEDIA_SCHEMA)
+    r = decode_audio_features(df, fake=False).collect()[0]
+    assert r["sample_rate"] == 8000 and r["channels"] == 1
+    assert r["n_frames"] == samples.shape[0]
+    assert abs(r["rms"] - rms(samples)) < 1e-9
