@@ -73,14 +73,15 @@ def decode_image_features(df: DataFrame, fake: bool = False) -> DataFrame:
     """Image decode + feature extraction as an Arrow-batched mapInPandas
     operator.
 
-    Real path (round 5 PNG, round 6 JPEG + GIF): PNG blobs decode with
-    the builtin from-spec codec (operators/png_codec.py — zlib inflate
-    + scanline unfilter), baseline JPEG blobs with the from-spec
-    ITU-T T.81 decoder (operators/jpeg_codec.py — canonical Huffman +
-    dequant + separable IDCT + YCbCr), and GIF blobs with the from-spec
-    LZW decoder (operators/gif_codec.py — variable-width codes,
-    interlace, palettes), so width/height/mean_luma come from actual
-    pixels with zero third-party libraries. Audio/video
+    Real path (round 5 PNG; round 6 JPEG, GIF, BMP, TIFF): every common
+    scraped-corpus still-image format decodes via a builtin from-spec
+    codec — PNG (png_codec.py: zlib inflate + scanline unfilter),
+    baseline JPEG (jpeg_codec.py: ITU-T T.81 canonical Huffman +
+    dequant + separable IDCT + YCbCr), GIF (gif_codec.py: LZW +
+    interlace + palettes), BMP (bmp_codec.py: DIB truecolor +
+    palettized) and baseline TIFF (tiff_codec.py: IFD walk, strips,
+    PackBits, gray/RGB/palette) — so width/height/mean_luma come from
+    actual pixels with zero third-party libraries. Audio/video
     remain honest ``NotImplementedError`` stubs, and ``fake=True`` keeps
     the deterministic md5 stand-in for plumbing tests that want
     codec-independent values."""
@@ -90,6 +91,7 @@ def decode_image_features(df: DataFrame, fake: bool = False) -> DataFrame:
         from .gif_codec import GIF_MAGIC, decode_gif
         from .jpeg_codec import JPEG_MAGIC, decode_jpeg
         from .png_codec import PNG_MAGIC, decode_png, mean_luma
+        from .tiff_codec import TIFF_MAGIC_BE, TIFF_MAGIC_LE, decode_tiff
 
         for pdf in batches:
             rows = []
@@ -113,12 +115,15 @@ def decode_image_features(df: DataFrame, fake: bool = False) -> DataFrame:
                 elif data.startswith(BMP_MAGIC):
                     w, h, _ch, px = decode_bmp(data)
                     luma = mean_luma(px)
+                elif data.startswith((TIFF_MAGIC_LE, TIFF_MAGIC_BE)):
+                    w, h, _ch, px = decode_tiff(data)
+                    luma = mean_luma(px)
                 else:
                     raise NotImplementedError(
                         "no builtin codec for this image format (PNG, "
-                        "baseline JPEG, GIF and BMP decode from spec; "
-                        "others need a library); run with fake=True for "
-                        "plumbing tests"
+                        "baseline JPEG, GIF, BMP and baseline TIFF "
+                        "decode from spec; others need a library); run "
+                        "with fake=True for plumbing tests"
                     )
                 rows.append(
                     {

@@ -1,0 +1,162 @@
+"""Minimal from-spec TIFF decoder (the multimodal image stage).
+
+Baseline TIFF 6.0 per the public Adobe specification — pure struct
+parsing:
+
+- both byte orders ("II" little-endian, "MM" big-endian), IFD walk
+  with inline-vs-offset tag values sized by field type;
+- strip-organized image data (StripOffsets / StripByteCounts /
+  RowsPerStrip), Compression 1 (none) and 32773 (PackBits, the spec's
+  Section 9 run-length scheme);
+- PhotometricInterpretation 0/1 (grayscale, incl. the inverted
+  WhiteIsZero convention), 2 (RGB, 8 bits/sample), 3 (palette via the
+  16-bit ColorMap tag);
+- output [h, w, 3] uint8 RGB (grayscale replicated), matching
+  decode_png's convention so mean_luma is shared. First IFD only —
+  multi-page TIFFs describe documents, and features describe the first
+  page.
+
+Out of scope, raising a NAMED error (the S7 quarantine convention):
+LZW/JPEG/deflate compression, tiled organization, planar configuration
+2, bit depths other than 8, truncated streams. Round-trip tests in
+tests/test_tiff_codec.py drive this against an independently written
+in-test TIFF writer including a PackBits compressor.
+"""
+
+from __future__ import annotations
+
+import struct
+
+import numpy as np
+
+TIFF_MAGIC_LE = b"II*\x00"
+TIFF_MAGIC_BE = b"MM\x00*"
+
+# bytes per TIFF field type (1=BYTE 2=ASCII 3=SHORT 4=LONG 5=RATIONAL...)
+_TYPE_SIZE = {1: 1, 2: 1, 3: 2, 4: 4, 5: 8, 6: 1, 7: 1, 8: 2, 9: 4, 10: 8}
+
+
+def _unpack_packbits(data: bytes, expected: int) -> bytes:
+    """TIFF PackBits (spec Section 9): n in [0,127] -> copy n+1 literal
+    bytes; n in [-127,-1] -> repeat next byte 1-n times; -128 no-op."""
+    out = bytearray()
+    i = 0
+    while len(out) < expected and i < len(data):
+        n = struct.unpack("b", data[i : i + 1])[0]
+        i += 1
+        if n >= 0:
+            out += data[i : i + n + 1]
+            i += n + 1
+        elif n != -128:
+            out += data[i : i + 1] * (1 - n)
+            i += 1
+    if len(out) < expected:
+        raise ValueError("TIFF PackBits stream ended short (truncated)")
+    return bytes(out[:expected])
+
+
+def decode_tiff(data: bytes) -> tuple[int, int, int, np.ndarray]:
+    """(width, height, 3, pixels[h, w, 3] uint8 RGB) of a baseline TIFF
+    blob's first IFD."""
+    if data[:4] == TIFF_MAGIC_LE:
+        e = "<"
+    elif data[:4] == TIFF_MAGIC_BE:
+        e = ">"
+    else:
+        raise ValueError("not a TIFF (bad byte-order/magic)")
+    (ifd_off,) = struct.unpack(e + "I", data[4:8])
+    if ifd_off + 2 > len(data):
+        raise ValueError("TIFF truncated before first IFD")
+    (n_tags,) = struct.unpack(e + "H", data[ifd_off : ifd_off + 2])
+    tags: dict[int, list[int]] = {}
+    for i in range(n_tags):
+        off = ifd_off + 2 + 12 * i
+        if off + 12 > len(data):
+            raise ValueError("TIFF truncated inside IFD")
+        tag, ftype, count = struct.unpack(e + "HHI", data[off : off + 8])
+        size = _TYPE_SIZE.get(ftype, 1) * count
+        if size <= 4:
+            raw = data[off + 8 : off + 8 + size]
+        else:
+            (voff,) = struct.unpack(e + "I", data[off + 8 : off + 12])
+            raw = data[voff : voff + size]
+            if len(raw) < size:
+                raise ValueError("TIFF truncated inside tag value")
+        if ftype == 3:
+            tags[tag] = list(struct.unpack(e + f"{count}H", raw))
+        elif ftype == 4:
+            tags[tag] = list(struct.unpack(e + f"{count}I", raw))
+        elif ftype == 1:
+            tags[tag] = list(raw)
+        # other types (ASCII/rational) are metadata the decoder ignores
+
+    def one(tag: int, default: int | None = None) -> int:
+        if tag in tags:
+            return tags[tag][0]
+        if default is None:
+            raise ValueError(f"TIFF missing required tag {tag}")
+        return default
+
+    width, height = one(256), one(257)
+    comp = one(259, 1)
+    photo = one(262)
+    spp = one(277, 1)
+    bits = tags.get(258, [8] * spp)
+    planar = one(284, 1)
+    if comp not in (1, 32773):
+        raise ValueError(f"TIFF compression {comp} not supported "
+                         "(uncompressed or PackBits only)")
+    if planar != 1:
+        raise ValueError("TIFF planar configuration 2 not supported")
+    if any(b != 8 for b in bits):
+        raise ValueError(f"TIFF bit depths {bits} not supported (8 only)")
+    if photo not in (0, 1, 2, 3):
+        raise ValueError(f"TIFF photometric {photo} not supported")
+    if photo == 2 and spp < 3:
+        raise ValueError("TIFF RGB with fewer than 3 samples/pixel")
+    offsets = tags.get(273)
+    counts = tags.get(279)
+    if not offsets or not counts or len(offsets) != len(counts):
+        raise ValueError("TIFF missing strip offsets/byte counts")
+    rows_per_strip = one(278, height)
+    row_bytes = width * spp
+    chunks = []
+    remaining = height
+    for soff, scnt in zip(offsets, counts):
+        raw = data[soff : soff + scnt]
+        if len(raw) < scnt:
+            raise ValueError("TIFF truncated inside strip data")
+        n_rows = min(rows_per_strip, remaining)
+        remaining -= n_rows
+        expected = n_rows * row_bytes
+        chunks.append(
+            _unpack_packbits(raw, expected) if comp == 32773
+            else raw[:expected]
+        )
+        if len(chunks[-1]) < expected:
+            raise ValueError("TIFF strip shorter than its rows (truncated)")
+    flat = np.frombuffer(b"".join(chunks), dtype=np.uint8)
+    if flat.size < height * row_bytes:
+        raise ValueError("TIFF strips cover fewer rows than ImageLength")
+    px = flat[: height * row_bytes].reshape(height, width, spp)
+    if photo == 2:
+        rgb = px[:, :, :3]
+    elif photo == 3:
+        cmap = tags.get(320)
+        n = 1 << 8
+        if not cmap or len(cmap) < 3 * n:
+            raise ValueError("TIFF palette image missing ColorMap")
+        # ColorMap is 16-bit per component, all reds then greens then
+        # blues; baseline writers scale 8-bit values by 257
+        pal = (
+            np.array(cmap[: 3 * n], dtype=np.uint32)
+            .reshape(3, n)
+            .T // 257
+        ).astype(np.uint8)
+        rgb = pal[px[:, :, 0]]
+    else:
+        gray = px[:, :, 0]
+        if photo == 0:  # WhiteIsZero
+            gray = 255 - gray
+        rgb = np.repeat(gray[:, :, None], 3, axis=2)
+    return width, height, 3, np.ascontiguousarray(rgb)
