@@ -2,14 +2,17 @@
 opaque ``binary`` columns with typed metadata).
 
 The Spark-side plumbing — schemas, Arrow-batched ``mapInPandas`` operator
-shape, partition sizing — is real and tested. The codec stage (round 5):
-PNG decodes for real via the builtin from-spec codec
-(operators/png_codec.py, zero third-party libraries); JPEG/audio/video
-remain honestly STUBBED (``NotImplementedError`` naming the missing
-capability) since DCT/audio codecs are genuine library territory, and
-``fake=True`` substitutes a deterministic md5-derived decode so the
-downstream plumbing (feature extraction, resize bookkeeping, frame
-sampling) stays executable and assertable codec-independently.
+shape, partition sizing — is real and tested. The codec stage (rounds
+5–6) decodes every common scraped-corpus format via builtin from-spec
+codecs, zero third-party media libraries: images (PNG, baseline JPEG,
+GIF, BMP, baseline TIFF), audio (PCM / G.711 / IMA-ADPCM WAV), video
+containers (ISO-BMFF/MP4 metadata, MJPEG AVI metadata AND real sampled
+frames through the T.81 decoder). The remaining stubs are honest and
+NAMED (``NotImplementedError``): H.264/AV1 frame decode and perceptual
+audio (MP3/AAC) are genuine codec-library territory. ``fake=True``
+substitutes a deterministic md5-derived decode so the downstream
+plumbing (feature extraction, resize bookkeeping, frame sampling)
+stays executable and assertable codec-independently.
 
 Scale notes: media blobs make rows wide — the loaders keep
 ``spark.sql.files.maxPartitionBytes`` small relative to blob size, and all
@@ -220,14 +223,18 @@ def decode_video_meta(df: DataFrame) -> DataFrame:
     """Video CONTAINER metadata from real bytes as an Arrow-batched
     mapInPandas operator (round 6): ISO-BMFF/MP4 blobs parse with the
     builtin from-spec box reader (operators/mp4_meta.py — mvhd/tkhd/stsz
-    walk), so duration/dims/frame-count/fps come from the file, not from
-    caller-supplied metadata; ``sample_frames`` can then run on a meta
-    column rebuilt from these values. FRAME decode remains the honest
-    named stub (H.264/AV1 entropy decoding is codec-library territory);
-    non-BMFF containers raise the named ``NotImplementedError`` -> S7
-    quarantine at the caller."""
+    walk) and MJPEG AVI blobs with the from-spec RIFF demuxer
+    (operators/avi_mjpeg.py — avih/strh/movi), so duration/dims/
+    frame-count/fps come from the file, not from caller-supplied
+    metadata; ``sample_frames`` can then run on a meta column rebuilt
+    from these values. FRAME decode is real for MJPEG
+    (``decode_video_frames``) and an honest named stub for H.264/AV1
+    (entropy decoding is codec-library territory); other containers
+    raise the named ``NotImplementedError`` -> S7 quarantine at the
+    caller."""
 
     def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from .avi_mjpeg import AVI_MAGIC, read_avi_meta
         from .mp4_meta import read_mp4_meta
 
         for pdf in batches:
@@ -236,11 +243,13 @@ def decode_video_meta(df: DataFrame) -> DataFrame:
                 data = bytes(r["data"]) if r["data"] is not None else b""
                 if len(data) >= 12 and data[4:8] == b"ftyp":
                     m = read_mp4_meta(data)
+                elif data.startswith(AVI_MAGIC) and data[8:12] == b"AVI ":
+                    m = read_avi_meta(data)
                 else:
                     raise NotImplementedError(
                         "no builtin container reader for this video "
-                        "format (ISO-BMFF/MP4 metadata parses from "
-                        "spec; AVI/MKV need a demuxer library)"
+                        "format (ISO-BMFF/MP4 and MJPEG AVI parse from "
+                        "spec; MKV/others need a demuxer library)"
                     )
                 rows.append(
                     {
@@ -283,4 +292,58 @@ def sample_frames(df: DataFrame, every_n: int = 10) -> DataFrame:
     return (
         df.filter((F.col("kind") == "video") & (n > 0))
         .select("media_id", F.explode(idx).alias("frame_index"))
+    )
+
+
+FRAME_FEATURES_SCHEMA = (
+    "media_id long, frame_index int, width int, height int, "
+    "mean_luma double"
+)
+
+
+def decode_video_frames(df: DataFrame, every_n: int = 10) -> DataFrame:
+    """REAL sampled-frame decode for MJPEG AVI videos (round 6): the
+    from-spec RIFF demuxer (operators/avi_mjpeg.py) yields each '##dc'
+    frame chunk, which for the MJPG handler is a baseline JPEG the
+    from-spec ITU-T T.81 decoder turns into pixels — so per-frame
+    width/height/mean_luma come from actual video frames with zero
+    media libraries. Every ``every_n``-th frame is decoded (the
+    ``sample_frames`` cadence applied at the demuxer, so skipped frames
+    are never entropy-decoded). Non-MJPEG video (H.264/AV1 in MP4)
+    raises the named error -> S7 quarantine; that stub is the honest
+    boundary, this path is the proof the plumbing is real."""
+
+    def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from .avi_mjpeg import AVI_MAGIC, iter_mjpeg_frames
+        from .jpeg_codec import decode_jpeg
+        from .png_codec import mean_luma
+
+        for pdf in batches:
+            rows = []
+            for _, r in pdf.iterrows():
+                data = bytes(r["data"]) if r["data"] is not None else b""
+                if not (
+                    data.startswith(AVI_MAGIC) and data[8:12] == b"AVI "
+                ):
+                    raise NotImplementedError(
+                        "frame decode is builtin for MJPEG AVI only "
+                        "(H.264/AV1 need a codec library)"
+                    )
+                for idx, jpeg in iter_mjpeg_frames(data):
+                    if idx % every_n:
+                        continue
+                    w, h, _ch, px = decode_jpeg(jpeg)
+                    rows.append(
+                        {
+                            "media_id": r["media_id"],
+                            "frame_index": idx,
+                            "width": w,
+                            "height": h,
+                            "mean_luma": mean_luma(px),
+                        }
+                    )
+            yield pd.DataFrame(rows)
+
+    return df.filter(F.col("kind") == "video").mapInPandas(
+        op, schema=FRAME_FEATURES_SCHEMA
     )
