@@ -6,8 +6,11 @@ parsing:
 - both byte orders ("II" little-endian, "MM" big-endian), IFD walk
   with inline-vs-offset tag values sized by field type;
 - strip-organized image data (StripOffsets / StripByteCounts /
-  RowsPerStrip), Compression 1 (none) and 32773 (PackBits, the spec's
-  Section 9 run-length scheme);
+  RowsPerStrip), Compression 1 (none), 32773 (PackBits, the spec's
+  Section 9 run-length scheme), 5 (LZW, the spec's Section 13 variant:
+  MSB-first code packing and the "early change" width bump one code
+  before the table fills — deliberately DIFFERENT from GIF's LZW), and
+  8 / 32946 (zlib Deflate, the PNG-style extension tag pair);
 - PhotometricInterpretation 0/1 (grayscale, incl. the inverted
   WhiteIsZero convention), 2 (RGB, 8 bits/sample), 3 (palette via the
   16-bit ColorMap tag);
@@ -17,8 +20,8 @@ parsing:
   page.
 
 Out of scope, raising a NAMED error (the S7 quarantine convention):
-LZW/JPEG/deflate compression, tiled organization, planar configuration
-2, bit depths other than 8, truncated streams. Round-trip tests in
+JPEG-in-TIFF compression, tiled organization, planar configuration 2,
+bit depths other than 8, truncated streams. Round-trip tests in
 tests/test_tiff_codec.py drive this against an independently written
 in-test TIFF writer including a PackBits compressor.
 """
@@ -26,6 +29,7 @@ in-test TIFF writer including a PackBits compressor.
 from __future__ import annotations
 
 import struct
+import zlib
 
 import numpy as np
 
@@ -52,6 +56,61 @@ def _unpack_packbits(data: bytes, expected: int) -> bytes:
             i += 1
     if len(out) < expected:
         raise ValueError("TIFF PackBits stream ended short (truncated)")
+    return bytes(out[:expected])
+
+
+def _unpack_lzw(data: bytes, expected: int) -> bytes:
+    """TIFF LZW (spec Section 13): byte-rooted table, codes 256 = Clear
+    and 257 = EOI, codes packed MSB-first, 9-bit initial width with the
+    "early change" — the width bumps when the table reaches 2^width - 1
+    entries (one code EARLIER than GIF's LZW, the spec's documented
+    off-by-one), capped at 12 bits."""
+    clear, eoi = 256, 257
+    out = bytearray()
+    acc = nbits = pos = 0
+
+    def read(width: int) -> int:
+        nonlocal acc, nbits, pos
+        while nbits < width:
+            if pos >= len(data):
+                return eoi
+            acc = (acc << 8) | data[pos]
+            nbits += 8
+            pos += 1
+        nbits -= width
+        code = (acc >> nbits) & ((1 << width) - 1)
+        acc &= (1 << nbits) - 1
+        return code
+
+    def fresh() -> list[bytes]:
+        return [bytes([i]) for i in range(256)] + [b"", b""]
+
+    table = fresh()
+    width = 9
+    prev: bytes | None = None
+    while len(out) < expected:
+        code = read(width)
+        if code == clear:
+            table = fresh()
+            width = 9
+            prev = None
+            continue
+        if code == eoi:
+            break
+        if code < len(table) and (code < 256 or table[code]):
+            entry = table[code]
+        elif code == len(table) and prev is not None:
+            entry = prev + prev[:1]
+        else:
+            raise ValueError("TIFF LZW code out of range (corrupt)")
+        out += entry
+        if prev is not None and len(table) < 4096:
+            table.append(prev + entry[:1])
+        prev = entry
+        if len(table) >= (1 << width) - 1 and width < 12:
+            width += 1
+    if len(out) < expected:
+        raise ValueError("TIFF LZW stream ended short (truncated)")
     return bytes(out[:expected])
 
 
@@ -103,9 +162,9 @@ def decode_tiff(data: bytes) -> tuple[int, int, int, np.ndarray]:
     spp = one(277, 1)
     bits = tags.get(258, [8] * spp)
     planar = one(284, 1)
-    if comp not in (1, 32773):
+    if comp not in (1, 5, 8, 32773, 32946):
         raise ValueError(f"TIFF compression {comp} not supported "
-                         "(uncompressed or PackBits only)")
+                         "(uncompressed, LZW, Deflate or PackBits only)")
     if planar != 1:
         raise ValueError("TIFF planar configuration 2 not supported")
     if any(b != 8 for b in bits):
@@ -129,10 +188,20 @@ def decode_tiff(data: bytes) -> tuple[int, int, int, np.ndarray]:
         n_rows = min(rows_per_strip, remaining)
         remaining -= n_rows
         expected = n_rows * row_bytes
-        chunks.append(
-            _unpack_packbits(raw, expected) if comp == 32773
-            else raw[:expected]
-        )
+        if comp == 32773:
+            chunks.append(_unpack_packbits(raw, expected))
+        elif comp == 5:
+            chunks.append(_unpack_lzw(raw, expected))
+        elif comp in (8, 32946):
+            try:
+                inflated = zlib.decompress(raw)
+            except zlib.error as exc:
+                raise ValueError(f"TIFF Deflate strip corrupt: {exc}")
+            if len(inflated) < expected:
+                raise ValueError("TIFF Deflate strip short (truncated)")
+            chunks.append(inflated[:expected])
+        else:
+            chunks.append(raw[:expected])
         if len(chunks[-1]) < expected:
             raise ValueError("TIFF strip shorter than its rows (truncated)")
     flat = np.frombuffer(b"".join(chunks), dtype=np.uint8)

@@ -195,15 +195,15 @@ def test_tiff_named_errors():
         decode_tiff(b"XXXX" + blob[4:])
     with pytest.raises(ValueError, match="truncated"):
         decode_tiff(blob[:-8])
-    lzw = bytearray(blob)
-    # tag 259 (compression) short value: find its entry and set to 5
+    jp = bytearray(blob)
+    # tag 259 (compression) short value: find its entry, set to 7 (JPEG)
     n = struct.unpack("<H", blob[8:10])[0]
     for i in range(n):
         off = 10 + 12 * i
         if struct.unpack("<H", blob[off:off + 2])[0] == 259:
-            lzw[off + 8:off + 10] = struct.pack("<H", 5)
-    with pytest.raises(ValueError, match="compression 5"):
-        decode_tiff(bytes(lzw))
+            jp[off + 8:off + 10] = struct.pack("<H", 7)
+    with pytest.raises(ValueError, match="compression 7"):
+        decode_tiff(bytes(jp))
 
 
 def test_tiff_spark_image_path(spark):
@@ -219,3 +219,121 @@ def test_tiff_spark_image_path(spark):
     r = decode_image_features(df, fake=False).collect()[0]
     assert (r["width"], r["height"]) == (7, 5)
     assert abs(r["mean_luma"] - mean_luma(img)) < 1e-9
+
+
+# --- TIFF LZW (compression 5) and Deflate (8) -----------------------------
+# In-test forward LZW encoder: MSB-first packing and the spec's "early
+# change" width bump, mirroring the decoder in lockstep.
+
+class _MSBWriter:
+    def __init__(self):
+        self.acc = 0
+        self.nbits = 0
+        self.out = bytearray()
+
+    def put(self, code, width):
+        self.acc = (self.acc << width) | code
+        self.nbits += width
+        while self.nbits >= 8:
+            self.out.append((self.acc >> (self.nbits - 8)) & 0xFF)
+            self.nbits -= 8
+            self.acc &= (1 << self.nbits) - 1
+
+    def flush(self):
+        if self.nbits:
+            self.out.append((self.acc << (8 - self.nbits)) & 0xFF)
+        return bytes(self.out)
+
+
+def _lzw_encode_tiff(data: bytes) -> bytes:
+    CLEAR, EOI = 256, 257
+    w = _MSBWriter()
+
+    def fresh():
+        return {bytes([i]): i for i in range(256)}, 258, 9
+
+    table, next_code, width = fresh()
+    w.put(CLEAR, width)
+    run = b""
+    for byte in data:
+        cand = run + bytes([byte])
+        if cand in table:
+            run = cand
+            continue
+        w.put(table[run], width)
+        table[cand] = next_code
+        # early change: the bump keys on the just-ASSIGNED entry index
+        # reaching 2^width - 1 (one earlier than GIF's 2^width)
+        if next_code == (1 << width) - 1 and width < 12:
+            width += 1
+        next_code += 1
+        if next_code >= 4094:
+            w.put(CLEAR, width)
+            table, next_code, width = fresh()
+        run = bytes([byte])
+    if run:
+        w.put(table[run], width)
+    w.put(EOI, width)
+    return w.flush()
+
+
+def _strip_recompress(blob: bytes, comp: int, transform) -> bytes:
+    """Rewrite an uncompressed single-strip in-test TIFF: set the
+    compression tag and replace the strip body via ``transform``."""
+    e = "<"
+    out = bytearray(blob)
+    n = struct.unpack(e + "H", blob[8:10])[0]
+    entries = {}
+    for i in range(n):
+        off = 10 + 12 * i
+        tag = struct.unpack(e + "H", blob[off:off + 2])[0]
+        entries[tag] = off
+    out[entries[259] + 8:entries[259] + 10] = struct.pack(e + "H", comp)
+    (soff,) = struct.unpack(
+        e + "I", blob[entries[273] + 8:entries[273] + 12]
+    )
+    (scnt,) = struct.unpack(
+        e + "I", blob[entries[279] + 8:entries[279] + 12]
+    )
+    body = transform(blob[soff:soff + scnt])
+    assert soff + scnt == len(blob), "expected strip at blob tail"
+    out[entries[279] + 8:entries[279] + 12] = struct.pack(
+        e + "I", len(body)
+    )
+    return bytes(out[:soff]) + body
+
+
+def test_tiff_lzw_roundtrip():
+    # low-entropy drives dictionary growth; random exercises literals
+    for seed, smooth in ((8, True), (9, False)):
+        rng = np.random.default_rng(seed)
+        if smooth:
+            img = np.repeat(
+                rng.integers(0, 8, size=(30, 10, 3), dtype=np.uint8) * 31,
+                4, axis=1,
+            )
+        else:
+            img = rng.integers(0, 256, size=(30, 40, 3), dtype=np.uint8)
+        blob = _strip_recompress(write_tiff(img), 5, _lzw_encode_tiff)
+        _, _, _, px = decode_tiff(blob)
+        assert np.array_equal(px, img)
+
+
+def test_tiff_lzw_width_bumps_and_clear():
+    # enough distinct pairs to push the table past several width bumps
+    # and the 4094-entry mid-stream clear
+    rng = np.random.default_rng(10)
+    img = rng.integers(0, 256, size=(60, 80, 3), dtype=np.uint8)
+    blob = _strip_recompress(write_tiff(img), 5, _lzw_encode_tiff)
+    _, _, _, px = decode_tiff(blob)
+    assert np.array_equal(px, img)
+
+
+def test_tiff_deflate_roundtrip():
+    import zlib
+
+    img = _rgb(h=12, w=9, seed=11)
+    for comp in (8, 32946):
+        blob = _strip_recompress(write_tiff(img), comp, zlib.compress)
+        _, _, _, px = decode_tiff(blob)
+        assert np.array_equal(px, img)
