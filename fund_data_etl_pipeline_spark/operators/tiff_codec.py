@@ -59,12 +59,18 @@ def _unpack_packbits(data: bytes, expected: int) -> bytes:
     return bytes(out[:expected])
 
 
-def _unpack_lzw(data: bytes, expected: int) -> bytes:
+def unpack_lzw(data: bytes, expected: int | None = None) -> bytes:
     """TIFF LZW (spec Section 13): byte-rooted table, codes 256 = Clear
     and 257 = EOI, codes packed MSB-first, 9-bit initial width with the
     "early change" — the width bumps when the table reaches 2^width - 1
     entries (one code EARLIER than GIF's LZW, the spec's documented
-    off-by-one), capped at 12 bits."""
+    off-by-one), capped at 12 bits.
+
+    ``expected`` None decodes until EOI / end of stream (the PDF
+    LZWDecode contract, §7.4.4.2 with the default EarlyChange = 1 —
+    identical to this TIFF variant, which is why sources/pdf_text.py
+    imports this function); an integer enforces exactly that many
+    output bytes (the TIFF strip contract)."""
     clear, eoi = 256, 257
     out = bytearray()
     acc = nbits = pos = 0
@@ -88,7 +94,7 @@ def _unpack_lzw(data: bytes, expected: int) -> bytes:
     table = fresh()
     width = 9
     prev: bytes | None = None
-    while len(out) < expected:
+    while expected is None or len(out) < expected:
         code = read(width)
         if code == clear:
             table = fresh()
@@ -109,6 +115,8 @@ def _unpack_lzw(data: bytes, expected: int) -> bytes:
         prev = entry
         if len(table) >= (1 << width) - 1 and width < 12:
             width += 1
+    if expected is None:
+        return bytes(out)
     if len(out) < expected:
         raise ValueError("TIFF LZW stream ended short (truncated)")
     return bytes(out[:expected])
@@ -191,7 +199,7 @@ def decode_tiff(data: bytes) -> tuple[int, int, int, np.ndarray]:
         if comp == 32773:
             chunks.append(_unpack_packbits(raw, expected))
         elif comp == 5:
-            chunks.append(_unpack_lzw(raw, expected))
+            chunks.append(unpack_lzw(raw, expected))
         elif comp in (8, 32946):
             try:
                 inflated = zlib.decompress(raw)

@@ -11,9 +11,17 @@ ordinary generated announcement PDFs:
   (robust to linearized files and broken/absent xref tables, which a
   quarantine-grade codec must tolerate; the xref is an OPTIMIZATION for
   random access, not the object store itself — §7.5.4);
-- streams: ``stream``/``endstream`` payloads, ``/FlateDecode`` inflated
-  with stdlib zlib (§7.4.4); unsupported filters raise a NAMED error so
-  the file quarantines informatively (S7), never silently;
+- streams: ``stream``/``endstream`` payloads; filters ``/FlateDecode``
+  (stdlib zlib), ``/LZWDecode`` (the TIFF Section-13 early-change LZW,
+  shared with operators/tiff_codec.py — §7.4.4.2's default
+  EarlyChange = 1 IS that variant), ``/ASCIIHexDecode`` and
+  ``/ASCII85Decode``, applied first-to-last when /Filter names a chain
+  (§7.4.1); unsupported filters raise a NAMED error so the file
+  quarantines informatively (S7), never silently;
+- object streams: ``/Type /ObjStm`` payloads (§7.5.7, the PDF 1.5+
+  compressed-object convention) are decoded and their bare-dict
+  objects merged into the object map, so modern writers' page/font
+  dicts are visible to the page walk;
 - page tree: ``/Type /Page`` objects, their ``/Contents`` (single ref or
   array) and ``/Resources /Font`` dicts (§7.7.3);
 - content streams: a tokenizer for literal ``(…)`` strings with escapes
@@ -28,9 +36,9 @@ ordinary generated announcement PDFs:
   overlap, right for the numeric/Latin runs the extractors parse).
 
 Deliberately out of scope (documented, quarantine-with-named-error, not
-silently wrong): encrypted files, object streams (/ObjStm), LZW/DCT
-filters, and glyph metrics/positioning (runs are concatenated per text
-block; the downstream regex extractors are whitespace-tolerant by
+silently wrong): encrypted files, DCT/JBIG2/JPX filters, predictor
+DecodeParms, and glyph metrics/positioning (runs are concatenated per
+text block; the downstream regex extractors are whitespace-tolerant by
 design — functions/extract.py P5 letter-spacing).
 """
 
@@ -189,16 +197,97 @@ def _stream_data(body: bytes, objs: dict[int, bytes]) -> bytes:
     filt = _value_after(d, b"Filter")
     if not filt:
         return raw
-    names = _NAME_RE.findall(filt)
-    if names == [b"FlateDecode"]:
+    parms = _value_after(d, b"DecodeParms") or _value_after(d, b"DP")
+    if parms:
+        pm = re.search(rb"/Predictor\s+(\d+)", parms)
+        if pm and int(pm.group(1)) > 1:
+            raise ValueError(
+                "PDF stream uses a Predictor DecodeParm (xref-stream "
+                "convention) — not supported for content streams"
+            )
+        em = re.search(rb"/EarlyChange\s+(\d+)", parms)
+        if em and int(em.group(1)) == 0:
+            raise ValueError("PDF LZWDecode with EarlyChange 0 not "
+                             "supported (TIFF-variant only)")
+    # /Filter may be a single name or an array naming a CHAIN (§7.4.1,
+    # applied first-to-last), e.g. [/ASCII85Decode /FlateDecode]
+    out = raw
+    for name in _NAME_RE.findall(filt):
+        out = _apply_filter(name, out)
+    return out
+
+
+def _apply_filter(name: bytes, raw: bytes) -> bytes:
+    if name == b"FlateDecode":
         try:
             return zlib.decompress(raw)
         except zlib.error:
             # some writers pad Length; try raw deflate
             return zlib.decompressobj().decompress(raw)
+    if name == b"LZWDecode":
+        # §7.4.4.2 with the default EarlyChange = 1 is the TIFF
+        # Section-13 LZW variant — shared decoder
+        from ..operators.tiff_codec import unpack_lzw
+
+        return unpack_lzw(raw)
+    if name == b"ASCIIHexDecode":
+        body = raw.split(b">")[0]
+        hexs = re.sub(rb"\s+", b"", body)
+        if len(hexs) & 1:
+            hexs += b"0"  # §7.4.2: odd count implies a trailing 0
+        try:
+            return bytes.fromhex(hexs.decode("ascii"))
+        except (UnicodeDecodeError, ValueError) as exc:
+            raise ValueError(f"PDF ASCIIHexDecode corrupt: {exc}")
+    if name == b"ASCII85Decode":
+        import base64
+
+        body = raw.split(b"~>")[0]
+        cleaned = re.sub(rb"\s+", b"", body)
+        try:
+            return base64.a85decode(b"<~" + cleaned + b"~>", adobe=True)
+        except ValueError as exc:
+            raise ValueError(f"PDF ASCII85Decode corrupt: {exc}")
     raise ValueError(
-        f"unsupported PDF stream filter {b'/'.join(names).decode('latin-1')}"
+        f"unsupported PDF stream filter {name.decode('latin-1')}"
     )
+
+
+def _expand_object_streams(objs: dict[int, bytes]) -> None:
+    """Merge objects stored inside /Type /ObjStm streams (§7.5.7, the
+    PDF 1.5+ compressed-object convention most modern writers use for
+    page and font DICTIONARIES) into ``objs`` in place.
+
+    An object stream's decoded payload opens with /N integer pairs
+    "objnum offset" occupying the first /First bytes; each stored
+    object is the slice between consecutive offsets. Stored objects are
+    bare dicts (§7.5.7 forbids streams inside ObjStm), which the rest
+    of this module already handles — _dict_of finds the << >> and page
+    /Contents keep referencing ordinary stream objects. Top-level
+    definitions win on number collision (setdefault), matching readers
+    that prefer the plainly-visible object."""
+    for body in list(objs.values()):
+        d = _dict_of(body)
+        if not re.search(rb"/Type\s*/ObjStm\b", d):
+            continue
+        data = _stream_data(body, objs)
+        nm = re.search(rb"\d+", _resolve(_value_after(d, b"N"), objs))
+        fm = re.search(rb"\d+", _resolve(_value_after(d, b"First"), objs))
+        if not nm or not fm:
+            raise ValueError("PDF object stream missing /N or /First")
+        n, first = int(nm.group(0)), int(fm.group(0))
+        header = data[:first].split()
+        if len(header) < 2 * n:
+            raise ValueError("PDF object stream header shorter than /N "
+                             "pairs (truncated)")
+        pairs = [
+            (int(header[2 * i]), int(header[2 * i + 1])) for i in range(n)
+        ]
+        for i, (onum, off) in enumerate(pairs):
+            end = (
+                first + pairs[i + 1][1] if i + 1 < n else len(data)
+            )
+            objs.setdefault(onum, data[first + off : end])
 
 
 def _resolve(ref_or_body: bytes, objs: dict[int, bytes]) -> bytes:
@@ -417,6 +506,7 @@ def extract_pdf_text(content: bytes) -> str:
     if b"/Encrypt" in content:
         raise ValueError("encrypted PDF not supported by builtin extractor")
     objs = _scan_objects(content)
+    _expand_object_streams(objs)
     pages: list[str] = []
     for num in sorted(objs):
         body = objs[num]
@@ -430,12 +520,10 @@ def extract_pdf_text(content: bytes) -> str:
         pages.append(_page_text(stream, cmaps))
     if not pages:
         # empty text is a silent lie for a truncated/unsupported file —
-        # quarantine with a named reason instead (S7)
-        if b"/ObjStm" in content:
-            raise ValueError(
-                "PDF stores pages in object streams (/ObjStm) — builtin "
-                "extractor needs plain indirect objects"
-            )
+        # quarantine with a named reason instead (S7). /ObjStm payloads
+        # ARE expanded above, so reaching here with one present means
+        # the stream didn't yield page dicts (cross-reference-stream-
+        # only layout or corruption).
         raise ValueError(
             "no page objects found (truncated or unsupported PDF)"
         )
