@@ -35,8 +35,15 @@ ordinary generated announcement PDFs:
   without a CMap decode bytes as Latin-1 (the WinAnsi/Standard ASCII
   overlap, right for the numeric/Latin runs the extractors parse).
 
+Encryption: the standard security handler's ubiquitous
+empty-user-password RC4 case (rev 2/3 — "encrypted but freely
+viewable") decrypts for real (§7.6.3.3 Algorithm 2 key, validated
+against /U, per-object Algorithm 1 keys applied to every stream
+payload up front); AES (/V 4+), custom handlers and real user
+passwords quarantine with named errors.
+
 Deliberately out of scope (documented, quarantine-with-named-error, not
-silently wrong): encrypted files, DCT/JBIG2/JPX filters, predictor
+silently wrong): AES-encrypted files, DCT/JBIG2/JPX filters, predictor
 DecodeParms, and glyph metrics/positioning (runs are concatenated per
 text block; the downstream regex extractors are whitespace-tolerant by
 design — functions/extract.py P5 letter-spacing).
@@ -66,9 +73,13 @@ def _declared_length(head: bytes, int_objs: dict[int, int]) -> int | None:
     return int(m.group(1)) if m else None
 
 
-def _scan_objects(data: bytes) -> dict[int, bytes]:
+def _scan_objects(
+    data: bytes, gens: dict[int, int] | None = None
+) -> dict[int, bytes]:
     """num -> object body (dict/stream bytes), last definition wins
-    (incremental updates append redefinitions — §7.5.6).
+    (incremental updates append redefinitions — §7.5.6). ``gens``
+    (optional out-param) records each object's generation number — the
+    per-object decryption key input for encrypted files.
 
     Sequential walk, not one big regex: FlateDecode payloads are
     arbitrary binary and can contain ``endobj`` / ``N G obj`` by chance,
@@ -109,6 +120,8 @@ def _scan_objects(data: bytes) -> dict[int, bytes]:
         if end < 0:
             break
         objs[num] = data[start:end]
+        if gens is not None:
+            gens[num] = int(m.group(2))
         pos = end + len(b"endobj")
     return objs
 
@@ -161,8 +174,8 @@ def _value_after(d: bytes, key: bytes) -> bytes:
     return m2.group(0).strip() if m2 else b""
 
 
-def _stream_data(body: bytes, objs: dict[int, bytes]) -> bytes:
-    """Decoded stream payload of an object body (FlateDecode or none).
+def _raw_stream(body: bytes, objs: dict[int, bytes]) -> tuple[int, bytes]:
+    """(payload_start, raw payload bytes) of an object body's stream.
 
     The payload slice honors the dict's /Length when it is consistent;
     otherwise it brackets on the LAST ``endstream`` in the body — correct
@@ -171,8 +184,7 @@ def _stream_data(body: bytes, objs: dict[int, bytes]) -> bytes:
     spell ``endstream`` can no longer truncate the slice."""
     sm = _STREAM_KW_RE.search(body)
     if not sm:
-        return b""
-    d = _dict_of(body)
+        return -1, b""
     pstart = sm.end()
     head = body[: sm.start()]
     ind = _LEN_IND_RE.search(head)
@@ -194,6 +206,15 @@ def _stream_data(body: bytes, objs: dict[int, bytes]) -> bytes:
             raw = raw[:-2]
         elif raw.endswith(b"\n") or raw.endswith(b"\r"):
             raw = raw[:-1]
+    return pstart, raw
+
+
+def _stream_data(body: bytes, objs: dict[int, bytes]) -> bytes:
+    """Decoded (filter-applied) stream payload of an object body."""
+    pstart, raw = _raw_stream(body, objs)
+    if pstart < 0:
+        return b""
+    d = _dict_of(body)
     filt = _value_after(d, b"Filter")
     if not filt:
         return raw
@@ -251,6 +272,138 @@ def _apply_filter(name: bytes, raw: bytes) -> bytes:
     raise ValueError(
         f"unsupported PDF stream filter {name.decode('latin-1')}"
     )
+
+
+# §7.6.3.3 Algorithm 2's 32-byte password padding constant
+_PW_PAD = bytes(
+    (
+        0x28, 0xBF, 0x4E, 0x5E, 0x4E, 0x75, 0x8A, 0x41, 0x64, 0x00, 0x4E,
+        0x56, 0xFF, 0xFA, 0x01, 0x08, 0x2E, 0x2E, 0x00, 0xB6, 0xD0, 0x68,
+        0x3E, 0x80, 0x2F, 0x0C, 0xA9, 0xFE, 0x64, 0x53, 0x69, 0x7A,
+    )
+)
+
+
+def _rc4(key: bytes, data: bytes) -> bytes:
+    """RC4 stream cipher (the public algorithm §7.6.2 names)."""
+    s = list(range(256))
+    j = 0
+    for i in range(256):
+        j = (j + s[i] + key[i % len(key)]) & 0xFF
+        s[i], s[j] = s[j], s[i]
+    out = bytearray()
+    i = j = 0
+    for c in data:
+        i = (i + 1) & 0xFF
+        j = (j + s[i]) & 0xFF
+        s[i], s[j] = s[j], s[i]
+        out.append(c ^ s[(s[i] + s[j]) & 0xFF])
+    return bytes(out)
+
+
+def _string_value_after(d: bytes, key: bytes) -> bytes | None:
+    """A PDF string value (literal or hex) following ``/key`` in dict
+    bytes — _value_after's grammar doesn't cover parenthesized strings
+    with arbitrary escapes, which /O and /U require."""
+    m = re.search(rb"/" + key + rb"\s*", d)
+    if not m:
+        return None
+    i = m.end()
+    if d[i : i + 1] == b"(":
+        s, _ = _literal_string(d, i)
+        return s
+    if d[i : i + 1] == b"<":
+        hm = re.match(rb"<([0-9A-Fa-f\s]*)>", d[i:])
+        if hm:
+            hexs = re.sub(rb"\s+", b"", hm.group(1))
+            if len(hexs) & 1:
+                hexs += b"0"
+            return bytes.fromhex(hexs.decode("ascii"))
+    return None
+
+
+def _file_decryption_key(content: bytes, objs: dict[int, bytes]) -> bytes:
+    """The file encryption key for a standard-security-handler PDF with
+    an EMPTY user password — the ubiquitous "encrypted but freely
+    viewable" case (§7.6.3.3 Algorithm 2, validated via Algorithm 6's
+    /U check). Anything else (AES /V 4+, custom handlers, a real user
+    password) raises the named quarantine error."""
+    em = re.search(rb"/Encrypt\s+(\d+)\s+\d+\s+R", content)
+    if not em:
+        raise ValueError("encrypted PDF with non-indirect /Encrypt "
+                         "dictionary not supported")
+    ed = _dict_of(objs.get(int(em.group(1)), b""))
+    filt = _value_after(ed, b"Filter")
+    vm = re.search(rb"/V\s+(\d+)", ed)
+    rm = re.search(rb"/R\s+(\d+)", ed)
+    v = int(vm.group(1)) if vm else 0
+    r = int(rm.group(1)) if rm else 0
+    if filt != b"/Standard" or v not in (1, 2) or r not in (2, 3):
+        raise ValueError(
+            "encrypted PDF uses an unsupported security handler "
+            f"(/Filter {filt.decode('latin-1') if filt else '?'} /V {v} "
+            f"/R {r}) — builtin supports Standard RC4 rev 2/3 only"
+        )
+    lm = re.search(rb"/Length\s+(\d+)", ed)
+    n = (int(lm.group(1)) if lm else 40) // 8
+    o = _string_value_after(ed, b"O")
+    u = _string_value_after(ed, b"U")
+    pm = re.search(rb"/P\s+(-?\d+)", ed)
+    if o is None or u is None or pm is None:
+        raise ValueError("encrypted PDF /Encrypt dict missing O/U/P")
+    # first element of the trailer /ID array (hex string)
+    idm = re.search(rb"/ID\s*\[\s*<([0-9A-Fa-f]*)>", content)
+    id0 = bytes.fromhex(idm.group(1).decode("ascii")) if idm else b""
+    import hashlib
+    import struct as _struct
+
+    h = hashlib.md5(
+        _PW_PAD + o[:32] + _struct.pack("<i", int(pm.group(1))) + id0
+    ).digest()
+    if r >= 3:
+        for _ in range(50):
+            h = hashlib.md5(h[:n]).digest()
+    key = h[:n]
+    # validate the EMPTY user password against /U (Algorithms 4/5 + 6)
+    if r == 2:
+        u_calc = _rc4(key, _PW_PAD)
+        ok = u_calc == u[:32]
+    else:
+        x = hashlib.md5(_PW_PAD + id0).digest()
+        x = _rc4(key, x)
+        for i in range(1, 20):
+            x = _rc4(bytes(b ^ i for b in key), x)
+        ok = x == u[:16]
+    if not ok:
+        raise ValueError(
+            "password-protected PDF (non-empty user password) — "
+            "builtin extractor only opens empty-user-password files"
+        )
+    return key
+
+
+def _decrypt_streams(
+    objs: dict[int, bytes], gens: dict[int, int], key: bytes
+) -> None:
+    """Replace every stream object's payload with its RC4 plaintext in
+    place (per-object key = MD5(file_key + objnum[3 LE] + gen[2 LE]),
+    §7.6.2 Algorithm 1), so the rest of the module — filters, ObjStm
+    expansion, ToUnicode, page walk — runs exactly as on a plain file."""
+    import hashlib
+
+    for num, body in list(objs.items()):
+        pstart, raw = _raw_stream(body, objs)
+        if pstart < 0:
+            continue
+        gen = gens.get(num, 0)
+        k = hashlib.md5(
+            key
+            + num.to_bytes(3, "little")
+            + gen.to_bytes(2, "little")
+        ).digest()[: min(len(key) + 5, 16)]
+        objs[num] = (
+            body[:pstart] + _rc4(k, raw) + body[pstart + len(raw) :]
+        )
 
 
 def _expand_object_streams(objs: dict[int, bytes]) -> None:
@@ -500,12 +653,18 @@ def extract_pdf_text(content: bytes) -> str:
         raise ValueError("not a PDF (missing %PDF header)")
     # Whole-buffer scan: linearized / incrementally-updated files place
     # the trailer's /Encrypt after the FIRST %%EOF, so a prefix scan
-    # misses it and the file silently decodes to garbage. A false
-    # positive (the 8-byte ASCII sequence appearing inside a compressed
-    # payload) merely quarantines — the safe direction.
+    # misses it. Round 6: the ubiquitous empty-user-password RC4
+    # standard-handler case now DECRYPTS (key from Algorithm 2,
+    # validated against /U, every stream payload replaced with its
+    # plaintext up front); anything else still quarantines with a named
+    # error from _file_decryption_key. A false positive (the 8-byte
+    # ASCII sequence inside a compressed payload) merely attempts a key
+    # derivation that fails to a named quarantine — the safe direction.
+    gens: dict[int, int] = {}
+    objs = _scan_objects(content, gens)
     if b"/Encrypt" in content:
-        raise ValueError("encrypted PDF not supported by builtin extractor")
-    objs = _scan_objects(content)
+        key = _file_decryption_key(content, objs)
+        _decrypt_streams(objs, gens, key)
     _expand_object_streams(objs)
     pages: list[str] = []
     for num in sorted(objs):

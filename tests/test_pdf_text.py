@@ -469,3 +469,138 @@ def test_predictor_parms_quarantine():
     )
     with _pytest.raises(ValueError, match="Predictor"):
         extract_pdf_text(pdf)
+
+
+# --- round-6: empty-user-password RC4 decryption ---------------------------
+# In-test ENCRYPTING writer: derives the file key per §7.6.3.3
+# Algorithm 2, computes /U per Algorithm 4/5, and RC4-encrypts each
+# stream with the per-object key of Algorithm 1 — independent forward
+# direction of the decoder under test.
+
+def _rc4_test(key: bytes, data: bytes) -> bytes:
+    s = list(range(256))
+    j = 0
+    for i in range(256):
+        j = (j + s[i] + key[i % len(key)]) & 0xFF
+        s[i], s[j] = s[j], s[i]
+    out = bytearray()
+    i = j = 0
+    for c in data:
+        i = (i + 1) & 0xFF
+        j = (j + s[i]) & 0xFF
+        s[i], s[j] = s[j], s[i]
+        out.append(c ^ s[(s[i] + s[j]) & 0xFF])
+    return bytes(out)
+
+
+def build_encrypted_pdf(content: bytes, rev: int = 3) -> bytes:
+    import hashlib
+    import struct as _struct
+
+    from fund_data_etl_pipeline_spark.sources.pdf_text import _PW_PAD
+
+    n = 16 if rev == 3 else 5
+    o = bytes(range(32))  # arbitrary owner hash: decoder derives from it
+    p = -44
+    id0 = bytes.fromhex("00112233445566778899aabbccddeeff")
+    h = hashlib.md5(_PW_PAD + o + _struct.pack("<i", p) + id0).digest()
+    if rev >= 3:
+        for _ in range(50):
+            h = hashlib.md5(h[:n]).digest()
+    key = h[:n]
+    if rev == 2:
+        u = _rc4_test(key, _PW_PAD)
+    else:
+        u = hashlib.md5(_PW_PAD + id0).digest()
+        u = _rc4_test(key, u)
+        for i in range(1, 20):
+            u = _rc4_test(bytes(b ^ i for b in key), u)
+        u += b"\x00" * 16  # rev-3 /U pads to 32 bytes
+
+    def enc_stream(num: int, payload: bytes) -> bytes:
+        k = hashlib.md5(
+            key + num.to_bytes(3, "little") + (0).to_bytes(2, "little")
+        ).digest()[: min(n + 5, 16)]
+        return _rc4_test(k, payload)
+
+    enc_dict = (
+        b"<< /Filter /Standard /V %d /R %d /Length %d /P %d "
+        b"/O <%s> /U <%s> >>"
+        % (
+            2 if rev == 3 else 1,
+            rev,
+            n * 8,
+            p,
+            o.hex().encode(),
+            u.hex().encode(),
+        )
+    )
+    payload = enc_stream(4, content)
+    objects = [
+        b"<< /Type /Catalog /Pages 2 0 R >>",
+        b"<< /Type /Pages /Kids [3 0 R] /Count 1 >>",
+        b"<< /Type /Page /Parent 2 0 R /Contents 4 0 R >>",
+        b"<< /Length %d >>\nstream\n" % len(payload) + payload
+        + b"\nendstream",
+        enc_dict,
+    ]
+    out = bytearray(b"%PDF-1.4\n%\xe2\xe3\xcf\xd3\n")
+    for i, body in enumerate(objects, start=1):
+        out += b"%d 0 obj\n" % i + body + b"\nendobj\n"
+    out += (
+        b"trailer\n<< /Size 6 /Root 1 0 R /Encrypt 5 0 R "
+        b"/ID [<%s> <%s>] >>\n%%%%EOF\n"
+        % (id0.hex().encode(), id0.hex().encode())
+    )
+    return bytes(out)
+
+
+def test_encrypted_empty_user_password_rev3_decrypts():
+    from fund_data_etl_pipeline_spark.sources.pdf_text import (
+        extract_pdf_text,
+    )
+
+    content = b"BT /F1 12 Tf (decrypted: 8,888.00) Tj ET"
+    assert extract_pdf_text(build_encrypted_pdf(content)) == (
+        "decrypted: 8,888.00"
+    )
+
+
+def test_encrypted_rev2_decrypts():
+    from fund_data_etl_pipeline_spark.sources.pdf_text import (
+        extract_pdf_text,
+    )
+
+    content = b"BT /F1 12 Tf (forty bit rc4) Tj ET"
+    assert extract_pdf_text(build_encrypted_pdf(content, rev=2)) == (
+        "forty bit rc4"
+    )
+
+
+def test_encrypted_real_password_quarantines():
+    import pytest
+
+    from fund_data_etl_pipeline_spark.sources.pdf_text import (
+        extract_pdf_text,
+    )
+
+    blob = bytearray(build_encrypted_pdf(b"BT (x) Tj ET"))
+    # corrupt /U so the empty-password check fails -> named quarantine
+    i = blob.index(b"/U <") + 4
+    blob[i:i + 2] = b"ff" if blob[i:i + 2] != b"ff" else b"00"
+    with pytest.raises(ValueError, match="password-protected"):
+        extract_pdf_text(bytes(blob))
+
+
+def test_encrypted_aes_quarantines():
+    import pytest
+
+    from fund_data_etl_pipeline_spark.sources.pdf_text import (
+        extract_pdf_text,
+    )
+
+    blob = build_encrypted_pdf(b"BT (x) Tj ET").replace(
+        b"/V 2 /R 3", b"/V 4 /R 4"
+    )
+    with pytest.raises(ValueError, match="unsupported security handler"):
+        extract_pdf_text(blob)
