@@ -36,14 +36,16 @@ ordinary generated announcement PDFs:
   overlap, right for the numeric/Latin runs the extractors parse).
 
 Encryption: the standard security handler's ubiquitous
-empty-user-password RC4 case (rev 2/3 — "encrypted but freely
-viewable") decrypts for real (§7.6.3.3 Algorithm 2 key, validated
-against /U, per-object Algorithm 1 keys applied to every stream
-payload up front); AES (/V 4+), custom handlers and real user
-passwords quarantine with named errors.
+empty-user-password case ("encrypted but freely viewable") decrypts
+for real — RC4 rev 2/3, and rev-4 crypt filters /V2 (RC4-128) and
+/AESV2 (AES-128-CBC via the from-spec FIPS-197 inverse cipher,
+sources/aes.py) — §7.6.3.3 Algorithm 2 key validated against /U,
+per-object Algorithm 1 keys applied to every stream payload up front.
+AES-256 (/V 5), custom handlers and real user passwords quarantine
+with named errors.
 
 Deliberately out of scope (documented, quarantine-with-named-error, not
-silently wrong): AES-encrypted files, DCT/JBIG2/JPX filters, predictor
+silently wrong): AES-256 (/V 5) files, DCT/JBIG2/JPX filters, predictor
 DecodeParms, and glyph metrics/positioning (runs are concatenated per
 text block; the downstream regex extractors are whitespace-tolerant by
 design — functions/extract.py P5 letter-spacing).
@@ -322,12 +324,16 @@ def _string_value_after(d: bytes, key: bytes) -> bytes | None:
     return None
 
 
-def _file_decryption_key(content: bytes, objs: dict[int, bytes]) -> bytes:
-    """The file encryption key for a standard-security-handler PDF with
-    an EMPTY user password — the ubiquitous "encrypted but freely
-    viewable" case (§7.6.3.3 Algorithm 2, validated via Algorithm 6's
-    /U check). Anything else (AES /V 4+, custom handlers, a real user
-    password) raises the named quarantine error."""
+def _file_decryption_key(
+    content: bytes, objs: dict[int, bytes]
+) -> tuple[bytes, str]:
+    """(file encryption key, cipher "rc4" | "aes") for a
+    standard-security-handler PDF with an EMPTY user password — the
+    ubiquitous "encrypted but freely viewable" case (§7.6.3.3
+    Algorithm 2, validated via Algorithm 6's /U check). Supported:
+    /V 1/2 RC4 (rev 2/3) and /V 4 crypt filters /AESV2 (AES-128-CBC)
+    or /V2 (RC4-128), rev 4. AES-256 (/V 5), custom handlers and real
+    user passwords raise the named quarantine error."""
     em = re.search(rb"/Encrypt\s+(\d+)\s+\d+\s+R", content)
     if not em:
         raise ValueError("encrypted PDF with non-indirect /Encrypt "
@@ -338,11 +344,26 @@ def _file_decryption_key(content: bytes, objs: dict[int, bytes]) -> bytes:
     rm = re.search(rb"/R\s+(\d+)", ed)
     v = int(vm.group(1)) if vm else 0
     r = int(rm.group(1)) if rm else 0
-    if filt != b"/Standard" or v not in (1, 2) or r not in (2, 3):
+    cipher = "rc4"
+    supported = filt == b"/Standard" and (
+        (v in (1, 2) and r in (2, 3)) or (v == 4 and r == 4)
+    )
+    if v == 4:
+        # crypt-filter form (§7.6.5): the default stream filter names
+        # the actual cipher
+        cfm = re.search(rb"/CFM\s*/(\w+)", ed)
+        if cfm and cfm.group(1) == b"AESV2":
+            cipher = "aes"
+        elif cfm and cfm.group(1) == b"V2":
+            cipher = "rc4"
+        else:
+            supported = False
+    if not supported:
         raise ValueError(
             "encrypted PDF uses an unsupported security handler "
             f"(/Filter {filt.decode('latin-1') if filt else '?'} /V {v} "
-            f"/R {r}) — builtin supports Standard RC4 rev 2/3 only"
+            f"/R {r}) — builtin supports Standard RC4 rev 2-4 and "
+            "AESV2; AES-256 (/V 5) and custom handlers quarantine"
         )
     lm = re.search(rb"/Length\s+(\d+)", ed)
     n = (int(lm.group(1)) if lm else 40) // 8
@@ -357,9 +378,11 @@ def _file_decryption_key(content: bytes, objs: dict[int, bytes]) -> bytes:
     import hashlib
     import struct as _struct
 
-    h = hashlib.md5(
-        _PW_PAD + o[:32] + _struct.pack("<i", int(pm.group(1))) + id0
-    ).digest()
+    seed = _PW_PAD + o[:32] + _struct.pack("<i", int(pm.group(1))) + id0
+    # Algorithm 2 step f: /EncryptMetadata false appends 0xFFFFFFFF
+    if re.search(rb"/EncryptMetadata\s+false", ed):
+        seed += b"\xff\xff\xff\xff"
+    h = hashlib.md5(seed).digest()
     if r >= 3:
         for _ in range(50):
             h = hashlib.md5(h[:n]).digest()
@@ -379,16 +402,24 @@ def _file_decryption_key(content: bytes, objs: dict[int, bytes]) -> bytes:
             "password-protected PDF (non-empty user password) — "
             "builtin extractor only opens empty-user-password files"
         )
-    return key
+    return key, cipher
 
 
 def _decrypt_streams(
-    objs: dict[int, bytes], gens: dict[int, int], key: bytes
+    objs: dict[int, bytes],
+    gens: dict[int, int],
+    key: bytes,
+    cipher: str = "rc4",
 ) -> None:
-    """Replace every stream object's payload with its RC4 plaintext in
-    place (per-object key = MD5(file_key + objnum[3 LE] + gen[2 LE]),
-    §7.6.2 Algorithm 1), so the rest of the module — filters, ObjStm
-    expansion, ToUnicode, page walk — runs exactly as on a plain file."""
+    """Replace every stream object's payload with its plaintext in
+    place (per-object key = MD5(file_key + objnum[3 LE] + gen[2 LE]
+    [+ "sAlT" for AES]), §7.6.2 Algorithm 1), so the rest of the
+    module — filters, ObjStm expansion, ToUnicode, page walk — runs
+    exactly as on a plain file. AES plaintext is shorter than the
+    IV-and-padding-carrying ciphertext, so the dict's direct /Length is
+    rewritten to match (an indirect /Length goes stale, which is fine:
+    _raw_stream's consistency check then falls back to the endstream
+    bracket)."""
     import hashlib
 
     for num, body in list(objs.items()):
@@ -396,14 +427,27 @@ def _decrypt_streams(
         if pstart < 0:
             continue
         gen = gens.get(num, 0)
-        k = hashlib.md5(
-            key
-            + num.to_bytes(3, "little")
-            + gen.to_bytes(2, "little")
-        ).digest()[: min(len(key) + 5, 16)]
-        objs[num] = (
-            body[:pstart] + _rc4(k, raw) + body[pstart + len(raw) :]
+        seed = (
+            key + num.to_bytes(3, "little") + gen.to_bytes(2, "little")
         )
+        if cipher == "aes":
+            seed += b"sAlT"
+        k = hashlib.md5(seed).digest()[: min(len(key) + 5, 16)]
+        if cipher == "aes":
+            from .aes import aes_cbc_decrypt
+
+            plain = aes_cbc_decrypt(k, raw)
+        else:
+            plain = _rc4(k, raw)
+        head = body[:pstart]
+        if len(plain) != len(raw):
+            head = re.sub(
+                rb"/Length\s+\d+(?=[\s/>])",
+                b"/Length %d" % len(plain),
+                head,
+                count=1,
+            )
+        objs[num] = head + plain + body[pstart + len(raw) :]
 
 
 def _expand_object_streams(objs: dict[int, bytes]) -> None:
@@ -663,8 +707,8 @@ def extract_pdf_text(content: bytes) -> str:
     gens: dict[int, int] = {}
     objs = _scan_objects(content, gens)
     if b"/Encrypt" in content:
-        key = _file_decryption_key(content, objs)
-        _decrypt_streams(objs, gens, key)
+        key, cipher = _file_decryption_key(content, objs)
+        _decrypt_streams(objs, gens, key, cipher)
     _expand_object_streams(objs)
     pages: list[str] = []
     for num in sorted(objs):

@@ -1,0 +1,200 @@
+"""AES decryption tests (sources/aes.py + the pdf_text AESV2 path).
+
+Correctness is pinned two independent ways:
+1. FIPS-197 Appendix C known-answer vectors — published ciphertexts
+   must decrypt to published plaintexts for all three key sizes;
+2. round-trips against an in-test FORWARD cipher implemented here from
+   the spec's encryption direction (§5.1), plus a full AESV2-encrypted
+   PDF built by an in-test writer and read back by the extractor.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import struct
+
+import pytest
+
+from fund_data_etl_pipeline_spark.sources.aes import (
+    _SBOX,
+    aes_cbc_decrypt,
+    decrypt_block,
+)
+from fund_data_etl_pipeline_spark.sources.pdf_text import _PW_PAD
+
+
+# --- in-test FORWARD cipher (FIPS-197 §5.1 encryption direction) ----------
+
+def _xtime(a):
+    a <<= 1
+    return (a ^ 0x1B) & 0xFF if a & 0x100 else a
+
+
+def _expand_key_fwd(key: bytes):
+    rcon = (0x01, 0x02, 0x04, 0x08, 0x10, 0x20, 0x40, 0x80, 0x1B, 0x36)
+    nk = len(key) // 4
+    nr = nk + 6
+    words = [key[4 * i : 4 * i + 4] for i in range(nk)]
+    for i in range(nk, 4 * (nr + 1)):
+        t = words[i - 1]
+        if i % nk == 0:
+            t = bytes(_SBOX[b] for b in (t[1], t[2], t[3], t[0]))
+            t = bytes((t[0] ^ rcon[i // nk - 1], t[1], t[2], t[3]))
+        elif nk > 6 and i % nk == 4:
+            t = bytes(_SBOX[b] for b in t)
+        words.append(bytes(a ^ b for a, b in zip(words[i - nk], t)))
+    return [b"".join(words[4 * r : 4 * r + 4]) for r in range(nr + 1)]
+
+
+def encrypt_block(key: bytes, block: bytes) -> bytes:
+    rk = _expand_key_fwd(key)
+    nr = len(rk) - 1
+    s = bytearray(a ^ b for a, b in zip(block, rk[0]))
+    for rnd in range(1, nr + 1):
+        for i in range(16):
+            s[i] = _SBOX[s[i]]
+        for r in range(1, 4):  # ShiftRows: row r rotates LEFT by r
+            row = [s[r + 4 * c] for c in range(4)]
+            for c in range(4):
+                s[r + 4 * c] = row[(c + r) % 4]
+        if rnd < nr:  # MixColumns
+            for c in range(4):
+                a = s[4 * c : 4 * c + 4]
+                s[4 * c + 0] = _xtime(a[0]) ^ _xtime(a[1]) ^ a[1] ^ a[2] ^ a[3]
+                s[4 * c + 1] = a[0] ^ _xtime(a[1]) ^ _xtime(a[2]) ^ a[2] ^ a[3]
+                s[4 * c + 2] = a[0] ^ a[1] ^ _xtime(a[2]) ^ _xtime(a[3]) ^ a[3]
+                s[4 * c + 3] = _xtime(a[0]) ^ a[0] ^ a[1] ^ a[2] ^ _xtime(a[3])
+        for i in range(16):
+            s[i] ^= rk[rnd][i]
+    return bytes(s)
+
+
+def aes_cbc_encrypt(key: bytes, iv: bytes, plain: bytes) -> bytes:
+    pad = 16 - (len(plain) % 16)
+    plain = plain + bytes([pad]) * pad
+    out = bytearray(iv)
+    prev = iv
+    for off in range(0, len(plain), 16):
+        block = bytes(
+            a ^ b for a, b in zip(plain[off : off + 16], prev)
+        )
+        prev = encrypt_block(key, block)
+        out += prev
+    return bytes(out)
+
+
+def test_fips197_known_answers():
+    vectors = [
+        ("000102030405060708090a0b0c0d0e0f",
+         "69c4e0d86a7b0430d8cdb78070b4c55a"),
+        ("000102030405060708090a0b0c0d0e0f1011121314151617",
+         "dda97ca4864cdfe06eaf70a0ec0d7191"),
+        ("000102030405060708090a0b0c0d0e0f"
+         "101112131415161718191a1b1c1d1e1f",
+         "8ea2b7ca516745bfeafc49904b496089"),
+    ]
+    pt = bytes.fromhex("00112233445566778899aabbccddeeff")
+    for khex, chex in vectors:
+        key, ct = bytes.fromhex(khex), bytes.fromhex(chex)
+        assert decrypt_block(key, ct) == pt
+        assert encrypt_block(key, pt) == ct  # forward twin agrees too
+
+
+def test_cbc_roundtrip_and_padding():
+    key = bytes(range(16))
+    iv = bytes(range(100, 116))
+    for n in (1, 15, 16, 17, 100):
+        plain = bytes((i * 7) & 0xFF for i in range(n))
+        ct = aes_cbc_encrypt(key, iv, plain)
+        assert aes_cbc_decrypt(key, ct) == plain
+    with pytest.raises(ValueError, match="padding|multiple"):
+        aes_cbc_decrypt(key, b"\x00" * 31)
+    with pytest.raises(ValueError, match="padding"):
+        aes_cbc_decrypt(bytes(16), aes_cbc_encrypt(key, iv, b"x" * 20))
+
+
+def build_aes_pdf(content: bytes) -> bytes:
+    """In-test AESV2 (/V 4 /R 4) writer with an empty user password."""
+    n = 16
+    o = bytes(range(200, 232))
+    p = -3904
+    id0 = bytes.fromhex("ffeeddccbbaa99887766554433221100")
+    h = hashlib.md5(_PW_PAD + o + struct.pack("<i", p) + id0).digest()
+    for _ in range(50):
+        h = hashlib.md5(h[:n]).digest()
+    key = h[:n]
+
+    def _rc4(k, data):
+        s = list(range(256))
+        j = 0
+        for i in range(256):
+            j = (j + s[i] + k[i % len(k)]) & 0xFF
+            s[i], s[j] = s[j], s[i]
+        out = bytearray()
+        i = j = 0
+        for c in data:
+            i = (i + 1) & 0xFF
+            j = (j + s[i]) & 0xFF
+            s[i], s[j] = s[j], s[i]
+            out.append(c ^ s[(s[i] + s[j]) & 0xFF])
+        return bytes(out)
+
+    u = hashlib.md5(_PW_PAD + id0).digest()
+    u = _rc4(key, u)
+    for i in range(1, 20):
+        u = _rc4(bytes(b ^ i for b in key), u)
+    u += b"\x00" * 16
+
+    k4 = hashlib.md5(
+        key + (4).to_bytes(3, "little") + (0).to_bytes(2, "little")
+        + b"sAlT"
+    ).digest()[:16]
+    iv = bytes(range(50, 66))
+    payload = aes_cbc_encrypt(k4, iv, content)
+    enc_dict = (
+        b"<< /Filter /Standard /V 4 /R 4 /Length 128 /P %d "
+        b"/CF << /StdCF << /CFM /AESV2 /AuthEvent /DocOpen >> >> "
+        b"/StmF /StdCF /StrF /StdCF "
+        b"/O <%s> /U <%s> >>"
+        % (p, o.hex().encode(), u.hex().encode())
+    )
+    objects = [
+        b"<< /Type /Catalog /Pages 2 0 R >>",
+        b"<< /Type /Pages /Kids [3 0 R] /Count 1 >>",
+        b"<< /Type /Page /Parent 2 0 R /Contents 4 0 R >>",
+        b"<< /Length %d >>\nstream\n" % len(payload) + payload
+        + b"\nendstream",
+        enc_dict,
+    ]
+    out = bytearray(b"%PDF-1.6\n%\xe2\xe3\xcf\xd3\n")
+    for i, body in enumerate(objects, start=1):
+        out += b"%d 0 obj\n" % i + body + b"\nendobj\n"
+    out += (
+        b"trailer\n<< /Size 6 /Root 1 0 R /Encrypt 5 0 R "
+        b"/ID [<%s> <%s>] >>\n%%%%EOF\n"
+        % (id0.hex().encode(), id0.hex().encode())
+    )
+    return bytes(out)
+
+
+def test_aesv2_pdf_decrypts():
+    from fund_data_etl_pipeline_spark.sources.pdf_text import (
+        extract_pdf_text,
+    )
+
+    content = b"BT /F1 12 Tf (aes decrypted: 123,456.78) Tj ET"
+    assert extract_pdf_text(build_aes_pdf(content)) == (
+        "aes decrypted: 123,456.78"
+    )
+
+
+def test_aes256_v5_quarantines():
+    from fund_data_etl_pipeline_spark.sources.pdf_text import (
+        extract_pdf_text,
+    )
+
+    blob = build_aes_pdf(b"BT (x) Tj ET").replace(
+        b"/V 4 /R 4", b"/V 5 /R 6"
+    ).replace(b"/CFM /AESV2", b"/CFM /AESV3")
+    with pytest.raises(ValueError, match="unsupported security handler"):
+        extract_pdf_text(blob)
