@@ -131,6 +131,58 @@ def _decrypt_block_rk(rk: list[bytes], block: bytes) -> bytes:
     return bytes(s)
 
 
+def encrypt_block(key: bytes, block: bytes) -> bytes:
+    """One 16-byte block through the FIPS-197 §5.1 forward cipher —
+    needed by PDF's R6 hardened password hash (Algorithm 2.B), whose
+    inner loop ENCRYPTS with AES-128-CBC."""
+    return _encrypt_block_rk(_expand_key(key), block)
+
+
+def aes_cbc_encrypt_raw(key: bytes, iv: bytes, plain: bytes) -> bytes:
+    """CBC encryption WITHOUT padding (input must be block-aligned) —
+    the Algorithm 2.B inner step."""
+    if len(plain) % 16:
+        raise ValueError("raw CBC input must be a multiple of 16 bytes")
+    rk = _expand_key(key)
+    out = bytearray()
+    prev = iv
+    for off in range(0, len(plain), 16):
+        block = bytes(a ^ b for a, b in zip(plain[off : off + 16], prev))
+        prev = _encrypt_block_rk(rk, block)
+        out += prev
+    return bytes(out)
+
+
+def _encrypt_block_rk(rk: list[bytes], block: bytes) -> bytes:
+    nr = len(rk) - 1
+    s = bytearray(a ^ b for a, b in zip(block, rk[0]))
+    for rnd in range(1, nr + 1):
+        for i in range(16):
+            s[i] = _SBOX[s[i]]
+        for r in range(1, 4):
+            row = [s[r + 4 * c] for c in range(4)]
+            for c in range(4):
+                s[r + 4 * c] = row[(c + r) % 4]
+        if rnd < nr:
+            for c in range(4):
+                a = s[4 * c : 4 * c + 4]
+                s[4 * c + 0] = (
+                    _xtime(a[0]) ^ _xtime(a[1]) ^ a[1] ^ a[2] ^ a[3]
+                )
+                s[4 * c + 1] = (
+                    a[0] ^ _xtime(a[1]) ^ _xtime(a[2]) ^ a[2] ^ a[3]
+                )
+                s[4 * c + 2] = (
+                    a[0] ^ a[1] ^ _xtime(a[2]) ^ _xtime(a[3]) ^ a[3]
+                )
+                s[4 * c + 3] = (
+                    _xtime(a[0]) ^ a[0] ^ a[1] ^ a[2] ^ _xtime(a[3])
+                )
+        for i in range(16):
+            s[i] ^= rk[rnd][i]
+    return bytes(s)
+
+
 def aes_cbc_decrypt(key: bytes, payload: bytes) -> bytes:
     """IV-prefixed CBC decryption with PKCS#5 unpadding — the PDF
     AESV2/AESV3 stream layout (ISO 32000 §7.6.2)."""

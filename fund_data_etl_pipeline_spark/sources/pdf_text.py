@@ -37,18 +37,18 @@ ordinary generated announcement PDFs:
 
 Encryption: the standard security handler's ubiquitous
 empty-user-password case ("encrypted but freely viewable") decrypts
-for real — RC4 rev 2/3, and rev-4 crypt filters /V2 (RC4-128) and
-/AESV2 (AES-128-CBC via the from-spec FIPS-197 inverse cipher,
-sources/aes.py) — §7.6.3.3 Algorithm 2 key validated against /U,
-per-object Algorithm 1 keys applied to every stream payload up front.
-AES-256 (/V 5), custom handlers and real user passwords quarantine
-with named errors.
+for real across every deployed revision — RC4 rev 2/3, rev-4 crypt
+filters /V2 (RC4-128) and /AESV2 (AES-128-CBC), and rev-6 /AESV3
+(AES-256: the Algorithm 2.B hardened hash validates /U and unwraps the
+file key from /UE) — all via the from-spec FIPS-197 cipher in
+sources/aes.py. Custom handlers, the withdrawn R5 draft and real user
+passwords quarantine with named errors.
 
 Deliberately out of scope (documented, quarantine-with-named-error, not
-silently wrong): AES-256 (/V 5) files, DCT/JBIG2/JPX filters, predictor
-DecodeParms, and glyph metrics/positioning (runs are concatenated per
-text block; the downstream regex extractors are whitespace-tolerant by
-design — functions/extract.py P5 letter-spacing).
+silently wrong): DCT/JBIG2/JPX filters, predictor DecodeParms, and
+glyph metrics/positioning (runs are concatenated per text block; the
+downstream regex extractors are whitespace-tolerant by design —
+functions/extract.py P5 letter-spacing).
 """
 
 from __future__ import annotations
@@ -324,6 +324,32 @@ def _string_value_after(d: bytes, key: bytes) -> bytes | None:
     return None
 
 
+def _hash_2b(password: bytes, salt: bytes, udata: bytes = b"") -> bytes:
+    """The R6 hardened password hash (ISO 32000-2 §7.6.4.3.4,
+    Algorithm 2.B): SHA-256 seeded, then rounds of x64-replicated
+    AES-128-CBC encryption whose output picks SHA-256/384/512 for the
+    next key — at least 64 rounds, continuing while the last byte of
+    the encrypted block exceeds (round - 32). The loop formulation
+    matches the widely-deployed readers' semantics."""
+    import hashlib
+
+    from .aes import aes_cbc_encrypt_raw
+
+    k = hashlib.sha256(password + salt + udata).digest()
+    i = 0
+    e = b"\xff"
+    while i < 64 or e[-1] > i - 32:
+        k1 = (password + k + udata) * 64
+        e = aes_cbc_encrypt_raw(k[:16], k[16:32], k1)
+        k = (
+            hashlib.sha256,
+            hashlib.sha384,
+            hashlib.sha512,
+        )[sum(e[:16]) % 3](e).digest()
+        i += 1
+    return k[:32]
+
+
 def _file_decryption_key(
     content: bytes, objs: dict[int, bytes]
 ) -> tuple[bytes, str]:
@@ -346,15 +372,19 @@ def _file_decryption_key(
     r = int(rm.group(1)) if rm else 0
     cipher = "rc4"
     supported = filt == b"/Standard" and (
-        (v in (1, 2) and r in (2, 3)) or (v == 4 and r == 4)
+        (v in (1, 2) and r in (2, 3))
+        or (v == 4 and r == 4)
+        or (v == 5 and r == 6)
     )
-    if v == 4:
+    if v in (4, 5):
         # crypt-filter form (§7.6.5): the default stream filter names
         # the actual cipher
         cfm = re.search(rb"/CFM\s*/(\w+)", ed)
-        if cfm and cfm.group(1) == b"AESV2":
+        if cfm and cfm.group(1) == b"AESV3" and v == 5:
+            cipher = "aes256"
+        elif cfm and cfm.group(1) == b"AESV2" and v == 4:
             cipher = "aes"
-        elif cfm and cfm.group(1) == b"V2":
+        elif cfm and cfm.group(1) == b"V2" and v == 4:
             cipher = "rc4"
         else:
             supported = False
@@ -362,9 +392,35 @@ def _file_decryption_key(
         raise ValueError(
             "encrypted PDF uses an unsupported security handler "
             f"(/Filter {filt.decode('latin-1') if filt else '?'} /V {v} "
-            f"/R {r}) — builtin supports Standard RC4 rev 2-4 and "
-            "AESV2; AES-256 (/V 5) and custom handlers quarantine"
+            f"/R {r}) — builtin supports Standard RC4 rev 2-4, AESV2 "
+            "and AESV3/R6; custom handlers quarantine"
         )
+    if cipher == "aes256":
+        # R6 (§7.6.4.4.10): /U = hash(32) + validation salt(8) +
+        # key salt(8); /UE = file key wrapped with the key-salt hash
+        u = _string_value_after(ed, b"U")
+        ue = _string_value_after(ed, b"UE")
+        if u is None or len(u) < 48 or ue is None or len(ue) < 32:
+            raise ValueError("encrypted PDF /Encrypt dict missing "
+                             "R6 /U//UE entries")
+        if _hash_2b(b"", u[32:40]) != u[:32]:
+            raise ValueError(
+                "password-protected PDF (non-empty user password) — "
+                "builtin extractor only opens empty-user-password files"
+            )
+        ikey = _hash_2b(b"", u[40:48])
+        from .aes import decrypt_block as _aes_dec
+
+        # unwrap /UE with AES-256-CBC, zero IV, no padding
+        prev = b"\x00" * 16
+        key = b""
+        for off in range(0, 32, 16):
+            block = ue[off : off + 16]
+            key += bytes(
+                a ^ b for a, b in zip(_aes_dec(ikey, block), prev)
+            )
+            prev = block
+        return key, cipher
     lm = re.search(rb"/Length\s+(\d+)", ed)
     n = (int(lm.group(1)) if lm else 40) // 8
     o = _string_value_after(ed, b"O")
@@ -427,18 +483,26 @@ def _decrypt_streams(
         if pstart < 0:
             continue
         gen = gens.get(num, 0)
-        seed = (
-            key + num.to_bytes(3, "little") + gen.to_bytes(2, "little")
-        )
-        if cipher == "aes":
-            seed += b"sAlT"
-        k = hashlib.md5(seed).digest()[: min(len(key) + 5, 16)]
-        if cipher == "aes":
+        if cipher == "aes256":
+            # V5 uses the file key directly for every object (§7.6.2)
             from .aes import aes_cbc_decrypt
 
-            plain = aes_cbc_decrypt(k, raw)
+            plain = aes_cbc_decrypt(key, raw)
         else:
-            plain = _rc4(k, raw)
+            seed = (
+                key
+                + num.to_bytes(3, "little")
+                + gen.to_bytes(2, "little")
+            )
+            if cipher == "aes":
+                seed += b"sAlT"
+            k = hashlib.md5(seed).digest()[: min(len(key) + 5, 16)]
+            if cipher == "aes":
+                from .aes import aes_cbc_decrypt
+
+                plain = aes_cbc_decrypt(k, raw)
+            else:
+                plain = _rc4(k, raw)
         head = body[:pstart]
         if len(plain) != len(raw):
             head = re.sub(

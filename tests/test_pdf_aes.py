@@ -188,13 +188,119 @@ def test_aesv2_pdf_decrypts():
     )
 
 
-def test_aes256_v5_quarantines():
+def test_aes256_r5_draft_quarantines():
+    # the withdrawn /R 5 draft revision stays unsupported
     from fund_data_etl_pipeline_spark.sources.pdf_text import (
         extract_pdf_text,
     )
 
     blob = build_aes_pdf(b"BT (x) Tj ET").replace(
-        b"/V 4 /R 4", b"/V 5 /R 6"
+        b"/V 4 /R 4", b"/V 5 /R 5"
     ).replace(b"/CFM /AESV2", b"/CFM /AESV3")
     with pytest.raises(ValueError, match="unsupported security handler"):
         extract_pdf_text(blob)
+
+
+# --- AES-256 /V 5 /R 6 (AESV3) --------------------------------------------
+
+def _hash_2b_test(password: bytes, salt: bytes, udata: bytes = b"") -> bytes:
+    """Independent transcription of the R6 hardened hash using the
+    in-test forward cipher."""
+
+    def cbc_raw(key, iv, plain):
+        out = bytearray()
+        prev = iv
+        for off in range(0, len(plain), 16):
+            block = bytes(
+                a ^ b for a, b in zip(plain[off : off + 16], prev)
+            )
+            prev = encrypt_block(key, block)
+            out += prev
+        return bytes(out)
+
+    k = hashlib.sha256(password + salt + udata).digest()
+    i = 0
+    e = b"\xff"
+    while i < 64 or e[-1] > i - 32:
+        k1 = (password + k + udata) * 64
+        e = cbc_raw(k[:16], k[16:32], k1)
+        k = (hashlib.sha256, hashlib.sha384, hashlib.sha512)[
+            sum(e[:16]) % 3
+        ](e).digest()
+        i += 1
+    return k[:32]
+
+
+def test_hash_2b_agrees_with_source():
+    from fund_data_etl_pipeline_spark.sources.pdf_text import _hash_2b
+
+    for pw, salt in ((b"", b"12345678"), (b"secret", b"\x00" * 8)):
+        assert _hash_2b(pw, salt) == _hash_2b_test(pw, salt)
+
+
+def build_aes256_pdf(content: bytes) -> bytes:
+    file_key = bytes((i * 37 + 11) & 0xFF for i in range(32))
+    vs = b"valsalt!"
+    ks = b"keysalt!"
+    u = _hash_2b_test(b"", vs) + vs + ks
+    ikey = _hash_2b_test(b"", ks)
+    # wrap the file key: AES-256-CBC encrypt with zero IV, no padding
+    prev = b"\x00" * 16
+    ue = b""
+    for off in range(0, 32, 16):
+        block = bytes(
+            a ^ b for a, b in zip(file_key[off : off + 16], prev)
+        )
+        prev = encrypt_block(ikey, block)
+        ue += prev
+    iv = bytes(range(16))
+    payload = aes_cbc_encrypt(file_key, iv, content)
+    enc_dict = (
+        b"<< /Filter /Standard /V 5 /R 6 /Length 256 /P -4 "
+        b"/CF << /StdCF << /CFM /AESV3 /AuthEvent /DocOpen >> >> "
+        b"/StmF /StdCF /StrF /StdCF "
+        b"/O <%s> /OE <%s> /U <%s> /UE <%s> /Perms <%s> >>"
+        % (
+            (b"\x00" * 48).hex().encode(),
+            (b"\x00" * 32).hex().encode(),
+            u.hex().encode(),
+            ue.hex().encode(),
+            (b"\x00" * 16).hex().encode(),
+        )
+    )
+    objects = [
+        b"<< /Type /Catalog /Pages 2 0 R >>",
+        b"<< /Type /Pages /Kids [3 0 R] /Count 1 >>",
+        b"<< /Type /Page /Parent 2 0 R /Contents 4 0 R >>",
+        b"<< /Length %d >>\nstream\n" % len(payload) + payload
+        + b"\nendstream",
+        enc_dict,
+    ]
+    out = bytearray(b"%PDF-2.0\n%\xe2\xe3\xcf\xd3\n")
+    for i, body in enumerate(objects, start=1):
+        out += b"%d 0 obj\n" % i + body + b"\nendobj\n"
+    out += b"trailer\n<< /Size 6 /Root 1 0 R /Encrypt 5 0 R >>\n%%EOF\n"
+    return bytes(out)
+
+
+def test_aesv3_r6_pdf_decrypts():
+    from fund_data_etl_pipeline_spark.sources.pdf_text import (
+        extract_pdf_text,
+    )
+
+    content = b"BT /F1 12 Tf (aes256 opened: 999.99) Tj ET"
+    assert extract_pdf_text(build_aes256_pdf(content)) == (
+        "aes256 opened: 999.99"
+    )
+
+
+def test_aesv3_real_password_quarantines():
+    from fund_data_etl_pipeline_spark.sources.pdf_text import (
+        extract_pdf_text,
+    )
+
+    blob = bytearray(build_aes256_pdf(b"BT (x) Tj ET"))
+    i = blob.index(b"/U <") + 4
+    blob[i:i + 2] = b"00" if blob[i:i + 2] != b"00" else b"ff"
+    with pytest.raises(ValueError, match="password-protected"):
+        extract_pdf_text(bytes(blob))
