@@ -20,11 +20,21 @@ use is decoded here with stdlib + numpy:
   BT.601, upsampling by sample replication for subsampled chroma),
   h/v sampling factors 1 or 2.
 
+Round 6 adds PROGRESSIVE mode (SOF2, the dominant web-JPEG variant):
+per-component coefficient arrays accumulate across scans — DC first
+(diff << Al) and DC refinement (one appended bit per block), AC first
+with EOB-run coding, and AC successive-approximation refinement
+(G.1.2.3: correction bits for history-nonzero coefficients while
+zero-runs and EOB runs address the zero-history ones) — then one
+shared dequant + IDCT reconstruction. Extended sequential (SOF1,
+8-bit) decodes through the baseline path, which it matches
+bit-for-bit.
+
 Out of scope, raising a NAMED error (the S7 quarantine convention —
-never silently wrong): progressive (SOF2) and extended/lossless/
-arithmetic modes, 12-bit precision, 4-component CMYK/Adobe transforms.
-Round-trip tests in tests/test_jpeg_codec.py drive this decoder against
-an independently-written in-test baseline ENCODER (FDCT + Annex K
+never silently wrong): lossless/hierarchical/arithmetic modes, 12-bit
+precision, 4-component CMYK/Adobe transforms. Round-trip tests in
+tests/test_jpeg_codec.py drive this decoder against independently
+written in-test baseline AND progressive ENCODERS (FDCT + Annex K
 tables), the xls_writer/pdf_text/png_codec strategy.
 """
 
@@ -168,8 +178,9 @@ def _entropy_segments(data: bytes, pos: int) -> tuple[list[bytes], int]:
 
 
 def decode_jpeg(data: bytes) -> tuple[int, int, int, np.ndarray]:
-    """(width, height, channels, pixels[h, w, c] uint8) of a baseline
-    JPEG blob. Named errors for non-baseline modes (S7 quarantine)."""
+    """(width, height, channels, pixels[h, w, c] uint8) of a baseline,
+    extended-sequential or progressive JPEG blob. Named errors for the
+    remaining modes (S7 quarantine)."""
     if not data.startswith(JPEG_MAGIC[:2]):
         raise ValueError("not a JPEG (missing SOI)")
     pos = 2
@@ -178,6 +189,8 @@ def decode_jpeg(data: bytes) -> tuple[int, int, int, np.ndarray]:
     huff_ac: dict[int, _HuffTable] = {}
     restart_interval = 0
     frame = None  # (width, height, components)
+    progressive = False
+    state = None  # progressive coefficient accumulator
     out = None
     while pos + 4 <= len(data):
         if data[pos] != 0xFF:
@@ -212,7 +225,9 @@ def decode_jpeg(data: bytes) -> tuple[int, int, int, np.ndarray]:
                     bits, values
                 )
                 i += 17 + nval
-        elif marker == 0xC0:  # SOF0 baseline sequential
+        elif marker in (0xC0, 0xC1, 0xC2):
+            # SOF0 baseline / SOF1 extended sequential (identical
+            # Huffman decoding at 8 bits) / SOF2 progressive
             _prec, h, w, nc = struct.unpack(">BHHB", body[:6])
             if _prec != 8:
                 raise ValueError("only 8-bit JPEG precision supported")
@@ -223,29 +238,52 @@ def decode_jpeg(data: bytes) -> tuple[int, int, int, np.ndarray]:
                     {"id": cid, "h": hv >> 4, "v": hv & 0x0F, "tq": tq}
                 )
             frame = (w, h, comps)
-        elif marker in (0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA,
+            progressive = marker == 0xC2
+        elif marker in (0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA,
                         0xCB, 0xCD, 0xCE, 0xCF):
             raise ValueError(
-                f"JPEG SOF{marker - 0xC0} (non-baseline mode) not "
-                "supported — baseline sequential (SOF0) only"
+                f"JPEG SOF{marker - 0xC0} (lossless/hierarchical/"
+                "arithmetic mode) not supported — sequential (SOF0/1) "
+                "and progressive (SOF2) only"
             )
         elif marker == 0xDD:  # DRI
             (restart_interval,) = struct.unpack(">H", body[:2])
         elif marker == 0xDA:  # SOS
             if frame is None:
-                raise ValueError("JPEG SOS before SOF0")
+                raise ValueError("JPEG SOS before SOF")
             ns = body[0]
-            scan_tabs = {}
-            for c in range(ns):
-                cid, tabs = body[1 + 2 * c : 3 + 2 * c]
-                scan_tabs[cid] = (tabs >> 4, tabs & 0x0F)
-            segs, pos = _entropy_segments(data, pos)
-            out = _decode_scan(
-                frame, qt, huff_dc, huff_ac, scan_tabs, segs,
-                restart_interval,
-            )
+            if progressive:
+                scan_comps = []
+                for c in range(ns):
+                    cid, tabs = body[1 + 2 * c : 3 + 2 * c]
+                    ci = next(
+                        i for i, cc in enumerate(frame[2])
+                        if cc["id"] == cid
+                    )
+                    scan_comps.append((ci, tabs >> 4, tabs & 0x0F))
+                ss, se, ahal = body[1 + 2 * ns : 4 + 2 * ns]
+                if state is None:
+                    state = _init_progressive(frame)
+                segs, pos = _entropy_segments(data, pos)
+                _decode_progressive_scan(
+                    frame, state, huff_dc, huff_ac, scan_comps,
+                    ss, se, ahal >> 4, ahal & 0x0F, segs,
+                    restart_interval,
+                )
+            else:
+                scan_tabs = {}
+                for c in range(ns):
+                    cid, tabs = body[1 + 2 * c : 3 + 2 * c]
+                    scan_tabs[cid] = (tabs >> 4, tabs & 0x0F)
+                segs, pos = _entropy_segments(data, pos)
+                out = _decode_scan(
+                    frame, qt, huff_dc, huff_ac, scan_tabs, segs,
+                    restart_interval,
+                )
         else:
             continue  # APPn / COM / unknown: skipped
+    if progressive and state is not None:
+        out = _reconstruct_progressive(frame, qt, state)
     if out is None:
         raise ValueError("JPEG has no decoded scan (truncated?)")
     return out
@@ -313,6 +351,231 @@ def _decode_scan(frame, qt, huff_dc, huff_ac, scan_tabs, segs,
         return w, h, 1, px[:, :, None]
     y, cb, cr = full[0], full[1] - 128.0, full[2] - 128.0
     # JFIF full-range BT.601 (T.871)
+    rgb = np.stack(
+        [
+            y + 1.402 * cr,
+            y - 0.344136 * cb - 0.714136 * cr,
+            y + 1.772 * cb,
+        ],
+        axis=-1,
+    )
+    return w, h, 3, np.clip(np.round(rgb), 0, 255).astype(np.uint8)
+
+
+def _grid_dims(frame):
+    """(mcus_x, mcus_y, per-component padded + non-interleaved block
+    dims). Non-interleaved scans cover ceil(comp_size/8) blocks of the
+    component's OWN sampled dimensions (A.2.2), which can be smaller
+    than the MCU-padded grid interleaved scans fill."""
+    w, h, comps = frame
+    hmax = max(c["h"] for c in comps)
+    vmax = max(c["v"] for c in comps)
+    mcus_x = -(-w // (8 * hmax))
+    mcus_y = -(-h // (8 * vmax))
+    dims = []
+    for c in comps:
+        cw = -(-(w * c["h"]) // hmax)
+        ch = -(-(h * c["v"]) // vmax)
+        dims.append(
+            {
+                "pad_bx": mcus_x * c["h"],
+                "pad_by": mcus_y * c["v"],
+                "ni_bx": -(-cw // 8),
+                "ni_by": -(-ch // 8),
+            }
+        )
+    return mcus_x, mcus_y, dims
+
+
+def _init_progressive(frame):
+    """Per-component zigzag-order coefficient accumulators at the
+    MCU-padded grid size, filled across scans."""
+    _, _, dims = _grid_dims(frame)
+    return [
+        np.zeros((d["pad_by"], d["pad_bx"], 64), dtype=np.int32)
+        for d in dims
+    ]
+
+
+def _decode_progressive_scan(
+    frame, state, huff_dc, huff_ac, scan_comps, ss, se, ah, al, segs,
+    restart_interval,
+):
+    """One progressive SOS into the coefficient accumulators — the four
+    scan kinds of G.1.2: DC first/refine (Ss=0), AC first/refine
+    (Ss>0, single component). EOB runs and DC predictors reset at
+    restart boundaries (segs are already split on RSTn)."""
+    w, h, comps = frame
+    mcus_x, mcus_y, dims = _grid_dims(frame)
+    if ss == 0 and se != 0:
+        raise ValueError("progressive DC scan with Se != 0")
+    if ss > 0 and len(scan_comps) != 1:
+        raise ValueError("progressive AC scan must be single-component")
+    if ss > se or se > 63:
+        raise ValueError("progressive spectral band out of range")
+
+    # scan order as a flat list of (ci, by, bx) block coordinates; an
+    # "MCU" is one block in a non-interleaved (single-component) scan
+    blocks: list[tuple[int, int, int]] = []
+    if len(scan_comps) == 1:
+        ci = scan_comps[0][0]
+        d = dims[ci]
+        for by in range(d["ni_by"]):
+            for bx in range(d["ni_bx"]):
+                blocks.append((ci, by, bx))
+        mcu_blocks = 1
+    else:
+        for m in range(mcus_x * mcus_y):
+            my, mx = divmod(m, mcus_x)
+            for ci, _dt, _at in scan_comps:
+                c = comps[ci]
+                for by in range(c["v"]):
+                    for bx in range(c["h"]):
+                        blocks.append(
+                            (ci, my * c["v"] + by, mx * c["h"] + bx)
+                        )
+        mcu_blocks = sum(
+            comps[ci]["v"] * comps[ci]["h"] for ci, _d, _a in scan_comps
+        )
+    dc_tab = {ci: dt for ci, dt, _ in scan_comps}
+    ac_tab = {ci: at for ci, _, at in scan_comps}
+    per_seg = (
+        restart_interval * mcu_blocks if restart_interval else len(blocks)
+    )
+    idx = 0
+    for seg in segs:
+        if idx >= len(blocks):
+            break
+        r = _BitReader(seg)
+        preds = {ci: 0 for ci, _d, _a in scan_comps}
+        eobrun = 0
+        for _ in range(min(per_seg, len(blocks) - idx)):
+            ci, by, bx = blocks[idx]
+            zz = state[ci][by, bx]
+            if ss == 0:
+                if ah == 0:  # DC first
+                    t = r.decode(huff_dc[dc_tab[ci]])
+                    preds[ci] += _extend(r.read_bits(t), t)
+                    zz[0] = preds[ci] << al
+                else:  # DC refinement: one appended bit
+                    if r.read_bit():
+                        zz[0] |= 1 << al
+            elif ah == 0:
+                eobrun = _ac_first(
+                    r, huff_ac[ac_tab[ci]], zz, ss, se, al, eobrun
+                )
+            else:
+                eobrun = _ac_refine(
+                    r, huff_ac[ac_tab[ci]], zz, ss, se, al, eobrun
+                )
+            idx += 1
+    if idx < len(blocks):
+        raise ValueError("JPEG progressive scan ends before last block")
+
+
+def _ac_first(r, tab, zz, ss, se, al, eobrun):
+    """AC first scan for one block (G.1.2.2): run/size pairs with
+    EOBn codes spanning whole blocks."""
+    if eobrun > 0:
+        return eobrun - 1
+    k = ss
+    while k <= se:
+        rs = r.decode(tab)
+        run, size = rs >> 4, rs & 0x0F
+        if size == 0:
+            if run < 15:  # EOBn
+                eobrun = (1 << run) - 1
+                if run:
+                    eobrun += r.read_bits(run)
+                break
+            k += 16  # ZRL
+            continue
+        k += run
+        if k > se:
+            raise ValueError("JPEG progressive AC run past band end")
+        zz[k] = _extend(r.read_bits(size), size) << al
+        k += 1
+    return eobrun
+
+
+def _ac_refine(r, tab, zz, ss, se, al, eobrun):
+    """AC refinement scan for one block (G.1.2.3): newly nonzero
+    coefficients are coded as +-1<<Al; every HISTORY-nonzero
+    coefficient traversed appends one correction bit; zero runs and
+    EOB runs count only zero-history positions."""
+    p1 = 1 << al
+    k = ss
+
+    def correct(pos: int) -> None:
+        coef = int(zz[pos])
+        if r.read_bit() and (coef & p1) == 0:
+            zz[pos] = coef + (p1 if coef >= 0 else -p1)
+
+    if eobrun == 0:
+        while k <= se:
+            rs = r.decode(tab)
+            run, size = rs >> 4, rs & 0x0F
+            if size == 0:
+                if run < 15:  # EOBn: finish via the correction tail
+                    eobrun = 1 << run
+                    if run:
+                        eobrun += r.read_bits(run)
+                    break
+                newval = 0  # ZRL: 16 zero-history positions
+            else:
+                if size != 1:
+                    raise ValueError(
+                        "JPEG AC refinement size must be 1"
+                    )
+                newval = p1 if r.read_bit() else -p1
+            while k <= se:
+                if zz[k] != 0:
+                    correct(k)
+                else:
+                    if run == 0:
+                        break
+                    run -= 1
+                k += 1
+            if newval and k <= se:
+                zz[k] = newval
+            k += 1
+    if eobrun > 0:
+        while k <= se:
+            if zz[k] != 0:
+                correct(k)
+            k += 1
+        eobrun -= 1
+    return eobrun
+
+
+def _reconstruct_progressive(frame, qt, state):
+    """Dequantize + inverse zigzag + batched IDCT + upsample — the
+    shared tail once every scan has landed."""
+    w, h, comps = frame
+    nc = len(comps)
+    if nc not in (1, 3):
+        raise ValueError(
+            f"{nc}-component JPEG (CMYK/unknown) not supported"
+        )
+    hmax = max(c["h"] for c in comps)
+    vmax = max(c["v"] for c in comps)
+    full = []
+    for ci, c in enumerate(comps):
+        zzs = state[ci].astype(np.float64) * qt[c["tq"]][None, None, :]
+        by, bx = zzs.shape[:2]
+        coeff = np.zeros((by, bx, 64))
+        coeff[:, :, ZIGZAG] = zzs
+        f = coeff.reshape(by, bx, 8, 8)
+        blocks = np.einsum("ux,ijuv,vy->ijxy", _IDCT_M, f, _IDCT_M)
+        plane = blocks.transpose(0, 2, 1, 3).reshape(by * 8, bx * 8)
+        plane = np.repeat(
+            np.repeat(plane, vmax // c["v"], 0), hmax // c["h"], 1
+        )
+        full.append(plane[:h, :w] + 128.0)
+    if nc == 1:
+        px = np.clip(np.round(full[0]), 0, 255).astype(np.uint8)
+        return w, h, 1, px[:, :, None]
+    y, cb, cr = full[0], full[1] - 128.0, full[2] - 128.0
     rgb = np.stack(
         [
             y + 1.402 * cr,

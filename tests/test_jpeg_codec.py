@@ -282,14 +282,14 @@ def test_quantized_dc_only_block_exact():
     assert np.array_equal(px[:, :, 0], img)
 
 
-def test_named_error_progressive():
+def test_named_error_lossless():
     from fund_data_etl_pipeline_spark.operators.jpeg_codec import decode_jpeg
 
     blob = encode_jpeg(_gradient(8, 8))
-    # rewrite SOF0 marker to SOF2 (progressive)
+    # rewrite SOF0 marker to SOF3 (lossless) — still a named error
     i = blob.index(b"\xff\xc0")
-    bad = blob[:i] + b"\xff\xc2" + blob[i + 2 :]
-    with pytest.raises(ValueError, match="SOF2"):
+    bad = blob[:i] + b"\xff\xc3" + blob[i + 2 :]
+    with pytest.raises(ValueError, match="SOF3"):
         decode_jpeg(bad)
 
 
@@ -321,3 +321,265 @@ def test_image_features_real_jpeg_path(spark):
     assert r["width"] == 20 and r["height"] == 12
     expected = mean_luma(img[:, :, None])
     assert abs(r["mean_luma"] - expected) <= 1.5
+
+
+# --- progressive (SOF2) encoder + tests -----------------------------------
+# Forward direction of G.1.2: DC first/refine, AC first with EOB runs,
+# AC successive-approximation refinement with buffered correction bits.
+# All Huffman codes stay length 8 (the _dht trick); the AC table gains
+# the EOBn symbols (r<<4 for r=1..14) progressive scans need.
+
+_AC_SYMS_PROG = _AC_SYMS + [r << 4 for r in range(1, 15)]
+
+
+def _prog_sos(comps_spec, ss, se, ah, al) -> bytes:
+    seg = struct.pack(">H", 6 + 2 * len(comps_spec)) + bytes(
+        [len(comps_spec)]
+    )
+    for cid, dt, at in comps_spec:
+        seg += bytes([cid, (dt << 4) | at])
+    seg += bytes([ss, se, (ah << 4) | al])
+    return b"\xff\xda" + seg
+
+
+def _emit_eobrun_first(w, st):
+    e = st["eobrun"]
+    if e:
+        r = e.bit_length() - 1
+        c, n = _code(_AC_SYMS_PROG, r << 4)
+        w.write(c, n)
+        if r:
+            w.write(e - (1 << r), r)
+        st["eobrun"] = 0
+
+
+def _enc_ac_first(w, st, zz, ss, se, al):
+    vals = [
+        (abs(zz[k]) >> al) * (1 if zz[k] >= 0 else -1)
+        for k in range(ss, se + 1)
+    ]
+    nz = [i for i, v in enumerate(vals) if v]
+    if not nz:
+        st["eobrun"] += 1
+        if st["eobrun"] == 0x7FFF:
+            _emit_eobrun_first(w, st)
+        return
+    _emit_eobrun_first(w, st)
+    run = 0
+    for i in range(nz[-1] + 1):
+        v = vals[i]
+        if v == 0:
+            run += 1
+            continue
+        while run > 15:
+            c, n = _code(_AC_SYMS_PROG, 0xF0)
+            w.write(c, n)
+            run -= 16
+        t, bits = _cat(v)
+        c, n = _code(_AC_SYMS_PROG, (run << 4) | t)
+        w.write(c, n)
+        w.write(bits, t)
+        run = 0
+    if nz[-1] < len(vals) - 1:
+        st["eobrun"] += 1
+        if st["eobrun"] == 0x7FFF:
+            _emit_eobrun_first(w, st)
+
+
+def _emit_eobrun_refine(w, st):
+    e = st["eobrun"]
+    if e:
+        r = e.bit_length() - 1
+        c, n = _code(_AC_SYMS_PROG, r << 4)
+        w.write(c, n)
+        if r:
+            w.write(e - (1 << r), r)
+        st["eobrun"] = 0
+        for bit in st["be"]:
+            w.write(bit, 1)
+        st["be"] = []
+
+
+def _enc_ac_refine(w, st, zz, ss, se, al):
+    vals = [zz[k] for k in range(ss, se + 1)]
+    abs_t = [abs(v) >> al for v in vals]
+    eob = -1
+    for i, t in enumerate(abs_t):
+        if t == 1:
+            eob = i
+    r = 0
+    br: list[int] = []
+    for i, t in enumerate(abs_t):
+        if t == 0:
+            r += 1
+            continue
+        while r > 15 and i <= eob:
+            _emit_eobrun_refine(w, st)
+            c, n = _code(_AC_SYMS_PROG, 0xF0)
+            w.write(c, n)
+            r -= 16
+            for bit in br:
+                w.write(bit, 1)
+            br = []
+        if t > 1:  # history-nonzero: buffer its correction bit
+            br.append(t & 1)
+            continue
+        # t == 1: newly visible coefficient
+        _emit_eobrun_refine(w, st)
+        c, n = _code(_AC_SYMS_PROG, (r << 4) | 1)
+        w.write(c, n)
+        w.write(1 if vals[i] >= 0 else 0, 1)
+        for bit in br:
+            w.write(bit, 1)
+        br = []
+        r = 0
+    if r > 0 or br:
+        st["eobrun"] += 1
+        st["be"].extend(br)
+        if st["eobrun"] == 0x7FFF:
+            _emit_eobrun_refine(w, st)
+
+
+def encode_jpeg_progressive(
+    px: np.ndarray,
+    quant: np.ndarray | None = None,
+    spectral_split: bool = False,
+) -> bytes:
+    """Progressive JFIF encoder (4:4:4 / grayscale): DC first (Al=1) ->
+    AC first per component (Al=1, optionally two spectral bands) -> DC
+    refine -> AC refine per component (Al=0)."""
+    q = (
+        quant if quant is not None else np.ones(64, dtype=np.int32)
+    ).astype(np.int32)
+    gray = px.ndim == 2
+    h, w = px.shape[:2]
+    if gray:
+        planes = [px.astype(np.float64)]
+    else:
+        rgb = px.astype(np.float64)
+        y = 0.299 * rgb[..., 0] + 0.587 * rgb[..., 1] + 0.114 * rgb[..., 2]
+        cb = (
+            -0.168736 * rgb[..., 0] - 0.331264 * rgb[..., 1]
+            + 0.5 * rgb[..., 2] + 128.0
+        )
+        cr = (
+            0.5 * rgb[..., 0] - 0.418688 * rgb[..., 1]
+            - 0.081312 * rgb[..., 2] + 128.0
+        )
+        planes = [y, cb, cr]
+    nc = len(planes)
+    out = bytearray(b"\xff\xd8")
+    out += b"\xff\xdb" + struct.pack(">H", 67) + b"\x00" + bytes(
+        int(v) for v in q
+    )
+    out += (
+        b"\xff\xc2"  # SOF2
+        + struct.pack(">H", 8 + 3 * nc)
+        + struct.pack(">BHHB", 8, h, w, nc)
+    )
+    for ci in range(nc):
+        out += bytes([ci + 1, 0x11, 0])  # 4:4:4
+    out += _dht(0, 0, _DC_SYMS) + _dht(1, 0, _AC_SYMS_PROG)
+    blocks = [_plane_blocks(planes[ci], q) for ci in range(nc)]
+    bh = len(blocks[0])
+    bw = len(blocks[0][0])
+
+    def raster(ci):
+        for by in range(bh):
+            for bx in range(bw):
+                yield blocks[ci][by][bx]
+
+    # scan 1: interleaved DC first, Al=1 (arithmetic-shift transform)
+    out += _prog_sos([(ci + 1, 0, 0) for ci in range(nc)], 0, 0, 0, 1)
+    wtr = _BitWriter()
+    preds = [0] * nc
+    for by in range(bh):
+        for bx in range(bw):
+            for ci in range(nc):
+                dcv = blocks[ci][by][bx][0] >> 1
+                t, bits = _cat(dcv - preds[ci])
+                preds[ci] = dcv
+                c, n = _code(_DC_SYMS, t)
+                wtr.write(c, n)
+                wtr.write(bits, t)
+    out += wtr.flush()
+    # scans 2..: per-component AC first, Al=1
+    bands = [(1, 5), (6, 63)] if spectral_split else [(1, 63)]
+    for ci in range(nc):
+        for bs, be_ in bands:
+            out += _prog_sos([(ci + 1, 0, 0)], bs, be_, 0, 1)
+            wtr = _BitWriter()
+            st = {"eobrun": 0}
+            for zz in raster(ci):
+                _enc_ac_first(wtr, st, zz, bs, be_, 1)
+            _emit_eobrun_first(wtr, st)
+            out += wtr.flush()
+    # DC refine, Al=0: one raw bit per block
+    out += _prog_sos([(ci + 1, 0, 0) for ci in range(nc)], 0, 0, 1, 0)
+    wtr = _BitWriter()
+    for by in range(bh):
+        for bx in range(bw):
+            for ci in range(nc):
+                wtr.write(blocks[ci][by][bx][0] & 1, 1)
+    out += wtr.flush()
+    # per-component AC refine, Al=0
+    for ci in range(nc):
+        for bs, be_ in bands:
+            out += _prog_sos([(ci + 1, 0, 0)], bs, be_, 1, 0)
+            wtr = _BitWriter()
+            st = {"eobrun": 0, "be": []}
+            for zz in raster(ci):
+                _enc_ac_refine(wtr, st, zz, bs, be_, 0)
+            _emit_eobrun_refine(wtr, st)
+            out += wtr.flush()
+    out += b"\xff\xd9"
+    return bytes(out)
+
+
+def test_progressive_matches_baseline_gray():
+    from fund_data_etl_pipeline_spark.operators.jpeg_codec import decode_jpeg
+
+    img = _gradient(24, 17)
+    base = decode_jpeg(encode_jpeg(img))[3]
+    prog = decode_jpeg(encode_jpeg_progressive(img))[3]
+    assert np.array_equal(prog, base)
+
+
+def test_progressive_matches_baseline_rgb():
+    from fund_data_etl_pipeline_spark.operators.jpeg_codec import decode_jpeg
+
+    rng = np.random.default_rng(21)
+    img = rng.integers(0, 256, size=(16, 24, 3), dtype=np.uint8)
+    base = decode_jpeg(encode_jpeg(img))[3]
+    prog = decode_jpeg(encode_jpeg_progressive(img))[3]
+    assert np.array_equal(prog, base)
+
+
+def test_progressive_spectral_split_and_smooth():
+    # a smooth image maximizes EOB runs; spectral split exercises
+    # multi-band AC scans
+    from fund_data_etl_pipeline_spark.operators.jpeg_codec import decode_jpeg
+
+    yy, xx = np.mgrid[0:32, 0:40]
+    img = np.stack(
+        [
+            (128 + 60 * np.sin(yy / 9.0)).astype(np.uint8),
+            (128 + 60 * np.cos(xx / 11.0)).astype(np.uint8),
+            np.full((32, 40), 77, dtype=np.uint8),
+        ],
+        axis=-1,
+    )
+    base = decode_jpeg(encode_jpeg(img))[3]
+    prog = decode_jpeg(
+        encode_jpeg_progressive(img, spectral_split=True)
+    )[3]
+    assert np.array_equal(prog, base)
+
+
+def test_sof1_extended_sequential_decodes_identically():
+    from fund_data_etl_pipeline_spark.operators.jpeg_codec import decode_jpeg
+
+    blob = encode_jpeg(_gradient(16, 16))
+    i = blob.index(b"\xff\xc0")
+    ext = blob[:i] + b"\xff\xc1" + blob[i + 2 :]
+    assert np.array_equal(decode_jpeg(ext)[3], decode_jpeg(blob)[3])
