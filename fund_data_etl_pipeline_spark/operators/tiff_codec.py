@@ -10,7 +10,9 @@ parsing:
   Section 9 run-length scheme), 5 (LZW, the spec's Section 13 variant:
   MSB-first code packing and the "early change" width bump one code
   before the table fills — deliberately DIFFERENT from GIF's LZW), and
-  8 / 32946 (zlib Deflate, the PNG-style extension tag pair);
+  8 / 32946 (zlib Deflate, the PNG-style extension tag pair), with
+  Predictor 2 (tag 317 horizontal differencing) undone via a per-row
+  cumulative sum;
 - PhotometricInterpretation 0/1 (grayscale, incl. the inverted
   WhiteIsZero convention), 2 (RGB, 8 bits/sample), 3 (palette via the
   16-bit ColorMap tag);
@@ -170,11 +172,15 @@ def decode_tiff(data: bytes) -> tuple[int, int, int, np.ndarray]:
     spp = one(277, 1)
     bits = tags.get(258, [8] * spp)
     planar = one(284, 1)
+    predictor = one(317, 1)
     if comp not in (1, 5, 8, 32773, 32946):
         raise ValueError(f"TIFF compression {comp} not supported "
                          "(uncompressed, LZW, Deflate or PackBits only)")
     if planar != 1:
         raise ValueError("TIFF planar configuration 2 not supported")
+    if predictor not in (1, 2):
+        raise ValueError(f"TIFF predictor {predictor} not supported "
+                         "(none or horizontal differencing)")
     if any(b != 8 for b in bits):
         raise ValueError(f"TIFF bit depths {bits} not supported (8 only)")
     if photo not in (0, 1, 2, 3):
@@ -216,6 +222,11 @@ def decode_tiff(data: bytes) -> tuple[int, int, int, np.ndarray]:
     if flat.size < height * row_bytes:
         raise ValueError("TIFF strips cover fewer rows than ImageLength")
     px = flat[: height * row_bytes].reshape(height, width, spp)
+    if predictor == 2:
+        # horizontal differencing (tag 317): each row's samples are
+        # deltas from the previous pixel, per sample channel — undo
+        # with a per-row cumulative sum mod 256
+        px = np.cumsum(px.astype(np.uint32), axis=1).astype(np.uint8)
     if photo == 2:
         rgb = px[:, :, :3]
     elif photo == 3:

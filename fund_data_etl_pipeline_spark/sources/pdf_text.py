@@ -44,8 +44,11 @@ file key from /UE) — all via the from-spec FIPS-197 cipher in
 sources/aes.py. Custom handlers, the withdrawn R5 draft and real user
 passwords quarantine with named errors.
 
+Predictor DecodeParms (§7.4.4.4) are undone — 2 (TIFF horizontal
+differencing) and 10-15 (the PNG row filters) at 8 bits/component.
+
 Deliberately out of scope (documented, quarantine-with-named-error, not
-silently wrong): DCT/JBIG2/JPX filters, predictor DecodeParms, and
+silently wrong): DCT/JBIG2/JPX filters and
 glyph metrics/positioning (runs are concatenated per text block; the
 downstream regex extractors are whitespace-tolerant by design —
 functions/extract.py P5 letter-spacing).
@@ -222,12 +225,6 @@ def _stream_data(body: bytes, objs: dict[int, bytes]) -> bytes:
         return raw
     parms = _value_after(d, b"DecodeParms") or _value_after(d, b"DP")
     if parms:
-        pm = re.search(rb"/Predictor\s+(\d+)", parms)
-        if pm and int(pm.group(1)) > 1:
-            raise ValueError(
-                "PDF stream uses a Predictor DecodeParm (xref-stream "
-                "convention) — not supported for content streams"
-            )
         em = re.search(rb"/EarlyChange\s+(\d+)", parms)
         if em and int(em.group(1)) == 0:
             raise ValueError("PDF LZWDecode with EarlyChange 0 not "
@@ -237,7 +234,73 @@ def _stream_data(body: bytes, objs: dict[int, bytes]) -> bytes:
     out = raw
     for name in _NAME_RE.findall(filt):
         out = _apply_filter(name, out)
+    if parms:
+        out = _apply_predictor(out, parms)
     return out
+
+
+def _apply_predictor(data: bytes, parms: bytes) -> bytes:
+    """Undo a /Predictor DecodeParm (§7.4.4.4): 2 = TIFF horizontal
+    differencing, 10-15 = the PNG row filters (each row prefixed by its
+    filter-type byte, exactly the PNG §6 algorithms)."""
+    pm = re.search(rb"/Predictor\s+(\d+)", parms)
+    pred = int(pm.group(1)) if pm else 1
+    if pred <= 1:
+        return data
+
+    def _i(key: bytes, default: int) -> int:
+        m = re.search(rb"/" + key + rb"\s+(\d+)", parms)
+        return int(m.group(1)) if m else default
+
+    colors = _i(b"Colors", 1)
+    bpc = _i(b"BitsPerComponent", 8)
+    columns = _i(b"Columns", 1)
+    if bpc != 8:
+        raise ValueError(
+            f"PDF predictor with BitsPerComponent {bpc} not supported"
+        )
+    bpp = colors
+    rowlen = columns * colors
+    if pred == 2:  # TIFF horizontal differencing
+        out = bytearray(data)
+        for r0 in range(0, len(out) - rowlen + 1, rowlen):
+            for i in range(bpp, rowlen):
+                out[r0 + i] = (out[r0 + i] + out[r0 + i - bpp]) & 0xFF
+        return bytes(out)
+    if not 10 <= pred <= 15:
+        raise ValueError(f"PDF predictor {pred} not supported")
+    out = bytearray()
+    prev = bytearray(rowlen)
+    pos = 0
+    while pos < len(data):
+        ft = data[pos]
+        row = bytearray(data[pos + 1 : pos + 1 + rowlen])
+        pos += 1 + rowlen
+        for x in range(len(row)):
+            a = row[x - bpp] if x >= bpp else 0
+            b = prev[x]
+            if ft == 0:
+                break
+            if ft == 1:
+                row[x] = (row[x] + a) & 0xFF
+            elif ft == 2:
+                row[x] = (row[x] + b) & 0xFF
+            elif ft == 3:
+                row[x] = (row[x] + ((a + b) >> 1)) & 0xFF
+            elif ft == 4:
+                c = prev[x - bpp] if x >= bpp else 0
+                p = a + b - c
+                pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                prd = a if (pa <= pb and pa <= pc) else (
+                    b if pb <= pc else c
+                )
+                row[x] = (row[x] + prd) & 0xFF
+            else:
+                raise ValueError(f"PDF PNG-predictor row type {ft} "
+                                 "invalid")
+        out += row
+        prev = row
+    return bytes(out)
 
 
 def _apply_filter(name: bytes, raw: bytes) -> bytes:

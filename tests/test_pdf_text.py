@@ -442,7 +442,78 @@ def test_objstm_payload_offsets_honored():
     assert _dict_of(objs[3]) == b3
 
 
-def test_predictor_parms_quarantine():
+def _pdf_with_parms(payload: bytes, parms: bytes) -> bytes:
+    obj = (
+        b"<< /Length %d /Filter /FlateDecode /DecodeParms " % len(payload)
+        + parms
+        + b" >>\nstream\n"
+        + payload
+        + b"\nendstream"
+    )
+    return build_pdf(
+        [
+            b"<< /Type /Catalog /Pages 2 0 R >>",
+            b"<< /Type /Pages /Kids [3 0 R] /Count 1 >>",
+            b"<< /Type /Page /Parent 2 0 R /Contents 4 0 R >>",
+            obj,
+        ]
+    )
+
+
+def test_png_predictor_up_rows_decode():
+    """PNG Up-predictor (12) rows: each row stores deltas vs the row
+    above, prefixed by filter-type byte 2 — the xref-stream layout
+    applied to a content stream."""
+    import zlib as _z
+
+    from fund_data_etl_pipeline_spark.sources.pdf_text import (
+        extract_pdf_text,
+    )
+
+    content = b"BT /F1 9 Tf (predicted rows!) Tj ET"
+    cols = 7
+    pad = (-len(content)) % cols
+    data = content + b" " * pad
+    rows = [data[i : i + cols] for i in range(0, len(data), cols)]
+    enc = bytearray()
+    prev = bytes(cols)
+    for row in rows:
+        enc.append(2)  # Up
+        enc += bytes((c - p) & 0xFF for c, p in zip(row, prev))
+        prev = row
+    pdf = _pdf_with_parms(
+        _z.compress(bytes(enc)),
+        b"<< /Predictor 12 /Columns %d >>" % cols,
+    )
+    assert extract_pdf_text(pdf) == "predicted rows!"
+
+
+def test_tiff_predictor_2_decodes():
+    import zlib as _z
+
+    from fund_data_etl_pipeline_spark.sources.pdf_text import (
+        extract_pdf_text,
+    )
+
+    content = b"BT /F1 9 Tf (tiff differencing) Tj ET"
+    cols = 6
+    pad = (-len(content)) % cols
+    data = content + b" " * pad
+    enc = bytearray()
+    for i in range(0, len(data), cols):
+        row = data[i : i + cols]
+        enc.append(row[0])
+        enc += bytes(
+            (row[j] - row[j - 1]) & 0xFF for j in range(1, cols)
+        )
+    pdf = _pdf_with_parms(
+        _z.compress(bytes(enc)),
+        b"<< /Predictor 2 /Columns %d >>" % cols,
+    )
+    assert extract_pdf_text(pdf) == "tiff differencing"
+
+
+def test_unknown_predictor_quarantines():
     import zlib as _z
 
     import pytest as _pytest
@@ -451,23 +522,11 @@ def test_predictor_parms_quarantine():
         extract_pdf_text,
     )
 
-    content = _z.compress(b"BT (x) Tj ET")
-    obj = (
-        b"<< /Length %d /Filter /FlateDecode "
-        b"/DecodeParms << /Predictor 12 /Columns 4 >> >>\nstream\n"
-        % len(content)
-        + content
-        + b"\nendstream"
+    pdf = _pdf_with_parms(
+        _z.compress(b"BT (x) Tj ET"),
+        b"<< /Predictor 5 /Columns 4 >>",
     )
-    pdf = build_pdf(
-        [
-            b"<< /Type /Catalog /Pages 2 0 R >>",
-            b"<< /Type /Pages /Kids [3 0 R] /Count 1 >>",
-            b"<< /Type /Page /Parent 2 0 R /Contents 4 0 R >>",
-            obj,
-        ]
-    )
-    with _pytest.raises(ValueError, match="Predictor"):
+    with _pytest.raises(ValueError, match="predictor 5"):
         extract_pdf_text(pdf)
 
 

@@ -337,3 +337,32 @@ def test_tiff_deflate_roundtrip():
         blob = _strip_recompress(write_tiff(img), comp, zlib.compress)
         _, _, _, px = decode_tiff(blob)
         assert np.array_equal(px, img)
+
+
+def test_tiff_lzw_with_horizontal_predictor():
+    """Predictor 2 (tag 317): rows stored as per-channel deltas — the
+    common companion of LZW in real TIFFs."""
+    rng = np.random.default_rng(12)
+    img = np.repeat(
+        rng.integers(0, 8, size=(14, 5, 3), dtype=np.uint8) * 30, 4, axis=1
+    )
+
+    def delta_then_lzw(body: bytes) -> bytes:
+        rows = np.frombuffer(body, dtype=np.uint8).reshape(14, 20, 3)
+        d = rows.astype(np.int16)
+        d[:, 1:] = d[:, 1:] - d[:, :-1]
+        return _lzw_encode_tiff((d % 256).astype(np.uint8).tobytes())
+
+    blob = bytearray(_strip_recompress(write_tiff(img), 5, delta_then_lzw))
+    # append a Predictor=2 tag: easier — rewrite IFD by inserting is
+    # fiddly, so write the tag into a fresh file via the writer's
+    # entry list is not supported; instead patch tag 284 (planar,
+    # value 1) into tag 317 (predictor, value 2) — same SHORT layout
+    n = struct.unpack("<H", blob[8:10])[0]
+    for i in range(n):
+        off = 10 + 12 * i
+        if struct.unpack("<H", blob[off:off + 2])[0] == 284:
+            blob[off:off + 2] = struct.pack("<H", 317)
+            blob[off + 8:off + 10] = struct.pack("<H", 2)
+    _, _, _, px = decode_tiff(bytes(blob))
+    assert np.array_equal(px, img)
