@@ -9,16 +9,18 @@ PNG subset that matters:
 
 - chunk stream: signature, IHDR, concatenated IDAT, IEND (ancillary
   chunks skipped); CRCs validated with zlib.crc32;
-- bit depth 8, color types 0 (grayscale), 2 (RGB) and 6 (RGBA),
-  non-interlaced — the shapes synthetic/ML corpora actually use;
+- every PNG color type: 0 (grayscale, depths 1/2/4/8/16), 2 (RGB,
+  8/16), 3 (palette via PLTE, depths 1/2/4/8), 4 (gray+alpha, 8/16 —
+  emitted as RGBA with the gray replicated so mean_luma is uniform)
+  and 6 (RGBA, 8/16); 16-bit samples keep their high byte (the
+  standard 8-bit display reduction), sub-byte samples unpack MSB-first
+  per scanline;
 - all five scanline filters (None/Sub/Up/Average/Paeth, §6) undone
-  row-by-row with vectorized numpy per-row arithmetic (the byte-serial
-  dependency is within a row's filter, rows stream in order).
+  row-by-row; Adam7 interlace (§8) reassembled from its seven
+  independently-filtered passes.
 
-Out of scope, raising a NAMED error (the S7 quarantine convention —
-never silently wrong): interlaced images, palette color, 16-bit depth,
-and JPEG (DCT entropy coding is a genuinely different engineering
-project; that stub remains, documented).
+Out of scope: nothing PNG — every legal IHDR shape decodes. (JPEG's
+DCT entropy coding lives in operators/jpeg_codec.py.)
 """
 
 from __future__ import annotations
@@ -30,7 +32,83 @@ import numpy as np
 
 PNG_MAGIC = b"\x89PNG\r\n\x1a\n"
 
-_CHANNELS = {0: 1, 2: 3, 6: 4}  # color type -> samples per pixel
+_CHANNELS = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}  # color type -> samples/px
+_VALID_DEPTHS = {
+    0: (1, 2, 4, 8, 16),
+    2: (8, 16),
+    3: (1, 2, 4, 8),
+    4: (8, 16),
+    6: (8, 16),
+}
+# Adam7 pass grid (§8.2): (x0, y0, dx, dy)
+_ADAM7 = (
+    (0, 0, 8, 8), (4, 0, 8, 8), (0, 4, 4, 8), (2, 0, 4, 4),
+    (0, 2, 2, 4), (1, 0, 2, 2), (0, 1, 1, 2),
+)
+
+
+def _unfilter_rows(
+    raw: bytes, off: int, n_rows: int, stride: int, bpp: int
+) -> tuple[np.ndarray, int]:
+    """Undo the per-scanline filters for one (sub-)image of ``n_rows``
+    rows of ``stride`` bytes starting at ``off``; returns the byte rows
+    and the new offset."""
+    need = n_rows * (stride + 1)
+    if len(raw) - off < need:
+        raise ValueError("PNG pixel data length mismatch")
+    out = np.zeros((n_rows, stride), dtype=np.uint8)
+    prev = np.zeros(stride, dtype=np.uint8)
+    for y in range(n_rows):
+        row_start = off + y * (stride + 1)
+        ftype = raw[row_start]
+        line = np.frombuffer(
+            raw, dtype=np.uint8, count=stride, offset=row_start + 1
+        ).copy()
+        if ftype == 0:
+            cur = line
+        elif ftype == 2:
+            cur = line + prev
+        elif ftype in (1, 3, 4):
+            cur = line
+            for x in range(stride):
+                a = int(cur[x - bpp]) if x >= bpp else 0
+                b = int(prev[x])
+                if ftype == 1:
+                    cur[x] = (int(cur[x]) + a) & 0xFF
+                elif ftype == 3:
+                    cur[x] = (int(cur[x]) + ((a + b) >> 1)) & 0xFF
+                else:
+                    c = int(prev[x - bpp]) if x >= bpp else 0
+                    pr = a + b - c
+                    pa, pb, pc = abs(pr - a), abs(pr - b), abs(pr - c)
+                    pred = a if (pa <= pb and pa <= pc) else (
+                        b if pb <= pc else c
+                    )
+                    cur[x] = (int(cur[x]) + pred) & 0xFF
+        else:
+            raise ValueError(f"PNG filter type {ftype} invalid")
+        out[y] = cur
+        prev = out[y]
+    return out, off + need
+
+
+def _rows_to_samples(
+    rows: np.ndarray, wpx: int, ch: int, depth: int
+) -> np.ndarray:
+    """Byte rows -> [h, wpx, ch] uint8 samples (16-bit keeps the high
+    byte; sub-byte depths unpack MSB-first)."""
+    h = rows.shape[0]
+    if depth == 8:
+        return rows[:, : wpx * ch].reshape(h, wpx, ch)
+    if depth == 16:
+        return rows[:, : wpx * ch * 2 : 2].reshape(h, wpx, ch)
+    per_byte = 8 // depth
+    shifts = np.arange(per_byte - 1, -1, -1) * depth
+    mask = (1 << depth) - 1
+    vals = (
+        (rows[:, :, None] >> shifts[None, None, :]) & mask
+    ).reshape(h, -1)[:, : wpx * ch]
+    return vals.reshape(h, wpx, ch).astype(np.uint8)
 
 
 def decode_png(data: bytes) -> tuple[int, int, int, np.ndarray]:
@@ -40,6 +118,7 @@ def decode_png(data: bytes) -> tuple[int, int, int, np.ndarray]:
     pos = len(PNG_MAGIC)
     width = height = None
     bit_depth = color_type = interlace = None
+    plte = None
     idat = bytearray()
     while pos + 8 <= len(data):
         (length,) = struct.unpack(">I", data[pos : pos + 4])
@@ -54,6 +133,8 @@ def decode_png(data: bytes) -> tuple[int, int, int, np.ndarray]:
             width, height, bit_depth, color_type, _, _, interlace = (
                 struct.unpack(">IIBBBBB", body)
             )
+        elif ctype == b"PLTE":
+            plte = np.frombuffer(body, dtype=np.uint8).reshape(-1, 3)
         elif ctype == b"IDAT":
             idat += body
         elif ctype == b"IEND":
@@ -61,55 +142,55 @@ def decode_png(data: bytes) -> tuple[int, int, int, np.ndarray]:
         pos += 12 + length
     if width is None:
         raise ValueError("PNG has no IHDR chunk")
-    if bit_depth != 8:
-        raise ValueError(f"PNG bit depth {bit_depth} unsupported (only 8)")
     if color_type not in _CHANNELS:
+        raise ValueError(f"PNG color type {color_type} invalid")
+    if bit_depth not in _VALID_DEPTHS[color_type]:
         raise ValueError(
-            f"PNG color type {color_type} unsupported (0/2/6 only)"
+            f"PNG bit depth {bit_depth} invalid for color type "
+            f"{color_type}"
         )
-    if interlace:
-        raise ValueError("interlaced PNG unsupported")
     ch = _CHANNELS[color_type]
     raw = zlib.decompress(bytes(idat))
-    stride = width * ch
-    if len(raw) != height * (stride + 1):
-        raise ValueError("PNG pixel data length mismatch")
-    out = np.zeros((height, stride), dtype=np.uint8)
-    prev = np.zeros(stride, dtype=np.uint8)
-    for y in range(height):
-        row_start = y * (stride + 1)
-        ftype = raw[row_start]
-        line = np.frombuffer(
-            raw, dtype=np.uint8, count=stride, offset=row_start + 1
-        ).copy()
-        if ftype == 0:  # None
-            cur = line
-        elif ftype == 2:  # Up
-            cur = line + prev  # uint8 wraps mod 256, as specified
-        elif ftype in (1, 3, 4):
-            # Sub/Average/Paeth depend on the left neighbor -> serial in
-            # x at pixel granularity, vectorized across channels
-            cur = line
-            for x in range(stride):
-                a = int(cur[x - ch]) if x >= ch else 0  # left
-                b = int(prev[x])  # up
-                if ftype == 1:
-                    cur[x] = (int(cur[x]) + a) & 0xFF
-                elif ftype == 3:
-                    cur[x] = (int(cur[x]) + ((a + b) >> 1)) & 0xFF
-                else:
-                    c = int(prev[x - ch]) if x >= ch else 0  # up-left
-                    p = a + b - c
-                    pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
-                    pred = a if (pa <= pb and pa <= pc) else (
-                        b if pb <= pc else c
-                    )
-                    cur[x] = (int(cur[x]) + pred) & 0xFF
-        else:
-            raise ValueError(f"PNG filter type {ftype} invalid")
-        out[y] = cur
-        prev = out[y]
-    return width, height, ch, out.reshape(height, width, ch)
+    bpp = max(1, ch * bit_depth // 8)
+
+    def pass_decode(off: int, wpx: int, hpx: int):
+        stride = (wpx * ch * bit_depth + 7) // 8
+        rows, off2 = _unfilter_rows(raw, off, hpx, stride, bpp)
+        return _rows_to_samples(rows, wpx, ch, bit_depth), off2
+
+    if interlace == 0:
+        samples, off = pass_decode(0, width, height)
+        if off != len(raw):
+            raise ValueError("PNG pixel data length mismatch")
+    elif interlace == 1:  # Adam7 (§8.2): seven filtered sub-images
+        samples = np.zeros((height, width, ch), dtype=np.uint8)
+        off = 0
+        for x0, y0, dx, dy in _ADAM7:
+            pw = -(-(width - x0) // dx) if width > x0 else 0
+            ph = -(-(height - y0) // dy) if height > y0 else 0
+            if pw == 0 or ph == 0:
+                continue
+            sub, off = pass_decode(off, pw, ph)
+            samples[y0::dy, x0::dx] = sub
+        if off != len(raw):
+            raise ValueError("PNG pixel data length mismatch")
+    else:
+        raise ValueError(f"PNG interlace method {interlace} invalid")
+
+    if color_type == 3:  # palette
+        if plte is None:
+            raise ValueError("PNG palette image missing PLTE chunk")
+        idx = samples[:, :, 0]
+        if (idx >= len(plte)).any():
+            raise ValueError("PNG pixel index outside the palette")
+        return width, height, 3, plte[idx]
+    if color_type == 0 and bit_depth < 8:
+        # scale sub-byte gray to full 8-bit range (255 / (2^d - 1))
+        samples = samples * (255 // ((1 << bit_depth) - 1))
+    if color_type == 4:  # gray+alpha -> RGBA (gray replicated)
+        g, a = samples[:, :, 0], samples[:, :, 1]
+        return width, height, 4, np.stack([g, g, g, a], axis=-1)
+    return width, height, ch, samples
 
 
 def mean_luma(pixels: np.ndarray) -> float:

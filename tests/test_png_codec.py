@@ -145,3 +145,108 @@ def test_image_features_real_codec_path(spark):
         r = out[i]
         assert (r["width"], r["height"]) == (10, 6)
         assert abs(r["mean_luma"] - mean_luma(px)) < 1e-9
+
+
+# --- round-6 upgrades: palette / sub-byte / 16-bit / GA / Adam7 -----------
+
+def _write_png_general(
+    ihdr_fields, idat_payload: bytes, plte: bytes | None = None
+) -> bytes:
+    out = b"\x89PNG\r\n\x1a\n" + _chunk(
+        b"IHDR", struct.pack(">IIBBBBB", *ihdr_fields)
+    )
+    if plte is not None:
+        out += _chunk(b"PLTE", plte)
+    out += _chunk(b"IDAT", zlib.compress(idat_payload))
+    return out + _chunk(b"IEND", b"")
+
+
+def _pack_rows(vals: np.ndarray, depth: int) -> bytes:
+    """Rows of sample values -> filter-0 scanlines at ``depth`` bits,
+    MSB-first."""
+    h = vals.shape[0]
+    out = bytearray()
+    for y in range(h):
+        out.append(0)
+        if depth == 8:
+            out += bytes(int(v) for v in vals[y].reshape(-1))
+        elif depth == 16:
+            for v in vals[y].reshape(-1):
+                out += bytes([int(v), (int(v) * 7) & 0xFF])  # low byte junk
+        else:
+            bits = ""
+            for v in vals[y].reshape(-1):
+                bits += format(int(v), f"0{depth}b")
+            bits += "0" * (-len(bits) % 8)
+            out += bytes(
+                int(bits[i : i + 8], 2) for i in range(0, len(bits), 8)
+            )
+    return bytes(out)
+
+
+def test_palette_png():
+    from fund_data_etl_pipeline_spark.operators.png_codec import decode_png
+
+    rng = np.random.default_rng(31)
+    for depth, n in ((1, 2), (2, 4), (4, 13), (8, 100)):
+        idx = rng.integers(0, n, size=(9, 7), dtype=np.uint8)
+        pal = rng.integers(0, 256, size=(n, 3), dtype=np.uint8)
+        png = _write_png_general(
+            (7, 9, depth, 3, 0, 0, 0), _pack_rows(idx, depth),
+            plte=pal.tobytes(),
+        )
+        w, h, ch, px = decode_png(png)
+        assert (w, h, ch) == (7, 9, 3)
+        assert np.array_equal(px, pal[idx])
+
+
+def test_subbyte_gray_png_scales_to_8bit():
+    from fund_data_etl_pipeline_spark.operators.png_codec import decode_png
+
+    g2 = np.array([[0, 1, 2, 3], [3, 2, 1, 0]], dtype=np.uint8)
+    png = _write_png_general((4, 2, 2, 0, 0, 0, 0), _pack_rows(g2, 2))
+    _, _, _, px = decode_png(png)
+    assert np.array_equal(px[:, :, 0], g2 * 85)  # 255 // 3
+
+
+def test_16bit_png_keeps_high_byte():
+    from fund_data_etl_pipeline_spark.operators.png_codec import decode_png
+
+    rng = np.random.default_rng(33)
+    img = rng.integers(0, 256, size=(5, 6, 3), dtype=np.uint8)
+    png = _write_png_general((6, 5, 16, 2, 0, 0, 0), _pack_rows(img, 16))
+    _, _, _, px = decode_png(png)
+    assert np.array_equal(px, img)
+
+
+def test_gray_alpha_png_becomes_rgba():
+    from fund_data_etl_pipeline_spark.operators.png_codec import decode_png
+
+    rng = np.random.default_rng(34)
+    ga = rng.integers(0, 256, size=(4, 5, 2), dtype=np.uint8)
+    png = _write_png_general((5, 4, 8, 4, 0, 0, 0), _pack_rows(ga, 8))
+    w, h, ch, px = decode_png(png)
+    assert ch == 4
+    for c in range(3):
+        assert np.array_equal(px[:, :, c], ga[:, :, 0])
+    assert np.array_equal(px[:, :, 3], ga[:, :, 1])
+
+
+def test_adam7_interlaced_png():
+    from fund_data_etl_pipeline_spark.operators.png_codec import (
+        _ADAM7,
+        decode_png,
+    )
+
+    rng = np.random.default_rng(35)
+    img = rng.integers(0, 256, size=(13, 11, 3), dtype=np.uint8)
+    payload = bytearray()
+    for x0, y0, dx, dy in _ADAM7:
+        sub = img[y0::dy, x0::dx]
+        if sub.size == 0:
+            continue
+        payload += _pack_rows(sub, 8)
+    png = _write_png_general((11, 13, 8, 2, 0, 0, 1), bytes(payload))
+    w, h, ch, px = decode_png(png)
+    assert (w, h, ch) == (11, 13, 3)
+    assert np.array_equal(px, img)
