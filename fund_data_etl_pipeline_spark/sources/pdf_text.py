@@ -47,11 +47,19 @@ passwords quarantine with named errors.
 Predictor DecodeParms (§7.4.4.4) are undone — 2 (TIFF horizontal
 differencing) and 10-15 (the PNG row filters) at 8 bits/component.
 
+Embedded images: ``extract_pdf_images`` (end of module) walks the page
+tree's /XObject resources and returns each /Subtype /Image — /DCTDecode
+payloads verbatim (a complete JFIF blob for operators/jpeg_codec.py),
+everything this module's own filters cover as decoded sample buffers.
+That is the from-spec front half of the reference's scanned-PDF OCR
+path (manual_purchase_apply_extractor.py:75-181); only the neural
+glyph-recognition step remains import-gated (sources/corpus.py S4).
+
 Deliberately out of scope (documented, quarantine-with-named-error, not
-silently wrong): DCT/JBIG2/JPX filters and
-glyph metrics/positioning (runs are concatenated per text block; the
-downstream regex extractors are whitespace-tolerant by design —
-functions/extract.py P5 letter-spacing).
+silently wrong): DCT as a TEXT-stream filter, CCITT/JBIG2/JPX image
+codecs, and glyph metrics/positioning (runs are concatenated per text
+block; the downstream regex extractors are whitespace-tolerant by
+design — functions/extract.py P5 letter-spacing).
 """
 
 from __future__ import annotations
@@ -858,3 +866,139 @@ def extract_pdf_text(content: bytes) -> str:
             "no page objects found (truncated or unsupported PDF)"
         )
     return "\n".join(pages)
+
+
+# --- embedded image XObjects (the scanned-PDF OCR front-end, S4) -----
+
+_IMG_UNSUPPORTED = {
+    b"CCITTFaxDecode": "CCITT Group 3/4 fax",
+    b"JBIG2Decode": "JBIG2",
+    b"JPXDecode": "JPEG 2000",
+}
+
+
+def _int_value(d: bytes, key: bytes, objs: dict[int, bytes]) -> int | None:
+    """Integer value of /key, resolving one level of indirection."""
+    v = _value_after(d, key).strip()
+    if not v:
+        return None
+    rm = re.fullmatch(rb"(\d+)\s+\d+\s+R", v)
+    if rm:
+        v = objs.get(int(rm.group(1)), b"")
+    m = re.search(rb"\d+", v)
+    return int(m.group(0)) if m else None
+
+
+def _colorspace_name(d: bytes, objs: dict[int, bytes]) -> str:
+    """Best-effort /ColorSpace name: direct name, first name of an
+    array form ([/Indexed base …], [/ICCBased N 0 R]), or the same
+    after resolving an indirect reference."""
+    v = _value_after(d, b"ColorSpace").strip()
+    rm = re.fullmatch(rb"(\d+)\s+\d+\s+R", v)
+    if rm:
+        body = objs.get(int(rm.group(1)), b"")
+        v = _dict_of(body) or body
+    m = _NAME_RE.search(v)
+    return m.group(1).decode("latin-1") if m else ""
+
+
+def _image_record(
+    num: int, page: int, body: bytes, objs: dict[int, bytes]
+) -> dict:
+    """One decoded image XObject. ``format`` is ``"jpeg"`` when the
+    terminal filter is /DCTDecode (the payload IS a complete JFIF blob,
+    §7.4.8 — decodable by operators.jpeg_codec.decode_jpeg with zero
+    third-party libraries) and ``"raw"`` when every filter in the chain
+    is one this module decodes itself (data = the row-major sample
+    buffer). CCITT/JBIG2/JPX raise NAMED errors (S7 quarantine)."""
+    d = _dict_of(body)
+    _, raw = _raw_stream(body, objs)
+    filt_names = _NAME_RE.findall(_value_after(d, b"Filter"))
+    rec = {
+        "obj": num,
+        "page": page,
+        "width": _int_value(d, b"Width", objs),
+        "height": _int_value(d, b"Height", objs),
+        "bits_per_component": _int_value(d, b"BitsPerComponent", objs) or 8,
+        "color_space": _colorspace_name(d, objs),
+    }
+    out = raw
+    for i, name in enumerate(filt_names):
+        if name in _IMG_UNSUPPORTED:
+            raise ValueError(
+                f"PDF image object {num} uses {_IMG_UNSUPPORTED[name]} "
+                f"({name.decode('latin-1')}) — not supported"
+            )
+        if name == b"DCTDecode":
+            if i != len(filt_names) - 1:
+                raise ValueError(
+                    f"PDF image object {num}: /DCTDecode is not the "
+                    "terminal filter"
+                )
+            rec.update(format="jpeg", data=bytes(out))
+            return rec
+        out = _apply_filter(name, out)
+    parms = _value_after(d, b"DecodeParms") or _value_after(d, b"DP")
+    if parms:
+        out = _apply_predictor(out, parms)
+    rec.update(format="raw", data=bytes(out))
+    return rec
+
+
+def extract_pdf_images(content: bytes) -> list[dict]:
+    """Embedded image XObjects in page order — the from-spec front half
+    of the reference's scanned-document OCR path
+    (manual_purchase_apply_extractor.py:75-181: PyMuPDF page render →
+    EasyOCR). A scanned announcement PDF is a page tree whose content
+    streams paint one full-page /Subtype /Image XObject each (§8.9.5);
+    extracting THOSE yields exactly the pixels the reference renders,
+    without a rasterizer. Shares the whole S3 machinery: object scan,
+    standard-handler decryption, /ObjStm expansion, filter chains,
+    predictors.
+
+    Each dict: obj, page (0-based; -1 for images reachable only outside
+    the page tree), width, height, bits_per_component, color_space,
+    format ("jpeg" = undecoded JFIF payload | "raw" = decoded sample
+    buffer), data.
+    """
+    if not content.startswith(b"%PDF"):
+        raise ValueError("not a PDF (missing %PDF header)")
+    gens: dict[int, int] = {}
+    objs = _scan_objects(content, gens)
+    if b"/Encrypt" in content:
+        key, cipher = _file_decryption_key(content, objs)
+        _decrypt_streams(objs, gens, key, cipher)
+    _expand_object_streams(objs)
+
+    def is_image(body: bytes) -> bool:
+        return bool(re.search(rb"/Subtype\s*/Image\b", _dict_of(body)))
+
+    images: list[dict] = []
+    seen: set[int] = set()
+    page = 0
+    for num in sorted(objs):
+        d = _dict_of(objs[num])
+        if not re.search(rb"/Type\s*/Page\b(?!s)", d):
+            continue
+        res = _value_after(d, b"Resources").strip()
+        rm = re.fullmatch(rb"(\d+)\s+\d+\s+R", res)
+        if rm:
+            res = _dict_of(objs.get(int(rm.group(1)), b""))
+        xobj = _value_after(res, b"XObject").strip()
+        rm = re.fullmatch(rb"(\d+)\s+\d+\s+R", xobj)
+        if rm:
+            xobj = _dict_of(objs.get(int(rm.group(1)), b""))
+        for m in _REF_RE.finditer(xobj):
+            ref = int(m.group(1))
+            body = objs.get(ref, b"")
+            if body and is_image(body):
+                images.append(_image_record(ref, page, body, objs))
+                seen.add(ref)
+        page += 1
+    # orphans: image objects not reachable through any page's resources
+    # (broken writers, or a page tree this subset didn't walk) — still
+    # worth surfacing for OCR rather than silently dropping
+    for num in sorted(objs):
+        if num not in seen and is_image(objs[num]):
+            images.append(_image_record(num, -1, objs[num], objs))
+    return images
