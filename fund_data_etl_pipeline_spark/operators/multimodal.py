@@ -157,16 +157,19 @@ def decode_audio_features(df: DataFrame, fake: bool = False) -> DataFrame:
 
     Real path (round 6): linear-PCM WAV blobs decode with the builtin
     from-spec RIFF codec (operators/wav_codec.py — chunk walk + 8/16/
-    24/32-bit PCM), so sample_rate/channels/duration/rms come from
-    actual samples with zero third-party libraries. Compressed audio
-    (MP3/AAC/float WAV) raises a named ``ValueError`` -> S7-style
-    quarantine at the caller; ``fake=True`` substitutes the
-    deterministic md5 keystream (scaled to [-1, 1)) for plumbing tests
-    that want codec-independent values."""
+    24/32-bit PCM), and FLAC blobs with the builtin from-spec RFC 9639
+    decoder (operators/flac_codec.py — fixed + LPC subframes,
+    partitioned Rice, stereo decorrelation, CRC-verified frames), so
+    sample_rate/channels/duration/rms come from actual samples with
+    zero third-party libraries. Compressed-lossy audio (MP3/AAC) raises
+    a named error -> S7-style quarantine at the caller; ``fake=True``
+    substitutes the deterministic md5 keystream (scaled to [-1, 1)) for
+    plumbing tests that want codec-independent values."""
 
     def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         import numpy as np
 
+        from .flac_codec import FLAC_MAGIC, decode_flac
         from .wav_codec import WAV_MAGIC, decode_wav, rms
 
         for pdf in batches:
@@ -187,11 +190,14 @@ def decode_audio_features(df: DataFrame, fake: bool = False) -> DataFrame:
                     ) / 128.0
                 elif data.startswith(WAV_MAGIC):
                     rate, ch, samples = decode_wav(data)
+                elif data.startswith(FLAC_MAGIC):
+                    rate, ch, samples = decode_flac(data)
                 else:
                     raise NotImplementedError(
                         "no builtin codec for this audio format (linear-"
-                        "PCM WAV decodes from spec; MP3/AAC need a DSP "
-                        "library); run with fake=True for plumbing tests"
+                        "PCM/G.711/ADPCM WAV and FLAC decode from spec; "
+                        "MP3/AAC need a DSP library); run with fake=True "
+                        "for plumbing tests"
                     )
                 frames = int(samples.shape[0])
                 rows.append(
