@@ -318,3 +318,50 @@ def test_spark_audio_features_flac_path(spark):
     assert abs(r["duration_s"] - 0.1) < 1e-9
     expected_rms = float(np.sqrt(np.mean((s / 32768.0) ** 2)))
     assert abs(r["rms"] - expected_rms) < 1e-9
+
+
+def test_roundtrip_property_random_samples():
+    """Lossless means lossless: random samples, shapes, depths, stereo
+    modes and fixed orders all round-trip sample-exact."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    @settings(max_examples=40, deadline=None)
+    @given(
+        data=st.data(),
+        n=st.integers(min_value=8, max_value=160),
+        ch=st.integers(min_value=1, max_value=2),
+        bps=st.sampled_from([8, 16]),
+        order=st.integers(min_value=0, max_value=4),
+        blocksize=st.sampled_from([16, 32, 64]),
+    )
+    def prop(data, n, ch, bps, order, blocksize):
+        lo, hi = -(1 << (bps - 1)), (1 << (bps - 1)) - 1
+        vals = data.draw(
+            st.lists(
+                st.integers(min_value=lo, max_value=hi),
+                min_size=n * ch,
+                max_size=n * ch,
+            )
+        )
+        s = np.array(vals, dtype=np.int64).reshape(n, ch)
+        mode = (
+            data.draw(
+                st.sampled_from(
+                    ["indep", "left_side", "right_side", "mid_side"]
+                )
+            )
+            if ch == 2
+            else "indep"
+        )
+        # every frame (incl. the short last one) needs > order samples
+        if n % blocksize and n % blocksize <= order:
+            n2 = n - (n % blocksize)
+            s = s[: max(n2, blocksize)]
+        blob = encode_flac(
+            s, 8000, bps=bps, blocksize=blocksize, ch_mode=mode,
+            order=order,
+        )
+        _assert_exact(blob, s, 8000, bps=bps)
+
+    prop()

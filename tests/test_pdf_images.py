@@ -228,3 +228,32 @@ def test_lifecycle_scanned_pdf_quarantines_with_inventory(spark, tmp_path):
     row = rows[0]
     assert row.status == "error"
     assert "1 page image" in row.error and "no OCR backend" in row.error
+
+
+def test_roundtrip_property_random_raw_images():
+    """Any size/content raw RGB or gray image embeds and extracts
+    byte-exact through the Flate path."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    @settings(max_examples=25, deadline=None)
+    @given(
+        w=st.integers(min_value=1, max_value=24),
+        h=st.integers(min_value=1, max_value=24),
+        gray=st.booleans(),
+        seed=st.integers(min_value=0, max_value=2**31 - 1),
+    )
+    def prop(w, h, gray, seed):
+        ch = 1 if gray else 3
+        px = np.random.RandomState(seed).randint(
+            0, 256, size=(h, w, ch)
+        ).astype(np.uint8)
+        cs = b"/DeviceGray" if gray else b"/DeviceRGB"
+        pdf = scanned_pdf(
+            [image_obj(px.tobytes(), w, h, color_space=cs, compress=True)]
+        )
+        (rec,) = extract_pdf_images(pdf)
+        assert rec["data"] == px.tobytes()
+        assert np.array_equal(_raw_samples_to_pixels(rec), px)
+
+    prop()
