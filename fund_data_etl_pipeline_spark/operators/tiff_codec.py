@@ -12,7 +12,10 @@ parsing:
   before the table fills — deliberately DIFFERENT from GIF's LZW), and
   8 / 32946 (zlib Deflate, the PNG-style extension tag pair), with
   Predictor 2 (tag 317 horizontal differencing) undone via a per-row
-  cumulative sum;
+  cumulative sum; Compression 2/3/4 (CCITT Modified Huffman, Group 3
+  one-dimensional, Group 4) for 1-bit fax scans via the shared T.4/T.6
+  decoder (operators/ccitt_codec.py), each strip restarting from the
+  all-white reference line per TIFF 6.0 §10-11;
 - PhotometricInterpretation 0/1 (grayscale, incl. the inverted
   WhiteIsZero convention), 2 (RGB, 8 bits/sample), 3 (palette via the
   16-bit ColorMap tag);
@@ -23,7 +26,8 @@ parsing:
 
 Out of scope, raising a NAMED error (the S7 quarantine convention):
 JPEG-in-TIFF compression, tiled organization, planar configuration 2,
-bit depths other than 8, truncated streams. Round-trip tests in
+two-dimensional Group 3 (T4Options bit 0), bit depths other than 8
+(except the fax family's 1-bit), truncated streams. Round-trip tests in
 tests/test_tiff_codec.py drive this against an independently written
 in-test TIFF writer including a PackBits compressor.
 """
@@ -173,9 +177,58 @@ def decode_tiff(data: bytes) -> tuple[int, int, int, np.ndarray]:
     bits = tags.get(258, [8] * spp)
     planar = one(284, 1)
     predictor = one(317, 1)
+    if comp in (2, 3, 4):
+        # CCITT fax family — MH (2), Group 3 1-D (3), Group 4 (4) via
+        # the shared T.4/T.6 decoder (operators/ccitt_codec.py). Strips
+        # compress independently, each starting from the all-white
+        # reference line (TIFF 6.0 §10/§11).
+        from .ccitt_codec import decode_g3_1d, decode_g4
+
+        if spp != 1 or bits != [1]:
+            raise ValueError(
+                "TIFF fax compression requires 1-bit, 1-sample data"
+            )
+        if photo not in (0, 1):
+            raise ValueError(
+                "TIFF fax compression with non-bilevel photometric"
+            )
+        if planar != 1:
+            raise ValueError("TIFF planar configuration 2 not supported")
+        if comp == 3 and one(292, 0) & 1:
+            raise ValueError(
+                "TIFF G3 two-dimensional (T4Options bit 0) not supported"
+            )
+        offsets = tags.get(273)
+        counts = tags.get(279)
+        if not offsets or not counts or len(offsets) != len(counts):
+            raise ValueError("TIFF missing strip offsets/byte counts")
+        rows_per_strip = one(278, height)
+        parts = []
+        rows_done = 0
+        for soff, scnt in zip(offsets, counts):
+            raw = data[soff : soff + scnt]
+            if len(raw) < scnt:
+                raise ValueError("TIFF truncated inside strip data")
+            n_rows = min(rows_per_strip, height - rows_done)
+            if comp == 4:
+                part = decode_g4(raw, width, rows=n_rows)
+            elif comp == 3:
+                part = decode_g3_1d(raw, width, rows=n_rows)
+            else:  # MH: no EOLs, every row starts byte-aligned
+                part = decode_g3_1d(
+                    raw, width, rows=n_rows, byte_align=True
+                )
+            parts.append(part)
+            rows_done += n_rows
+        if rows_done < height:
+            raise ValueError("TIFF strips cover fewer rows than ImageLength")
+        gray = np.vstack(parts)  # 255 = white, semantic fax sense
+        rgb = np.repeat(gray[:, :, None], 3, axis=2)
+        return width, height, 3, np.ascontiguousarray(rgb)
     if comp not in (1, 5, 8, 32773, 32946):
         raise ValueError(f"TIFF compression {comp} not supported "
-                         "(uncompressed, LZW, Deflate or PackBits only)")
+                         "(uncompressed, LZW, Deflate, PackBits or "
+                         "CCITT MH/G3/G4 only)")
     if planar != 1:
         raise ValueError("TIFF planar configuration 2 not supported")
     if predictor not in (1, 2):

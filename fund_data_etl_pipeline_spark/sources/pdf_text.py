@@ -50,16 +50,20 @@ differencing) and 10-15 (the PNG row filters) at 8 bits/component.
 Embedded images: ``extract_pdf_images`` (end of module) walks the page
 tree's /XObject resources and returns each /Subtype /Image — /DCTDecode
 payloads verbatim (a complete JFIF blob for operators/jpeg_codec.py),
-everything this module's own filters cover as decoded sample buffers.
-That is the from-spec front half of the reference's scanned-PDF OCR
-path (manual_purchase_apply_extractor.py:75-181); only the neural
+/CCITTFaxDecode payloads decoded to packed 1-bit samples via the T.4/
+T.6 fax decoder (operators/ccitt_codec.py — the dominant encoding of
+real black-and-white scans), and everything this module's own filters
+cover as decoded sample buffers. That is the from-spec front half of
+the reference's scanned-PDF OCR path
+(manual_purchase_apply_extractor.py:75-181); only the neural
 glyph-recognition step remains import-gated (sources/corpus.py S4).
 
 Deliberately out of scope (documented, quarantine-with-named-error, not
-silently wrong): DCT as a TEXT-stream filter, CCITT/JBIG2/JPX image
-codecs, and glyph metrics/positioning (runs are concatenated per text
-block; the downstream regex extractors are whitespace-tolerant by
-design — functions/extract.py P5 letter-spacing).
+silently wrong): DCT as a TEXT-stream filter, JBIG2/JPX image codecs,
+CCITT /K > 0 mixed mode, and glyph metrics/positioning (runs are
+concatenated per text block; the downstream regex extractors are
+whitespace-tolerant by design — functions/extract.py P5
+letter-spacing).
 """
 
 from __future__ import annotations
@@ -871,10 +875,50 @@ def extract_pdf_text(content: bytes) -> str:
 # --- embedded image XObjects (the scanned-PDF OCR front-end, S4) -----
 
 _IMG_UNSUPPORTED = {
-    b"CCITTFaxDecode": "CCITT Group 3/4 fax",
     b"JBIG2Decode": "JBIG2",
     b"JPXDecode": "JPEG 2000",
 }
+
+
+def _decode_ccitt_image(
+    num: int, d: bytes, raw: bytes, rec: dict
+) -> dict:
+    """/CCITTFaxDecode image payload -> packed 1-bit sample rows (§7.4.6
+    + the T.4/T.6 decoder in operators/ccitt_codec.py). Black-and-white
+    scans — the dominant encoding of real scanned announcement pages —
+    thereby decode with zero third-party libraries. The packed bits
+    follow the filter's declared sense (/BlackIs1; default false means
+    0 bits are black, i.e. 1 = white, which is exactly the DeviceGray
+    sample sense the pixel reshaper expects). /Decode arrays are not
+    applied (out of scope, as for every other image here)."""
+    import numpy as np
+
+    from ..operators.ccitt_codec import decode_ccitt
+
+    parms = _value_after(d, b"DecodeParms") or _value_after(d, b"DP")
+
+    def _pi(key: bytes, default: int) -> int:
+        m = re.search(rb"/" + key + rb"\s+(-?\d+)", parms)
+        return int(m.group(1)) if m else default
+
+    columns = _pi(b"Columns", 1728)
+    rows = _pi(b"Rows", 0) or rec["height"]
+    px = decode_ccitt(
+        raw,
+        columns,
+        rows=rows,
+        k=_pi(b"K", 0),
+        byte_align=bool(re.search(rb"/EncodedByteAlign\s+true", parms)),
+    )
+    ones_are_black = bool(re.search(rb"/BlackIs1\s+true", parms))
+    bits = (px == 0) if ones_are_black else (px > 0)
+    packed = np.packbits(bits.astype(np.uint8), axis=1)
+    rec["bits_per_component"] = 1
+    rec["color_space"] = rec["color_space"] or "DeviceGray"
+    rec["width"] = rec["width"] or columns
+    rec["height"] = rec["height"] or px.shape[0]
+    rec.update(format="raw", data=packed.tobytes())
+    return rec
 
 
 def _int_value(d: bytes, key: bytes, objs: dict[int, bytes]) -> int | None:
@@ -929,12 +973,14 @@ def _image_record(
                 f"PDF image object {num} uses {_IMG_UNSUPPORTED[name]} "
                 f"({name.decode('latin-1')}) — not supported"
             )
-        if name == b"DCTDecode":
+        if name in (b"DCTDecode", b"CCITTFaxDecode"):
             if i != len(filt_names) - 1:
                 raise ValueError(
-                    f"PDF image object {num}: /DCTDecode is not the "
-                    "terminal filter"
+                    f"PDF image object {num}: /{name.decode('latin-1')} "
+                    "is not the terminal filter"
                 )
+            if name == b"CCITTFaxDecode":
+                return _decode_ccitt_image(num, d, bytes(out), rec)
             rec.update(format="jpeg", data=bytes(out))
             return rec
         out = _apply_filter(name, out)
