@@ -16,7 +16,10 @@ into pixels. Scope:
 - Group 4 two-dimensional (T.6 §4.2, PDF /K < 0): the full 2-D mode
   set — Pass, Horizontal, and Vertical V(0)/VR(1-3)/VL(1-3) — decoded
   against the reference-line changing elements b1/b2, terminated by
-  EOFB; /K > 0 (mixed 2-D with 1-D key lines) raises a named error;
+  EOFB;
+- Group 3 mixed one/two-dimensional (T.4 §4.2, PDF /K > 0, TIFF
+  T4Options bit 0): EOL + tag-bit framing selecting MH or 2-D coding
+  per line, sharing the Group 4 mode decoder verbatim;
 - output is a (rows, columns) uint8 array, 255 = white, 0 = black
   (the /BlackIs1 sense handled by the caller's bit packing).
 
@@ -213,6 +216,21 @@ def _line_to_pixels(transitions: list[int], columns: int) -> np.ndarray:
     return row
 
 
+def _decode_1d_line(bits: _Bits, columns: int) -> list[int]:
+    """One MH-coded line -> transition positions."""
+    transitions: list[int] = []
+    pos = 0
+    white = True
+    while pos < columns:
+        run = _read_run(bits, white)
+        pos += run
+        if pos > columns:
+            raise ValueError("CCITT run overflows the line width")
+        transitions.append(pos)
+        white = not white
+    return transitions
+
+
 def decode_g3_1d(
     data: bytes,
     columns: int,
@@ -229,17 +247,7 @@ def decode_g3_1d(
         _consume_eols(bits)
         if bits.bits_left() < 2:
             break
-        transitions = []
-        pos = 0
-        white = True
-        while pos < columns:
-            run = _read_run(bits, white)
-            pos += run
-            if pos > columns:
-                raise ValueError("CCITT run overflows the line width")
-            transitions.append(pos)
-            white = not white
-        out.append(_line_to_pixels(transitions, columns))
+        out.append(_line_to_pixels(_decode_1d_line(bits, columns), columns))
     if rows is not None and len(out) < rows:
         raise ValueError(
             f"CCITT stream ended after {len(out)} of {rows} rows"
@@ -270,6 +278,56 @@ _V_CODES = (  # code string -> a1 - b1 offset, longest first for peek
 )
 
 
+def _decode_2d_line(
+    bits: _Bits, ref: list[int], columns: int
+) -> list[int]:
+    """One two-dimensionally coded line (T.4 §4.2 / T.6 §4.2.1) against
+    the reference line's transitions -> this line's transitions. Shared
+    verbatim by Group 4 and the Group 3 mixed (K > 0) 2-D lines — the
+    coding is identical; only the framing (EOFB vs EOL + tag bit)
+    differs."""
+    cur: list[int] = []
+    a0 = -1  # imaginary element before the line start (T.6 §2.2.2)
+    white = True
+    while a0 < columns:
+        b1, b2 = _b1_b2(ref, a0, white)
+        if b1 is None:
+            b1 = columns
+        if b2 is None:
+            b2 = columns
+        if bits.peek(4) == 0b0001:  # pass mode
+            bits.pos += 4
+            a0 = b2
+            continue
+        if bits.peek(3) == 0b001:  # horizontal mode
+            bits.pos += 3
+            base = max(a0, 0)
+            r1 = _read_run(bits, white)
+            r2 = _read_run(bits, not white)
+            if base + r1 + r2 > columns:
+                raise ValueError("CCITT runs overflow the line width")
+            cur.append(base + r1)
+            cur.append(base + r1 + r2)
+            a0 = base + r1 + r2
+            continue
+        for code, d in _V_CODES:  # vertical modes
+            n = len(code)
+            if bits.bits_left() >= n and bits.peek(n) == int(code, 2):
+                bits.pos += n
+                a1 = b1 + d
+                if a1 < 0 or a1 > columns:
+                    raise ValueError(
+                        "CCITT vertical mode outside the line"
+                    )
+                cur.append(a1)
+                a0 = a1
+                white = not white
+                break
+        else:
+            raise ValueError("CCITT invalid 2-D mode code")
+    return cur
+
+
 def decode_g4(
     data: bytes,
     columns: int,
@@ -295,45 +353,57 @@ def decode_g4(
             2 * eofb_len
         ) == ((eol << eofb_len) | eol):
             break  # EOFB
-        cur: list[int] = []
-        a0 = -1  # imaginary element before the line start (T.6 §2.2.2)
-        white = True
-        while a0 < columns:
-            b1, b2 = _b1_b2(ref, a0, white)
-            if b1 is None:
-                b1 = columns
-            if b2 is None:
-                b2 = columns
-            if bits.peek(4) == 0b0001:  # pass mode
-                bits.pos += 4
-                a0 = b2
-                continue
-            if bits.peek(3) == 0b001:  # horizontal mode
-                bits.pos += 3
-                base = max(a0, 0)
-                r1 = _read_run(bits, white)
-                r2 = _read_run(bits, not white)
-                if base + r1 + r2 > columns:
-                    raise ValueError("CCITT runs overflow the line width")
-                cur.append(base + r1)
-                cur.append(base + r1 + r2)
-                a0 = base + r1 + r2
-                continue
-            for code, d in _V_CODES:  # vertical modes
-                n = len(code)
-                if bits.bits_left() >= n and bits.peek(n) == int(code, 2):
-                    bits.pos += n
-                    a1 = b1 + d
-                    if a1 < 0 or a1 > columns:
-                        raise ValueError(
-                            "CCITT vertical mode outside the line"
-                        )
-                    cur.append(a1)
-                    a0 = a1
-                    white = not white
-                    break
-            else:
-                raise ValueError("CCITT invalid 2-D mode code")
+        cur = _decode_2d_line(bits, ref, columns)
+        out.append(_line_to_pixels(cur, columns))
+        ref = cur
+    if rows is not None and len(out) < rows:
+        raise ValueError(
+            f"CCITT stream ended after {len(out)} of {rows} rows"
+        )
+    return np.stack(out) if out else np.zeros((0, columns), np.uint8)
+
+
+def decode_g3_2d(
+    data: bytes,
+    columns: int,
+    rows: int | None = None,
+    byte_align: bool = False,
+) -> np.ndarray:
+    """T.4 §4.2 mixed one/two-dimensional decode (PDF /K > 0, TIFF
+    T4Options bit 0) -> (rows, columns) uint8, 255 = white. Every line
+    is framed by an EOL whose trailing tag bit says whether the line is
+    MH-coded (1) or coded two-dimensionally against the previous line
+    (0); the 2-D coding itself is byte-identical to Group 4
+    (_decode_2d_line)."""
+    bits = _Bits(data)
+    eol_len, eol = _EOL
+    ref: list[int] = []
+    out = []
+    while rows is None or len(out) < rows:
+        if byte_align:
+            bits.align()
+        # fill bits (zeros) then the mandatory EOL
+        while (
+            bits.bits_left() >= eol_len
+            and bits.peek(eol_len) != eol
+            and bits.peek(1) == 0
+        ):
+            bits.pos += 1
+        if bits.bits_left() < eol_len + 1:
+            break
+        if bits.peek(eol_len) != eol:
+            raise ValueError("CCITT G3 2-D line missing its EOL")
+        bits.pos += eol_len
+        one_dimensional = bits.read(1)
+        # RTC: the next thing after the tag is another EOL immediately
+        if bits.bits_left() >= eol_len and bits.peek(eol_len) == eol:
+            break
+        if bits.bits_left() < 2:
+            break
+        if one_dimensional:
+            cur = _decode_1d_line(bits, columns)
+        else:
+            cur = _decode_2d_line(bits, ref, columns)
         out.append(_line_to_pixels(cur, columns))
         ref = cur
     if rows is not None and len(out) < rows:
@@ -351,15 +421,13 @@ def decode_ccitt(
     byte_align: bool = False,
 ) -> np.ndarray:
     """PDF /CCITTFaxDecode parameter dispatch (§7.4.6): K < 0 -> pure
-    T.6 (Group 4), K = 0 -> T.4 one-dimensional; K > 0 (mixed 2-D)
-    raises a named error. Output is 255 = white regardless of the
+    T.6 (Group 4), K = 0 -> T.4 one-dimensional, K > 0 -> T.4 mixed
+    one/two-dimensional. Output is 255 = white regardless of the
     /BlackIs1 packed-bit sense — that flag concerns the caller's bit
     packing, not this pixel-level decode."""
-    if k > 0:
-        raise ValueError(
-            "CCITT K > 0 (mixed one/two-dimensional) not supported"
-        )
     if columns <= 0:
         raise ValueError("CCITT /Columns must be positive")
-    decode = decode_g4 if k < 0 else decode_g3_1d
+    decode = (
+        decode_g4 if k < 0 else decode_g3_2d if k > 0 else decode_g3_1d
+    )
     return decode(data, columns, rows=rows, byte_align=byte_align)

@@ -26,8 +26,8 @@ parsing:
 
 Out of scope, raising a NAMED error (the S7 quarantine convention):
 JPEG-in-TIFF compression, tiled organization, planar configuration 2,
-two-dimensional Group 3 (T4Options bit 0), bit depths other than 8
-(except the fax family's 1-bit), truncated streams. Round-trip tests in
+bit depths other than 8 (except the fax family's 1-bit), truncated
+streams. Round-trip tests in
 tests/test_tiff_codec.py drive this against an independently written
 in-test TIFF writer including a PackBits compressor.
 """
@@ -182,7 +182,7 @@ def decode_tiff(data: bytes) -> tuple[int, int, int, np.ndarray]:
         # the shared T.4/T.6 decoder (operators/ccitt_codec.py). Strips
         # compress independently, each starting from the all-white
         # reference line (TIFF 6.0 §10/§11).
-        from .ccitt_codec import decode_g3_1d, decode_g4
+        from .ccitt_codec import decode_g3_1d, decode_g3_2d, decode_g4
 
         if spp != 1 or bits != [1]:
             raise ValueError(
@@ -194,10 +194,7 @@ def decode_tiff(data: bytes) -> tuple[int, int, int, np.ndarray]:
             )
         if planar != 1:
             raise ValueError("TIFF planar configuration 2 not supported")
-        if comp == 3 and one(292, 0) & 1:
-            raise ValueError(
-                "TIFF G3 two-dimensional (T4Options bit 0) not supported"
-            )
+        g3_2d = comp == 3 and bool(one(292, 0) & 1)
         offsets = tags.get(273)
         counts = tags.get(279)
         if not offsets or not counts or len(offsets) != len(counts):
@@ -212,6 +209,8 @@ def decode_tiff(data: bytes) -> tuple[int, int, int, np.ndarray]:
             n_rows = min(rows_per_strip, height - rows_done)
             if comp == 4:
                 part = decode_g4(raw, width, rows=n_rows)
+            elif comp == 3 and g3_2d:
+                part = decode_g3_2d(raw, width, rows=n_rows)
             elif comp == 3:
                 part = decode_g3_1d(raw, width, rows=n_rows)
             else:  # MH: no EOLs, every row starts byte-aligned

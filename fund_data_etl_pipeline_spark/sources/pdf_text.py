@@ -60,7 +60,7 @@ glyph-recognition step remains import-gated (sources/corpus.py S4).
 
 Deliberately out of scope (documented, quarantine-with-named-error, not
 silently wrong): DCT as a TEXT-stream filter, JBIG2/JPX image codecs,
-CCITT /K > 0 mixed mode, and glyph metrics/positioning (runs are
+and glyph metrics/positioning (runs are
 concatenated per text block; the downstream regex extractors are
 whitespace-tolerant by design — functions/extract.py P5
 letter-spacing).

@@ -84,41 +84,54 @@ _V_BY_OFFSET = {0: "1", 1: "011", 2: "000011", 3: "0000011",
                 -1: "010", -2: "000010", -3: "0000010"}
 
 
+def _encode_2d_line(row: np.ndarray, ref: np.ndarray, cols: int) -> str:
+    line = ""
+    a0 = -1
+    white = True
+    cur_t = _transitions(row)
+    while a0 < cols:
+        # b1: first ref changing element right of a0 whose NEW colour
+        # is opposite the current colour — computed from pixels, not
+        # from the decoder's parity trick
+        want = 0 if white else 255
+        ref_t = _transitions(ref)
+        b1 = next((t for t in ref_t if t > a0 and ref[t] == want), cols)
+        b2 = next((t for t in ref_t if t > b1), cols)
+        a1 = next((t for t in cur_t if t > a0), cols)
+        if b2 < a1:
+            line += "0001"  # pass
+            a0 = b2
+        elif abs(a1 - b1) <= 3:
+            line += _V_BY_OFFSET[a1 - b1]  # vertical
+            a0 = a1
+            white = not white
+        else:  # horizontal
+            a2 = next((t for t in cur_t if t > a1), cols)
+            base = max(a0, 0)
+            line += "001"
+            line += _mh_bits(a1 - base, white)
+            line += _mh_bits(a2 - a1, not white)
+            a0 = a2
+    return line
+
+
+def _mh_line(row: np.ndarray, cols: int) -> str:
+    line = ""
+    pos = 0
+    white = True
+    for t in _transitions(row) + [cols]:
+        line += _mh_bits(t - pos, white)
+        pos = t
+        white = not white
+    return line
+
+
 def encode_g4(img: np.ndarray, byte_align: bool = False) -> bytes:
     rows, cols = img.shape
     ref = np.full(cols, 255, dtype=np.uint8)
     chunks = []
     for row in img:
-        line = ""
-        a0 = -1
-        white = True
-        cur_t = _transitions(row)
-        while a0 < cols:
-            # b1: first ref changing element right of a0 whose NEW
-            # colour is opposite the current colour — computed from
-            # pixels, not from the decoder's parity trick
-            want = 0 if white else 255
-            ref_t = _transitions(ref)
-            b1 = next(
-                (t for t in ref_t if t > a0 and ref[t] == want), cols
-            )
-            b2 = next((t for t in ref_t if t > b1), cols)
-            a1 = next((t for t in cur_t if t > a0), cols)
-            if b2 < a1:
-                line += "0001"  # pass
-                a0 = b2
-            elif abs(a1 - b1) <= 3:
-                line += _V_BY_OFFSET[a1 - b1]  # vertical
-                a0 = a1
-                white = not white
-            else:  # horizontal
-                a2 = next((t for t in cur_t if t > a1), cols)
-                base = max(a0, 0)
-                line += "001"
-                line += _mh_bits(a1 - base, white)
-                line += _mh_bits(a2 - a1, not white)
-                a0 = a2
-        chunks.append(line)
+        chunks.append(_encode_2d_line(row, ref, cols))
         ref = row
     eofb = "000000000001" * 2
     if byte_align:
@@ -129,6 +142,27 @@ def encode_g4(img: np.ndarray, byte_align: bool = False) -> bytes:
         tail = eofb + "0" * (-len(eofb) % 8)
         return out + int(tail, 2).to_bytes(len(tail) // 8, "big")
     bits = "".join(chunks) + eofb
+    bits += "0" * (-len(bits) % 8)
+    return int(bits, 2).to_bytes(len(bits) // 8, "big")
+
+
+def encode_g3_2d(
+    img: np.ndarray, k: int = 4, fill_to: int = 0
+) -> bytes:
+    """T.4 mixed coding: every k-th line MH (tag 1), the rest coded
+    2-D against the previous line (tag 0); optional zero fill bits
+    before each EOL."""
+    rows, cols = img.shape
+    ref = np.full(cols, 255, dtype=np.uint8)
+    bits = ""
+    for i, row in enumerate(img):
+        one_d = i % k == 0
+        bits += "0" * fill_to + "000000000001" + ("1" if one_d else "0")
+        bits += (
+            _mh_line(row, cols) if one_d else _encode_2d_line(row, ref, cols)
+        )
+        ref = row
+    bits += ("000000000001" + "1") * 2  # RTC prefix
     bits += "0" * (-len(bits) % 8)
     return int(bits, 2).to_bytes(len(bits) // 8, "big")
 
@@ -226,6 +260,27 @@ def test_g4_stops_at_eofb_without_rows():
     assert np.array_equal(decode_g4(encode_g4(img), 64), img)
 
 
+def test_g3_2d_mixed_roundtrip():
+    from fund_data_etl_pipeline_spark.operators.ccitt_codec import (
+        decode_g3_2d,
+    )
+
+    img = _text_like(rows=15, cols=72, seed=23)
+    for k in (1, 2, 4):  # k=1 -> every line MH, still EOL+tag framed
+        assert np.array_equal(
+            decode_g3_2d(encode_g3_2d(img, k=k), 72, rows=15), img
+        )
+    # fill bits ahead of each EOL are skipped
+    assert np.array_equal(
+        decode_g3_2d(encode_g3_2d(img, k=3, fill_to=5), 72, rows=15),
+        img,
+    )
+    # rows=None: the RTC terminates the decode
+    assert np.array_equal(
+        decode_g3_2d(encode_g3_2d(img, k=2), 72), img
+    )
+
+
 def test_g3_1d_roundtrip_variants():
     img = _text_like(rows=12, cols=96, seed=9)
     assert np.array_equal(
@@ -278,10 +333,11 @@ def test_roundtrip_property_random_bitmaps():
 
 
 def test_named_errors():
-    with pytest.raises(ValueError, match="K > 0"):
-        decode_ccitt(b"\x00", 8, k=1)
     with pytest.raises(ValueError, match="Columns"):
         decode_ccitt(b"\x00", 0)
+    with pytest.raises(ValueError, match="EOL"):
+        # K > 0 requires EOL-framed lines; a bare MH line has none
+        decode_ccitt(b"\xff\xff\xff\xff", 8, rows=1, k=1)
     img = _text_like(rows=4, cols=32, seed=2)
     blob = encode_g4(img)
     with pytest.raises(ValueError, match="rows|truncated|invalid"):
@@ -351,6 +407,7 @@ def write_fax_tiff(
     comp: int,
     rows_per_strip: int,
     photometric: int = 0,
+    t4options: int | None = None,
 ) -> bytes:
     """Minimal little-endian 1-bit fax TIFF around pre-encoded strips."""
     import struct
@@ -366,6 +423,9 @@ def write_fax_tiff(
         (278, 3, [rows_per_strip]),
         (279, 4, [len(s) for s in strips]),
     ]
+    if t4options is not None:
+        entries.append((292, 4, [t4options]))
+        entries.sort(key=lambda t: t[0])
     ifd_off = 8
     ifd_size = 2 + 12 * len(entries) + 4
     ext = bytearray()
@@ -453,6 +513,40 @@ def test_tiff_mh_and_g3_strips():
     )
     _, _, _, rgb3 = decode_tiff(blob3)
     assert np.array_equal(rgb3[:, :, 0], img)
+
+
+def test_tiff_g3_2d_via_t4options():
+    from fund_data_etl_pipeline_spark.operators.tiff_codec import decode_tiff
+
+    img = _text_like(rows=14, cols=64, seed=29)
+    blob = write_fax_tiff(
+        [encode_g3_2d(img, k=3)], 64, 14, comp=3, rows_per_strip=14,
+        t4options=1,
+    )
+    _, _, _, rgb = decode_tiff(blob)
+    assert np.array_equal(rgb[:, :, 0], img)
+
+
+def test_pdf_ccitt_k_positive_mixed():
+    from fund_data_etl_pipeline_spark.sources.corpus import (
+        _raw_samples_to_pixels,
+    )
+    from fund_data_etl_pipeline_spark.sources.pdf_text import (
+        extract_pdf_images,
+    )
+    from test_pdf_images import image_obj, scanned_pdf
+
+    img = _text_like(rows=10, cols=40, seed=37)
+    obj = image_obj(
+        encode_g3_2d(img, k=2), 40, 10, color_space=b"/DeviceGray",
+        bpc=1, filt=b"/CCITTFaxDecode",
+    ).replace(
+        b">>\nstream",
+        b" /DecodeParms << /K 2 /Columns 40 /Rows 10 >> >>\nstream",
+        1,
+    )
+    (rec,) = extract_pdf_images(scanned_pdf([obj]))
+    assert np.array_equal(_raw_samples_to_pixels(rec)[..., 0], img)
 
 
 def test_tiff_fax_named_errors():
