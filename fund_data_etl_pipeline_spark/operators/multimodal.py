@@ -170,7 +170,13 @@ def decode_audio_features(df: DataFrame, fake: bool = False) -> DataFrame:
         import numpy as np
 
         from .flac_codec import FLAC_MAGIC, decode_flac
-        from .wav_codec import WAV_MAGIC, decode_wav, rms
+        from .wav_codec import (
+            AIFF_MAGIC,
+            WAV_MAGIC,
+            decode_aiff,
+            decode_wav,
+            rms,
+        )
 
         for pdf in batches:
             rows = []
@@ -192,12 +198,14 @@ def decode_audio_features(df: DataFrame, fake: bool = False) -> DataFrame:
                     rate, ch, samples = decode_wav(data)
                 elif data.startswith(FLAC_MAGIC):
                     rate, ch, samples = decode_flac(data)
+                elif data.startswith(AIFF_MAGIC):
+                    rate, ch, samples = decode_aiff(data)
                 else:
                     raise NotImplementedError(
                         "no builtin codec for this audio format (linear-"
-                        "PCM/G.711/ADPCM WAV and FLAC decode from spec; "
-                        "MP3/AAC need a DSP library); run with fake=True "
-                        "for plumbing tests"
+                        "PCM/G.711/ADPCM WAV, AIFF and FLAC decode from "
+                        "spec; MP3/AAC need a DSP library); run with "
+                        "fake=True for plumbing tests"
                     )
                 frames = int(samples.shape[0])
                 rows.append(

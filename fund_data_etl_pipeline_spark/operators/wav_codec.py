@@ -239,3 +239,93 @@ def rms(samples: np.ndarray) -> float:
     if samples.size == 0:
         return 0.0
     return float(np.sqrt(np.mean(np.square(samples))))
+
+
+# --- AIFF (EA IFF 85 / Audio IFF 1.3) --------------------------------
+
+AIFF_MAGIC = b"FORM"
+
+
+def _extended80(b: bytes) -> float:
+    """IEEE 754 80-bit extended float -> Python float (AIFF-1.3 §2:
+    the COMM chunk stores sampleRate this way). 1 sign bit, 15-bit
+    biased exponent, 64-bit mantissa with explicit integer bit."""
+    if len(b) != 10:
+        raise ValueError("AIFF extended float must be 10 bytes")
+    se = int.from_bytes(b[:2], "big")
+    mant = int.from_bytes(b[2:], "big")
+    sign = -1.0 if se & 0x8000 else 1.0
+    exp = se & 0x7FFF
+    if exp == 0 and mant == 0:
+        return 0.0
+    if exp == 0x7FFF:
+        raise ValueError("AIFF sample rate is inf/NaN")
+    return sign * mant * 2.0 ** (exp - 16383 - 63)
+
+
+def decode_aiff(data: bytes) -> tuple[int, int, np.ndarray]:
+    """(sample_rate, channels, samples[frames, channels] float64 in
+    [-1, 1)) of an AIFF PCM blob — the decode_wav contract. AIFF is the
+    big-endian sibling of WAV: FORM/AIFF container, COMM (channel
+    count, frame count, sample size, 80-bit-extended sample rate) and
+    SSND (offset/blocksize header + big-endian signed PCM). AIFF-C
+    (compressed, form type AIFC) raises a named error."""
+    if len(data) < 12 or data[:4] != AIFF_MAGIC:
+        raise ValueError("not an AIFF (missing FORM header)")
+    form = data[8:12]
+    if form == b"AIFC":
+        raise ValueError(
+            "AIFF-C (compressed AIFF) not supported — PCM AIFF only"
+        )
+    if form != b"AIFF":
+        raise ValueError(f"FORM type {form!r} is not AIFF")
+    pos = 12
+    comm = ssnd = None
+    while pos + 8 <= len(data):
+        cid = data[pos : pos + 4]
+        size = int.from_bytes(data[pos + 4 : pos + 8], "big")
+        body = data[pos + 8 : pos + 8 + size]
+        if len(body) < size:
+            raise ValueError(f"AIFF {cid!r} chunk truncated")
+        if cid == b"COMM":
+            if size < 18:
+                raise ValueError("AIFF COMM chunk too short")
+            channels = int.from_bytes(body[0:2], "big", signed=True)
+            bits = int.from_bytes(body[6:8], "big", signed=True)
+            rate = _extended80(body[8:18])
+            comm = (channels, bits, rate)
+        elif cid == b"SSND":
+            off = int.from_bytes(body[0:4], "big")
+            ssnd = body[8 + off :]
+        pos += 8 + size + (size & 1)  # chunks are word-aligned
+    if comm is None or ssnd is None:
+        raise ValueError("AIFF missing COMM/SSND chunk (truncated?)")
+    channels, bits, rate_f = comm
+    if channels < 1:
+        raise ValueError("AIFF with zero channels")
+    if rate_f <= 0 or rate_f != rate_f:
+        raise ValueError("AIFF sample rate invalid")
+    rate = int(round(rate_f))
+    if bits == 8:  # AIFF 8-bit PCM is SIGNED (unlike WAV)
+        x = np.frombuffer(ssnd, dtype=np.int8).astype(np.float64) / 128.0
+    elif bits == 16:
+        x = np.frombuffer(
+            ssnd[: len(ssnd) // 2 * 2], dtype=">i2"
+        ).astype(np.float64) / 32768.0
+    elif bits in (24, 32):
+        width = bits // 8
+        n = len(ssnd) // width
+        raw = np.frombuffer(ssnd[: n * width], dtype=np.uint8)
+        raw = raw.reshape(n, width)
+        val = np.zeros(n, dtype=np.int64)
+        for i in range(width):  # big-endian byte order
+            val = (val << 8) | raw[:, i].astype(np.int64)
+        sign_bit = 1 << (bits - 1)
+        val = (val ^ sign_bit) - sign_bit
+        x = val.astype(np.float64) / float(sign_bit)
+    else:
+        raise ValueError(
+            f"AIFF sample size {bits} not supported (8/16/24/32 PCM)"
+        )
+    frames = x.shape[0] // channels
+    return rate, channels, x[: frames * channels].reshape(frames, channels)
