@@ -829,6 +829,46 @@ def _page_text(
     return "\n".join(b for b in blocks if b)
 
 
+def _page_order(objs: dict[int, bytes]) -> list[int]:
+    """Page object numbers in PAGE-TREE order (§7.7.3: the document's
+    page sequence is the depth-first order of the catalog's /Pages
+    /Kids arrays, NOT object-number order — incremental updates and
+    reordered writers routinely number pages out of sequence). Page
+    objects the tree walk cannot reach (broken /Root, missing Kids)
+    are appended in object-number order so no page is silently
+    dropped."""
+    order: list[int] = []
+    visited: set[int] = set()
+
+    def walk(num: int, depth: int) -> None:
+        if num in visited or depth > 64:  # cycle / hostile-depth guard
+            return
+        visited.add(num)
+        d = _dict_of(objs.get(num, b""))
+        if re.search(rb"/Type\s*/Page\b(?!s)", d):
+            order.append(num)
+            return
+        for m in _REF_RE.finditer(_value_after(d, b"Kids")):
+            walk(int(m.group(1)), depth + 1)
+
+    for num in sorted(objs):
+        root = _dict_of(objs[num])
+        if re.search(rb"/Type\s*/Catalog\b", root):
+            m = re.match(
+                rb"(\d+)", _value_after(root, b"Pages").strip() or b"-"
+            )
+            if m:
+                walk(int(m.group(1)), 0)
+            break
+    reached = set(order)
+    for num in sorted(objs):
+        if num not in reached and re.search(
+            rb"/Type\s*/Page\b(?!s)", _dict_of(objs[num])
+        ):
+            order.append(num)
+    return order
+
+
 def extract_pdf_text(content: bytes) -> str:
     """Text of every page, pages joined by newline — the same contract
     as the pdfplumber branch in sources/corpus.decode_document."""
@@ -850,11 +890,9 @@ def extract_pdf_text(content: bytes) -> str:
         _decrypt_streams(objs, gens, key, cipher)
     _expand_object_streams(objs)
     pages: list[str] = []
-    for num in sorted(objs):
+    for num in _page_order(objs):
         body = objs[num]
         d = _dict_of(body)
-        if not re.search(rb"/Type\s*/Page\b(?!s)", d):
-            continue
         cmaps = _font_cmaps(d, objs)
         contents = _value_after(d, b"Contents")
         refs = [int(r) for r in _REF_RE.findall(contents)]
@@ -1022,10 +1060,8 @@ def extract_pdf_images(content: bytes) -> list[dict]:
     images: list[dict] = []
     seen: set[int] = set()
     page = 0
-    for num in sorted(objs):
+    for num in _page_order(objs):
         d = _dict_of(objs[num])
-        if not re.search(rb"/Type\s*/Page\b(?!s)", d):
-            continue
         res = _value_after(d, b"Resources").strip()
         rm = re.fullmatch(rb"(\d+)\s+\d+\s+R", res)
         if rm:

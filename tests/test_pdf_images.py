@@ -257,3 +257,34 @@ def test_roundtrip_property_random_raw_images():
         assert np.array_equal(_raw_samples_to_pixels(rec), px)
 
     prop()
+
+
+def test_page_tree_order_beats_object_number_order():
+    """§7.7.3: the page SEQUENCE is the /Kids order, not object-number
+    order — both the text extractor and the image walk must honor it."""
+    from fund_data_etl_pipeline_spark.sources.pdf_text import (
+        extract_pdf_text,
+    )
+
+    pg = gradient_rgb(6, 4)
+    # Kids lists page object 5 FIRST, then 3 — reversed numeric order
+    objects = [
+        b"<< /Type /Catalog /Pages 2 0 R >>",
+        b"<< /Type /Pages /Kids [5 0 R 3 0 R] /Count 2 >>",
+        b"<< /Type /Page /Parent 2 0 R /Contents 4 0 R"
+        b" /Resources << /XObject << /Im0 8 0 R >>"
+        b" /Font << /F1 7 0 R >> >> >>",
+        stream_obj(b"BT /F1 10 Tf (second) Tj ET /Im0 Do"),
+        b"<< /Type /Page /Parent 2 0 R /Contents 6 0 R"
+        b" /Resources << /XObject << /Im0 9 0 R >>"
+        b" /Font << /F1 7 0 R >> >> >>",
+        stream_obj(b"BT /F1 10 Tf (first) Tj ET /Im0 Do"),
+        b"<< /Type /Font /Subtype /Type1 /BaseFont /Helvetica >>",
+        image_obj(pg.tobytes(), 6, 4, compress=True),  # on page obj 3
+        image_obj(pg.tobytes(), 6, 4, compress=True),  # on page obj 5
+    ]
+    pdf = build_pdf(objects)
+    assert extract_pdf_text(pdf).splitlines() == ["first", "second"]
+    recs = extract_pdf_images(pdf)
+    # page 0 must carry object 9's image (the Kids-first page, obj 5)
+    assert [(r["page"], r["obj"]) for r in recs] == [(0, 9), (1, 8)]
