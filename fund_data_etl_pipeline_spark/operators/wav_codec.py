@@ -260,7 +260,13 @@ def _extended80(b: bytes) -> float:
         return 0.0
     if exp == 0x7FFF:
         raise ValueError("AIFF sample rate is inf/NaN")
-    return sign * mant * 2.0 ** (exp - 16383 - 63)
+    scale = exp - 16383 - 63
+    # the integer bit makes mant >= 2^63, so any scale above -31 means
+    # a "sample rate" past ~8 GHz — reject as corrupt rather than
+    # letting the power overflow
+    if not -16500 < scale <= -31:
+        raise ValueError("AIFF sample rate out of range")
+    return sign * mant * 2.0 ** scale
 
 
 def decode_aiff(data: bytes) -> tuple[int, int, np.ndarray]:

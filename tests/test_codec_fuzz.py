@@ -1,0 +1,64 @@
+"""Hostile-input contract for the round-6 decoders: random garbage and
+mutated/truncated valid streams must either decode or raise a NAMED
+ValueError — never an IndexError/OverflowError/struct.error leaking out
+of the codec, and never a hang. (The S7 side-channel quarantines any
+exception, but the named-error contract is what makes quarantine rows
+readable, and an unexpected exception class usually marks a real bug —
+the AIFF 80-bit-float OverflowError this test originally caught.)"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from fund_data_etl_pipeline_spark.operators.ccitt_codec import (
+    decode_g3_1d,
+    decode_g3_2d,
+    decode_g4,
+)
+from fund_data_etl_pipeline_spark.operators.flac_codec import decode_flac
+from fund_data_etl_pipeline_spark.operators.wav_codec import decode_aiff
+from fund_data_etl_pipeline_spark.sources.pdf_text import (
+    extract_pdf_images,
+)
+
+from test_aiff_codec import write_aiff
+from test_ccitt_codec import _text_like, encode_g3_2d, encode_g4
+from test_flac_codec import _tone, encode_flac
+
+
+def _ok(fn, blob):
+    try:
+        fn(blob)
+    except ValueError:
+        return
+    # success is fine too; anything else propagates and fails the test
+
+
+def test_random_garbage_names_its_errors():
+    rng = np.random.RandomState(0)
+    for _ in range(150):
+        blob = rng.bytes(rng.randint(1, 300))
+        _ok(lambda b: decode_g4(b, 64, rows=8), blob)
+        _ok(lambda b: decode_g3_1d(b, 64, rows=8), blob)
+        _ok(lambda b: decode_g3_2d(b, 64, rows=8), blob)
+        _ok(lambda b: decode_flac(b"fLaC" + b), blob)
+        _ok(lambda b: decode_aiff(b"FORM\x00\x00\x01\x00AIFF" + b), blob)
+        _ok(lambda b: extract_pdf_images(b"%PDF-1.4\n" + b), blob)
+
+
+def test_mutated_valid_streams_name_their_errors():
+    rng = np.random.RandomState(1)
+    img = _text_like(rows=8, cols=48, seed=4)
+    corpora = [
+        (lambda b: decode_g4(b, 48, rows=8), encode_g4(img)),
+        (lambda b: decode_g3_2d(b, 48, rows=8), encode_g3_2d(img, k=2)),
+        (decode_flac, encode_flac(_tone(96, ch=2), 8000)),
+        (decode_aiff, write_aiff(_tone(96, ch=1)[:, 0], 8000)),
+    ]
+    for _ in range(150):
+        for fn, base in corpora:
+            b = bytearray(base)
+            for _ in range(rng.randint(1, 4)):
+                b[rng.randint(len(b))] ^= 1 << rng.randint(8)
+            _ok(fn, bytes(b))
+            _ok(fn, bytes(base[: rng.randint(1, len(base))]))
