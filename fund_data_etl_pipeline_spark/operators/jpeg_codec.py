@@ -198,6 +198,8 @@ def decode_jpeg(data: bytes) -> tuple[int, int, int, np.ndarray]:
         marker = data[pos + 1]
         if marker == 0xD9:  # EOI
             break
+        if pos + 4 > len(data):
+            raise ValueError("JPEG truncated inside a marker segment")
         (seg_len,) = struct.unpack(">H", data[pos + 2 : pos + 4])
         body = data[pos + 4 : pos + 2 + seg_len]
         pos += 2 + seg_len
@@ -228,6 +230,8 @@ def decode_jpeg(data: bytes) -> tuple[int, int, int, np.ndarray]:
         elif marker in (0xC0, 0xC1, 0xC2):
             # SOF0 baseline / SOF1 extended sequential (identical
             # Huffman decoding at 8 bits) / SOF2 progressive
+            if len(body) < 6:
+                raise ValueError("JPEG SOF segment truncated")
             _prec, h, w, nc = struct.unpack(">BHHB", body[:6])
             if _prec != 8:
                 raise ValueError("only 8-bit JPEG precision supported")
@@ -257,33 +261,55 @@ def decode_jpeg(data: bytes) -> tuple[int, int, int, np.ndarray]:
                 for c in range(ns):
                     cid, tabs = body[1 + 2 * c : 3 + 2 * c]
                     ci = next(
-                        i for i, cc in enumerate(frame[2])
-                        if cc["id"] == cid
+                        (
+                            i for i, cc in enumerate(frame[2])
+                            if cc["id"] == cid
+                        ),
+                        None,
                     )
+                    if ci is None:
+                        raise ValueError(
+                            "JPEG scan references unknown component"
+                        )
                     scan_comps.append((ci, tabs >> 4, tabs & 0x0F))
                 ss, se, ahal = body[1 + 2 * ns : 4 + 2 * ns]
                 if state is None:
                     state = _init_progressive(frame)
                 segs, pos = _entropy_segments(data, pos)
-                _decode_progressive_scan(
-                    frame, state, huff_dc, huff_ac, scan_comps,
-                    ss, se, ahal >> 4, ahal & 0x0F, segs,
-                    restart_interval,
-                )
+                try:
+                    _decode_progressive_scan(
+                        frame, state, huff_dc, huff_ac, scan_comps,
+                        ss, se, ahal >> 4, ahal & 0x0F, segs,
+                        restart_interval,
+                    )
+                except KeyError as exc:
+                    raise ValueError(
+                        f"JPEG scan references undefined table {exc}"
+                    )
             else:
                 scan_tabs = {}
                 for c in range(ns):
                     cid, tabs = body[1 + 2 * c : 3 + 2 * c]
                     scan_tabs[cid] = (tabs >> 4, tabs & 0x0F)
                 segs, pos = _entropy_segments(data, pos)
-                out = _decode_scan(
-                    frame, qt, huff_dc, huff_ac, scan_tabs, segs,
-                    restart_interval,
-                )
+                try:
+                    out = _decode_scan(
+                        frame, qt, huff_dc, huff_ac, scan_tabs, segs,
+                        restart_interval,
+                    )
+                except KeyError as exc:
+                    raise ValueError(
+                        f"JPEG scan references undefined table {exc}"
+                    )
         else:
             continue  # APPn / COM / unknown: skipped
     if progressive and state is not None:
-        out = _reconstruct_progressive(frame, qt, state)
+        try:
+            out = _reconstruct_progressive(frame, qt, state)
+        except KeyError as exc:
+            raise ValueError(
+                f"JPEG component references undefined quant table {exc}"
+            )
     if out is None:
         raise ValueError("JPEG has no decoded scan (truncated?)")
     return out

@@ -123,6 +123,8 @@ def decode_png(data: bytes) -> tuple[int, int, int, np.ndarray]:
     while pos + 8 <= len(data):
         (length,) = struct.unpack(">I", data[pos : pos + 4])
         ctype = data[pos + 4 : pos + 8]
+        if pos + 12 + length > len(data):
+            raise ValueError(f"PNG chunk {ctype!r} truncated")
         body = data[pos + 8 : pos + 8 + length]
         (crc,) = struct.unpack(
             ">I", data[pos + 8 + length : pos + 12 + length]
@@ -130,6 +132,8 @@ def decode_png(data: bytes) -> tuple[int, int, int, np.ndarray]:
         if zlib.crc32(ctype + body) & 0xFFFFFFFF != crc:
             raise ValueError(f"PNG chunk {ctype!r} CRC mismatch")
         if ctype == b"IHDR":
+            if len(body) != 13:
+                raise ValueError("PNG IHDR must be 13 bytes")
             width, height, bit_depth, color_type, _, _, interlace = (
                 struct.unpack(">IIBBBBB", body)
             )
@@ -150,7 +154,10 @@ def decode_png(data: bytes) -> tuple[int, int, int, np.ndarray]:
             f"{color_type}"
         )
     ch = _CHANNELS[color_type]
-    raw = zlib.decompress(bytes(idat))
+    try:
+        raw = zlib.decompress(bytes(idat))
+    except zlib.error as exc:
+        raise ValueError(f"PNG IDAT stream corrupt: {exc}")
     bpp = max(1, ch * bit_depth // 8)
 
     def pass_decode(off: int, wpx: int, hpx: int):

@@ -137,6 +137,8 @@ def decode_tiff(data: bytes) -> tuple[int, int, int, np.ndarray]:
         e = ">"
     else:
         raise ValueError("not a TIFF (bad byte-order/magic)")
+    if len(data) < 8:
+        raise ValueError("TIFF truncated before first IFD")
     (ifd_off,) = struct.unpack(e + "I", data[4:8])
     if ifd_off + 2 > len(data):
         raise ValueError("TIFF truncated before first IFD")
@@ -164,7 +166,7 @@ def decode_tiff(data: bytes) -> tuple[int, int, int, np.ndarray]:
         # other types (ASCII/rational) are metadata the decoder ignores
 
     def one(tag: int, default: int | None = None) -> int:
-        if tag in tags:
+        if tags.get(tag):  # present AND non-empty (count 0 is corrupt)
             return tags[tag][0]
         if default is None:
             raise ValueError(f"TIFF missing required tag {tag}")

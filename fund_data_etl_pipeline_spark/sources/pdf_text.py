@@ -321,7 +321,10 @@ def _apply_filter(name: bytes, raw: bytes) -> bytes:
             return zlib.decompress(raw)
         except zlib.error:
             # some writers pad Length; try raw deflate
-            return zlib.decompressobj().decompress(raw)
+            try:
+                return zlib.decompressobj().decompress(raw)
+            except zlib.error as exc:
+                raise ValueError(f"PDF FlateDecode corrupt: {exc}")
     if name == b"LZWDecode":
         # §7.4.4.2 with the default EarlyChange = 1 is the TIFF
         # Section-13 LZW variant — shared decoder

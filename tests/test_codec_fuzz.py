@@ -62,3 +62,55 @@ def test_mutated_valid_streams_name_their_errors():
                 b[rng.randint(len(b))] ^= 1 << rng.randint(8)
             _ok(fn, bytes(b))
             _ok(fn, bytes(base[: rng.randint(1, len(base))]))
+
+
+def test_older_codecs_mutation_fuzz():
+    """Same contract for the r5/r6 image+audio codecs and the PDF text
+    extractor: bit-flipped and truncated valid streams raise named
+    ValueError/NotImplementedError only (this pass originally caught
+    uncaught zlib.error in PNG/PDF Flate, KeyError/struct.error in
+    JPEG, IndexError in TIFF)."""
+    from fund_data_etl_pipeline_spark.operators.bmp_codec import decode_bmp
+    from fund_data_etl_pipeline_spark.operators.gif_codec import decode_gif
+    from fund_data_etl_pipeline_spark.operators.jpeg_codec import decode_jpeg
+    from fund_data_etl_pipeline_spark.operators.png_codec import decode_png
+    from fund_data_etl_pipeline_spark.operators.tiff_codec import decode_tiff
+    from fund_data_etl_pipeline_spark.operators.wav_codec import decode_wav
+    from fund_data_etl_pipeline_spark.sources.pdf_text import (
+        extract_pdf_text,
+    )
+    from test_bmp_codec import write_bmp
+    from test_gif_codec import write_gif
+    from test_jpeg_codec import encode_jpeg
+    from test_pdf_text import simple_pdf
+    from test_png_codec import encode_png
+    from test_tiff_codec import write_tiff
+    from test_wav_codec import write_wav
+
+    rng = np.random.RandomState(3)
+    img = rng.randint(0, 256, (12, 16, 3)).astype(np.uint8)
+    pal = rng.randint(0, 256, (16, 3)).astype(np.uint8)
+    idx = rng.randint(0, 16, (12, 16)).astype(np.uint8)
+    corpora = [
+        (decode_png, encode_png(img)),
+        (decode_jpeg, encode_jpeg(img)),
+        (decode_gif, write_gif(idx, pal)),
+        (decode_bmp, write_bmp(img)),
+        (decode_tiff, write_tiff(img)),
+        (decode_wav, write_wav(np.linspace(-0.5, 0.5, 400)[:, None])),
+        (extract_pdf_text, simple_pdf(b"BT (hello) Tj ET", compress=True)),
+    ]
+
+    def ok(fn, blob):
+        try:
+            fn(blob)
+        except (ValueError, NotImplementedError):
+            pass
+
+    for _ in range(120):
+        for fn, base in corpora:
+            b = bytearray(base)
+            for _ in range(rng.randint(1, 4)):
+                b[rng.randint(len(b))] ^= 1 << rng.randint(8)
+            ok(fn, bytes(b))
+            ok(fn, bytes(base[: rng.randint(1, len(base))]))
