@@ -76,7 +76,12 @@ def read_mp4_meta(data: bytes) -> dict:
         four = path[-1]
         body = data[b0:b1]
         if four == b"mvhd":
+            if not body:
+                raise ValueError("MP4 mvhd box empty (truncated?)")
             ver = body[0]
+            need = 32 if ver == 1 else 20
+            if len(body) < need:
+                raise ValueError("MP4 mvhd box truncated")
             if ver == 1:
                 ts, dur = struct.unpack(">IQ", body[20:32])
             else:
@@ -84,14 +89,18 @@ def read_mp4_meta(data: bytes) -> dict:
             if ts:
                 duration_s = dur / ts
         elif four == b"tkhd":
+            if not body:
+                raise ValueError("MP4 tkhd box empty (truncated?)")
             ver = body[0]
             off = 96 if ver == 1 else 84
+            if len(body) < off:
+                raise ValueError("MP4 tkhd box truncated")
             w_fp, h_fp = struct.unpack(">II", body[off - 8 : off])
             trak_dims[path[:-1]] = (w_fp >> 16, h_fp >> 16)
         elif four in (b"stsz", b"stz2"):
-            (cnt,) = struct.unpack(
-                ">I", body[8:12] if four == b"stsz" else body[8:12]
-            )
+            if len(body) < 12:
+                raise ValueError(f"MP4 {four.decode()} box truncated")
+            (cnt,) = struct.unpack(">I", body[8:12])
             trak = path[: path.index(b"trak") + 1]
             trak_counts[trak] = cnt
     for trak, (w, h) in trak_dims.items():

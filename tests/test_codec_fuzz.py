@@ -114,3 +114,47 @@ def test_older_codecs_mutation_fuzz():
                 b[rng.randint(len(b))] ^= 1 << rng.randint(8)
             ok(fn, bytes(b))
             ok(fn, bytes(base[: rng.randint(1, len(base))]))
+
+
+def test_container_metadata_mutation_fuzz():
+    """AVI demux, MP4 box walk and the scanned-PDF image walk under the
+    same mutation contract (this pass originally caught struct.error on
+    truncated mvhd/tkhd/stsz boxes)."""
+    from fund_data_etl_pipeline_spark.operators.avi_mjpeg import (
+        iter_mjpeg_frames,
+        read_avi_meta,
+    )
+    from fund_data_etl_pipeline_spark.operators.mp4_meta import (
+        read_mp4_meta,
+    )
+    from test_avi_mjpeg import write_avi
+    from test_jpeg_codec import encode_jpeg
+    from test_mp4_meta import video_mp4
+    from test_pdf_images import image_obj, scanned_pdf
+
+    rng = np.random.RandomState(5)
+    img = rng.randint(0, 256, (16, 16, 3)).astype(np.uint8)
+    jpg = encode_jpeg(img)
+    corpora = [
+        (read_avi_meta, write_avi([jpg, jpg], 16, 16)),
+        (lambda b: list(iter_mjpeg_frames(b)), write_avi([jpg], 16, 16)),
+        (read_mp4_meta, video_mp4()),
+        (
+            extract_pdf_images,
+            scanned_pdf([image_obj(jpg, 16, 16, filt=b"/DCTDecode")]),
+        ),
+    ]
+
+    def ok(fn, blob):
+        try:
+            fn(blob)
+        except (ValueError, NotImplementedError):
+            pass
+
+    for _ in range(150):
+        for fn, base in corpora:
+            b = bytearray(base)
+            for _ in range(rng.randint(1, 4)):
+                b[rng.randint(len(b))] ^= 1 << rng.randint(8)
+            ok(fn, bytes(b))
+            ok(fn, bytes(base[: rng.randint(1, len(base))]))
