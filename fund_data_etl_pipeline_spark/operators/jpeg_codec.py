@@ -30,9 +30,17 @@ shared dequant + IDCT reconstruction. Extended sequential (SOF1,
 8-bit) decodes through the baseline path, which it matches
 bit-for-bit.
 
+Round 6 also adds LOSSLESS sequential (SOF3, T.81 Annex H process 14):
+Huffman-coded SSSS difference categories against the seven spatial
+predictors, modulo-2^16 reconstruction, point transform — 8-bit
+non-subsampled components carried verbatim (gray or RGB; process 14
+defines no color transform). Being lossless, its round-trip tests
+assert PIXEL-EXACT equality.
+
 Out of scope, raising a NAMED error (the S7 quarantine convention —
-never silently wrong): lossless/hierarchical/arithmetic modes, 12-bit
-precision, 4-component CMYK/Adobe transforms. Round-trip tests in
+never silently wrong): hierarchical/arithmetic modes, 12-bit
+precision, 4-component CMYK/Adobe transforms, lossless with restart
+markers or subsampling. Round-trip tests in
 tests/test_jpeg_codec.py drive this decoder against independently
 written in-test baseline AND progressive ENCODERS (FDCT + Annex K
 tables), the xls_writer/pdf_text/png_codec strategy.
@@ -179,8 +187,8 @@ def _entropy_segments(data: bytes, pos: int) -> tuple[list[bytes], int]:
 
 def decode_jpeg(data: bytes) -> tuple[int, int, int, np.ndarray]:
     """(width, height, channels, pixels[h, w, c] uint8) of a baseline,
-    extended-sequential or progressive JPEG blob. Named errors for the
-    remaining modes (S7 quarantine)."""
+    extended-sequential, progressive or lossless JPEG blob. Named
+    errors for the remaining modes (S7 quarantine)."""
     if not data.startswith(JPEG_MAGIC[:2]):
         raise ValueError("not a JPEG (missing SOI)")
     pos = 2
@@ -190,6 +198,7 @@ def decode_jpeg(data: bytes) -> tuple[int, int, int, np.ndarray]:
     restart_interval = 0
     frame = None  # (width, height, components)
     progressive = False
+    lossless = False
     state = None  # progressive coefficient accumulator
     out = None
     while pos + 4 <= len(data):
@@ -243,12 +252,31 @@ def decode_jpeg(data: bytes) -> tuple[int, int, int, np.ndarray]:
                 )
             frame = (w, h, comps)
             progressive = marker == 0xC2
-        elif marker in (0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA,
+        elif marker == 0xC3:  # SOF3 — lossless sequential (process 14)
+            if len(body) < 6:
+                raise ValueError("JPEG SOF segment truncated")
+            _prec, h, w, nc = struct.unpack(">BHHB", body[:6])
+            if _prec != 8:
+                raise ValueError(
+                    "only 8-bit lossless JPEG precision supported"
+                )
+            comps = []
+            for c in range(nc):
+                cid, hv, tq = body[6 + 3 * c : 9 + 3 * c]
+                if hv != 0x11:
+                    raise ValueError(
+                        "subsampled lossless JPEG not supported"
+                    )
+                comps.append({"id": cid, "h": 1, "v": 1, "tq": tq})
+            frame = (w, h, comps)
+            lossless = True
+            progressive = False
+        elif marker in (0xC5, 0xC6, 0xC7, 0xC9, 0xCA,
                         0xCB, 0xCD, 0xCE, 0xCF):
             raise ValueError(
-                f"JPEG SOF{marker - 0xC0} (lossless/hierarchical/"
-                "arithmetic mode) not supported — sequential (SOF0/1) "
-                "and progressive (SOF2) only"
+                f"JPEG SOF{marker - 0xC0} (hierarchical/arithmetic "
+                "mode) not supported — sequential (SOF0/1), "
+                "progressive (SOF2) and lossless (SOF3) only"
             )
         elif marker == 0xDD:  # DRI
             (restart_interval,) = struct.unpack(">H", body[:2])
@@ -281,6 +309,27 @@ def decode_jpeg(data: bytes) -> tuple[int, int, int, np.ndarray]:
                         frame, state, huff_dc, huff_ac, scan_comps,
                         ss, se, ahal >> 4, ahal & 0x0F, segs,
                         restart_interval,
+                    )
+                except KeyError as exc:
+                    raise ValueError(
+                        f"JPEG scan references undefined table {exc}"
+                    )
+            elif lossless:
+                scan_tabs = {}
+                for c in range(ns):
+                    cid, tabs = body[1 + 2 * c : 3 + 2 * c]
+                    scan_tabs[cid] = tabs >> 4  # DC-class table only
+                ss, _se, ahal = body[1 + 2 * ns : 4 + 2 * ns]
+                if restart_interval:
+                    raise ValueError(
+                        "lossless JPEG with restart markers not "
+                        "supported"
+                    )
+                segs, pos = _entropy_segments(data, pos)
+                try:
+                    out = _decode_lossless_scan(
+                        frame, huff_dc, scan_tabs, segs, ss,
+                        ahal & 0x0F,
                     )
                 except KeyError as exc:
                     raise ValueError(
@@ -611,3 +660,59 @@ def _reconstruct_progressive(frame, qt, state):
         axis=-1,
     )
     return w, h, 3, np.clip(np.round(rgb), 0, 255).astype(np.uint8)
+
+
+def _decode_lossless_scan(frame, huff_dc, scan_tabs, segs, predictor, pt):
+    """SOF3 lossless sequential scan (T.81 Annex H, process 14):
+    Huffman-coded SSSS difference categories against one of the seven
+    spatial predictors, modulo-2^16 reconstruction, point transform
+    undone on output. Non-subsampled 8-bit components only (the frame
+    parser enforces both); restart markers are rejected upstream so the
+    scan is a single entropy segment."""
+    w, h, comps = frame
+    if not 1 <= predictor <= 7:
+        raise ValueError(f"lossless JPEG predictor {predictor} invalid")
+    r = _BitReader(b"".join(segs))
+    nc = len(comps)
+    default = 1 << (8 - pt - 1)
+    planes = [np.zeros((h, w), dtype=np.int32) for _ in comps]
+    tables = [huff_dc[scan_tabs[c["id"]]] for c in comps]
+    for y in range(h):
+        for x in range(w):
+            for ci in range(nc):
+                t = r.decode(tables[ci])
+                if t == 16:  # H.1.2.2: no appended bits, diff = 32768
+                    diff = 32768
+                elif t > 16:
+                    raise ValueError(
+                        "lossless JPEG difference category out of range"
+                    )
+                else:
+                    diff = _extend(r.read_bits(t), t)
+                p = planes[ci]
+                if y == 0 and x == 0:
+                    pred = default
+                elif y == 0:
+                    pred = p[0, x - 1]
+                elif x == 0:
+                    pred = p[y - 1, 0]
+                else:
+                    ra = int(p[y, x - 1])
+                    rb = int(p[y - 1, x])
+                    rc = int(p[y - 1, x - 1])
+                    pred = (
+                        ra if predictor == 1
+                        else rb if predictor == 2
+                        else rc if predictor == 3
+                        else ra + rb - rc if predictor == 4
+                        else ra + ((rb - rc) >> 1) if predictor == 5
+                        else rb + ((ra - rc) >> 1) if predictor == 6
+                        else (ra + rb) >> 1
+                    )
+                p[y, x] = (int(pred) + diff) & 0xFFFF
+    px = np.stack(
+        [((p << pt) & 0xFF).astype(np.uint8) for p in planes], axis=-1
+    )
+    # lossless JPEG carries components verbatim (no YCbCr transform is
+    # defined for process 14) — 1 plane is gray, 3 are RGB as stored
+    return w, h, nc, px

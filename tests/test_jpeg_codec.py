@@ -282,14 +282,15 @@ def test_quantized_dc_only_block_exact():
     assert np.array_equal(px[:, :, 0], img)
 
 
-def test_named_error_lossless():
+def test_named_error_hierarchical():
     from fund_data_etl_pipeline_spark.operators.jpeg_codec import decode_jpeg
 
     blob = encode_jpeg(_gradient(8, 8))
-    # rewrite SOF0 marker to SOF3 (lossless) — still a named error
+    # rewrite SOF0 to SOF5 (differential/hierarchical) — a named error
+    # (SOF3 lossless DECODES now — see the test_lossless_* suite)
     i = blob.index(b"\xff\xc0")
-    bad = blob[:i] + b"\xff\xc3" + blob[i + 2 :]
-    with pytest.raises(ValueError, match="SOF3"):
+    bad = blob[:i] + b"\xff\xc5" + blob[i + 2 :]
+    with pytest.raises(ValueError, match="SOF5"):
         decode_jpeg(bad)
 
 
@@ -583,3 +584,120 @@ def test_sof1_extended_sequential_decodes_identically():
     i = blob.index(b"\xff\xc0")
     ext = blob[:i] + b"\xff\xc1" + blob[i + 2 :]
     assert np.array_equal(decode_jpeg(ext)[3], decode_jpeg(blob)[3])
+
+
+# --- lossless (SOF3, process 14) --------------------------------------
+
+
+def encode_jpeg_lossless(
+    px: np.ndarray, predictor: int = 4, pt: int = 0
+) -> bytes:
+    """In-test lossless encoder (T.81 Annex H forward direction):
+    point transform, spatial prediction with the H.1 boundary rules,
+    modulo-2^16 differences mapped to SSSS categories on a 17-symbol
+    canonical Huffman table."""
+    gray = px.ndim == 2
+    planes = (
+        [px.astype(np.int64)]
+        if gray
+        else [px[:, :, c].astype(np.int64) for c in range(px.shape[2])]
+    )
+    planes = [p >> pt for p in planes]
+    h, w = planes[0].shape
+    nc = len(planes)
+    # 17 symbols (SSSS 0-16), all length-5 canonical codes: code i = i
+    bits = [0] * 16
+    bits[4] = 17
+    values = bytes(range(17))
+    out = bytearray(b"\xff\xd8")
+    out += b"\xff\xc4" + struct.pack(">H", 3 + 16 + 17) + b"\x00"
+    out += bytes(bits) + values
+    out += b"\xff\xc3" + struct.pack(">H", 8 + 3 * nc)
+    out += struct.pack(">BHHB", 8, h, w, nc)
+    for c in range(nc):
+        out += bytes([c + 1, 0x11, 0])
+    out += b"\xff\xda" + struct.pack(">H", 6 + 2 * nc) + bytes([nc])
+    for c in range(nc):
+        out += bytes([c + 1, 0x00])
+    out += bytes([predictor, 0, pt])
+    bw = _BitWriter()
+    default = 1 << (8 - pt - 1)
+    for y in range(h):
+        for x in range(w):
+            for p in planes:
+                if y == 0 and x == 0:
+                    pred = default
+                elif y == 0:
+                    pred = p[0, x - 1]
+                elif x == 0:
+                    pred = p[y - 1, 0]
+                else:
+                    ra, rb, rc = (
+                        int(p[y, x - 1]),
+                        int(p[y - 1, x]),
+                        int(p[y - 1, x - 1]),
+                    )
+                    pred = (
+                        ra if predictor == 1
+                        else rb if predictor == 2
+                        else rc if predictor == 3
+                        else ra + rb - rc if predictor == 4
+                        else ra + ((rb - rc) >> 1) if predictor == 5
+                        else rb + ((ra - rc) >> 1) if predictor == 6
+                        else (ra + rb) >> 1
+                    )
+                d = (int(p[y, x]) - int(pred)) & 0xFFFF
+                if d > 32768:
+                    d -= 65536
+                if d == 32768:
+                    bw.write(16, 5)  # category 16: no appended bits
+                    continue
+                ssss = abs(d).bit_length()
+                bw.write(ssss, 5)
+                if ssss:
+                    bw.write(
+                        d if d >= 0 else d + (1 << ssss) - 1, ssss
+                    )
+    out += bw.flush() + b"\xff\xd9"
+    return bytes(out)
+
+
+@pytest.mark.parametrize("predictor", list(range(1, 8)))
+def test_lossless_roundtrip_every_predictor(predictor):
+    from fund_data_etl_pipeline_spark.operators.jpeg_codec import decode_jpeg
+
+    rng = np.random.RandomState(40 + predictor)
+    img = rng.randint(0, 256, (13, 17)).astype(np.uint8)
+    w, h, c, out = decode_jpeg(encode_jpeg_lossless(img, predictor))
+    assert (w, h, c) == (17, 13, 1)
+    assert np.array_equal(out[:, :, 0], img)  # LOSSLESS: bit-exact
+
+
+def test_lossless_rgb_and_point_transform():
+    from fund_data_etl_pipeline_spark.operators.jpeg_codec import decode_jpeg
+
+    rng = np.random.RandomState(50)
+    img = rng.randint(0, 256, (9, 11, 3)).astype(np.uint8)
+    w, h, c, out = decode_jpeg(encode_jpeg_lossless(img, 4))
+    assert (w, h, c) == (11, 9, 3)
+    assert np.array_equal(out, img)
+    # point transform pt=2 drops the 2 low bits, restored as zeros
+    _, _, _, out2 = decode_jpeg(encode_jpeg_lossless(img, 1, pt=2))
+    assert np.array_equal(out2, (img >> 2) << 2)
+
+
+def test_lossless_named_errors():
+    from fund_data_etl_pipeline_spark.operators.jpeg_codec import decode_jpeg
+
+    rng = np.random.RandomState(51)
+    img = rng.randint(0, 256, (6, 6)).astype(np.uint8)
+    blob = encode_jpeg_lossless(img)
+    # subsampled SOF3 components are out of scope
+    bad = blob.replace(bytes([1, 0x11, 0]), bytes([1, 0x22, 0]), 1)
+    with pytest.raises(ValueError, match="subsampled lossless"):
+        decode_jpeg(bad)
+    # restart markers in a lossless scan are out of scope
+    dri = b"\xff\xdd" + struct.pack(">HH", 4, 2)
+    with_dri = blob[:2] + dri + blob[2:]
+    with pytest.raises(ValueError, match="restart"):
+        decode_jpeg(with_dri)
