@@ -1079,6 +1079,13 @@ def extract_pdf_images(content: bytes) -> list[dict]:
             if body and is_image(body):
                 images.append(_image_record(ref, page, body, objs))
                 seen.add(ref)
+        # inline BI…ID…EI images live in the page's CONTENT streams
+        contents = _value_after(d, b"Contents")
+        refs = [int(r) for r in _REF_RE.findall(contents)]
+        stream = b"".join(
+            _stream_data(objs.get(r, b""), objs) for r in refs
+        )
+        images.extend(_inline_images(stream, page))
         page += 1
     # orphans: image objects not reachable through any page's resources
     # (broken writers, or a page tree this subset didn't walk) — still
@@ -1087,3 +1094,117 @@ def extract_pdf_images(content: bytes) -> list[dict]:
         if num not in seen and is_image(objs[num]):
             images.append(_image_record(num, -1, objs[num], objs))
     return images
+
+
+# --- inline images (BI … ID … EI, §8.9.7) ----------------------------
+
+_ABBREV_CS = {
+    b"G": "DeviceGray", b"RGB": "DeviceRGB", b"CMYK": "DeviceCMYK",
+    b"I": "Indexed",
+}
+_ABBREV_F = {
+    b"AHx": b"ASCIIHexDecode", b"A85": b"ASCII85Decode",
+    b"LZW": b"LZWDecode", b"Fl": b"FlateDecode",
+    b"CCF": b"CCITTFaxDecode", b"DCT": b"DCTDecode",
+}
+_BI_RE = re.compile(rb"(?:^|[\s>\]])BI[\s/]")
+_ID_RE = re.compile(rb"\bID[ \r\n\t]")
+_EI_RE = re.compile(rb"[\s]EI(?=[\s/\[(<]|$)")
+
+
+def _int_key(seg: bytes, *keys: bytes) -> int | None:
+    for k in keys:
+        m = re.search(rb"/" + k + rb"\s+(\d+)", seg)
+        if m:
+            return int(m.group(1))
+    return None
+
+
+def _inline_images(stream: bytes, page: int) -> list[dict]:
+    """Inline images of one decoded content stream (§8.9.7: the BI/ID/EI
+    operators with abbreviated dict keys — the form scanners use for
+    small stamps and masks). The payload end is found by trying each
+    whitespace-EI candidate until the declared filters decode cleanly,
+    because compressed payloads may contain the letters 'EI' by chance;
+    an unfiltered payload's size is exact (§8.9.5.2 row alignment), so
+    no search is needed there."""
+    out: list[dict] = []
+    pos = 0
+    while True:
+        bm = _BI_RE.search(stream, pos)
+        if not bm:
+            return out
+        im = _ID_RE.search(stream, bm.end() - 1)
+        if not im:
+            return out
+        seg = stream[bm.end() - 1 : im.start()]
+        body_at = im.end()
+        width = _int_key(seg, b"Width", b"W")
+        height = _int_key(seg, b"Height", b"H")
+        bpc = _int_key(seg, b"BitsPerComponent", b"BPC") or 8
+        csm = _NAME_RE.search(
+            _value_after(seg, b"ColorSpace") or _value_after(seg, b"CS")
+        or b"")
+        cs = csm.group(1) if csm else b""
+        cs_name = _ABBREV_CS.get(cs, cs.decode("latin-1"))
+        fval = _value_after(seg, b"Filter") or _value_after(seg, b"F")
+        filters = [
+            _ABBREV_F.get(n, n) for n in _NAME_RE.findall(fval)
+        ]
+        if width is None or height is None:
+            # the letters 'BI' inside a text operand, not an image —
+            # resume the scan after the false match
+            pos = bm.end()
+            continue
+        rec = {
+            "obj": -1, "page": page, "width": width, "height": height,
+            "bits_per_component": bpc, "color_space": cs_name,
+        }
+        channels = {"DeviceRGB": 3, "DeviceCMYK": 4}.get(cs_name, 1)
+        if not filters:
+            rowlen = (width * channels * bpc + 7) // 8
+            end = body_at + rowlen * height
+            if end > len(stream):
+                raise ValueError("PDF inline image payload truncated")
+            rec.update(format="raw", data=stream[body_at:end])
+            out.append(rec)
+            pos = end
+            continue
+        # filtered: try successive EI candidates until the chain decodes
+        cand = body_at
+        done = False
+        while not done:
+            em = _EI_RE.search(stream, cand)
+            if not em:
+                raise ValueError(
+                    "PDF inline image has no EI terminator"
+                )
+            raw = stream[body_at : em.start()]
+            try:
+                if filters[-1] == b"DCTDecode":
+                    data = raw
+                    for f in filters[:-1]:
+                        data = _apply_filter(f, data)
+                    if not (
+                        data[:2] == b"\xff\xd8"
+                        and data.rstrip(b"\r\n\t ")[-2:] == b"\xff\xd9"
+                    ):
+                        raise ValueError("not a complete JFIF payload")
+                    rec.update(format="jpeg", data=bytes(data))
+                elif filters[-1] == b"CCITTFaxDecode":
+                    data = raw
+                    for f in filters[:-1]:
+                        data = _apply_filter(f, data)
+                    # shares the XObject path: the abbreviated dict's
+                    # /DP value uses the FULL parameter names (§8.9.7)
+                    rec = _decode_ccitt_image(-1, seg, bytes(data), rec)
+                else:
+                    data = raw
+                    for f in filters:
+                        data = _apply_filter(f, data)
+                    rec.update(format="raw", data=bytes(data))
+                done = True
+            except ValueError:
+                cand = em.end()  # 'EI' inside the payload: keep looking
+        out.append(rec)
+        pos = em.end()

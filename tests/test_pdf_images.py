@@ -288,3 +288,79 @@ def test_page_tree_order_beats_object_number_order():
     recs = extract_pdf_images(pdf)
     # page 0 must carry object 9's image (the Kids-first page, obj 5)
     assert [(r["page"], r["obj"]) for r in recs] == [(0, 9), (1, 8)]
+
+
+# --- inline images (BI…ID…EI, §8.9.7) --------------------------------
+
+
+def _inline_pdf(content: bytes) -> bytes:
+    objects = [
+        b"<< /Type /Catalog /Pages 2 0 R >>",
+        b"<< /Type /Pages /Kids [3 0 R] /Count 1 >>",
+        b"<< /Type /Page /Parent 2 0 R /Contents 4 0 R >>",
+        stream_obj(content),
+    ]
+    return build_pdf(objects)
+
+
+def test_inline_image_raw_exact_length():
+    px = gradient_rgb(5, 3)
+    content = (
+        b"q BI /W 5 /H 3 /BPC 8 /CS /RGB ID " + px.tobytes() + b" EI Q"
+    )
+    (rec,) = extract_pdf_images(_inline_pdf(content))
+    assert (rec["obj"], rec["page"]) == (-1, 0)
+    assert rec["color_space"] == "DeviceRGB" and rec["format"] == "raw"
+    assert rec["data"] == px.tobytes()
+    assert np.array_equal(_raw_samples_to_pixels(rec), px)
+
+
+def test_inline_image_flate_with_embedded_EI_bytes():
+    # payload engineered to CONTAIN the bytes " EI " mid-stream: the
+    # extractor must skip the false terminator and keep decoding
+    px = gradient_rgb(8, 8)
+    payload = zlib.compress(px.tobytes())
+    poisoned = b"q BI /W 8 /H 8 /BPC 8 /CS /RGB /F /Fl ID "
+    # if the compressed payload doesn't already contain " EI ", splice a
+    # RAW inline image whose pixel data does, exercising the same path
+    if b" EI " not in payload:
+        raw = bytearray(px.tobytes())
+        raw[30:34] = b" EI "
+        px = np.frombuffer(bytes(raw), dtype=np.uint8).reshape(8, 8, 3)
+        payload = zlib.compress(bytes(raw))
+    content = poisoned + payload + b" EI Q"
+    (rec,) = extract_pdf_images(_inline_pdf(content))
+    assert rec["format"] == "raw" and rec["data"] == px.tobytes()
+
+
+def test_inline_image_ascii_hex_and_dct():
+    gray = (np.arange(12, dtype=np.uint8) * 20).reshape(4, 3)
+    hexs = gray.tobytes().hex().encode()
+    content = b"BI /W 3 /H 4 /BPC 8 /CS /G /F /AHx ID " + hexs + b"> EI"
+    (rec,) = extract_pdf_images(_inline_pdf(content))
+    assert rec["color_space"] == "DeviceGray"
+    assert rec["data"] == gray.tobytes()
+    jpg = encode_jpeg(gradient_rgb(8, 8))
+    content2 = b"BI /W 8 /H 8 /BPC 8 /CS /RGB /F /DCT ID " + jpg + b" EI"
+    (rec2,) = extract_pdf_images(_inline_pdf(content2))
+    assert rec2["format"] == "jpeg" and rec2["data"] == jpg
+
+
+def test_inline_ccitt_shares_the_fax_path():
+    from test_ccitt_codec import _text_like, encode_g4
+
+    img = _text_like(rows=6, cols=24, seed=41)
+    content = (
+        b"BI /W 24 /H 6 /BPC 1 /CS /G /F /CCF"
+        b" /DP << /K -1 /Columns 24 /Rows 6 >> ID "
+        + encode_g4(img) + b" EI"
+    )
+    (rec,) = extract_pdf_images(_inline_pdf(content))
+    assert rec["bits_per_component"] == 1
+    assert np.array_equal(_raw_samples_to_pixels(rec)[..., 0], img)
+
+
+def test_text_BI_letters_are_not_an_image():
+    # 'BI' inside a shown string and no inline image: nothing extracted
+    content = b"BT (ABIDE BI ID EI) Tj ET"
+    assert extract_pdf_images(_inline_pdf(content)) == []
