@@ -161,7 +161,7 @@ def decode_tiff(data: bytes) -> tuple[int, int, int, np.ndarray]:
             tags[tag] = list(struct.unpack(e + f"{count}H", raw))
         elif ftype == 4:
             tags[tag] = list(struct.unpack(e + f"{count}I", raw))
-        elif ftype == 1:
+        elif ftype in (1, 7):  # BYTE / UNDEFINED (e.g. JPEGTables)
             tags[tag] = list(raw)
         # other types (ASCII/rational) are metadata the decoder ignores
 
@@ -226,10 +226,49 @@ def decode_tiff(data: bytes) -> tuple[int, int, int, np.ndarray]:
         gray = np.vstack(parts)  # 255 = white, semantic fax sense
         rgb = np.repeat(gray[:, :, None], 3, axis=2)
         return width, height, 3, np.ascontiguousarray(rgb)
+    if comp == 7:
+        # New-style JPEG-in-TIFF (TTN2): each strip is a complete JIF
+        # stream, optionally sharing a DQT/DHT prefix via the
+        # JPEGTables tag (347) — tables body spliced in after the
+        # strip's SOI, then decoded by the builtin T.81 codec.
+        from .jpeg_codec import decode_jpeg
+
+        offsets = tags.get(273)
+        counts = tags.get(279)
+        if not offsets or not counts or len(offsets) != len(counts):
+            raise ValueError("TIFF missing strip offsets/byte counts")
+        jtab = bytes(tags.get(347, []))
+        if jtab:
+            if jtab[:2] != b"\xff\xd8" or jtab[-2:] != b"\xff\xd9":
+                raise ValueError("TIFF JPEGTables not SOI…EOI framed")
+            jtab = jtab[2:-2]
+        rows_per_strip = one(278, height)
+        parts = []
+        rows_done = 0
+        for soff, scnt in zip(offsets, counts):
+            raw = data[soff : soff + scnt]
+            if len(raw) < scnt:
+                raise ValueError("TIFF truncated inside strip data")
+            if raw[:2] != b"\xff\xd8":
+                raise ValueError("TIFF JPEG strip missing SOI")
+            sw, sh, sc, px = decode_jpeg(b"\xff\xd8" + jtab + raw[2:])
+            n_rows = min(rows_per_strip, height - rows_done)
+            if sw != width or sh < n_rows:
+                raise ValueError(
+                    "TIFF JPEG strip dimensions disagree with the IFD"
+                )
+            parts.append(
+                px[:n_rows] if sc == 3
+                else np.repeat(px[:n_rows, :, :1], 3, axis=2)
+            )
+            rows_done += n_rows
+        if rows_done < height:
+            raise ValueError("TIFF strips cover fewer rows than ImageLength")
+        return width, height, 3, np.ascontiguousarray(np.vstack(parts))
     if comp not in (1, 5, 8, 32773, 32946):
         raise ValueError(f"TIFF compression {comp} not supported "
-                         "(uncompressed, LZW, Deflate, PackBits or "
-                         "CCITT MH/G3/G4 only)")
+                         "(uncompressed, LZW, Deflate, PackBits, "
+                         "CCITT MH/G3/G4 or JPEG only)")
     if planar != 1:
         raise ValueError("TIFF planar configuration 2 not supported")
     if predictor not in (1, 2):

@@ -349,6 +349,27 @@ def _apply_filter(name: bytes, raw: bytes) -> bytes:
             return base64.a85decode(b"<~" + cleaned + b"~>", adobe=True)
         except ValueError as exc:
             raise ValueError(f"PDF ASCII85Decode corrupt: {exc}")
+    if name == b"RunLengthDecode":
+        # §7.4.5: length byte 0-127 = copy n+1 literals; 129-255 = the
+        # next byte repeated 257-n times; 128 = EOD
+        out_rl = bytearray()
+        i = 0
+        while i < len(raw):
+            n = raw[i]
+            if n == 128:
+                return bytes(out_rl)
+            if n < 128:
+                chunk = raw[i + 1 : i + 2 + n]
+                if len(chunk) != n + 1:
+                    raise ValueError("PDF RunLengthDecode truncated")
+                out_rl += chunk
+                i += 2 + n
+            else:
+                if i + 1 >= len(raw):
+                    raise ValueError("PDF RunLengthDecode truncated")
+                out_rl += raw[i + 1 : i + 2] * (257 - n)
+                i += 2
+        raise ValueError("PDF RunLengthDecode missing EOD marker")
     raise ValueError(
         f"unsupported PDF stream filter {name.decode('latin-1')}"
     )
@@ -1104,7 +1125,7 @@ _ABBREV_CS = {
 }
 _ABBREV_F = {
     b"AHx": b"ASCIIHexDecode", b"A85": b"ASCII85Decode",
-    b"LZW": b"LZWDecode", b"Fl": b"FlateDecode",
+    b"LZW": b"LZWDecode", b"Fl": b"FlateDecode", b"RL": b"RunLengthDecode",
     b"CCF": b"CCITTFaxDecode", b"DCT": b"DCTDecode",
 }
 _BI_RE = re.compile(rb"(?:^|[\s>\]])BI[\s/]")

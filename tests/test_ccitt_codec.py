@@ -408,8 +408,10 @@ def write_fax_tiff(
     rows_per_strip: int,
     photometric: int = 0,
     t4options: int | None = None,
+    jpeg_tables: bytes | None = None,
 ) -> bytes:
-    """Minimal little-endian 1-bit fax TIFF around pre-encoded strips."""
+    """Minimal little-endian 1-bit fax TIFF around pre-encoded strips
+    (doubles as the JPEG-in-TIFF builder via comp=7 + jpeg_tables)."""
     import struct
 
     entries = [
@@ -425,7 +427,9 @@ def write_fax_tiff(
     ]
     if t4options is not None:
         entries.append((292, 4, [t4options]))
-        entries.sort(key=lambda t: t[0])
+    if jpeg_tables is not None:
+        entries.append((347, 7, list(jpeg_tables)))
+    entries.sort(key=lambda t: t[0])
     ifd_off = 8
     ifd_size = 2 + 12 * len(entries) + 4
     ext = bytearray()
@@ -437,7 +441,7 @@ def write_fax_tiff(
     for tag, ftype, vals in entries:
         if vals is not None and len(vals) > 1:
             slots.append((tag, ext_base + len(ext)))
-            unit = {3: "H", 4: "I"}[ftype]
+            unit = {1: "B", 3: "H", 4: "I", 7: "B"}[ftype]
             ext += struct.pack(f"<{len(vals)}{unit}", *vals)
     data_base = ext_base + len(ext)
     offsets = []
@@ -466,7 +470,7 @@ def write_fax_tiff(
         if count > 1:
             out += struct.pack("<I", ext_cursor[tag])
         else:
-            unit = {3: "H", 4: "I"}[ftype]
+            unit = {1: "B", 3: "H", 4: "I", 7: "B"}[ftype]
             out += struct.pack(f"<{unit}", vals[0]).ljust(4, b"\x00")
     out += struct.pack("<I", 0)  # no next IFD
     out += ext

@@ -663,3 +663,31 @@ def test_encrypted_aes_quarantines():
     )
     with pytest.raises(ValueError, match="unsupported security handler"):
         extract_pdf_text(blob)
+
+
+def test_runlength_filter_roundtrip():
+    from fund_data_etl_pipeline_spark.sources.pdf_text import (
+        extract_pdf_text,
+    )
+
+    content = b"BT (rle works) Tj ET"
+    # §7.4.5 forward coding: a literal run + a repeated run + EOD
+    payload = (
+        bytes([len(content) - 1]) + content  # literal block
+        + bytes([257 - 4]) + b" "  # 4 spaces, repeated-run form
+        + b"\x80"  # EOD
+    )
+    pdf = build_pdf(
+        [
+            b"<< /Type /Catalog /Pages 2 0 R >>",
+            b"<< /Type /Pages /Kids [3 0 R] /Count 1 >>",
+            b"<< /Type /Page /Parent 2 0 R /Contents 4 0 R >>",
+            stream_obj(payload, extra=b" /Filter /RunLengthDecode"),
+        ]
+    )
+    assert extract_pdf_text(pdf).strip() == "rle works"
+    import pytest
+
+    bad = pdf.replace(b"\x80", b"\x7f", 1)  # EOD byte becomes a length
+    with pytest.raises(ValueError, match="RunLength"):
+        extract_pdf_text(bad)

@@ -196,13 +196,14 @@ def test_tiff_named_errors():
     with pytest.raises(ValueError, match="truncated"):
         decode_tiff(blob[:-8])
     jp = bytearray(blob)
-    # tag 259 (compression) short value: find its entry, set to 7 (JPEG)
+    # tag 259 (compression) short value: find its entry, set to 6
+    # (old-style JPEG, deprecated; new-style 7 DECODES now)
     n = struct.unpack("<H", blob[8:10])[0]
     for i in range(n):
         off = 10 + 12 * i
         if struct.unpack("<H", blob[off:off + 2])[0] == 259:
-            jp[off + 8:off + 10] = struct.pack("<H", 7)
-    with pytest.raises(ValueError, match="compression 7"):
+            jp[off + 8:off + 10] = struct.pack("<H", 6)
+    with pytest.raises(ValueError, match="compression 6"):
         decode_tiff(bytes(jp))
 
 
@@ -366,3 +367,60 @@ def test_tiff_lzw_with_horizontal_predictor():
             blob[off + 8:off + 10] = struct.pack("<H", 2)
     _, _, _, px = decode_tiff(bytes(blob))
     assert np.array_equal(px, img)
+
+
+# --- JPEG-in-TIFF (compression 7, TTN2) -------------------------------
+
+
+def test_tiff_jpeg_strips_no_tables():
+    from test_ccitt_codec import write_fax_tiff
+    from test_jpeg_codec import encode_jpeg
+
+    from fund_data_etl_pipeline_spark.operators.tiff_codec import (
+        decode_tiff,
+    )
+
+    img = _rgb(h=8, w=16, seed=61)
+    strips = [encode_jpeg(img[0:4]), encode_jpeg(img[4:8])]
+    blob = write_fax_tiff(strips, 16, 8, comp=7, rows_per_strip=4)
+    w, h, c, out = decode_tiff(blob)
+    assert (w, h, c) == (16, 8, 3)
+    err = np.abs(out.astype(float) - img.astype(float))
+    assert err.max() <= 12 and err.mean() <= 2.5
+
+
+def test_tiff_jpeg_strips_with_shared_tables():
+    from test_ccitt_codec import write_fax_tiff
+    from test_jpeg_codec import encode_jpeg
+
+    from fund_data_etl_pipeline_spark.operators.tiff_codec import (
+        decode_tiff,
+    )
+
+    img = _rgb(h=8, w=16, seed=62)
+    full = [encode_jpeg(img[0:4]), encode_jpeg(img[4:8])]
+    # split each strip at SOF0: everything before it (DQT etc.) moves
+    # into the shared JPEGTables blob; the strips keep SOI + SOF0 on
+    split = [s.index(b"\xff\xc0") for s in full]
+    tables = b"\xff\xd8" + full[0][2 : split[0]] + b"\xff\xd9"
+    strips = [b"\xff\xd8" + s[i:] for s, i in zip(full, split)]
+    blob = write_fax_tiff(
+        strips, 16, 8, comp=7, rows_per_strip=4, jpeg_tables=tables
+    )
+    _, _, _, out = decode_tiff(blob)
+    err = np.abs(out.astype(float) - img.astype(float))
+    assert err.max() <= 12 and err.mean() <= 2.5
+
+
+def test_tiff_jpeg_named_errors():
+    from test_ccitt_codec import write_fax_tiff
+
+    from fund_data_etl_pipeline_spark.operators.tiff_codec import (
+        decode_tiff,
+    )
+
+    import pytest
+
+    blob = write_fax_tiff([b"not a jpeg"], 8, 4, comp=7, rows_per_strip=4)
+    with pytest.raises(ValueError, match="SOI"):
+        decode_tiff(blob)
