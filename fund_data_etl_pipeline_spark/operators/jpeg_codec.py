@@ -74,9 +74,13 @@ for _u in range(8):
         _IDCT_M[_u, _x] = _c / 2.0 * np.cos((2 * _x + 1) * _u * np.pi / 16)
 
 
+_FAST_BITS = 10  # fast-lookup window; codes longer than this are rare
+
+
 class _HuffTable:
-    """Canonical Huffman table (Annex C): decode one symbol at a time
-    from the bit reader via (length, code) lookup."""
+    """Canonical Huffman table (Annex C): a 2^10-entry first-level
+    lookup resolves the overwhelmingly common short codes in one probe;
+    longer codes fall back to the (length, code) dict."""
 
     def __init__(self, bits: list[int], values: bytes) -> None:
         if len(bits) < 16 or sum(bits) > len(values):
@@ -86,40 +90,76 @@ class _HuffTable:
         k = 0
         for length in range(1, 17):
             for _ in range(bits[length - 1]):
+                if code >= 1 << length:  # Kraft violation = corrupt DHT
+                    raise ValueError(
+                        "JPEG DHT code counts exceed the canonical space"
+                    )
                 self.lut[(length, code)] = values[k]
                 code += 1
                 k += 1
             code <<= 1
+        self.fast: list[tuple[int, int] | None] = [None] * (1 << _FAST_BITS)
+        for (length, c), sym in self.lut.items():
+            if length <= _FAST_BITS:
+                base = c << (_FAST_BITS - length)
+                for i in range(1 << (_FAST_BITS - length)):
+                    self.fast[base + i] = (sym, length)
 
 
 class _BitReader:
-    """MSB-first bit reader over a de-stuffed entropy segment."""
+    """MSB-first bit reader over a de-stuffed entropy segment — an
+    integer accumulator refilled a byte at a time, so multi-bit reads
+    and Huffman decodes cost one shift/mask instead of per-bit loops."""
 
     def __init__(self, data: bytes) -> None:
         self.data = data
-        self.pos = 0
-        self.bit = 0
+        self.n = len(data)
+        self.pos = 0  # next unread byte
+        self.acc = 0  # `bits` significant low bits pending
+        self.bits = 0
 
-    def read_bit(self) -> int:
-        if self.pos >= len(self.data):
-            raise ValueError("JPEG entropy segment truncated")
-        b = (self.data[self.pos] >> (7 - self.bit)) & 1
-        self.bit += 1
-        if self.bit == 8:
-            self.bit = 0
+    def _fill(self, need: int) -> None:
+        while self.bits < need and self.pos < self.n:
+            self.acc = (self.acc << 8) | self.data[self.pos]
             self.pos += 1
-        return b
+            self.bits += 8
 
     def read_bits(self, n: int) -> int:
-        v = 0
-        for _ in range(n):
-            v = (v << 1) | self.read_bit()
+        if n == 0:
+            return 0
+        if self.bits < n:
+            self._fill(n)
+            if self.bits < n:
+                raise ValueError("JPEG entropy segment truncated")
+        self.bits -= n
+        v = (self.acc >> self.bits) & ((1 << n) - 1)
+        self.acc &= (1 << self.bits) - 1
         return v
 
+    def read_bit(self) -> int:
+        return self.read_bits(1)
+
     def decode(self, table: _HuffTable) -> int:
+        if self.bits < _FAST_BITS:
+            self._fill(_FAST_BITS)
+        b = self.bits
+        if b >= _FAST_BITS:
+            window = (self.acc >> (b - _FAST_BITS)) & (
+                (1 << _FAST_BITS) - 1
+            )
+        else:
+            window = (self.acc << (_FAST_BITS - b)) & (
+                (1 << _FAST_BITS) - 1
+            )
+        hit = table.fast[window]
+        if hit is not None and hit[1] <= b:
+            sym, ln = hit
+            self.bits = b - ln
+            self.acc &= (1 << self.bits) - 1
+            return sym
         code = 0
         for length in range(1, 17):
-            code = (code << 1) | self.read_bit()
+            code = (code << 1) | self.read_bits(1)
             sym = table.lut.get((length, code))
             if sym is not None:
                 return sym
@@ -136,26 +176,80 @@ def _extend(v: int, t: int) -> int:
 def _decode_block(
     r: _BitReader, dc_tab: _HuffTable, ac_tab: _HuffTable, pred: int
 ) -> tuple[np.ndarray, int]:
-    """One 8x8 block's 64 zigzag coefficients + updated DC predictor."""
+    """One 8x8 block's 64 zigzag coefficients + updated DC predictor.
+
+    The reader state lives in locals for the whole block (the sequential
+    hot loop — hundreds of thousands of symbols per image — pays Python
+    call overhead per METHOD otherwise); the fast path keeps the
+    accumulator topped up to 26 bits so a Huffman symbol (<= 10-bit
+    window) and its appended magnitude bits (<= 16) decode without an
+    intermediate refill. Fallback to the reader's slow path covers
+    long codes and the segment tail."""
+    data, n = r.data, r.n
+    pos, acc, bits = r.pos, r.acc, r.bits
+    fast_m = (1 << _FAST_BITS) - 1
     zz = np.zeros(64, dtype=np.int32)
-    t = r.decode(dc_tab)
-    diff = _extend(r.read_bits(t), t)
-    pred += diff
-    zz[0] = pred
-    k = 1
-    while k < 64:
-        rs = r.decode(ac_tab)
-        run, size = rs >> 4, rs & 0x0F
+    k = 0
+    rs = None  # None marks the DC symbol
+    while True:
+        while bits < 26 and pos < n:
+            acc = (acc << 8) | data[pos]
+            pos += 1
+            bits += 8
+        hit = (
+            dc_tab.fast[(acc >> (bits - _FAST_BITS)) & fast_m]
+            if rs is None and bits >= _FAST_BITS
+            else ac_tab.fast[(acc >> (bits - _FAST_BITS)) & fast_m]
+            if bits >= _FAST_BITS
+            else None
+        )
+        if hit is not None and hit[1] <= bits:
+            sym = hit[0]
+            bits -= hit[1]
+        else:
+            r.pos, r.acc, r.bits = pos, acc & ((1 << bits) - 1), bits
+            sym = r.decode(dc_tab if rs is None else ac_tab)
+            pos, acc, bits = r.pos, r.acc, r.bits
+        if rs is None:  # DC: sym = magnitude category
+            if sym:
+                if bits < sym:
+                    r.pos, r.acc, r.bits = pos, acc, bits
+                    raise ValueError("JPEG entropy segment truncated")
+                bits -= sym
+                v = (acc >> bits) & ((1 << sym) - 1)
+                pred += (
+                    v if v >= (1 << (sym - 1)) else v - (1 << sym) + 1
+                )
+            zz[0] = pred
+            k = 1
+            rs = 0
+            continue
+        run, size = sym >> 4, sym & 0x0F
         if size == 0:
             if run == 15:  # ZRL: sixteen zeros
                 k += 16
-                continue
-            break  # EOB
+                if k < 64:
+                    continue
+            break  # EOB (or the block filled exactly)
         k += run
         if k > 63:
+            r.pos, r.acc, r.bits = pos, acc & ((1 << bits) - 1), bits
             raise ValueError("JPEG AC run past end of block")
-        zz[k] = _extend(r.read_bits(size), size)
+        if bits < size:
+            while bits < size and pos < n:
+                acc = (acc << 8) | data[pos]
+                pos += 1
+                bits += 8
+            if bits < size:
+                r.pos, r.acc, r.bits = pos, acc, bits
+                raise ValueError("JPEG entropy segment truncated")
+        bits -= size
+        v = (acc >> bits) & ((1 << size) - 1)
+        zz[k] = v if v >= (1 << (size - 1)) else v - (1 << size) + 1
         k += 1
+        if k >= 64:
+            break
+    r.pos, r.acc, r.bits = pos, acc & ((1 << bits) - 1), bits
     return zz, pred
 
 
@@ -166,20 +260,22 @@ def _entropy_segments(data: bytes, pos: int) -> tuple[list[bytes], int]:
     cur = bytearray()
     n = len(data)
     while pos < n:
-        b = data[pos]
-        if b != 0xFF:
-            cur.append(b)
-            pos += 1
-            continue
-        nxt = data[pos + 1] if pos + 1 < n else None
+        ff = data.find(b"\xff", pos)
+        if ff < 0:
+            cur += data[pos:]
+            pos = n
+            break
+        cur += data[pos:ff]  # bulk copy of the marker-free run
+        nxt = data[ff + 1] if ff + 1 < n else None
         if nxt == 0x00:  # stuffed 0xFF data byte
             cur.append(0xFF)
-            pos += 2
+            pos = ff + 2
         elif nxt is not None and 0xD0 <= nxt <= 0xD7:  # RSTn
             segs.append(bytes(cur))
             cur = bytearray()
-            pos += 2
+            pos = ff + 2
         else:
+            pos = ff
             break  # a real marker ends the scan
     segs.append(bytes(cur))
     return segs, pos
