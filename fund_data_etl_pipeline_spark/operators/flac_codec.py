@@ -77,42 +77,77 @@ def _crc16(data: bytes) -> int:
 
 
 class _Bits:
-    """MSB-first bit reader with byte-aligned position bookkeeping."""
+    """MSB-first bit reader — integer accumulator refilled a byte at a
+    time, so multi-bit reads and unary scans cost shifts/masks instead
+    of per-bit slicing (the Rice residual loop decodes one quotient +
+    remainder per SAMPLE; this reader is the decoder's hot path).
+    Absolute position = loaded bytes minus pending bits, which keeps
+    the byte-aligned CRC bookkeeping exact."""
 
     def __init__(self, data: bytes, byte_pos: int = 0) -> None:
         self.data = data
-        self.pos = byte_pos * 8
+        self.n = len(data)
+        self.bytepos = byte_pos  # next byte to load into the accumulator
+        self.acc = 0  # `bits` significant low bits pending
+        self.bits = 0
 
     def read(self, n: int) -> int:
-        p, d = self.pos, self.data
-        end = p + n
-        if end > len(d) * 8:
-            raise ValueError("FLAC bitstream truncated")
-        first, last = p >> 3, (end + 7) >> 3
-        chunk = int.from_bytes(d[first:last], "big")
-        chunk >>= (last << 3) - end
-        self.pos = end
-        return chunk & ((1 << n) - 1)
+        if n == 0:
+            return 0
+        acc, bits, pos = self.acc, self.bits, self.bytepos
+        data, size = self.data, self.n
+        while bits < n:
+            if pos >= size:
+                raise ValueError("FLAC bitstream truncated")
+            acc = (acc << 8) | data[pos]
+            pos += 1
+            bits += 8
+        bits -= n
+        v = (acc >> bits) & ((1 << n) - 1)
+        self.acc = acc & ((1 << bits) - 1)
+        self.bits = bits
+        self.bytepos = pos
+        return v
 
     def signed(self, n: int) -> int:
         v = self.read(n)
         return v - (1 << n) if v >> (n - 1) else v
 
     def unary(self) -> int:
-        """Count of 0 bits before the terminating 1 bit (§9.2.7.1)."""
+        """Count of 0 bits before the terminating 1 bit (§9.2.7.1) —
+        whole pending windows of zeros are consumed via bit_length."""
         q = 0
-        while self.read(1) == 0:
-            q += 1
-        return q
+        acc, bits, pos = self.acc, self.bits, self.bytepos
+        data, size = self.data, self.n
+        while True:
+            if bits == 0:
+                if pos >= size:
+                    raise ValueError("FLAC bitstream truncated")
+                acc = data[pos]
+                pos += 1
+                bits = 8
+            if acc == 0:
+                q += bits
+                bits = 0
+                continue
+            top = acc.bit_length()
+            q += bits - top
+            bits = top - 1  # the 1 bit is consumed too
+            self.acc = acc & ((1 << bits) - 1)
+            self.bits = bits
+            self.bytepos = pos
+            return q
 
     def align(self) -> None:
-        self.pos = (self.pos + 7) & ~7
+        drop = self.bits % 8
+        self.bits -= drop
+        self.acc &= (1 << self.bits) - 1
 
     def byte_pos(self) -> int:
-        return self.pos >> 3
+        return self.bytepos - self.bits // 8
 
     def at_end(self) -> bool:
-        return self.pos >= len(self.data) * 8
+        return self.bytepos >= self.n and self.bits == 0
 
 
 def _coded_number(bits: _Bits) -> int:
