@@ -126,56 +126,91 @@ _EOL = (12, 0b000000000001)
 
 
 class _Bits:
-    """MSB-first bit reader (same convention as flac_codec, local copy
-    to keep the codec self-contained)."""
+    """MSB-first bit reader — an integer accumulator refilled a byte at
+    a time (the flac_codec pattern), so the per-run peek/skip cycle in
+    the MH decoder is shift/mask work instead of a bytes slice per
+    probe. ``peek`` zero-pads past EOF so mode probes near the end of a
+    strip stay simple."""
 
     def __init__(self, data: bytes) -> None:
         self.data = data
-        self.pos = 0
+        self.size = len(data)
+        self.bytepos = 0  # next byte to load
+        self.acc = 0  # `bits` significant low bits pending
+        self.bits = 0
 
     def bits_left(self) -> int:
-        return len(self.data) * 8 - self.pos
+        return (self.size - self.bytepos) * 8 + self.bits
+
+    def _fill(self, n: int) -> None:
+        while self.bits < n and self.bytepos < self.size:
+            self.acc = (self.acc << 8) | self.data[self.bytepos]
+            self.bytepos += 1
+            self.bits += 8
 
     def peek(self, n: int) -> int:
-        p, d = self.pos, self.data
-        end = min(p + n, len(d) * 8)
-        first, last = p >> 3, (end + 7) >> 3
-        chunk = int.from_bytes(d[first:last], "big")
-        got = end - p
-        chunk >>= (last << 3) - end
-        chunk &= (1 << got) - 1
-        return chunk << (n - got)  # zero-pad past EOF
+        if self.bits < n:
+            self._fill(n)
+        b = self.bits
+        if b >= n:
+            return (self.acc >> (b - n)) & ((1 << n) - 1)
+        return (self.acc << (n - b)) & ((1 << n) - 1)  # zero-pad at EOF
+
+    def skip(self, n: int) -> None:
+        if self.bits < n:
+            self._fill(n)
+            if self.bits < n:
+                raise ValueError("CCITT stream truncated")
+        self.bits -= n
+        self.acc &= (1 << self.bits) - 1
 
     def read(self, n: int) -> int:
-        if self.pos + n > len(self.data) * 8:
-            raise ValueError("CCITT stream truncated")
-        v = self.peek(n)
-        self.pos += n
+        if self.bits < n:
+            self._fill(n)
+            if self.bits < n:
+                raise ValueError("CCITT stream truncated")
+        self.bits -= n
+        v = (self.acc >> self.bits) & ((1 << n) - 1)
+        self.acc &= (1 << self.bits) - 1
         return v
 
     def align(self) -> None:
-        self.pos = (self.pos + 7) & ~7
+        drop = self.bits % 8
+        self.bits -= drop
+        self.acc &= (1 << self.bits) - 1
+
+
+def _fast_table(lut: dict) -> list:
+    """14-bit first-level lookup: window -> (run, code length). Every
+    T.4 code is <= 14 bits, so one probe resolves any run code."""
+    fast: list = [None] * (1 << _MAX_CODE_LEN)
+    for (length, code), run in lut.items():
+        base = code << (_MAX_CODE_LEN - length)
+        for i in range(1 << (_MAX_CODE_LEN - length)):
+            fast[base + i] = (run, length)
+    return fast
+
+
+_WHITE_FAST = _fast_table(_WHITE_LUT)
+_BLACK_FAST = _fast_table(_BLACK_LUT)
 
 
 def _read_run(bits: _Bits, white: bool) -> int:
     """One complete MH run length: make-up codes accumulate until a
-    terminating code (< 64) arrives (T.4 §4.1.3)."""
-    lut = _WHITE_LUT if white else _BLACK_LUT
+    terminating code (< 64) arrives (T.4 §4.1.3). One 14-bit peek and
+    table probe per code."""
+    fast = _WHITE_FAST if white else _BLACK_FAST
     total = 0
     while True:
-        hit = None
-        for n in range(2, min(_MAX_CODE_LEN, bits.bits_left()) + 1):
-            hit = lut.get((n, bits.peek(n)))
-            if hit is not None:
-                bits.pos += n
-                break
-        if hit is None:
+        hit = fast[bits.peek(_MAX_CODE_LEN)]
+        if hit is None or hit[1] > bits.bits_left():
             raise ValueError(
                 f"CCITT invalid or truncated "
                 f"{'white' if white else 'black'} run code"
             )
-        total += hit
-        if hit < 64:
+        bits.skip(hit[1])
+        total += hit[0]
+        if hit[0] < 64:
             return total
 
 
@@ -184,7 +219,7 @@ def _consume_eols(bits: _Bits) -> None:
     n, eol = _EOL
     while bits.bits_left() >= n:
         if bits.peek(n) == eol:
-            bits.pos += n
+            bits.skip(n)
             continue
         # fill bits are zeros directly before an EOL; tolerate up to a
         # byte's worth ahead of a genuine EOL only
@@ -197,7 +232,7 @@ def _consume_eols(bits: _Bits) -> None:
         ):
             probe += 1
         if probe and bits.peek(probe + n) == eol:
-            bits.pos += probe + n
+            bits.skip(probe + n)
             continue
         break
 
@@ -296,11 +331,11 @@ def _decode_2d_line(
         if b2 is None:
             b2 = columns
         if bits.peek(4) == 0b0001:  # pass mode
-            bits.pos += 4
+            bits.skip(4)
             a0 = b2
             continue
         if bits.peek(3) == 0b001:  # horizontal mode
-            bits.pos += 3
+            bits.skip(3)
             base = max(a0, 0)
             r1 = _read_run(bits, white)
             r2 = _read_run(bits, not white)
@@ -313,7 +348,7 @@ def _decode_2d_line(
         for code, d in _V_CODES:  # vertical modes
             n = len(code)
             if bits.bits_left() >= n and bits.peek(n) == int(code, 2):
-                bits.pos += n
+                bits.skip(n)
                 a1 = b1 + d
                 if a1 < 0 or a1 > columns:
                     raise ValueError(
@@ -388,12 +423,12 @@ def decode_g3_2d(
             and bits.peek(eol_len) != eol
             and bits.peek(1) == 0
         ):
-            bits.pos += 1
+            bits.skip(1)
         if bits.bits_left() < eol_len + 1:
             break
         if bits.peek(eol_len) != eol:
             raise ValueError("CCITT G3 2-D line missing its EOL")
-        bits.pos += eol_len
+        bits.skip(eol_len)
         one_dimensional = bits.read(1)
         # RTC: the next thing after the tag is another EOL immediately
         if bits.bits_left() >= eol_len and bits.peek(eol_len) == eol:
