@@ -113,8 +113,17 @@ def iter_mjpeg_frames(data: bytes) -> Iterator[tuple[int, bytes]]:
     """(frame_index, jpeg_bytes) for each video frame chunk ('##dc' /
     '##db') in stream order."""
     _, m0, m1 = _headers(data)
-    idx = 0
-    for cid, b0, b1 in _chunks(data, m0, m1):
-        if len(cid) == 4 and cid[2:4] in (b"dc", b"db"):
-            yield idx, data[b0:b1]
-            idx += 1
+
+    def _frames(pos: int, end: int) -> Iterator[bytes]:
+        for cid, b0, b1 in _chunks(data, pos, end):
+            if len(cid) == 4 and cid[2:4] in (b"dc", b"db"):
+                yield data[b0:b1]
+            elif cid == b"LIST:rec ":
+                # Interleaved AVIs group the chunks of one frame time
+                # into LIST('rec ') wrappers inside movi (the public
+                # AVI 1.0 layout for CD-ROM interleave); recurse so
+                # their '##dc'/'##db' children aren't silently skipped.
+                yield from _frames(b0, b1)
+
+    for idx, frame in enumerate(_frames(m0, m1)):
+        yield idx, frame

@@ -178,7 +178,12 @@ def _residual(bits: _Bits, blocksize: int, order: int) -> list[int]:
     escape = (1 << pbits) - 1
     porder = bits.read(4)
     nparts = 1 << porder
-    if blocksize % nparts or (blocksize >> porder) <= order and nparts > 1:
+    # RFC 9639 §9.2.7: the block size MUST divide evenly into the
+    # partitions AND (blocksize >> porder) MUST exceed the predictor
+    # order — the latter unconditionally (also at porder 0, where a
+    # violation would make the first partition's count negative and
+    # surface later as a confusing ragged-array error).
+    if blocksize % nparts or (blocksize >> porder) <= order:
         raise ValueError("FLAC partition order invalid for block size")
     out: list[int] = []
     for part in range(nparts):

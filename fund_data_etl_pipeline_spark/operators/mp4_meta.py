@@ -70,12 +70,20 @@ def read_mp4_meta(data: bytes) -> dict:
     width = height = None
     n_frames = None
     in_video_trak = False
-    trak_dims: dict[tuple, tuple] = {}
-    trak_counts: dict[tuple, int] = {}
+    # Key per-track state by an incrementing trak ordinal, NOT the box
+    # path — every trak shares the identical ('moov','trak') path, so a
+    # path key would let the last track (commonly audio, 0x0 tkhd)
+    # overwrite the video track's dims. _walk yields pre-order, so tkhd/
+    # stsz belong to the most recently seen trak box.
+    trak_ord = -1
+    trak_dims: dict[int, tuple] = {}
+    trak_counts: dict[int, int] = {}
     for path, b0, b1 in _walk(data, 0, len(data)):
         four = path[-1]
         body = data[b0:b1]
-        if four == b"mvhd":
+        if four == b"trak":
+            trak_ord += 1
+        elif four == b"mvhd":
             if not body:
                 raise ValueError("MP4 mvhd box empty (truncated?)")
             ver = body[0]
@@ -96,13 +104,12 @@ def read_mp4_meta(data: bytes) -> dict:
             if len(body) < off:
                 raise ValueError("MP4 tkhd box truncated")
             w_fp, h_fp = struct.unpack(">II", body[off - 8 : off])
-            trak_dims[path[:-1]] = (w_fp >> 16, h_fp >> 16)
-        elif four in (b"stsz", b"stz2"):
+            trak_dims[trak_ord] = (w_fp >> 16, h_fp >> 16)
+        elif four in (b"stsz", b"stz2") and b"trak" in path:
             if len(body) < 12:
                 raise ValueError(f"MP4 {four.decode()} box truncated")
             (cnt,) = struct.unpack(">I", body[8:12])
-            trak = path[: path.index(b"trak") + 1]
-            trak_counts[trak] = cnt
+            trak_counts[trak_ord] = cnt
     for trak, (w, h) in trak_dims.items():
         if w and h:
             width, height = w, h

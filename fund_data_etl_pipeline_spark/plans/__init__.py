@@ -58,33 +58,121 @@ def load_all() -> None:
     )
 
 
-# Round-6 rotation policy (VERDICT r5 next-step #1). Cap is still 50
-# driver slots; 106 queries are registered this round (the one FREEZE
-# exception is dedup_semantic_lsh, which VERDICT r5 next-step #4
-# explicitly ordered registered). Invariant: every oracle-bearing query
-# is driver-green within the last two rounds, OR on the documented
-# peer-coverage exception list below (re-proven by the local gate at all
-# three SFs instead).
+# Round-7 rotation policy (VERDICT r6 next-step #1). Cap is still 50
+# driver slots; 106 queries registered (registry FROZEN since r5).
+# Invariant: every oracle-bearing query is driver-green within the last
+# two rounds, OR on the documented peer-coverage exception list below
+# (re-proven by the local gate at all three SFs instead).
 #
-# This round's 50 slots: (a) the six names that went without a driver
-# row in r4 AND r5 (three rounds stale after this round — they go
-# first), (b) the new dedup_semantic_lsh (first driver row), (c) 43 of
-# the 48 r4-green names whose two-round window closes at r6. The five
-# r4-green names that overflow the cap move to the exception list with
-# peer coverage.
+# This round's 50 slots: (a) the five r6 exception-list names — two
+# driver-rounds stale (last row r4), they MUST lead; (b) 45 of the 50
+# r5-green names whose two-round window closes at r7. The five r5-green
+# names that overflow the cap move to the exception list with peer
+# coverage.
 PRIORITY = [
-    # (a) exception-list names from r5 — three rounds without a driver
-    # row after this one; they MUST record rows now
+    # (a) r6 exception-list names — last driver row r4; they go first
+    "dedup_ngram_capped",
+    "dedup_embedding_cosine",
+    "when_cascade_tier",
+    "window_running",
+    "rollup_priority",
+    # (b) r5-green names whose window closes at r7
+    "graph_pagerank",
+    "dedup_semantic",
+    "volume_shipping",
+    "market_share",
+    "late_sole_supplier",
+    "dq_constraint_report",
+    "k_anonymity_audit",
+    "source_capped_sample",
+    "user_rolling_7d_spend",
+    "attribution_join",
+    "vector_ann_ivf",
+    "dedup_ngram_jaccard",
+    "dedup_minhash_lsh",
+    "event_value_stats",
+    "top_users_per_event",
+    "fund_classify",
+    "fund_dividend",
+    "fund_dividend_merged",
+    "fund_quarantine",
+    "fund_purchase_apply",
+    "fund_purchase_confirm",
+    "fund_redemption_confirm",
+    "fund_conversion",
+    "multimodal_binary_stats",
+    "dim_join_left",
+    "group_merge",
+    "isin_filter",
+    "cast_round_coerce",
+    "date_math",
+    "derived_arithmetic",
+    "union_slices",
+    "mixed_sort_key",
+    "json_extract_agg",
+    "anti_join_customers",
+    "semi_join_parts",
+    "distinct_pairs",
+    "asof_last_click",
+    "grouping_sets_sql",
+    "correlated_subquery",
+    "text_token_count",
+    "corpus_curation",
+    "text_c4_filters",
+    "quality_weighted_sample",
+    "events_session_window",
+    "user_retention_cohorts",
+]
+
+# PRIORITY is exactly at the 50-query driver cap (5 + 45).
+
+# EXCEPTION LIST (this round's cap overflow — 55 oracle-bearing names
+# owed a row vs 50 slots, so these five r5-green queries go one round on
+# peer coverage). Each is chosen because its machinery is provably
+# inside r6-green or r7-PRIORITY peers, and each is re-proven by the
+# local gate (tools/check_correctness.py) at sf0.001/0.01/0.1:
+#   vector_cosine_topk — the brute-force cosine baseline whose
+#     prepped-norm + rounded-cosine expression tree is literally shared
+#     with dedup_embedding_cosine (r7 PRIORITY) and against which the
+#     r6-green vector_ann_lsh / r7-PRIORITY vector_ann_ivf recall
+#     pytests compare;
+#   dedup_canonical — keep-best canonicalization over dedup groups: the
+#     group machinery is the r6-green dedup_groups/dedup_groups_star,
+#     and the keep-best window is the same rank-1 Window as the
+#     r7-PRIORITY top_users_per_event;
+#   cube_lineitem — CUBE grouping-set expansion; the same expand-node
+#     machinery as the r7-PRIORITY rollup_priority and
+#     grouping_sets_sql;
+#   topk_revenue — window-rank top-k; same rank/limit machinery as the
+#     r6-green shipping_priority_topk and r7-PRIORITY
+#     top_users_per_event;
+#   events_tumbling_window — F.window(ts, w) fixed windows; tumbling is
+#     the slide==width special case of the r6-green
+#     events_sliding_window (same TimeWindow expansion node).
+#
+# DEPRIORITY: names that safely fall past the cap this round. The 50
+# r6-green names (fresh driver rows, window open through round 8), the
+# five exception-list names above, and the rows-only-by-design sketch
+# query. 50 + 5 + 1 = 56 = registered 106 - cap 50, so the cap's cut is
+# wholly chosen here — nothing falls past by registration-order accident.
+DEPRIORITY = [
+    # five exception-list names (peer coverage documented above)
+    "vector_cosine_topk",
+    "dedup_canonical",
+    "cube_lineitem",
+    "topk_revenue",
+    "events_tumbling_window",
+    # rows-only by design (KLL/HLL sketch aggregate; rank-contract parity
+    # is pytest-asserted) — its weak row adds nothing over r4's
+    "event_value_stats_approx",
+    # r6-green (driver rows in CORRECTNESS_r06): window open to round 8
     "fund_manual_apply",
     "fund_manual_confirm",
     "fund_manual_redemption",
     "fund_manual_dividend",
     "intersect_nations",
     "except_nations",
-    # (b) new this round (judge-ordered): the linear-exponent semantic
-    # dedup twin — first driver row
     "dedup_semantic_lsh",
-    # (c) r4-green names whose window closes at r6
     "salted_skew_agg",
     "pivot_status",
     "text_fingerprint",
@@ -128,97 +216,6 @@ PRIORITY = [
     "large_order_customers",
     "bm25_topk",
     "events_anomaly_zscore",
-]
-
-# PRIORITY is exactly at the 50-query driver cap (6 + 1 + 43).
-
-# EXCEPTION LIST (this round's cap overflow — 55 oracle-bearing names
-# owed a row vs 50 slots, so these five r4-green queries go one round on
-# peer coverage). Each is chosen because its machinery is provably
-# inside r5-green or r6-PRIORITY peers, and each is re-proven by the
-# local gate (tools/check_correctness.py) at sf0.001/0.01/0.1:
-#   dedup_ngram_capped — the max_doc_freq-capped variant of the r5-green
-#     dedup_ngram_jaccard (same shingle CTE, same posting-list join; the
-#     cap only ADDS a HAVING-style filter);
-#   dedup_embedding_cosine — the brute-force cosine baseline whose
-#     prepped-norm + rounded-cosine expression tree is literally shared
-#     with the r5-green vector_cosine_topk / dedup_semantic;
-#   when_cascade_tier — the standalone when-cascade demo; the C1/C2
-#     cascade machinery is inside every r5-green fund_* query
-#     (fund_classify runs the full 87-rule cascade);
-#   window_running — running-sum window over events; the same
-#     Window.partitionBy().orderBy().rowsBetween machinery is inside the
-#     r5-green user_rolling_7d_spend (range frame) and topk windows;
-#   rollup_priority — ROLLUP grouping-set expansion; the same
-#     expand-node machinery is inside the r5-green cube_lineitem /
-#     grouping_sets_sql.
-#
-# DEPRIORITY: names that safely fall past the cap this round. The 50
-# r5-green names (fresh driver rows, window open through round 7), the
-# five exception-list names above, and the rows-only-by-design sketch
-# query. 50 + 5 + 1 = 56 = registered 106 - cap 50, so the cap's cut is
-# wholly chosen here — nothing falls past by registration-order accident.
-DEPRIORITY = [
-    # five exception-list names (peer coverage documented above)
-    "dedup_ngram_capped",
-    "dedup_embedding_cosine",
-    "when_cascade_tier",
-    "window_running",
-    "rollup_priority",
-    # rows-only by design (KLL/HLL sketch aggregate; rank-contract parity
-    # is pytest-asserted) — its weak row adds nothing over r4's
-    "event_value_stats_approx",
-    # r5-green (driver rows in CORRECTNESS_r05): window open to round 7
-    "graph_pagerank",
-    "dedup_semantic",
-    "volume_shipping",
-    "market_share",
-    "late_sole_supplier",
-    "dq_constraint_report",
-    "k_anonymity_audit",
-    "source_capped_sample",
-    "user_rolling_7d_spend",
-    "attribution_join",
-    "vector_ann_ivf",
-    "dedup_ngram_jaccard",
-    "dedup_minhash_lsh",
-    "dedup_canonical",
-    "event_value_stats",
-    "top_users_per_event",
-    "fund_classify",
-    "fund_dividend",
-    "fund_dividend_merged",
-    "fund_quarantine",
-    "fund_purchase_apply",
-    "fund_purchase_confirm",
-    "fund_redemption_confirm",
-    "fund_conversion",
-    "multimodal_binary_stats",
-    "dim_join_left",
-    "group_merge",
-    "isin_filter",
-    "cast_round_coerce",
-    "date_math",
-    "derived_arithmetic",
-    "union_slices",
-    "mixed_sort_key",
-    "topk_revenue",
-    "json_extract_agg",
-    "anti_join_customers",
-    "semi_join_parts",
-    "distinct_pairs",
-    "asof_last_click",
-    "cube_lineitem",
-    "grouping_sets_sql",
-    "correlated_subquery",
-    "text_token_count",
-    "corpus_curation",
-    "text_c4_filters",
-    "quality_weighted_sample",
-    "vector_cosine_topk",
-    "events_tumbling_window",
-    "events_session_window",
-    "user_retention_cohorts",
 ]
 
 

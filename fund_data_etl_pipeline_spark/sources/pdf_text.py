@@ -581,6 +581,20 @@ def _decrypt_streams(
         pstart, raw = _raw_stream(body, objs)
         if pstart < 0:
             continue
+        head0 = body[:pstart]
+        # ISO 32000 §7.5.8.2: cross-reference streams are NEVER
+        # encrypted (they must parse before /Encrypt is resolved) —
+        # real AESV2/AESV3 files are PDF 1.6+ and nearly always carry
+        # one, and running AES over its plaintext would raise a padding
+        # ValueError and quarantine a supported file. §7.4.10: a /Crypt
+        # filter naming /Identity likewise marks the payload plaintext.
+        if re.search(rb"/Type\s*/XRef\b", head0):
+            continue
+        if re.search(rb"/Crypt\b", head0) and (
+            b"/Identity" in head0
+            or not re.search(rb"/Name\s*/", head0)
+        ):
+            continue
         gen = gens.get(num, 0)
         if cipher == "aes256":
             # V5 uses the file key directly for every object (§7.6.2)

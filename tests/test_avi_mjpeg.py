@@ -95,6 +95,25 @@ def test_avi_frames_decode_exactly():
         assert np.max(np.abs(px.astype(int) - img.astype(int))) <= 2
 
 
+def test_avi_interleaved_rec_lists_decode():
+    # Regression (ADVICE r6): legal interleaved AVIs wrap each frame
+    # time's chunks in LIST('rec ') inside movi; the demuxer must
+    # recurse into them instead of silently yielding zero frames.
+    imgs, jpegs = _frames(n=4)
+    movi_body = b"".join(
+        _list(b"rec ", _chunk(b"00dc", f) + _chunk(b"01wb", b"\x00\x01"))
+        for f in jpegs
+    )
+    plain = write_avi(jpegs, w=24, h=16)
+    flat_movi = _list(b"movi", b"".join(_chunk(b"00dc", f) for f in jpegs))
+    assert flat_movi in plain
+    blob = plain.replace(flat_movi, _list(b"movi", movi_body))
+    blob = blob[:4] + struct.pack("<I", len(blob) - 8) + blob[8:]
+    got = list(iter_mjpeg_frames(blob))
+    assert [i for i, _ in got] == list(range(4))
+    assert [payload for _, payload in got] == jpegs
+
+
 def test_avi_named_errors():
     _, jpegs = _frames(n=2)
     blob = write_avi(jpegs, w=24, h=16)

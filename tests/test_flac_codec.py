@@ -302,6 +302,24 @@ def test_named_errors():
         decode_flac(b"fLaC\x80\x00\x00\x22" + b"\x00" * 10)
 
 
+def test_residual_rejects_order_ge_partition_size():
+    # Regression (ADVICE r6): the porder/order validity check must apply
+    # unconditionally — at partition order 0 a predictor order >= the
+    # block size previously slipped past (precedence bug) and yielded a
+    # negative residual count instead of the named S7 error.
+    from fund_data_etl_pipeline_spark.operators.flac_codec import (
+        _Bits,
+        _residual,
+    )
+
+    # method=00, porder=0000 -> nparts 1; blocksize 16 with order 16
+    # makes the sole partition's count zero/negative: named error.
+    with pytest.raises(ValueError, match="partition order"):
+        _residual(_Bits(b"\x00\x00\x00"), blocksize=16, order=16)
+    with pytest.raises(ValueError, match="partition order"):
+        _residual(_Bits(b"\x00\x00\x00"), blocksize=16, order=20)
+
+
 def test_spark_audio_features_flac_path(spark):
     from fund_data_etl_pipeline_spark.operators.multimodal import (
         MEDIA_SCHEMA,

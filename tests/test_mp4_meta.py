@@ -122,6 +122,33 @@ def test_audio_only_mp4_has_no_video_fields():
     assert m["width"] is None and m["n_frames"] is None and m["fps"] is None
 
 
+def test_video_track_first_audio_second():
+    # Regression (ADVICE r6): the common real-world layout is video trak
+    # FIRST, audio second. Keying per-track state by the box path tuple
+    # made the audio track's 0x0 tkhd overwrite the video dims; tracks
+    # must be keyed by a unique per-trak ordinal instead.
+    from fund_data_etl_pipeline_spark.operators.mp4_meta import read_mp4_meta
+
+    vtrak = box(
+        b"trak",
+        tkhd(1280, 720)
+        + box(b"mdia", box(b"minf", box(b"stbl", stsz(90)))),
+    )
+    atrak = box(
+        b"trak",
+        tkhd(0, 0) + box(b"mdia", box(b"minf", box(b"stbl", stsz(9999)))),
+    )
+    blob = (
+        box(b"ftyp", b"isom\x00\x00\x02\x00isomiso2")
+        + box(b"moov", mvhd(1000, 3000) + vtrak + atrak)
+        + box(b"mdat", b"\x00" * 8)
+    )
+    m = read_mp4_meta(blob)
+    assert (m["width"], m["height"]) == (1280, 720)
+    assert m["n_frames"] == 90
+    assert abs(m["fps"] - 30.0) < 1e-9
+
+
 def test_named_errors():
     from fund_data_etl_pipeline_spark.operators.mp4_meta import read_mp4_meta
 

@@ -188,6 +188,54 @@ def test_aesv2_pdf_decrypts():
     )
 
 
+def test_aesv2_pdf_with_plaintext_xref_stream_decrypts():
+    # Regression (ADVICE r6): ISO 32000 §7.5.8.2 exempts cross-reference
+    # streams from encryption. Real AESV2/AESV3 files (PDF 1.6+) nearly
+    # always carry one; decrypting its plaintext payload raises an AES
+    # length/padding ValueError and quarantined a supported file.
+    from fund_data_etl_pipeline_spark.sources.pdf_text import (
+        extract_pdf_text,
+    )
+
+    content = b"BT /F1 12 Tf (xref exempt ok) Tj ET"
+    blob = build_aes_pdf(content)
+    # 13-byte payload: not a multiple of the AES block, so any attempt
+    # to decrypt it would raise before the fix's skip.
+    xref_payload = b"\x01\x02\x03\x04\x05\x06\x07\x08\x09\x0a\x0b\x0c\x0d"
+    xref_obj = (
+        b"6 0 obj\n<< /Type /XRef /Size 7 /W [1 2 1] /Length %d >>\n"
+        b"stream\n" % len(xref_payload)
+        + xref_payload
+        + b"\nendstream\nendobj\n"
+    )
+    head, trailer = blob.rsplit(b"trailer\n", 1)
+    assert extract_pdf_text(head + xref_obj + b"trailer\n" + trailer) == (
+        "xref exempt ok"
+    )
+
+
+def test_crypt_identity_stream_left_plaintext():
+    # §7.4.10: a /Crypt filter naming /Identity marks that stream's
+    # payload as not encrypted even inside an encrypted file.
+    from fund_data_etl_pipeline_spark.sources.pdf_text import (
+        extract_pdf_text,
+    )
+
+    blob = build_aes_pdf(b"BT (identity ok) Tj ET")
+    meta_payload = b"<x:xmpmeta/>"  # 12 bytes, not an AES block multiple
+    meta_obj = (
+        b"7 0 obj\n<< /Type /Metadata /Filter /Crypt "
+        b"/DecodeParms << /Name /Identity >> /Length %d >>\n"
+        b"stream\n" % len(meta_payload)
+        + meta_payload
+        + b"\nendstream\nendobj\n"
+    )
+    head, trailer = blob.rsplit(b"trailer\n", 1)
+    assert extract_pdf_text(head + meta_obj + b"trailer\n" + trailer) == (
+        "identity ok"
+    )
+
+
 def test_aes256_r5_draft_quarantines():
     # the withdrawn /R 5 draft revision stays unsupported
     from fund_data_etl_pipeline_spark.sources.pdf_text import (
