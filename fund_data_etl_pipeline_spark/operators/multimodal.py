@@ -53,9 +53,9 @@ MEDIA_SCHEMA = T.StructType(
 )
 
 IMAGE_FEATURES_SCHEMA = (
-    "media_id long, n_bytes long, sha bytes_md5 string, width int, height int, "
+    "media_id long, n_bytes long, bytes_md5 string, width int, height int, "
     "mean_luma double"
-).replace("sha bytes_md5", "bytes_md5")
+)
 
 
 def _fake_decode(data: bytes, width: int, height: int) -> list[int]:

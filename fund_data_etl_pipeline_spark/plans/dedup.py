@@ -18,6 +18,7 @@ from ..functions.numeric import round2
 from ..sources import load_table
 from . import _sqlgen as G
 from . import register
+from .vectors import rhp_bucket_sql
 
 _JACCARD_T = 0.8
 _COS_T = 0.45
@@ -674,8 +675,6 @@ _SLSH_P_MAX = 16
 _SLSH_OCC = 16  # target expected rows per bucket per table
 _SLSH_TABLES = 4
 _SLSH_DIMS = 64
-
-from .vectors import rhp_bucket_sql  # noqa: E402 — shared oracle twin
 
 
 def slsh_planes(n: int) -> int:
