@@ -2200,7 +2200,12 @@ def run_all(
     )
     from .sources.corpus import load_corpus
 
-    parsed = load_corpus(spark, corpus_root).persist()
+    from .operators.caching import persist_tracked
+
+    # eager consumer: every pipeline writes below, then the explicit
+    # unpersist at the end reclaims; persist_tracked is the
+    # exception-path backstop when run under a registry collector
+    parsed = persist_tracked(load_corpus(spark, corpus_root))
     ok = parsed.filter(F.col("status") == "ok").select(
         "doc_id", "filename", "rel_path", "text"
     )

@@ -14,9 +14,14 @@ unpersisted when the returned plan handle is garbage-collected
 Apply ONLY to the outermost handle the caller receives. A finalizer on
 an intermediate that the builder itself derives from and then drops
 would fire before materialization and reintroduce the recompute
-pathology — which is why the operator-internal persists in
-operators/dedup.py (whose results every builder derives further) keep
-the documented clearCache() contract instead.
+pathology. Operator-internal persists (operators/dedup.py signature /
+shingle / occurrence tables, whose results every builder derives
+further) therefore cannot self-tie — instead they enroll via
+``persist_tracked`` into the ambient collector that the query
+registry's wrapper (plans/__init__.register) opens around the OUTERMOST
+builder call, and the wrapper ties the whole collected set to the final
+returned handle (VERDICT r6 next-step #5). Direct operator calls with
+no collector active keep the historical caller-clearCache() contract.
 
 If a caller derives children and drops the parent handle before
 collecting, the children still compute correctly — Spark's cache
@@ -27,10 +32,56 @@ recompute for guaranteed reclamation.
 
 from __future__ import annotations
 
+import contextlib
+import threading
 import weakref
+from collections.abc import Iterator
 
 from pyspark import SparkContext
 from pyspark.sql import DataFrame
+
+_collector = threading.local()
+
+
+def persist_tracked(df: DataFrame) -> DataFrame:
+    """``persist()`` that enrolls the cache in the active collector.
+
+    Under a ``collected_persists()`` scope (every registry-built query)
+    the registry wrapper later ties the collected set to the final
+    returned handle with ``release_on_gc`` — the cache lives exactly as
+    long as the plan that scans it. With no collector active (direct
+    operator calls in tests / ad-hoc sessions) this is a plain persist
+    under the caller-clearCache contract, unchanged behavior."""
+    df.persist()
+    stack = getattr(_collector, "stack", None)
+    if stack:
+        stack[-1].append(df)
+    return df
+
+
+@contextlib.contextmanager
+def collected_persists() -> Iterator[list[DataFrame]]:
+    """Collect every ``persist_tracked`` cache created in this scope.
+
+    Nested scopes are NOT opened by the registry wrapper (it checks
+    ``collector_active`` first): when a registered builder composes
+    another registered builder, the inner call's persists must flow to
+    the OUTERMOST bucket — tying them to the inner handle, which the
+    outer builder derives from and drops, would early-fire (module
+    docstring). Thread-local so parallel builders can't cross-enroll."""
+    stack = getattr(_collector, "stack", None)
+    if stack is None:
+        stack = _collector.stack = []
+    bucket: list[DataFrame] = []
+    stack.append(bucket)
+    try:
+        yield bucket
+    finally:
+        stack.pop()
+
+
+def collector_active() -> bool:
+    return bool(getattr(_collector, "stack", None))
 
 
 def release_on_gc(result: DataFrame, *cached: DataFrame) -> DataFrame:

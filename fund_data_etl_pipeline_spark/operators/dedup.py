@@ -26,6 +26,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 from ..functions.numeric import round2
+from .caching import persist_tracked
 from ..functions.text import (
     MINHASH_A,
     MINHASH_BANDS,
@@ -155,12 +156,10 @@ def _span_kept(
     ]
     if keep_text:
         cols += [F.col("span_idx"), F.col("span_text")]
-    occ = (
+    occ = persist_tracked(
         tokenized.select(
             F.col(id_col), F.posexplode(spans).alias("span_idx", "span_text")
-        )
-        .select(*cols)
-        .persist()
+        ).select(*cols)
     )
     first = occ.groupBy("span_hash").agg(F.min("okey").alias("first_key"))
     return occ.join(first, "span_hash").withColumn(
@@ -258,9 +257,11 @@ def benchmark_contamination(
     aggregation on doc_id. The shingled table is persisted: two readers
     (bench set + train side) would otherwise each re-run the HOF hashing
     pipeline (the no-CSE-in-lambdas trap)."""
-    shingled = shingle_hash_prepped(
-        df.withColumn("__b", is_bench), text_col, id_col, carry=("__b",)
-    ).persist()
+    shingled = persist_tracked(
+        shingle_hash_prepped(
+            df.withColumn("__b", is_bench), text_col, id_col, carry=("__b",)
+        )
+    )
     bench_toks = (
         shingled.filter(F.col("__b"))
         .select(F.explode("hs").alias("tok"))
@@ -345,15 +346,13 @@ def minhash_lsh_pairs(
             for b in range(MINHASH_BANDS)
         ]
     )
-    banded = (
-        sig.select(id_col, "hs", F.explode(bands).alias("bk"))
-        .select(
+    banded = persist_tracked(
+        sig.select(id_col, "hs", F.explode(bands).alias("bk")).select(
             id_col,
             "hs",
             F.col("bk.band").alias("band"),
             F.col("bk.key").alias("key"),
         )
-        .persist()
     )
     left = banded.select(
         F.col(id_col).alias("d1"), F.col("hs").alias("hs1"), "band", "key"
@@ -406,7 +405,7 @@ def ngram_jaccard_pairs(
     hashing pipeline into each — re-evaluating it per element, the
     no-CSE-in-lambdas trap (measured 90 s vs 3 s at sf0.1). At 100 TB it
     becomes a written intermediate, like the minhash signature table."""
-    sets = shingle_hash_prepped(df, text_col, id_col, hs_col="sh").persist()
+    sets = persist_tracked(shingle_hash_prepped(df, text_col, id_col, hs_col="sh"))
     inv = sets.select(F.col(id_col), F.explode("sh").alias("s"))
     if max_doc_freq is not None:
         hot = (
@@ -477,7 +476,10 @@ def connected_components(
     """
     # both directions from ONE scan of the (possibly expensive) pair plan
     # — a union of two selects would execute it twice before the persist
-    edges = (
+    # persist_tracked: the explicit unpersist below reclaims on the
+    # happy path; the collector tie is the exception-path backstop
+    # (double-unpersist is a no-op)
+    edges = persist_tracked(
         pairs.select(
             F.explode(
                 F.array(
@@ -488,7 +490,6 @@ def connected_components(
         )
         .select("e.src", "e.dst")
         .distinct()
-        .persist()
     )
     labels = ids.select(
         F.col(id_col).alias("id"), F.col(id_col).alias("label")

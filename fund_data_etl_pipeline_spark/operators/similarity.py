@@ -17,7 +17,7 @@ from pyspark.sql import functions as F
 
 from ..functions.numeric import round2
 from ..functions.text import HASH_P
-from .caching import release_on_gc
+from .caching import persist_tracked, release_on_gc
 
 
 def as_double(vec: Column) -> Column:
@@ -199,12 +199,10 @@ def ivf_seed_topk(
     """
     from pyspark.sql.window import Window as W
 
-    prepped = (
+    prepped = persist_tracked(
         vectors.select(
             F.col(id_col).alias("vid"), as_double(F.col(vec_col)).alias("v")
-        )
-        .select("vid", "v", norm(F.col("v")).alias("nv"))
-        .persist()
+        ).select("vid", "v", norm(F.col("v")).alias("nv"))
     )
     seeds = (
         prepped.orderBy(F.md5(F.col("vid").cast("string")), "vid")

@@ -25,12 +25,38 @@ ORACLES: dict[str, str] = {}
 
 def register(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
     """Register ``fn`` as query ``name``; ``oracle`` is DuckDB SQL or None
-    for non-SQL-expressible ops (driver then does a rows-only check)."""
+    for non-SQL-expressible ops (driver then does a rows-only check).
+
+    The registered callable wraps ``fn`` in a persist collector
+    (operators/caching): operator-internal ``persist_tracked`` caches
+    created while building are tied to the returned handle, so every
+    registry consumer (driver, bench, tests) reclaims cache storage by
+    simply dropping the DataFrame — no clearCache choreography (VERDICT
+    r6 next-step #5). The module-level name stays the RAW builder, so
+    builder-composing-builder keeps persists flowing to the outermost
+    collector (see collected_persists' nesting note)."""
 
     def deco(fn: QueryFn) -> QueryFn:
         if name in QUERIES:
             raise ValueError(f"duplicate query name {name!r}")
-        QUERIES[name] = fn
+
+        def wrapped(spark: SparkSession, sf_dir: str) -> DataFrame:
+            from ..operators.caching import (
+                collected_persists,
+                collector_active,
+                release_on_gc,
+            )
+
+            if collector_active():
+                return fn(spark, sf_dir)
+            with collected_persists() as bucket:
+                out = fn(spark, sf_dir)
+            return release_on_gc(out, *bucket) if bucket else out
+
+        wrapped.__name__ = fn.__name__
+        wrapped.__doc__ = fn.__doc__
+        wrapped.__wrapped__ = fn
+        QUERIES[name] = wrapped
         if oracle is not None:
             ORACLES[name] = oracle
         return fn

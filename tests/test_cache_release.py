@@ -91,3 +91,69 @@ def test_finalizer_never_raises():
     release_on_gc(h, Boom())  # type: ignore[arg-type]
     del h
     gc.collect()  # must not raise
+
+
+def test_registry_wrapper_ties_operator_internal_persists(spark):
+    """r7 (VERDICT r6 #5): operator-internal persists (the minhash
+    banded-signature table lives inside operators/dedup.minhash_lsh_pairs,
+    which the builder derives further) enroll via persist_tracked and
+    the registry wrapper ties them to the OUTERMOST returned handle —
+    cache alive while the handle serves, reclaimed on drop, no
+    clearCache choreography."""
+    from fund_data_etl_pipeline_spark.plans import QUERIES
+
+    spark.catalog.clearCache()
+    jcm = spark._jsparkSession.sharedState().cacheManager()
+    df = QUERIES["dedup_minhash_lsh"](spark, SF)
+    assert df.count() >= 0  # materializes the banded signature cache
+    assert not jcm.isEmpty()
+    del df
+    gc.collect()
+    assert jcm.isEmpty()
+
+
+def test_persist_tracked_without_collector_is_plain_persist(spark):
+    """Direct operator calls (no registry wrapper) keep the historical
+    caller-clearCache contract — persist_tracked must not leak a tie."""
+    from fund_data_etl_pipeline_spark.operators.caching import (
+        persist_tracked,
+    )
+
+    spark.catalog.clearCache()
+    jcm = spark._jsparkSession.sharedState().cacheManager()
+    cached = persist_tracked(spark.range(10))
+    assert cached.count() == 10
+    assert not jcm.isEmpty()
+    del cached
+    gc.collect()
+    assert not jcm.isEmpty()  # no collector -> no finalizer
+    spark.catalog.clearCache()
+
+
+def test_nested_collectors_flow_to_outermost(spark):
+    """A registered builder composing another registered builder must
+    NOT early-fire the inner persists: the wrapper only opens a
+    collector at the outermost level, so inner persist_tracked caches
+    tie to the OUTER handle."""
+    from fund_data_etl_pipeline_spark.operators.caching import (
+        collected_persists,
+        persist_tracked,
+    )
+    from fund_data_etl_pipeline_spark.plans import QUERIES
+
+    spark.catalog.clearCache()
+    jcm = spark._jsparkSession.sharedState().cacheManager()
+    with collected_persists() as bucket:
+        # simulates an outer builder: the wrapped inner builder sees an
+        # active collector and must NOT tie to its own (inner) handle
+        inner = QUERIES["dedup_minhash_lsh"](spark, SF)
+        derived = inner.groupBy().count()
+        del inner
+        gc.collect()
+        # inner persists must still be alive (no early fire)...
+        assert derived.collect()[0]["count"] >= 0
+    # ...and they surfaced in the OUTER bucket for the outer tie
+    assert bucket
+    for d in bucket:
+        d.unpersist()
+    assert jcm.isEmpty()

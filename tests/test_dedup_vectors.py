@@ -413,6 +413,8 @@ def test_semantic_lsh_keep_rule_invariant(spark, sf_dir):
     )
     from fund_data_etl_pipeline_spark.plans.dedup import (
         _SEM_T,
+        _SLSH_BUCKET_CAP,
+        _SLSH_CHAIN,
         _SLSH_DIMS,
         _SLSH_P_MAX,
         _SLSH_TABLES,
@@ -472,7 +474,14 @@ def test_semantic_lsh_keep_rule_invariant(spark, sf_dir):
     neighbors: dict[int, set[int]] = {vid: set() for vid in ids}
     for members in by_bucket.values():
         for i, b in enumerate(members):
-            neighbors[b].update(members[:i])
+            # the per-bucket pair cap: all-pairs up to BUCKET_CAP,
+            # id-ordered CHAIN-neighbor pairing above (plans/dedup.py
+            # skew mitigation) — mirrored here so the invariant states
+            # the SHIPPED semantics
+            if len(members) <= _SLSH_BUCKET_CAP:
+                neighbors[b].update(members[:i])
+            else:
+                neighbors[b].update(members[max(0, i - _SLSH_CHAIN):i])
     for vid in ids:
         has_dup = any(
             cos(vecs[a], vecs[vid]) >= _SEM_T for a in neighbors[vid]
@@ -525,3 +534,50 @@ def test_semantic_lsh_recall_on_planted_near_dups(spark, tmp_path):
 
     for v in dropped - set(range(40, 60)):
         assert any(cos(vecs[a], vecs[v]) >= 0.30 for a in range(v)), v
+
+
+def test_semantic_lsh_oversized_bucket_chain_cap(spark, tmp_path):
+    """The skewed-corpus mitigation (r7): a planted tight cluster larger
+    than _SLSH_BUCKET_CAP shares every table's bucket at any signature
+    width, so the exhaustive form would pair it quadratically. The
+    chain cap must (a) still drop every cluster member except the
+    smallest id — survivorship is transitive along the id chain in a
+    tight cluster — and (b) keep the uniform remainder governed by the
+    exact all-pairs rule."""
+    import numpy as np
+    import pandas as pd
+
+    from fund_data_etl_pipeline_spark.plans.dedup import (
+        _SLSH_BUCKET_CAP,
+        dedup_semantic_lsh,
+    )
+
+    rng = np.random.default_rng(41)
+    n_cluster = _SLSH_BUCKET_CAP + 40  # decisively over the cap
+    center = rng.standard_normal(64)
+    center /= np.linalg.norm(center)
+    vecs = []
+    for i in range(n_cluster):  # ids 0..167: one tight cluster
+        v = center + 1e-4 * rng.standard_normal(64)
+        vecs.append(v / np.linalg.norm(v))
+    for _ in range(40):  # ids 168..207: uniform background
+        v = rng.standard_normal(64)
+        vecs.append(v / np.linalg.norm(v))
+    pdf = pd.DataFrame(
+        {
+            "vec_id": range(len(vecs)),
+            "embedding": [v.astype("float32").tolist() for v in vecs],
+            "label": [0] * len(vecs),
+        }
+    )
+    d = tmp_path / "skewed"
+    d.mkdir()
+    pdf.to_parquet(d / "embeddings.parquet")
+    keep = {
+        r["vec_id"]: r["keep"]
+        for r in dedup_semantic_lsh(spark, str(d)).collect()
+    }
+    assert keep[0] is True, "cluster minimum must survive"
+    assert all(
+        keep[i] is False for i in range(1, n_cluster)
+    ), "every other cluster member must drop via the id chain"

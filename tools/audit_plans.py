@@ -49,13 +49,15 @@ CROSS_OK = {
 # builders that deliberately persist a reused intermediate (signature /
 # inverted-index / span / benchmark-shingle / prepped-embedding tables —
 # each is scanned 2+ times by design and documented in COVERAGE.md; on a
-# cluster these become written bucketed intermediates). Same-function
-# persists (dedup_semantic, dedup_embedding_cosine, vector_ann_ivf) are
-# reclaimed when the returned handle is GC'd
-# (operators/caching.release_on_gc); the operator-internal ones keep the
-# caller-clearCache() contract because their results are derived further
-# before return (see caching.py module docstring for the early-fire
-# hazard).
+# cluster these become written bucketed intermediates). Since r7 every
+# such persist is GC-tied (VERDICT r6 #5): operators enroll via
+# caching.persist_tracked and the registry wrapper ties the collected
+# set to the returned handle, verified by this audit's end-state check
+# (cache manager empty once every plan handle is dropped) and by the
+# static no-raw-.persist() source rule below. (Operator-internal
+# persists can't self-tie — a finalizer on an intermediate the builder
+# derives further would early-fire, see caching.py — which is why the
+# tie lives in the registry wrapper around the OUTERMOST build.)
 PERSIST_OK = {
     "dedup_minhash_lsh",
     "dedup_groups",
@@ -77,6 +79,30 @@ PERSIST_OK = {
 ARROW_OK = {"multimodal_binary_stats"}
 
 
+def check_persist_sources() -> list[str]:
+    """Static half of the VERDICT r6 #5 invariant: every ``.persist()``
+    in package source must go through ``caching.persist_tracked`` (the
+    registry wrapper then ties its lifetime to the returned handle) —
+    a raw ``.persist()`` has an unauditable lifetime."""
+    import pathlib
+
+    pkg = (
+        pathlib.Path(__file__).resolve().parent.parent
+        / "fund_data_etl_pipeline_spark"
+    )
+    bad: list[str] = []
+    for py in sorted(pkg.rglob("*.py")):
+        if py.name == "caching.py":  # persist_tracked's own df.persist()
+            continue
+        for i, line in enumerate(py.read_text().splitlines(), 1):
+            if ".persist()" in line and not line.lstrip().startswith("#"):
+                bad.append(
+                    f"{py.relative_to(pkg.parent)}:{i}: raw .persist() — "
+                    "route through caching.persist_tracked"
+                )
+    return bad
+
+
 def audit(sf_dir: str, names: list[str] | None = None) -> int:
     import __spark_entry__ as e
     from fund_data_etl_pipeline_spark.session import get_spark
@@ -90,7 +116,7 @@ def audit(sf_dir: str, names: list[str] | None = None) -> int:
     spark.catalog.clearCache()
     qs = e.queries()
     picked = names or list(qs)
-    bad: list[str] = []
+    bad: list[str] = check_persist_sources()
     print(
         f"{'query':30s} {'scan':>4} {'exch':>4} {'bcast':>5} "
         f"{'wind':>4} {'wscg':>4}  flags"
@@ -127,6 +153,22 @@ def audit(sf_dir: str, names: list[str] | None = None) -> int:
             f"{name:30s} {scans:4d} {exch:4d} {bcast:5d} "
             f"{wind:4d} {wscg:4d}  {' '.join(flags)}"
         )
+    # GC end-state check (VERDICT r6 #5): `df` rebinding dropped every
+    # prior handle; dropping the last one must leave zero live caches —
+    # proof each builder's persists are tied to its returned handle.
+    if names is None:  # only meaningful over the full registry
+        import gc
+
+        try:
+            del df
+        except UnboundLocalError:
+            pass
+        gc.collect()
+        if not spark._jsparkSession.sharedState().cacheManager().isEmpty():
+            bad.append(
+                "cache manager not empty after dropping all plan handles "
+                "— a persist escaped its GC tie"
+            )
     spark.catalog.clearCache()
     if bad:
         print("\nVIOLATIONS:")

@@ -51,16 +51,64 @@ def timed(spark, n: int, passes: int) -> tuple[float, float]:
     return best, cold
 
 
+def compile_breakdown(spark, passes: int = 3) -> dict:
+    """Where does a 25k-doc batch's fixed cost live? Splits one cascade
+    run into (a) Python-side plan construction (py4j; spec cache warm
+    after pass 1), (b) JVM analysis+optimization+physical planning
+    (forced via queryExecution().executedPlan()), (c) execution. The
+    VERDICT r6 #4 before/after number is (a)+(b) — 'plan-construction
+    time' — with the target <0.5 s warm."""
+    from fund_data_etl_pipeline_spark.plans.fundetl import dividend_scaled_agg
+
+    rows = []
+    for i in range(passes + 1):  # pass 0 = cold (spec cache empty)
+        spark.catalog.clearCache()
+        t0 = time.time()
+        df = dividend_scaled_agg(spark, BASE_REP)
+        t1 = time.time()
+        df._jdf.queryExecution().executedPlan()
+        t2 = time.time()
+        df.write.format("noop").mode("overwrite").save()
+        t3 = time.time()
+        rows.append(
+            {
+                "pass": "cold" if i == 0 else i,
+                "build_s": round(t1 - t0, 3),
+                "plan_s": round(t2 - t1, 3),
+                "exec_s": round(t3 - t2, 3),
+            }
+        )
+        print(rows[-1], flush=True)
+    warm = rows[1:]
+    return {
+        "docs": BASE_REP * 25,
+        "passes": rows,
+        "warm_best_build_plus_plan_s": round(
+            min(r["build_s"] + r["plan_s"] for r in warm), 3
+        ),
+    }
+
+
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--factors", default="10,100")
     ap.add_argument("--passes", type=int, default=2)
+    ap.add_argument(
+        "--compile",
+        action="store_true",
+        help="measure the compile-cost breakdown at 1x instead of the "
+        "scale exponent (VERDICT r6 #4)",
+    )
     args = ap.parse_args()
     factors = [1] + [int(f) for f in args.factors.split(",") if f.strip()]
 
     from fund_data_etl_pipeline_spark.session import get_spark
 
     spark = get_spark("fund-cascade-probe")
+    if args.compile:
+        print(json.dumps(compile_breakdown(spark, args.passes)), flush=True)
+        spark.stop()
+        return
     warm: dict[int, float] = {}
     cold: dict[int, float] = {}
     for f in factors:

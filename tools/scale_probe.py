@@ -194,6 +194,146 @@ def build_scaled_dir(spark, sf_dir: str, factor: int) -> str:
     return out_dir
 
 
+def build_skewed_dir(
+    spark, sf_dir: str, factor: int, frac: float, n_centroids: int = 4
+) -> str:
+    """Stage a CLUSTERED embeddings corpus (VERDICT r6 next-step #3): a
+    ``frac`` fraction of the scaled vectors become tiny deterministic
+    nudges of ``n_centroids`` shared centroids, so RHP signatures
+    collapse and bucket occupancy concentrates far above the uniform
+    expectation — the documented-but-unmeasured slsh skew risk
+    (plans/dedup.py module comment). Only ``embeddings`` is rewritten;
+    every other table symlinks the base dir (the skew probe runs
+    embedding-bound queries only).
+
+    The skew-vs-linear crossover is analytic: within-cluster pairing
+    overtakes the linear ~N*OCC/2 term once N > C*OCC/frac^2 — at
+    frac=1% that is 640k vectors (beyond this probe's 100x=200k corpus,
+    so 1% stays linear-dominated HERE), at frac=5% it is 25.6k (well
+    inside), which is why the BASELINE.md row stresses 5%."""
+    from fund_data_etl_pipeline_spark.sources.tables import TABLE_NAMES, load_table
+
+    tag = str(frac).replace(".", "p")
+    out_dir = os.path.join(REPO, f".scale_probe_skew{tag}_x{factor}")
+    marker = os.path.join(out_dir, ".complete")
+    src = os.path.join(sf_dir, "embeddings.parquet")
+    st = os.stat(src)
+    fingerprint = f"emb:{st.st_size}:{st.st_mtime_ns}:c{n_centroids}"
+    if os.path.exists(marker):
+        with open(marker) as fh:
+            if fh.read() == fingerprint:
+                return out_dir
+        import shutil
+
+        shutil.rmtree(out_dir)
+    os.makedirs(out_dir, exist_ok=True)
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    cents = [
+        r["embedding"]
+        for r in emb.orderBy("vec_id").limit(n_centroids).collect()
+    ]
+    rep = F.explode(F.array(*[F.lit(i) for i in range(factor)])).alias("rep")
+    new_id = (F.col("vec_id") * factor + F.col("rep")).alias("vec_id")
+    # deterministic membership + centroid pick (RNG-free, id-keyed)
+    skewed = F.pmod(F.xxhash64(new_id), F.lit(1_000_000)) < int(
+        frac * 1_000_000
+    )
+    cpick = F.pmod(F.xxhash64(new_id + F.lit(131)), F.lit(n_centroids))
+    cvec = None
+    for ci in range(n_centroids):
+        lit = F.array(*[F.lit(float(x)) for x in cents[ci]])
+        cvec = lit if cvec is None else F.when(cpick == ci, lit).otherwise(cvec)
+    # nudge ONE dimension by ~1e-4 so cluster members are distinct
+    # vectors but (a) stay near-dups under any cosine threshold and
+    # (b) almost never flip an RHP sign — worst-case concentration
+    nudge_dim = F.pmod(new_id, F.lit(64))
+    nudge_val = (
+        (F.pmod(new_id, F.lit(97)) + F.lit(1.0)) / F.lit(970000.0)
+    )
+    clustered = F.transform(
+        cvec,
+        lambda x, i: F.when(i == nudge_dim, x + nudge_val)
+        .otherwise(x)
+        .cast("float"),
+    )
+    uniform = F.transform(
+        "embedding",
+        lambda x, i: F.when(i == F.col("rep"), x + F.lit(0.05))
+        .otherwise(x)
+        .cast("float"),
+    )
+    (
+        emb.select("*", rep)
+        .select(
+            new_id,
+            F.when(skewed, clustered).otherwise(uniform).alias("embedding"),
+            "label",
+        )
+        .write.mode("overwrite")
+        .parquet(os.path.join(out_dir, "embeddings.parquet"))
+    )
+    for name in TABLE_NAMES:
+        if name == "embeddings":
+            continue
+        link = os.path.join(out_dir, f"{name}.parquet")
+        if not os.path.exists(link):
+            os.symlink(os.path.join(sf_dir, f"{name}.parquet"), link)
+    with open(marker, "w") as fh:
+        fh.write(fingerprint)
+    return out_dir
+
+
+def slsh_occupancy(spark, sf_dir: str) -> dict:
+    """Bucket-occupancy diagnostic at the adaptive slsh width: max /
+    p99 / mean rows per (table, bucket) — the number the skew probe
+    records next to the exponent (uniform expectation is ~_SLSH_OCC)."""
+    from fund_data_etl_pipeline_spark.operators.similarity import (
+        as_double,
+        rhp_bucket,
+    )
+    from fund_data_etl_pipeline_spark.plans.dedup import (
+        _SLSH_P_MAX,
+        _SLSH_TABLES,
+        slsh_planes,
+    )
+    from fund_data_etl_pipeline_spark.sources.tables import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", as_double(F.col("embedding")).alias("v")
+    )
+    n = emb.count()
+    p = slsh_planes(n)
+    sig = emb.select(
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(t).alias("tbl"),
+                        rhp_bucket(
+                            F.col("v"), p, 64, offset=t * _SLSH_P_MAX
+                        ).alias("bucket"),
+                    )
+                    for t in range(_SLSH_TABLES)
+                ]
+            )
+        ).alias("tb")
+    )
+    occ = sig.groupBy("tb.tbl", "tb.bucket").count()
+    row = occ.agg(
+        F.max("count").alias("mx"),
+        F.expr("percentile(count, 0.99)").alias("p99"),
+        F.avg("count").alias("mean"),
+    ).collect()[0]
+    return {
+        "n": n,
+        "planes": p,
+        "max_occ": int(row["mx"]),
+        "p99_occ": round(float(row["p99"]), 1),
+        "mean_occ": round(float(row["mean"]), 2),
+    }
+
+
 def timed_suite(
     spark, qs, sf_dir: str, queries: list[str], passes: int = 2
 ) -> dict[str, float]:
@@ -254,12 +394,20 @@ def main() -> None:
         help="timed fresh passes per query (1 is fine at 100x: runtimes "
         "are long enough to amortize JIT noise)",
     )
+    ap.add_argument(
+        "--skew",
+        type=float,
+        default=None,
+        help="clustered-corpus mode: stage this fraction of vectors as "
+        "near-copies of 4 centroids (VERDICT r6 #3) and probe the slsh "
+        "skew behavior; default query set becomes dedup_semantic_lsh",
+    )
     args = ap.parse_args()
     factors = [int(f) for f in args.factors.split(",")]
     queries = (
         [q.strip() for q in args.queries.split(",") if q.strip()]
         if args.queries
-        else PROBE_QUERIES
+        else (["dedup_semantic_lsh"] if args.skew else PROBE_QUERIES)
     )
 
     import __spark_entry__ as e
@@ -268,9 +416,23 @@ def main() -> None:
     spark = get_spark("scale-probe")
     qs = e.queries()
 
-    scaled_dirs = {f: build_scaled_dir(spark, args.sf, f) for f in factors}
+    if args.skew:
+        # skewed mode: every scale point (incl. 1x) is a clustered
+        # restage so the exponent is skew-vs-skew, not mixed
+        scaled_dirs = {
+            f: build_skewed_dir(spark, args.sf, f, args.skew) for f in factors
+        }
+        base_dir = build_skewed_dir(spark, args.sf, 1, args.skew)
+        occ = {1: slsh_occupancy(spark, base_dir)}
+        for f in factors:
+            occ[f] = slsh_occupancy(spark, scaled_dirs[f])
+        for s, o in occ.items():
+            print(f"occupancy {s}x: {o}")
+    else:
+        scaled_dirs = {f: build_scaled_dir(spark, args.sf, f) for f in factors}
+        base_dir = args.sf
     by_scale: dict[int, dict[str, float]] = {
-        1: timed_suite(spark, qs, args.sf, queries, args.passes)
+        1: timed_suite(spark, qs, base_dir, queries, args.passes)
     }
     for f in factors:
         by_scale[f] = timed_suite(spark, qs, scaled_dirs[f], queries, args.passes)
@@ -283,7 +445,11 @@ def main() -> None:
         rows.append({"query": name, "times": ts, "exponent": exp})
         cells = "  ".join(f"{s}x={ts[s]!s}" for s in scales)
         print(f"{name:<28} {cells}  exp={exp}")
-    print(json.dumps({"factors": factors, "rows": rows}))
+    out = {"factors": factors, "rows": rows}
+    if args.skew:
+        out["skew_frac"] = args.skew
+        out["occupancy"] = {str(s): o for s, o in occ.items()}
+    print(json.dumps(out))
     spark.stop()
 
 
