@@ -125,10 +125,22 @@ def _cached_specs(specs_fn):
 def _explode_records(
     df: DataFrame, specs: list[tuple[str, Column]], all_fields: list[str]
 ) -> DataFrame:
-    recs = _records_column(specs, F.col("platform"))
-    exploded = df.withColumn("rec", F.explode(recs))
-    return exploded.select(
-        "doc_id", "filename", "platform", *[F.col(f"rec.{f}").alias(f) for f in all_fields]
+    # the platform->records when-cascade and the rec.* select list are
+    # pure functions of (specs, field names); specs themselves come out
+    # of _SPEC_CACHE, so their identity is stable per context — cache
+    # the assembled Columns the same way (VERDICT r6 #4: construction,
+    # not Catalyst analysis, dominates warm plan cost)
+    from pyspark import SparkContext
+
+    key = (SparkContext._active_spark_context, id(specs), tuple(all_fields))
+    hit = _SPEC_CACHE.get(key)
+    if hit is None or hit[0] is not specs:
+        rec = F.explode(_records_column(specs, F.col("platform")))
+        sel = [F.col(f"rec.{f}").alias(f) for f in all_fields]
+        _SPEC_CACHE[key] = (specs, rec, sel)
+    _, rec, sel = _SPEC_CACHE[key]
+    return df.withColumn("rec", rec).select(
+        "doc_id", "filename", "platform", *sel
     )
 
 

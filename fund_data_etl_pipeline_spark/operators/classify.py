@@ -127,5 +127,26 @@ def platform_column(
     return expr.otherwise(F.lit(None).cast("string"))
 
 
+# Cascade Columns are pure functions of the fixed filename/lines column
+# NAMES, so (like the jobs._SPEC_CACHE spec trees) they are reusable
+# across any DataFrame in the same JVM. Building one is py4j-bound
+# (~0.25 s for a 24-rule cascade — the dominant term in the measured
+# warm plan-construction cost, VERDICT r6 #4), so cache per
+# (SparkContext, rules-list). The cached value holds the rules list
+# strongly, so a dead list's id() can never be recycled into a stale
+# hit; a new SparkContext naturally invalidates old Column refs.
+_CASCADE_CACHE: dict = {}
+
+
+def _cached_platform_column(rules: list[PlatformRule]) -> Column:
+    from pyspark import SparkContext
+
+    key = (SparkContext._active_spark_context, id(rules))
+    hit = _CASCADE_CACHE.get(key)
+    if hit is None or hit[0] is not rules:
+        _CASCADE_CACHE[key] = (rules, platform_column(rules))
+    return _CASCADE_CACHE[key][1]
+
+
 def classify(df: DataFrame, rules: list[PlatformRule], out: str = "platform") -> DataFrame:
-    return df.withColumn(out, platform_column(rules))
+    return df.withColumn(out, _cached_platform_column(rules))
