@@ -22,6 +22,12 @@ MINHASH_B = [101, 211, 307, 401, 503, 601, 701, 809, 907, 1009,
              1103, 1201, 1301, 1409, 1499, 1601]
 MINHASH_BANDS = 4          # 4 bands x 4 rows
 MINHASH_ROWS_PER_BAND = 4
+# per-(band, key) pair cap (r7): organic band collisions measured max 10
+# at 5k docs, so a bucket past CAP is a duplicate cluster — pair it by
+# id-ordered CHAIN-neighbor chaining (connectivity-preserving) instead
+# of all-pairs; see operators/dedup.minhash_lsh_pairs
+MINHASH_BUCKET_CAP = 32
+MINHASH_CHAIN = 8
 SIMHASH_BITS = 32
 
 STOPWORDS = {

@@ -30,6 +30,8 @@ from .caching import persist_tracked
 from ..functions.text import (
     MINHASH_A,
     MINHASH_BANDS,
+    MINHASH_BUCKET_CAP,
+    MINHASH_CHAIN,
     band_key,
     minhash_signature_from_hashes,
     normalized_md5,
@@ -322,22 +324,41 @@ def minhash_lsh_pairs(
 ) -> DataFrame:
     """MinHash + banded LSH near-dup pairs, verified with exact Jaccard.
 
-    Plan shape: ONE map-only pass builds shingles + hashes + the 16-value
-    signature (md5 computed once per shingle, not per permutation); the
-    signature table is persisted so the bucket self-join's two sides read
-    it instead of recomputing the text pipeline. Band keys explode 4
-    rows/doc; candidates come from the (band, key) equi-join carrying the
-    shingle sets, so verification needs no further join. On a cluster at
-    100 TB the persisted signature table becomes a written intermediate
-    (bucketed by band key); everything else is unchanged.
+    Plan shape (restructured r7 after the first two-decade probe measured
+    exponent ~1.0 with the second decade at 1.10): ONE map-only pass
+    builds shingles + hashes + the 16-value signature (md5 computed once
+    per shingle, not per permutation). Candidate generation is ID-ONLY —
+    the (band, key) self-join moves (id, band, key) rows, ~30 bytes,
+    never the shingle arrays; pairs are deduped FIRST and the hashed
+    shingle sets join back per pair for the exact-Jaccard verify, the
+    same candidates-then-verify shape the DuckDB oracle states (and the
+    dedup_semantic_lsh lesson: payload through a bucket self-join grows
+    the shuffle ~|hs|-fold and invites a giant runtime broadcast).
+
+    Skew (duplicate-cluster) cap: a (band, key) bucket is a set of docs
+    whose 4-permutation band agrees — organic collisions are tiny
+    (measured max 10 at 5 k docs), so an oversized bucket IS a
+    duplicate cluster, and real crawl corpora have huge ones
+    (boilerplate). Buckets at <= MINHASH_BUCKET_CAP docs pair
+    exhaustively (every corpus in tests stays under it); above that,
+    id-ordered MINHASH_CHAIN-neighbor chaining bounds pairs at
+    CHAIN * N * BANDS under any skew. The chain keeps a tight cluster
+    CONNECTED (i <-> i+1), so the downstream connected-components
+    grouping (dedup_groups) is unchanged for genuine duplicate
+    clusters; forgone are only cross pairs > CHAIN id-positions apart
+    in a mixed oversized bucket. Probed uncapped vs capped in
+    BASELINE.md. On a cluster at 100 TB the persisted tables become
+    written intermediates (bucketed by band key).
     """
-    prepped = shingle_hash_prepped(df, text_col, id_col)
     # verification runs on the hashed shingle sets too: both the engine
     # and the oracle compute the identical function, and bigint arrays
     # shuffle/intersect far cheaper than shingle strings (collision odds
-    # vs true string jaccard ~ |sh|^2 / 2P ~ 1e-4 relative)
+    # vs true string jaccard ~ |sh|^2 / 2P ~ 1e-4 relative). prepped is
+    # persisted (signature build + both verify sides read it); banded is
+    # persisted slim (both pairing branches read it).
+    prepped = persist_tracked(shingle_hash_prepped(df, text_col, id_col))
     sig = prepped.select(
-        id_col, "hs", *minhash_signature_from_hashes(F.col("hs"))
+        id_col, *minhash_signature_from_hashes(F.col("hs"))
     )
     sig_cols = [F.col(f"mh{i}") for i in range(len(MINHASH_A))]
     bands = F.array(
@@ -347,27 +368,46 @@ def minhash_lsh_pairs(
         ]
     )
     banded = persist_tracked(
-        sig.select(id_col, "hs", F.explode(bands).alias("bk")).select(
+        sig.select(id_col, F.explode(bands).alias("bk")).select(
             id_col,
-            "hs",
             F.col("bk.band").alias("band"),
             F.col("bk.key").alias("key"),
         )
     )
-    left = banded.select(
-        F.col(id_col).alias("d1"), F.col("hs").alias("hs1"), "band", "key"
+    wcnt = Window.partitionBy("band", "key")
+    word = wcnt.orderBy(id_col)
+    occ = banded.withColumn("occ", F.count(F.lit(1)).over(wcnt))
+    small = occ.filter(F.col("occ") <= MINHASH_BUCKET_CAP)
+    a, b = small.alias("a"), small.alias("b")
+    pairs_small = a.join(
+        b,
+        (F.col("a.band") == F.col("b.band"))
+        & (F.col("a.key") == F.col("b.key"))
+        & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+    ).select(
+        F.col(f"a.{id_col}").alias("d1"), F.col(f"b.{id_col}").alias("d2")
     )
-    right = banded.select(
-        F.col(id_col).alias("d2"), F.col("hs").alias("hs2"), "band", "key"
+    pairs_big = (
+        occ.filter(F.col("occ") > MINHASH_BUCKET_CAP)
+        .select(
+            F.col(id_col).alias("d1"),
+            F.array(
+                *[
+                    F.lead(id_col, k).over(word)
+                    for k in range(1, MINHASH_CHAIN + 1)
+                ]
+            ).alias("nxt"),
+        )
+        .select("d1", F.explode("nxt").alias("d2"))
+        .filter(F.col("d2").isNotNull())
     )
-    cand = (
-        left.join(right, ["band", "key"])
-        .filter(F.col("d1") < F.col("d2"))
-        .dropDuplicates(["d1", "d2"])
-    )
+    cand = pairs_small.unionByName(pairs_big).dropDuplicates(["d1", "d2"])
+    ea = prepped.select(F.col(id_col).alias("d1"), F.col("hs").alias("hs1"))
+    eb = prepped.select(F.col(id_col).alias("d2"), F.col("hs").alias("hs2"))
+    verified = cand.join(ea, "d1").join(eb, "d2")
     inter = F.size(F.array_intersect("hs1", "hs2"))
     union = F.size("hs1") + F.size("hs2") - inter
-    return cand.select(
+    return verified.select(
         "d1",
         "d2",
         round2(

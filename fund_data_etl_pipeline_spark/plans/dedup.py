@@ -10,7 +10,21 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window as W
 
-from ..functions.text import MINHASH_A, MINHASH_BANDS, SIMHASH_BITS
+from ..functions.text import (
+    MINHASH_A,
+    MINHASH_BANDS,
+    MINHASH_BUCKET_CAP,
+    MINHASH_CHAIN,
+    SIMHASH_BITS,
+)
+
+# the oracle twin of the minhash duplicate-cluster pair cap
+# (operators/dedup.minhash_lsh_pairs r7): lead() chain over the
+# id-ordered bucket, same WHERE-before-WINDOW evaluation as Spark's
+# filter-then-window (whole buckets sit on one side of the occ split)
+_MINHASH_CHAIN_SQL = ", ".join(
+    f"lead(doc_id, {k}) OVER w" for k in range(1, MINHASH_CHAIN + 1)
+)
 from ..operators import dedup as D
 from ..operators.caching import persist_tracked, release_on_gc
 from ..operators.similarity import as_double, cosine, dot, norm
@@ -130,10 +144,24 @@ def _minhash_oracle(threshold: float = _JACCARD_T) -> str:
     bands AS (
       {band_selects}
     ),
+    bo AS (
+      SELECT doc_id, band, key,
+             COUNT(*) OVER (PARTITION BY band, key) AS occ
+      FROM bands
+    ),
     cand AS (
-      SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2
-      FROM bands a JOIN bands b ON a.band = b.band AND a.key = b.key
-      WHERE a.doc_id < b.doc_id
+      SELECT DISTINCT d1, d2 FROM (
+        SELECT a.doc_id AS d1, b.doc_id AS d2
+        FROM bo a JOIN bo b ON a.band = b.band AND a.key = b.key
+        WHERE a.occ <= {MINHASH_BUCKET_CAP} AND a.doc_id < b.doc_id
+        UNION ALL
+        SELECT d1, d2 FROM (
+          SELECT doc_id AS d1,
+                 unnest([{_MINHASH_CHAIN_SQL}]) AS d2
+          FROM bo WHERE occ > {MINHASH_BUCKET_CAP}
+          WINDOW w AS (PARTITION BY band, key ORDER BY doc_id)
+        ) WHERE d2 IS NOT NULL
+      )
     ),
     verified AS (
       SELECT d1, d2,

@@ -71,6 +71,11 @@ PROBE_QUERIES = [
     # PageRank (per-round work linear in the 10x edge list)
     "dedup_semantic",
     "dedup_semantic_lsh",
+    # r7: minhash joined the probe set after its first two-decade run
+    # measured exponent ~1.0 (duplicate-cluster pairing + shingle-array
+    # payload through the band join); re-measured 0.79 after the ID-only
+    # + bucket-cap restructure
+    "dedup_minhash_lsh",
     "graph_pagerank",
     # round-5: both ANN paths (embeddings are staged with per-replica
     # nudged vectors, so the scaled corpus is NxF distinct near-neighbors)
