@@ -24,10 +24,16 @@ MINHASH_BANDS = 4          # 4 bands x 4 rows
 MINHASH_ROWS_PER_BAND = 4
 # per-(band, key) pair cap (r7): organic band collisions measured max 10
 # at 5k docs, so a bucket past CAP is a duplicate cluster — pair it by
-# id-ordered CHAIN-neighbor chaining (connectivity-preserving) instead
-# of all-pairs; see operators/dedup.minhash_lsh_pairs
+# id-ordered lead-chaining (connectivity-preserving) instead of
+# all-pairs; see operators/dedup.minhash_lsh_pairs. Strides are
+# EXPONENTIAL, not consecutive: 8 pairs per member either way, but
+# stride-1..8 chains give a cluster graph of diameter ~C/8, and the
+# label-propagation rounds downstream (dedup_groups) grow with diameter
+# — measured second-decade exponent 1.16 at the 100x probe. The
+# 1,2,4,...,128 ladder keeps stride 1 (so survivorship and connectivity
+# guarantees are unchanged) while bounding the diameter at O(log C).
 MINHASH_BUCKET_CAP = 32
-MINHASH_CHAIN = 8
+MINHASH_CHAIN_STRIDES = (1, 2, 4, 8, 16, 32, 64, 128)
 SIMHASH_BITS = 32
 
 STOPWORDS = {

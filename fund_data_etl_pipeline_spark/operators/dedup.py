@@ -31,7 +31,7 @@ from ..functions.text import (
     MINHASH_A,
     MINHASH_BANDS,
     MINHASH_BUCKET_CAP,
-    MINHASH_CHAIN,
+    MINHASH_CHAIN_STRIDES,
     band_key,
     minhash_signature_from_hashes,
     normalized_md5,
@@ -341,12 +341,16 @@ def minhash_lsh_pairs(
     duplicate cluster, and real crawl corpora have huge ones
     (boilerplate). Buckets at <= MINHASH_BUCKET_CAP docs pair
     exhaustively (every corpus in tests stays under it); above that,
-    id-ordered MINHASH_CHAIN-neighbor chaining bounds pairs at
-    CHAIN * N * BANDS under any skew. The chain keeps a tight cluster
-    CONNECTED (i <-> i+1), so the downstream connected-components
-    grouping (dedup_groups) is unchanged for genuine duplicate
-    clusters; forgone are only cross pairs > CHAIN id-positions apart
-    in a mixed oversized bucket. Probed uncapped vs capped in
+    id-ordered lead-chaining at the exponential
+    MINHASH_CHAIN_STRIDES ladder bounds pairs at |STRIDES| * N * BANDS
+    under any skew. Stride 1 keeps a tight cluster CONNECTED
+    (i <-> i+1), so the downstream connected-components grouping
+    (dedup_groups) is unchanged for genuine duplicate clusters, and the
+    power-of-two reach bounds the cluster graph's DIAMETER at O(log C)
+    so the propagation loop's round count stays logarithmic (the 100x
+    probe measured consecutive-stride chains driving dedup_groups
+    super-linear via diameter ~C/8); forgone are only bucket pairs off
+    the stride ladder in a mixed oversized bucket. Probed uncapped vs capped in
     BASELINE.md. On a cluster at 100 TB the persisted tables become
     written intermediates (bucketed by band key).
     """
@@ -394,7 +398,7 @@ def minhash_lsh_pairs(
             F.array(
                 *[
                     F.lead(id_col, k).over(word)
-                    for k in range(1, MINHASH_CHAIN + 1)
+                    for k in MINHASH_CHAIN_STRIDES
                 ]
             ).alias("nxt"),
         )

@@ -50,7 +50,17 @@ def register(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryF
             if collector_active():
                 return fn(spark, sf_dir)
             with collected_persists() as bucket:
-                out = fn(spark, sf_dir)
+                try:
+                    out = fn(spark, sf_dir)
+                except BaseException:
+                    # a builder that dies after persisting must not leak
+                    # its caches — there is no handle left to tie them to
+                    for d in bucket:
+                        try:
+                            d.unpersist()
+                        except Exception:  # noqa: BLE001 — session gone
+                            pass
+                    raise
             return release_on_gc(out, *bucket) if bucket else out
 
         wrapped.__name__ = fn.__name__

@@ -14,17 +14,10 @@ from ..functions.text import (
     MINHASH_A,
     MINHASH_BANDS,
     MINHASH_BUCKET_CAP,
-    MINHASH_CHAIN,
+    MINHASH_CHAIN_STRIDES,
     SIMHASH_BITS,
 )
 
-# the oracle twin of the minhash duplicate-cluster pair cap
-# (operators/dedup.minhash_lsh_pairs r7): lead() chain over the
-# id-ordered bucket, same WHERE-before-WINDOW evaluation as Spark's
-# filter-then-window (whole buckets sit on one side of the occ split)
-_MINHASH_CHAIN_SQL = ", ".join(
-    f"lead(doc_id, {k}) OVER w" for k in range(1, MINHASH_CHAIN + 1)
-)
 from ..operators import dedup as D
 from ..operators.caching import persist_tracked, release_on_gc
 from ..operators.similarity import as_double, cosine, dot, norm
@@ -36,6 +29,14 @@ from .vectors import rhp_bucket_sql
 
 _JACCARD_T = 0.8
 _COS_T = 0.45
+
+# the oracle twin of the minhash duplicate-cluster pair cap
+# (operators/dedup.minhash_lsh_pairs r7): lead() chain over the
+# id-ordered bucket, same WHERE-before-WINDOW evaluation as Spark's
+# filter-then-window (whole buckets sit on one side of the occ split)
+_MINHASH_CHAIN_SQL = ", ".join(
+    f"lead(doc_id, {k}) OVER w" for k in MINHASH_CHAIN_STRIDES
+)
 
 
 @register(
@@ -725,7 +726,9 @@ _SLSH_OCC = 16  # target expected rows per bucket per table
 _SLSH_TABLES = 4
 _SLSH_DIMS = 64
 _SLSH_BUCKET_CAP = 128  # all-pairs ceiling: 8x expected occupancy
-_SLSH_CHAIN = 8  # chain width in oversized buckets
+# exponential stride ladder (see functions/text.MINHASH_CHAIN_STRIDES:
+# same pair budget as consecutive 1..8, but O(log C) cluster diameter)
+_SLSH_CHAIN_STRIDES = (1, 2, 4, 8, 16, 32, 64, 128)
 
 
 def slsh_planes(n: int) -> int:
@@ -748,7 +751,7 @@ _SLSH_PLANES_SQL = (
 )
 
 _SLSH_CHAIN_SQL = ", ".join(
-    f"lead(vec_id, {k}) OVER w" for k in range(1, _SLSH_CHAIN + 1)
+    f"lead(vec_id, {k}) OVER w" for k in _SLSH_CHAIN_STRIDES
 )
 
 _SLSH_SIG_SQL = "\n      UNION ALL\n      ".join(
@@ -822,8 +825,8 @@ def dedup_semantic_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     candidate pairs stay linear, the measured-exponent claim in
     BASELINE.md). A candidate pair is any two vectors sharing at least
     one table's bucket — exhaustively while the bucket holds <=
-    ``_SLSH_BUCKET_CAP`` rows, by id-ordered ``_SLSH_CHAIN``-neighbor
-    chaining above it (the measured skewed-corpus mitigation; module
+    ``_SLSH_BUCKET_CAP`` rows, by id-ordered lead-chaining at the
+    exponential ``_SLSH_CHAIN_STRIDES`` ladder above it (the measured skewed-corpus mitigation; module
     comment) — and the exact rounded cosine then confirms. Keep
     rule matches dedup_semantic: greedy first-occurrence — a vector
     drops iff ANY smaller-id confirmed neighbor exists. ``bucket0``
@@ -897,7 +900,7 @@ def dedup_semantic_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.array(
                 *[
                     F.lead("vec_id", k).over(word)
-                    for k in range(1, _SLSH_CHAIN + 1)
+                    for k in _SLSH_CHAIN_STRIDES
                 ]
             ).alias("nxt"),
         )

@@ -157,3 +157,31 @@ def test_nested_collectors_flow_to_outermost(spark):
     for d in bucket:
         d.unpersist()
     assert jcm.isEmpty()
+
+
+def test_wrapper_unpersists_on_builder_failure(spark):
+    """A registered builder that raises AFTER persisting must leave no
+    cache behind — there is no returned handle to tie the lifetime to."""
+    from fund_data_etl_pipeline_spark.operators.caching import (
+        persist_tracked,
+    )
+    from fund_data_etl_pipeline_spark.plans import QUERIES, register
+
+    name = "__test_failing_builder__"
+
+    @register(name)
+    def _failing(spark, sf_dir):
+        persist_tracked(spark.range(5)).count()
+        raise RuntimeError("boom after persist")
+
+    try:
+        spark.catalog.clearCache()
+        jcm = spark._jsparkSession.sharedState().cacheManager()
+        import pytest as _pytest
+
+        with _pytest.raises(RuntimeError, match="boom after persist"):
+            QUERIES[name](spark, SF)
+        assert jcm.isEmpty()
+    finally:
+        # keep the registry at its frozen 106 for any test that iterates it
+        QUERIES.pop(name, None)

@@ -414,7 +414,7 @@ def test_semantic_lsh_keep_rule_invariant(spark, sf_dir):
     from fund_data_etl_pipeline_spark.plans.dedup import (
         _SEM_T,
         _SLSH_BUCKET_CAP,
-        _SLSH_CHAIN,
+        _SLSH_CHAIN_STRIDES,
         _SLSH_DIMS,
         _SLSH_P_MAX,
         _SLSH_TABLES,
@@ -475,13 +475,17 @@ def test_semantic_lsh_keep_rule_invariant(spark, sf_dir):
     for members in by_bucket.values():
         for i, b in enumerate(members):
             # the per-bucket pair cap: all-pairs up to BUCKET_CAP,
-            # id-ordered CHAIN-neighbor pairing above (plans/dedup.py
+            # id-ordered exponential-stride pairing above (plans/dedup.py
             # skew mitigation) — mirrored here so the invariant states
             # the SHIPPED semantics
             if len(members) <= _SLSH_BUCKET_CAP:
                 neighbors[b].update(members[:i])
             else:
-                neighbors[b].update(members[max(0, i - _SLSH_CHAIN):i])
+                neighbors[b].update(
+                    members[i - k]
+                    for k in _SLSH_CHAIN_STRIDES
+                    if i - k >= 0
+                )
     for vid in ids:
         has_dup = any(
             cos(vecs[a], vecs[vid]) >= _SEM_T for a in neighbors[vid]
