@@ -585,3 +585,34 @@ def test_semantic_lsh_oversized_bucket_chain_cap(spark, tmp_path):
     assert all(
         keep[i] is False for i in range(1, n_cluster)
     ), "every other cluster member must drop via the id chain"
+
+
+def test_minhash_oversized_cluster_stays_one_group(spark):
+    """r7 chain-cap connectivity guard: a duplicate cluster larger than
+    MINHASH_BUCKET_CAP pairs by the exponential stride ladder instead of
+    all-pairs — connected components must STILL resolve it to a single
+    group (stride 1 chains every member to its id-neighbor). Guards the
+    exact regression a stride list without 1 would introduce."""
+    from fund_data_etl_pipeline_spark.functions.text import (
+        MINHASH_BUCKET_CAP,
+        MINHASH_CHAIN_STRIDES,
+    )
+
+    # the connectivity argument REQUIRES the unit stride
+    assert MINHASH_CHAIN_STRIDES[0] == 1
+    assert tuple(sorted(MINHASH_CHAIN_STRIDES)) == MINHASH_CHAIN_STRIDES
+
+    n = MINHASH_BUCKET_CAP + 40
+    base = " ".join(f"tok{w}" for w in range(40))
+    docs = spark.createDataFrame(
+        [(i, f"{base} uniq{i}") for i in range(n)],
+        "doc_id long, text string",
+    )
+    pairs = D.minhash_lsh_pairs(docs, threshold=0.8)
+    groups = D.connected_components(pairs, docs.select("doc_id"))
+    rows = groups.collect()
+    assert len(rows) == n
+    assert {r["group_id"] for r in rows} == {0}, (
+        "chain-capped pairing must keep the duplicate cluster connected"
+    )
+    assert all(r["group_size"] == n for r in rows)
