@@ -158,7 +158,13 @@ def main() -> None:
             cold[name] = round(time.time() - t0, 3)
             # best-of-2 fresh passes: single-pass numbers swung 2-3x
             # run-to-run on identical code (GC / page-cache / JIT luck);
-            # the min is the reproducible capability measurement
+            # the min is the reproducible capability measurement. FIXED
+            # pass count for every query (ADVICE r7): the old
+            # extra-pass-only-on-warm>cold retry was a one-sided
+            # re-measure that clipped upward noise but never downward,
+            # biasing warm numbers low vs a uniform protocol. A residual
+            # warm>cold inversion is now recorded as-is (host noise the
+            # reader can see), not re-rolled away.
             for _ in range(2):
                 spark.catalog.clearCache()
                 t1 = time.time()
@@ -169,18 +175,6 @@ def main() -> None:
                 # record inside the loop: if pass 2 throws, pass 1's valid
                 # measurement survives instead of vanishing into errors
                 times[name] = min(times.get(name, dt), dt)
-            if times[name] > cold[name]:
-                # a warm number above the cold pass is physically
-                # inverted (cold pays compile + JIT on top of the same
-                # work) — one extra fresh pass absorbs residual
-                # first-measurement JIT/GC luck instead of shipping the
-                # inversion to the driver artifact
-                spark.catalog.clearCache()
-                t1 = time.time()
-                qs[name](spark, sf_dir).write.format("noop").mode(
-                    "overwrite"
-                ).save()
-                times[name] = min(times[name], round(time.time() - t1, 3))
         except Exception as exc:  # noqa: BLE001 — record and continue
             errors[name] = f"{type(exc).__name__}: {exc}"[:300]
             print(f"bench: {name} FAILED: {errors[name]}", file=sys.stderr)

@@ -27,6 +27,8 @@ by the same generic machinery (SURVEY §7.0 "platforms are data, not code").
 
 from __future__ import annotations
 
+from collections import OrderedDict
+
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
@@ -104,7 +106,22 @@ def _records_column(
 # per (SparkContext, builder): a rebuilt query pays the construction cost
 # once per JVM instead of once per call. Keyed on the live SparkContext
 # object so a JVM restart naturally invalidates stale Column refs.
-_SPEC_CACHE: dict = {}
+# Bounded LRU (r7 ADVICE): spec Column trees contain pyspark Columns
+# (unhashable — __eq__ builds an expression), so _explode_records keys on
+# id(specs) with a strong ref + identity re-check against stale-id reuse.
+# That cannot detect IN-PLACE mutation of a cached list — callers must
+# treat a specs list as immutable once passed (every in-repo caller gets
+# its list from _cached_specs, whose trees are built once per context and
+# never mutated). The LRU cap bounds callers that build fresh spec lists
+# per call.
+_SPEC_CACHE: "OrderedDict" = OrderedDict()
+_SPEC_CACHE_MAX = 64
+
+
+def _spec_cache_put(key, value):
+    _SPEC_CACHE[key] = value
+    while len(_SPEC_CACHE) > _SPEC_CACHE_MAX:
+        _SPEC_CACHE.popitem(last=False)
 
 
 def _cached_specs(specs_fn):
@@ -116,9 +133,11 @@ def _cached_specs(specs_fn):
     # contexts pinned per process is bounded and tiny.
     key = (SparkContext._active_spark_context, specs_fn)
     if key not in _SPEC_CACHE:
-        _SPEC_CACHE[key] = specs_fn(
+        _spec_cache_put(key, specs_fn(
             F.col("text"), F.col("lines"), F.col("filename")
-        )
+        ))
+    else:
+        _SPEC_CACHE.move_to_end(key)
     return _SPEC_CACHE[key]
 
 
@@ -137,7 +156,9 @@ def _explode_records(
     if hit is None or hit[0] is not specs:
         rec = F.explode(_records_column(specs, F.col("platform")))
         sel = [F.col(f"rec.{f}").alias(f) for f in all_fields]
-        _SPEC_CACHE[key] = (specs, rec, sel)
+        _spec_cache_put(key, (specs, rec, sel))
+    else:
+        _SPEC_CACHE.move_to_end(key)
     _, rec, sel = _SPEC_CACHE[key]
     return df.withColumn("rec", rec).select(
         "doc_id", "filename", "platform", *sel

@@ -114,7 +114,7 @@ def iter_mjpeg_frames(data: bytes) -> Iterator[tuple[int, bytes]]:
     '##db') in stream order."""
     _, m0, m1 = _headers(data)
 
-    def _frames(pos: int, end: int) -> Iterator[bytes]:
+    def _frames(pos: int, end: int, depth: int = 0) -> Iterator[bytes]:
         for cid, b0, b1 in _chunks(data, pos, end):
             if len(cid) == 4 and cid[2:4] in (b"dc", b"db"):
                 yield data[b0:b1]
@@ -123,7 +123,17 @@ def iter_mjpeg_frames(data: bytes) -> Iterator[tuple[int, bytes]]:
                 # into LIST('rec ') wrappers inside movi (the public
                 # AVI 1.0 layout for CD-ROM interleave); recurse so
                 # their '##dc'/'##db' children aren't silently skipped.
-                yield from _frames(b0, b1)
+                # rec lists don't legally nest (AVI 1.0 allows them only
+                # directly inside movi), but a crafted blob can stack
+                # them ~1000 deep in a few KB — keep the module's named
+                # ValueError quarantine contract instead of blowing the
+                # interpreter recursion limit.
+                if depth >= 2:
+                    raise ValueError(
+                        "AVI rec lists nested deeper than the AVI 1.0 "
+                        "layout allows"
+                    )
+                yield from _frames(b0, b1, depth + 1)
 
     for idx, frame in enumerate(_frames(m0, m1)):
         yield idx, frame

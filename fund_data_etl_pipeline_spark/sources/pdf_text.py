@@ -316,6 +316,11 @@ def _apply_predictor(data: bytes, parms: bytes) -> bytes:
 
 
 def _apply_filter(name: bytes, raw: bytes) -> bytes:
+    if name == b"Crypt":
+        # §7.4.10: the Crypt step is decryption, which _decrypt_streams
+        # already applied (or skipped for /Identity) before filters run —
+        # at this stage it is a pass-through, not a decode error.
+        return raw
     if name == b"FlateDecode":
         try:
             return zlib.decompress(raw)
@@ -560,6 +565,81 @@ def _file_decryption_key(
     return key, cipher
 
 
+def _array_items(val: bytes) -> list[bytes]:
+    """Top-level items of a [ … ] array slice: names, numbers, nulls,
+    balanced << >> dicts, and ``n g R`` references (kept as one item)."""
+    inner = val.strip()
+    if inner.startswith(b"["):
+        inner = inner[1:-1] if inner.endswith(b"]") else inner[1:]
+    items: list[bytes] = []
+    i, n = 0, len(inner)
+    while i < n:
+        c = inner[i : i + 1]
+        if c in b" \t\r\n":
+            i += 1
+            continue
+        if inner[i : i + 2] == b"<<":
+            depth, j = 0, i
+            while j < n - 1:
+                if inner[j : j + 2] == b"<<":
+                    depth += 1
+                    j += 2
+                elif inner[j : j + 2] == b">>":
+                    depth -= 1
+                    j += 2
+                    if depth == 0:
+                        break
+                else:
+                    j += 1
+            items.append(inner[i:j])
+            i = j
+            continue
+        m = re.match(rb"(\d+)\s+(\d+)\s+R\b", inner[i:])
+        if m:
+            items.append(m.group(0))
+            i += m.end()
+            continue
+        m = re.match(rb"/[A-Za-z0-9.#+-]+|[^\s\[\]<>/]+", inner[i:])
+        if m:
+            items.append(m.group(0))
+            i += m.end()
+        else:
+            i += 1
+    return items
+
+
+def _crypt_filter_is_identity(head: bytes, objs: dict[int, bytes]) -> bool | None:
+    """Whether this stream's /Crypt decode filter (§7.4.10) names the
+    Identity crypt filter: True → payload is plaintext (skip the
+    standard stream decryption), False → a real named crypt filter,
+    None → the stream has no /Crypt filter at all.
+
+    The decision reads ONLY the /DecodeParms (or /DP) entry at the
+    /Crypt position in the filter chain — a legacy ``/Name /Im1`` key
+    in the stream dict (older image XObjects) or an ``/Identity-H``
+    encoding elsewhere in the header must not sway it. Per §7.4.10 a
+    missing DecodeParms /Name defaults to Identity."""
+    d = _dict_of(head) or head
+    filt = _value_after(d, b"Filter")
+    names = _NAME_RE.findall(filt) if filt else []
+    if b"Crypt" not in names:
+        return None
+    parms_val = _value_after(d, b"DecodeParms") or _value_after(d, b"DP")
+    if not parms_val:
+        return True  # no parms → default /Name /Identity
+    if parms_val.strip().startswith(b"["):
+        items = _array_items(parms_val)
+        idx = names.index(b"Crypt")
+        sub = items[idx] if idx < len(items) else b""
+    else:
+        sub = parms_val
+    ref = re.match(rb"(\d+)\s+\d+\s+R\b", sub.strip())
+    if ref:
+        sub = _dict_of(objs.get(int(ref.group(1)), b""))
+    nm = re.search(rb"/Name\s*/([A-Za-z0-9.#+-]+)", sub)
+    return nm is None or nm.group(1) == b"Identity"
+
+
 def _decrypt_streams(
     objs: dict[int, bytes],
     gens: dict[int, int],
@@ -590,10 +670,7 @@ def _decrypt_streams(
         # filter naming /Identity likewise marks the payload plaintext.
         if re.search(rb"/Type\s*/XRef\b", head0):
             continue
-        if re.search(rb"/Crypt\b", head0) and (
-            b"/Identity" in head0
-            or not re.search(rb"/Name\s*/", head0)
-        ):
+        if _crypt_filter_is_identity(head0, objs):
             continue
         gen = gens.get(num, 0)
         if cipher == "aes256":

@@ -114,6 +114,23 @@ def test_avi_interleaved_rec_lists_decode():
     assert [payload for _, payload in got] == jpegs
 
 
+def test_avi_deeply_nested_rec_lists_quarantine():
+    # Regression (ADVICE r7): rec lists don't legally nest, but ~1000
+    # stacked LIST('rec ') wrappers fit in ~12 KB — the demuxer must
+    # raise its named ValueError, not RecursionError.
+    _, jpegs = _frames(n=1)
+    inner = _chunk(b"00dc", jpegs[0])
+    for _ in range(1000):
+        inner = _list(b"rec ", inner)
+    plain = write_avi(jpegs, w=24, h=16)
+    flat_movi = _list(b"movi", _chunk(b"00dc", jpegs[0]))
+    assert flat_movi in plain
+    blob = plain.replace(flat_movi, _list(b"movi", inner))
+    blob = blob[:4] + struct.pack("<I", len(blob) - 8) + blob[8:]
+    with pytest.raises(ValueError, match="rec lists nested"):
+        list(iter_mjpeg_frames(blob))
+
+
 def test_avi_named_errors():
     _, jpegs = _frames(n=2)
     blob = write_avi(jpegs, w=24, h=16)

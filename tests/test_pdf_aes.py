@@ -236,6 +236,78 @@ def test_crypt_identity_stream_left_plaintext():
     )
 
 
+def test_crypt_default_identity_with_legacy_name_key():
+    # Regression (ADVICE r7): the /Crypt-Identity exemption must read
+    # /Name inside the /DecodeParms subdict only. A legacy ``/Name /Im1``
+    # key in the stream dict itself (older image XObjects) previously
+    # defeated the default-Identity detection, so this plaintext
+    # metadata stream got AES-decrypted (12 bytes — not a block
+    # multiple) and the whole file quarantined.
+    from fund_data_etl_pipeline_spark.sources.pdf_text import (
+        extract_pdf_text,
+    )
+
+    blob = build_aes_pdf(b"BT (legacy name ok) Tj ET")
+    meta_payload = b"<x:xmpmeta/>"
+    meta_obj = (
+        b"7 0 obj\n<< /Type /Metadata /Name /Im1 /Filter /Crypt "
+        b"/Length %d >>\n"
+        b"stream\n" % len(meta_payload)
+        + meta_payload
+        + b"\nendstream\nendobj\n"
+    )
+    head, trailer = blob.rsplit(b"trailer\n", 1)
+    assert extract_pdf_text(head + meta_obj + b"trailer\n" + trailer) == (
+        "legacy name ok"
+    )
+
+
+def test_named_crypt_filter_not_exempted_by_identity_h():
+    # Regression (ADVICE r7): an ``/Identity-H`` substring elsewhere in
+    # the header (a CID font encoding name) must not exempt a stream
+    # whose /Crypt DecodeParms names a REAL crypt filter — that stream
+    # is ciphertext and skipping decryption yields garbage.
+    from fund_data_etl_pipeline_spark.sources.pdf_text import (
+        extract_pdf_text,
+    )
+
+    blob = build_aes_pdf(b"BT (named crypt decrypted) Tj ET")
+    assert b"4 0 obj\n<< /Length" in blob
+    blob = blob.replace(
+        b"4 0 obj\n<< /Length",
+        b"4 0 obj\n<< /Filter /Crypt "
+        b"/DecodeParms << /Name /StdCF >> "
+        b"/Encoding /Identity-H /Length",
+    )
+    assert extract_pdf_text(blob) == "named crypt decrypted"
+
+
+def test_crypt_filter_chain_decodeparms_array_position():
+    # The /DecodeParms lookup must follow the /Crypt POSITION in a
+    # filter-chain array: [/FlateDecode /Crypt] with parms
+    # [null << /Name /Identity >>] is plaintext-deflate.
+    import zlib
+
+    from fund_data_etl_pipeline_spark.sources.pdf_text import (
+        extract_pdf_text,
+    )
+
+    blob = build_aes_pdf(b"BT (array parms ok) Tj ET")
+    meta_payload = zlib.compress(b"<x:xmpmeta/>")
+    meta_obj = (
+        b"7 0 obj\n<< /Type /Metadata "
+        b"/Filter [/FlateDecode /Crypt] "
+        b"/DecodeParms [null << /Name /Identity >>] /Length %d >>\n"
+        b"stream\n" % len(meta_payload)
+        + meta_payload
+        + b"\nendstream\nendobj\n"
+    )
+    head, trailer = blob.rsplit(b"trailer\n", 1)
+    assert extract_pdf_text(head + meta_obj + b"trailer\n" + trailer) == (
+        "array parms ok"
+    )
+
+
 def test_aes256_r5_draft_quarantines():
     # the withdrawn /R 5 draft revision stays unsupported
     from fund_data_etl_pipeline_spark.sources.pdf_text import (
