@@ -321,6 +321,7 @@ def minhash_lsh_pairs(
     text_col: str = "text",
     id_col: str = "doc_id",
     threshold: float = 0.8,
+    bucket_cap: int = MINHASH_BUCKET_CAP,
 ) -> DataFrame:
     """MinHash + banded LSH near-dup pairs, verified with exact Jaccard.
 
@@ -378,10 +379,13 @@ def minhash_lsh_pairs(
             F.col("bk.key").alias("key"),
         )
     )
+    # ``bucket_cap`` defaults to the shipped MINHASH_BUCKET_CAP; the
+    # recall probe (tools/recall_probe.py) passes a huge value to measure
+    # the uncapped form against the same corpus
     wcnt = Window.partitionBy("band", "key")
     word = wcnt.orderBy(id_col)
     occ = banded.withColumn("occ", F.count(F.lit(1)).over(wcnt))
-    small = occ.filter(F.col("occ") <= MINHASH_BUCKET_CAP)
+    small = occ.filter(F.col("occ") <= bucket_cap)
     a, b = small.alias("a"), small.alias("b")
     pairs_small = a.join(
         b,
@@ -392,7 +396,7 @@ def minhash_lsh_pairs(
         F.col(f"a.{id_col}").alias("d1"), F.col(f"b.{id_col}").alias("d2")
     )
     pairs_big = (
-        occ.filter(F.col("occ") > MINHASH_BUCKET_CAP)
+        occ.filter(F.col("occ") > bucket_cap)
         .select(
             F.col(id_col).alias("d1"),
             F.array(
@@ -492,6 +496,7 @@ def connected_components(
     ids: DataFrame,
     id_col: str = "doc_id",
     max_iter: int = 25,
+    stats: dict | None = None,
 ) -> DataFrame:
     """Resolve near-dup PAIRS into duplicate GROUPS: connected components
     by iterative min-label propagation (the standard distributed CC — each
@@ -544,6 +549,7 @@ def connected_components(
     # at any realistic id range x row count)
     label_sum = F.sum(F.col("label").cast("decimal(38,0)")).alias("s")
     prev_sum = labels.agg(label_sum).first()["s"]
+    rounds = 0
     for _ in range(max_iter):
         neighbor_min = (
             edges.join(labels, edges["dst"] == labels["id"])
@@ -555,11 +561,16 @@ def connected_components(
             .agg(F.min("label").alias("label"))
             .localCheckpoint()
         )
+        rounds += 1
         cur_sum = labels.agg(label_sum).first()["s"]
         if cur_sum == prev_sum:
             break
         prev_sum = cur_sum
     edges.unpersist()
+    if stats is not None:
+        # observability for the giant-cluster probe (VERDICT r7 #3): the
+        # stride-ladder claim is rounds ∝ log(cluster size)
+        stats["rounds"] = rounds
     sizes = labels.groupBy("label").agg(F.count(F.lit(1)).alias("group_size"))
     return labels.join(sizes, "label").select(
         F.col("id").alias(id_col),
@@ -573,6 +584,7 @@ def connected_components_two_phase(
     ids: DataFrame,
     id_col: str = "doc_id",
     max_rounds: int = 20,
+    stats: dict | None = None,
 ) -> DataFrame:
     """Connected components by alternating large-star / small-star edge
     rewrites (the Kiveris et al. 2014 "Connected Components in MapReduce
@@ -644,16 +656,20 @@ def connected_components_two_phase(
     ]
     sig_keys = ("n", "sh", "sl", "sx")
     prev = edges.agg(*sig_cols).first()
+    rounds = 0
     for _ in range(max_rounds):
         # checkpoint BETWEEN the phases too: sym() references its input
         # from two union branches, so an un-materialized large-star plan
         # would execute twice inside small-star (the note-6 trap)
         edges = star(edges, large=True).localCheckpoint()
         edges = star(edges, large=False).localCheckpoint()
+        rounds += 1
         cur = edges.agg(*sig_cols).first()
         if tuple(cur[k] for k in sig_keys) == tuple(prev[k] for k in sig_keys):
             break
         prev = cur
+    if stats is not None:
+        stats["rounds"] = rounds
     # star edges: hi -> root(lo); singletons label themselves. min-agg
     # guards the not-fully-converged case (max_rounds hit) from fanning
     # out the left join

@@ -852,6 +852,35 @@ def dedup_semantic_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     planes = slsh_planes(emb.count())
     prepped = emb.select("vec_id", "v", norm(F.col("v")).alias("nv"))
+    dups = (
+        slsh_verified_pairs(emb, prepped, planes)
+        .select(F.col("d2").alias("dup_id"))
+        .distinct()
+    )
+    # bucket0 computes table-0's planes directly (one fold per plane)
+    keyed = prepped.select(
+        "vec_id",
+        rhp_bucket(F.col("v"), planes, _SLSH_DIMS, offset=0).alias("bucket0"),
+    )
+    return keyed.join(
+        dups, keyed["vec_id"] == dups["dup_id"], "left"
+    ).select("vec_id", "bucket0", F.col("dup_id").isNull().alias("keep"))
+
+
+def slsh_verified_pairs(
+    emb: DataFrame,
+    prepped: DataFrame,
+    planes: int,
+    bucket_cap: int = _SLSH_BUCKET_CAP,
+) -> DataFrame:
+    """The slsh candidate-generation + cosine-verify stage, factored so
+    the recall probe (tools/recall_probe.py) can instantiate the same
+    plan with an effectively-unbounded ``bucket_cap`` and measure the
+    capped form's pair recall against it. The registered
+    dedup_semantic_lsh query calls this with the shipped cap — output
+    rows are verified (d1 < d2, rounded cosine >= _SEM_T) pairs."""
+    from ..operators.similarity import rhp_bucket
+
     # offset indexed by P_MAX, NOT by planes: the p-bit bucket must be
     # the prefix of the P_MAX-bit signature the oracle computes
     buckets = F.array(
@@ -885,7 +914,7 @@ def dedup_semantic_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     wcnt = W.partitionBy("tbl", "bucket")
     word = wcnt.orderBy("vec_id")
     sig_occ = sig.withColumn("occ", F.count(F.lit(1)).over(wcnt))
-    small = sig_occ.filter(F.col("occ") <= _SLSH_BUCKET_CAP)
+    small = sig_occ.filter(F.col("occ") <= bucket_cap)
     a, b = small.alias("a"), small.alias("b")
     pairs_small = a.join(
         b,
@@ -894,7 +923,7 @@ def dedup_semantic_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         & (F.col("a.vec_id") < F.col("b.vec_id")),
     ).select(F.col("a.vec_id").alias("d1"), F.col("b.vec_id").alias("d2"))
     pairs_big = (
-        sig_occ.filter(F.col("occ") > _SLSH_BUCKET_CAP)
+        sig_occ.filter(F.col("occ") > bucket_cap)
         .select(
             F.col("vec_id").alias("d1"),
             F.array(
@@ -916,7 +945,7 @@ def dedup_semantic_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("vec_id").alias("d2"), F.col("v").alias("v2"),
         F.col("nv").alias("n2"),
     )
-    dups = (
+    return (
         cand.join(ea, "d1")
         .join(eb, "d2")
         .filter(
@@ -925,14 +954,5 @@ def dedup_semantic_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
             >= _SEM_T
         )
-        .select(F.col("d2").alias("dup_id"))
-        .distinct()
+        .select("d1", "d2")
     )
-    # bucket0 computes table-0's planes directly (one fold per plane)
-    keyed = prepped.select(
-        "vec_id",
-        rhp_bucket(F.col("v"), planes, _SLSH_DIMS, offset=0).alias("bucket0"),
-    )
-    return keyed.join(
-        dups, keyed["vec_id"] == dups["dup_id"], "left"
-    ).select("vec_id", "bucket0", F.col("dup_id").isNull().alias("keep"))
