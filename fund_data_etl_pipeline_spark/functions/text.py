@@ -22,18 +22,18 @@ MINHASH_B = [101, 211, 307, 401, 503, 601, 701, 809, 907, 1009,
              1103, 1201, 1301, 1409, 1499, 1601]
 MINHASH_BANDS = 4          # 4 bands x 4 rows
 MINHASH_ROWS_PER_BAND = 4
-# per-(band, key) pair cap (r7): organic band collisions measured max 10
-# at 5k docs, so a bucket past CAP is a duplicate cluster — pair it by
-# id-ordered lead-chaining (connectivity-preserving) instead of
-# all-pairs; see operators/dedup.minhash_lsh_pairs. Strides are
-# EXPONENTIAL, not consecutive: 8 pairs per member either way, but
-# stride-1..8 chains give a cluster graph of diameter ~C/8, and the
-# label-propagation rounds downstream (dedup_groups) grow with diameter
-# — measured second-decade exponent 1.16 at the 100x probe. The
-# 1,2,4,...,128 ladder keeps stride 1 (so survivorship and connectivity
-# guarantees are unchanged) while bounding the diameter at O(log C).
+# per-(band, key) pair cap (r7/r8): organic band collisions measured max
+# 10 at 5k docs, so a bucket past CAP is a duplicate cluster — pair it by
+# id-rank DOUBLING (rank r with r + 2^j for every 2^j < occupancy;
+# operators/dedup.doubling_chain_pairs) instead of all-pairs. History:
+# consecutive strides 1..8 gave diameter ~C/8 (dedup_groups measured
+# second-decade exponent 1.16 at the 100x probe); the r7 fixed
+# 1..128 ladder only divided that by 128 — the r8 giant-cluster probe
+# showed a 10^5-member boilerplate cluster still needs ~C/128
+# propagation rounds. Rank-doubling is a TRUE O(log C) diameter at any
+# cluster size, keeps the unit stride (connectivity/survivorship
+# unchanged), and generates identical pairs for occupancy <= 256.
 MINHASH_BUCKET_CAP = 32
-MINHASH_CHAIN_STRIDES = (1, 2, 4, 8, 16, 32, 64, 128)
 SIMHASH_BITS = 32
 
 STOPWORDS = {

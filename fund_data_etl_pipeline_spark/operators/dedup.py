@@ -31,7 +31,6 @@ from ..functions.text import (
     MINHASH_A,
     MINHASH_BANDS,
     MINHASH_BUCKET_CAP,
-    MINHASH_CHAIN_STRIDES,
     band_key,
     minhash_signature_from_hashes,
     normalized_md5,
@@ -316,6 +315,61 @@ def shingle_hash_prepped(
     )
 
 
+# strides 2^j for every 2^j < occ — integer-exact shiftleft, never a
+# float log2 that could round differently across engines. 2^40 covers
+# 10^12-row buckets.
+_DOUBLING_STRIDES_EXPR = (
+    "filter(transform(sequence(0, 40), j -> shiftleft(CAST(1 AS BIGINT), j)),"
+    " s -> s < occ)"
+)
+
+
+def doubling_chain_pairs(
+    occ_df: DataFrame, id_col: str, part_cols: list[str], cap: int
+) -> DataFrame:
+    """Bounded pairing for oversized LSH buckets with TRUE O(log C)
+    pair-graph diameter: bucket member at id-rank r pairs with ranks
+    r + 2^j for every power of two below the bucket occupancy.
+
+    Replaces the r7 fixed stride ladder (1,2,4,...,128). The r8
+    giant-cluster probe exposed that a capped ladder only divides the
+    diameter by its largest stride — C/128 label-propagation rounds, so
+    a 10^5-member boilerplate cluster (real crawls have them) needs
+    ~780 rounds and silently exceeds connected_components' max_iter.
+    Rank-doubling pairs reach any rank from any other in <= 2*log2(C)
+    hops (binary decomposition of the rank gap), so propagation
+    converges in <= log2(C)+1 rounds — 18 at C=10^5 — and the star
+    variant in fewer still. Costs: occ * (log2(occ)+1) pairs per bucket
+    (the old ladder's 8*occ, now growing logarithmically — the minimum
+    for a log diameter), plus one extra shuffle (the rank equi-join
+    instead of window leads). Rank 1 pairs with rank 2 (j=0 is always a
+    live stride since occ > cap >= 1), so bucket connectivity — the
+    property dedup_groups' single-group guarantee rests on — is
+    preserved exactly as before. For occ <= 2*max(old ladder) = 256 the
+    generated pairs are IDENTICAL to the old ladder's.
+
+    ``occ_df`` must carry ``occ`` (per-bucket row count over
+    ``part_cols``); output is (d1, d2) with d1's id < d2's id — the
+    same orientation as the all-pairs branch. The DuckDB oracle mirrors
+    this via ROW_NUMBER + generate_series + a rank self-join
+    (plans/dedup._doubling_chain_sql), so capped queries stay
+    value-exact."""
+    word = Window.partitionBy(*part_cols).orderBy(id_col)
+    pos = occ_df.filter(F.col("occ") > cap).withColumn(
+        "r", F.row_number().over(word)
+    )
+    tgt = pos.select(
+        *part_cols,
+        F.col(id_col).alias("d1"),
+        "r",
+        F.explode(F.expr(_DOUBLING_STRIDES_EXPR)).alias("s"),
+    ).select(*part_cols, "d1", (F.col("r") + F.col("s")).alias("r2"))
+    right = pos.select(
+        *part_cols, F.col(id_col).alias("d2"), F.col("r").alias("r2")
+    )
+    return tgt.join(right, [*part_cols, "r2"]).select("d1", "d2")
+
+
 def minhash_lsh_pairs(
     df: DataFrame,
     text_col: str = "text",
@@ -342,18 +396,21 @@ def minhash_lsh_pairs(
     duplicate cluster, and real crawl corpora have huge ones
     (boilerplate). Buckets at <= MINHASH_BUCKET_CAP docs pair
     exhaustively (every corpus in tests stays under it); above that,
-    id-ordered lead-chaining at the exponential
-    MINHASH_CHAIN_STRIDES ladder bounds pairs at |STRIDES| * N * BANDS
-    under any skew. Stride 1 keeps a tight cluster CONNECTED
+    id-rank DOUBLING pairs (rank r with r + 2^j for every 2^j < occ —
+    see doubling_chain_pairs) bound pairs at N * log2(C) * BANDS under
+    any skew. The unit stride keeps a tight cluster CONNECTED
     (i <-> i+1), so the downstream connected-components grouping
     (dedup_groups) is unchanged for genuine duplicate clusters, and the
-    power-of-two reach bounds the cluster graph's DIAMETER at O(log C)
-    so the propagation loop's round count stays logarithmic (the 100x
-    probe measured consecutive-stride chains driving dedup_groups
-    super-linear via diameter ~C/8); forgone are only bucket pairs off
-    the stride ladder in a mixed oversized bucket. Probed uncapped vs capped in
-    BASELINE.md. On a cluster at 100 TB the persisted tables become
-    written intermediates (bucketed by band key).
+    rank-doubling reach bounds the cluster pair-graph's DIAMETER at a
+    true O(log C) so the propagation loop's round count stays
+    logarithmic at ANY cluster size (r8 probe: the former fixed
+    1..128 ladder only divided the diameter by 128, so a 10^5-member
+    cluster needed ~C/128 propagation rounds and silently exceeded
+    max_iter); forgone are only bucket pairs off the doubling ladder in
+    a mixed oversized bucket — quantified capped-vs-uncapped in
+    BASELINE.md's recall table (tools/recall_probe.py). On a cluster at
+    100 TB the persisted tables become written intermediates (bucketed
+    by band key).
     """
     # verification runs on the hashed shingle sets too: both the engine
     # and the oracle compute the identical function, and bigint arrays
@@ -383,7 +440,6 @@ def minhash_lsh_pairs(
     # recall probe (tools/recall_probe.py) passes a huge value to measure
     # the uncapped form against the same corpus
     wcnt = Window.partitionBy("band", "key")
-    word = wcnt.orderBy(id_col)
     occ = banded.withColumn("occ", F.count(F.lit(1)).over(wcnt))
     small = occ.filter(F.col("occ") <= bucket_cap)
     a, b = small.alias("a"), small.alias("b")
@@ -395,20 +451,7 @@ def minhash_lsh_pairs(
     ).select(
         F.col(f"a.{id_col}").alias("d1"), F.col(f"b.{id_col}").alias("d2")
     )
-    pairs_big = (
-        occ.filter(F.col("occ") > bucket_cap)
-        .select(
-            F.col(id_col).alias("d1"),
-            F.array(
-                *[
-                    F.lead(id_col, k).over(word)
-                    for k in MINHASH_CHAIN_STRIDES
-                ]
-            ).alias("nxt"),
-        )
-        .select("d1", F.explode("nxt").alias("d2"))
-        .filter(F.col("d2").isNotNull())
-    )
+    pairs_big = doubling_chain_pairs(occ, id_col, ["band", "key"], bucket_cap)
     cand = pairs_small.unionByName(pairs_big).dropDuplicates(["d1", "d2"])
     ea = prepped.select(F.col(id_col).alias("d1"), F.col("hs").alias("hs1"))
     eb = prepped.select(F.col(id_col).alias("d2"), F.col("hs").alias("hs2"))

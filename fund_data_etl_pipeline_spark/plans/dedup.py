@@ -14,7 +14,6 @@ from ..functions.text import (
     MINHASH_A,
     MINHASH_BANDS,
     MINHASH_BUCKET_CAP,
-    MINHASH_CHAIN_STRIDES,
     SIMHASH_BITS,
 )
 
@@ -30,13 +29,32 @@ from .vectors import rhp_bucket_sql
 _JACCARD_T = 0.8
 _COS_T = 0.45
 
-# the oracle twin of the minhash duplicate-cluster pair cap
-# (operators/dedup.minhash_lsh_pairs r7): lead() chain over the
-# id-ordered bucket, same WHERE-before-WINDOW evaluation as Spark's
-# filter-then-window (whole buckets sit on one side of the occ split)
-_MINHASH_CHAIN_SQL = ", ".join(
-    f"lead(doc_id, {k}) OVER w" for k in MINHASH_CHAIN_STRIDES
-)
+def _doubling_chain_sql(id_col: str, part_cols: tuple[str, ...], cap: int) -> str:
+    """The oracle twin of operators/dedup.doubling_chain_pairs (the r8
+    oversized-bucket pairing: id-rank r pairs with r + 2^j for every
+    2^j < occupancy — true O(log C) pair-graph diameter). ROW_NUMBER
+    over the id-ordered bucket + generate_series + a rank self-join;
+    integer-exact (1::BIGINT << j), never a float log2. Same
+    WHERE-before-WINDOW evaluation as Spark's filter-then-row_number
+    (whole buckets sit on one side of the occ split). Expects a ``bo``
+    CTE carrying (id, part cols, occ)."""
+    pc = ", ".join(part_cols)
+    on = " AND ".join(f"ro2.{c} = tg.{c}" for c in part_cols)
+    ranked = (
+        f"SELECT {id_col}, {pc}, occ,"
+        f" ROW_NUMBER() OVER (PARTITION BY {pc} ORDER BY {id_col}) AS r"
+        f" FROM bo WHERE occ > {cap}"
+    )
+    return f"""
+        SELECT tg.d1, ro2.{id_col} AS d2
+        FROM (
+          SELECT {pc}, {id_col} AS d1, r + ((1::BIGINT) << j) AS r2
+          FROM ({ranked}) ro
+          CROSS JOIN UNNEST(generate_series(0, 40)) AS t(j)
+          WHERE ((1::BIGINT) << j) < occ
+        ) tg
+        JOIN ({ranked}) ro2
+          ON {on} AND ro2.r = tg.r2"""
 
 
 @register(
@@ -156,12 +174,7 @@ def _minhash_oracle(threshold: float = _JACCARD_T) -> str:
         FROM bo a JOIN bo b ON a.band = b.band AND a.key = b.key
         WHERE a.occ <= {MINHASH_BUCKET_CAP} AND a.doc_id < b.doc_id
         UNION ALL
-        SELECT d1, d2 FROM (
-          SELECT doc_id AS d1,
-                 unnest([{_MINHASH_CHAIN_SQL}]) AS d2
-          FROM bo WHERE occ > {MINHASH_BUCKET_CAP}
-          WINDOW w AS (PARTITION BY band, key ORDER BY doc_id)
-        ) WHERE d2 IS NOT NULL
+        {_doubling_chain_sql("doc_id", ("band", "key"), MINHASH_BUCKET_CAP)}
       )
     ),
     verified AS (
@@ -708,27 +721,28 @@ def dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
 # cap below. Buckets at <= BUCKET_CAP rows (8x the expected occupancy;
 # every uniform corpus tested stays under it, so the exact all-pairs
 # form is unchanged there) pair exhaustively; oversized buckets switch
-# to id-ordered CHAIN pairing — each member pairs with its next CHAIN
-# bucket neighbors — bounding candidate pairs at CHAIN * N * TABLES no
-# matter how adversarial the skew. Recall effect (documented): an
-# oversized bucket is, by construction, signature-identical at every
-# plane — a tight cluster — and within a tight cluster the
-# drop-iff-smaller-id-neighbor rule is preserved transitively by the
-# chain (member i's predecessor chain reaches the cluster minimum);
-# what the cap genuinely gives up is pairs more than CHAIN id-positions
-# apart in a MIXED oversized bucket, the standard LSH skew trade-off.
-# Both engines compute the identical capped candidate set (the oracle's
-# COUNT() OVER + lead() chain mirrors the Spark windows), so the query
-# stays oracle-exact.
+# to id-rank DOUBLING pairing (r8, operators/dedup.doubling_chain_pairs:
+# rank r pairs with r + 2^j for every 2^j < occupancy) — bounding
+# candidate pairs at N * log2(C) * TABLES no matter how adversarial the
+# skew, with a TRUE O(log C) pair-graph diameter (the r7 fixed 1..128
+# ladder only divided the diameter by 128; the r8 giant-cluster probe
+# showed downstream label propagation still needed ~C/128 rounds).
+# Recall effect (MEASURED, BASELINE.md recall table /
+# tools/recall_probe.py): an oversized bucket is, by construction,
+# signature-identical at every plane — a tight cluster — and within a
+# tight cluster the drop-iff-smaller-id-neighbor rule is preserved
+# transitively by the chain (member i's predecessor chain reaches the
+# cluster minimum); what the cap genuinely gives up is pairs off the
+# doubling ladder in a MIXED oversized bucket, the standard LSH skew
+# trade-off. Both engines compute the identical capped candidate set
+# (the oracle's COUNT() OVER + ROW_NUMBER rank self-join mirrors the
+# Spark plan), so the query stays oracle-exact.
 _SLSH_P_MIN = 4
 _SLSH_P_MAX = 16
 _SLSH_OCC = 16  # target expected rows per bucket per table
 _SLSH_TABLES = 4
 _SLSH_DIMS = 64
 _SLSH_BUCKET_CAP = 128  # all-pairs ceiling: 8x expected occupancy
-# exponential stride ladder (see functions/text.MINHASH_CHAIN_STRIDES:
-# same pair budget as consecutive 1..8, but O(log C) cluster diameter)
-_SLSH_CHAIN_STRIDES = (1, 2, 4, 8, 16, 32, 64, 128)
 
 
 def slsh_planes(n: int) -> int:
@@ -748,10 +762,6 @@ _SLSH_PLANES_SQL = (
         for p in range(_SLSH_P_MIN, _SLSH_P_MAX)
     )
     + f" ELSE {_SLSH_P_MAX} END"
-)
-
-_SLSH_CHAIN_SQL = ", ".join(
-    f"lead(vec_id, {k}) OVER w" for k in _SLSH_CHAIN_STRIDES
 )
 
 _SLSH_SIG_SQL = "\n      UNION ALL\n      ".join(
@@ -787,12 +797,7 @@ _SLSH_SIG_SQL = "\n      UNION ALL\n      ".join(
         FROM bo a JOIN bo b2 ON a.tbl = b2.tbl AND a.bucket = b2.bucket
         WHERE a.occ <= {_SLSH_BUCKET_CAP} AND a.vec_id < b2.vec_id
         UNION ALL
-        SELECT d1, d2 FROM (
-          SELECT vec_id AS d1,
-                 unnest([{_SLSH_CHAIN_SQL}]) AS d2
-          FROM bo WHERE occ > {_SLSH_BUCKET_CAP}
-          WINDOW w AS (PARTITION BY tbl, bucket ORDER BY vec_id)
-        ) WHERE d2 IS NOT NULL
+        {_doubling_chain_sql("vec_id", ("tbl", "bucket"), _SLSH_BUCKET_CAP)}
       )
     ),
     dups AS (
@@ -826,8 +831,9 @@ def dedup_semantic_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     BASELINE.md). A candidate pair is any two vectors sharing at least
     one table's bucket — exhaustively while the bucket holds <=
     ``_SLSH_BUCKET_CAP`` rows, by id-ordered lead-chaining at the
-    exponential ``_SLSH_CHAIN_STRIDES`` ladder above it (the measured skewed-corpus mitigation; module
-    comment) — and the exact rounded cosine then confirms. Keep
+    id-rank doubling pairing above it (the measured skewed-corpus
+    mitigation; module comment) — and the exact rounded cosine then
+    confirms. Keep
     rule matches dedup_semantic: greedy first-occurrence — a vector
     drops iff ANY smaller-id confirmed neighbor exists. ``bucket0``
     (table-0 signature) is exposed as the cluster-ish key so the oracle
@@ -912,7 +918,6 @@ def slsh_verified_pairs(
     # which is what keeps the chain leads identical to the oracle's
     # WHERE-then-WINDOW evaluation order.
     wcnt = W.partitionBy("tbl", "bucket")
-    word = wcnt.orderBy("vec_id")
     sig_occ = sig.withColumn("occ", F.count(F.lit(1)).over(wcnt))
     small = sig_occ.filter(F.col("occ") <= bucket_cap)
     a, b = small.alias("a"), small.alias("b")
@@ -922,19 +927,8 @@ def slsh_verified_pairs(
         & (F.col("a.bucket") == F.col("b.bucket"))
         & (F.col("a.vec_id") < F.col("b.vec_id")),
     ).select(F.col("a.vec_id").alias("d1"), F.col("b.vec_id").alias("d2"))
-    pairs_big = (
-        sig_occ.filter(F.col("occ") > bucket_cap)
-        .select(
-            F.col("vec_id").alias("d1"),
-            F.array(
-                *[
-                    F.lead("vec_id", k).over(word)
-                    for k in _SLSH_CHAIN_STRIDES
-                ]
-            ).alias("nxt"),
-        )
-        .select("d1", F.explode("nxt").alias("d2"))
-        .filter(F.col("d2").isNotNull())
+    pairs_big = D.doubling_chain_pairs(
+        sig_occ, "vec_id", ["tbl", "bucket"], bucket_cap
     )
     cand = pairs_small.unionByName(pairs_big).dropDuplicates(["d1", "d2"])
     ea = prepped.select(

@@ -414,7 +414,6 @@ def test_semantic_lsh_keep_rule_invariant(spark, sf_dir):
     from fund_data_etl_pipeline_spark.plans.dedup import (
         _SEM_T,
         _SLSH_BUCKET_CAP,
-        _SLSH_CHAIN_STRIDES,
         _SLSH_DIMS,
         _SLSH_P_MAX,
         _SLSH_TABLES,
@@ -473,18 +472,18 @@ def test_semantic_lsh_keep_rule_invariant(spark, sf_dir):
             by_bucket.setdefault((t, sigs[vid][t]), []).append(vid)
     neighbors: dict[int, set[int]] = {vid: set() for vid in ids}
     for members in by_bucket.values():
+        occ = len(members)
+        strides = [1 << j for j in range(41) if (1 << j) < occ]
         for i, b in enumerate(members):
             # the per-bucket pair cap: all-pairs up to BUCKET_CAP,
-            # id-ordered exponential-stride pairing above (plans/dedup.py
-            # skew mitigation) — mirrored here so the invariant states
-            # the SHIPPED semantics
-            if len(members) <= _SLSH_BUCKET_CAP:
+            # id-rank doubling pairing above (plans/dedup.py skew
+            # mitigation, r8 form) — mirrored here so the invariant
+            # states the SHIPPED semantics
+            if occ <= _SLSH_BUCKET_CAP:
                 neighbors[b].update(members[:i])
             else:
                 neighbors[b].update(
-                    members[i - k]
-                    for k in _SLSH_CHAIN_STRIDES
-                    if i - k >= 0
+                    members[i - k] for k in strides if i - k >= 0
                 )
     for vid in ids:
         has_dup = any(
@@ -587,20 +586,120 @@ def test_semantic_lsh_oversized_bucket_chain_cap(spark, tmp_path):
     ), "every other cluster member must drop via the id chain"
 
 
+def _duck_compare(spark_df, oracle_sql: str, views: dict[str, str]):
+    """Spark result vs DuckDB oracle on the same parquet — the local
+    twin of the driver's t2 comparison (order-insensitive, columns
+    sorted by name, floats rounded to 9 significant digits)."""
+    import math
+
+    import duckdb
+
+    con = duckdb.connect()
+    for name, path in views.items():
+        con.sql(f"CREATE VIEW {name} AS SELECT * FROM '{path}'")
+    odf = con.sql(oracle_sql).df()
+    sdf = spark_df.toPandas()
+
+    def canon(df):
+        cols = sorted(df.columns)
+
+        def norm(v):
+            if v is None or (isinstance(v, float) and math.isnan(v)):
+                return "\x00NULL"
+            if isinstance(v, float):
+                return f"{v:.9g}"
+            return str(v)
+
+        return cols, sorted(
+            tuple(norm(v) for v in row)
+            for row in df[cols].itertuples(index=False)
+        )
+
+    return canon(sdf), canon(odf)
+
+
+def test_doubling_chain_oracle_parity_slsh(spark, tmp_path):
+    """r8: the oversized-bucket id-rank-doubling branch must stay
+    value-exact against the DuckDB oracle — specifically at occupancy
+    > 256, where the doubling rule generates strides the old fixed
+    1..128 ladder could not (the giant-cluster regime)."""
+    import numpy as np
+    import pandas as pd
+
+    import __spark_entry__ as e
+    from fund_data_etl_pipeline_spark.plans.dedup import _SLSH_BUCKET_CAP
+
+    rng = np.random.default_rng(57)
+    n_cluster = max(300, _SLSH_BUCKET_CAP + 50)  # > 256: new strides live
+    center = rng.standard_normal(64)
+    center /= np.linalg.norm(center)
+    vecs = []
+    for _ in range(n_cluster):
+        v = center + 1e-4 * rng.standard_normal(64)
+        vecs.append(v / np.linalg.norm(v))
+    for _ in range(60):
+        v = rng.standard_normal(64)
+        vecs.append(v / np.linalg.norm(v))
+    pdf = pd.DataFrame(
+        {
+            "vec_id": range(len(vecs)),
+            "embedding": [v.astype("float32").tolist() for v in vecs],
+            "label": [0] * len(vecs),
+        }
+    )
+    d = tmp_path / "giant"
+    d.mkdir()
+    pdf.to_parquet(d / "embeddings.parquet")
+    (s_cols, s_rows), (o_cols, o_rows) = _duck_compare(
+        e.queries()["dedup_semantic_lsh"](spark, str(d)),
+        e.oracle_sql()["dedup_semantic_lsh"],
+        {"embeddings": str(d / "embeddings.parquet")},
+    )
+    assert s_cols == o_cols
+    assert s_rows == o_rows
+
+
+def test_doubling_chain_oracle_parity_minhash(spark, tmp_path):
+    """Same parity check for the minhash band-bucket doubling branch: a
+    300-member boilerplate family (band occupancy far above both the
+    cap and the old ladder's 256-reach) plus distinct background docs."""
+    import pandas as pd
+
+    import __spark_entry__ as e
+
+    rows = [(i, "common boiler " + " ".join(f"tok{w}" for w in range(40)) + f" uniq{i}")
+            for i in range(300)]
+    rows += [(1000 + i, f"completely different text {i} " +
+              " ".join(f"alt{i}w{w}" for w in range(30)))
+             for i in range(40)]
+    pdf = pd.DataFrame(rows, columns=["doc_id", "text"])
+    pdf["lang"] = "en"
+    pdf["source"] = "probe"
+    pdf["n_chars"] = pdf["text"].str.len()
+    d = tmp_path / "boiler"
+    d.mkdir()
+    pdf.to_parquet(d / "documents.parquet")
+    (s_cols, s_rows), (o_cols, o_rows) = _duck_compare(
+        e.queries()["dedup_minhash_lsh"](spark, str(d)),
+        e.oracle_sql()["dedup_minhash_lsh"],
+        {"documents": str(d / "documents.parquet")},
+    )
+    assert s_cols == o_cols
+    assert len(s_rows) > 300  # the doubling branch actually generated pairs
+    assert s_rows == o_rows
+
+
 def test_minhash_oversized_cluster_stays_one_group(spark):
-    """r7 chain-cap connectivity guard: a duplicate cluster larger than
-    MINHASH_BUCKET_CAP pairs by the exponential stride ladder instead of
+    """r7/r8 chain-cap connectivity guard: a duplicate cluster larger
+    than MINHASH_BUCKET_CAP pairs by id-rank doubling instead of
     all-pairs — connected components must STILL resolve it to a single
-    group (stride 1 chains every member to its id-neighbor). Guards the
-    exact regression a stride list without 1 would introduce."""
+    group (the j=0 stride chains every member to its id-neighbor; it is
+    structurally always live since 2^0 < occ whenever occ > cap >= 1).
+    Guards the exact regression a pairing rule without the unit stride
+    would introduce."""
     from fund_data_etl_pipeline_spark.functions.text import (
         MINHASH_BUCKET_CAP,
-        MINHASH_CHAIN_STRIDES,
     )
-
-    # the connectivity argument REQUIRES the unit stride
-    assert MINHASH_CHAIN_STRIDES[0] == 1
-    assert tuple(sorted(MINHASH_CHAIN_STRIDES)) == MINHASH_CHAIN_STRIDES
 
     n = MINHASH_BUCKET_CAP + 40
     base = " ".join(f"tok{w}" for w in range(40))
