@@ -689,6 +689,169 @@ def test_doubling_chain_oracle_parity_minhash(spark, tmp_path):
     assert s_rows == o_rows
 
 
+def test_paircap_recall_floor_slsh(spark, tmp_path):
+    """Planted-recall floor for the slsh pair cap (VERDICT r7 #2): two
+    near-dup families engineered into ONE shared oversized bucket (twin
+    centroids c ± w with w in the null space of every used hyperplane,
+    so both families carry identical RHP signatures in all tables while
+    cross-family cosine is 0 — below threshold), member ids interleaved
+    by parity. The capped doubling chain must (a) stay a subset of the
+    uncapped pair set, (b) keep pair recall above the floor, and
+    (c) flag EXACTLY the same dup ids — parity interleave means every
+    stride 2^j with j >= 1 lands same-family, so survivorship is
+    preserved member-for-member."""
+    import numpy as np
+    import pandas as pd
+
+    from fund_data_etl_pipeline_spark.operators.similarity import (
+        as_double,
+        norm,
+        rhp_sign_vector,
+    )
+    from fund_data_etl_pipeline_spark.plans.dedup import (
+        _SLSH_BUCKET_CAP,
+        _SLSH_P_MAX,
+        _SLSH_TABLES,
+        slsh_planes,
+        slsh_verified_pairs,
+    )
+    from fund_data_etl_pipeline_spark.sources.tables import load_table
+
+    rng = np.random.default_rng(11)
+    n_fam = 100  # bucket occupancy 200 > cap 128
+    n_bg = 40
+    n_total = 2 * n_fam + n_bg
+    planes = slsh_planes(n_total)
+    used = [
+        t * _SLSH_P_MAX + p
+        for t in range(_SLSH_TABLES)
+        for p in range(planes)
+    ]
+    H = np.array([rhp_sign_vector(i, 64) for i in used], dtype=float)
+    _, _, vt = np.linalg.svd(H)
+    null = vt[len(used):]
+    # centroid with a healthy margin on every used plane, twin direction
+    # w in the null space and orthogonal to c
+    c = rng.standard_normal(64)
+    c /= np.linalg.norm(c)
+    assert float(np.min(np.abs(H @ c))) > 1e-3
+    cn = null @ c
+    q = np.zeros(null.shape[0])
+    q[0] = 1.0
+    q = q - (q @ cn) * cn / max(float(cn @ cn), 1e-12)
+    w = q @ null
+    w /= np.linalg.norm(w)
+    vecs = {}
+    for i in range(2 * n_fam):  # even ids family A (+w), odd family B (-w)
+        base = c + (w if i % 2 == 0 else -w)
+        vecs[i] = base + 1e-5 * rng.standard_normal(64)
+    for i in range(n_bg):
+        v = rng.standard_normal(64)
+        vecs[2 * n_fam + i] = v / np.linalg.norm(v)
+    pdf = pd.DataFrame(
+        {
+            "vec_id": sorted(vecs),
+            "embedding": [
+                np.asarray(vecs[i], dtype="float32").tolist()
+                for i in sorted(vecs)
+            ],
+            "label": [0] * len(vecs),
+        }
+    )
+    d = tmp_path / "twin"
+    d.mkdir()
+    pdf.to_parquet(d / "embeddings.parquet")
+
+    emb = load_table(spark, str(d), "embeddings").select(
+        "vec_id", as_double(F.col("embedding")).alias("v")
+    )
+    prepped = emb.select("vec_id", "v", norm(F.col("v")).alias("nv"))
+
+    def pairset(cap):
+        return {
+            (r["d1"], r["d2"])
+            for r in slsh_verified_pairs(emb, prepped, planes, cap).collect()
+        }
+
+    capped = pairset(_SLSH_BUCKET_CAP)
+    uncapped = pairset(1 << 40)
+    assert capped <= uncapped
+    # uncapped ⊇ all within-family pairs (cross-family cosine 0 < 0.30;
+    # a couple of random background pairs may clear 0.30 by chance)
+    within = 2 * (n_fam * (n_fam - 1) // 2)
+    assert within <= len(uncapped) <= within + 20
+    recall = len(capped) / len(uncapped)
+    assert 0.10 <= recall < 1.0, recall
+    # survivorship identical: same dup (d2) set under parity interleave
+    assert {b for _, b in capped} == {b for _, b in uncapped}
+
+
+def test_paircap_recall_floor_minhash(spark):
+    """The minhash twin of the slsh floor test: two text families
+    sharing heavy boilerplate (band minima collide, so band buckets are
+    MIXED and oversized), parity-interleaved ids. Capped pairs stay a
+    subset, recall stays above the floor, and the dup-flag set is
+    preserved exactly."""
+    from fund_data_etl_pipeline_spark.functions.text import MINHASH_BUCKET_CAP
+
+    n_fam = 80  # mixed bucket occupancy 160 > cap 32
+    boiler = " ".join(f"bw{w}" for w in range(90))
+    rows = []
+    for i in range(2 * n_fam):
+        fam = "fa0 fa1" if i % 2 == 0 else "fb0 fb1"
+        rows.append((i, f"{boiler} {fam} m{i}x"))
+    for i in range(30):  # distinct background
+        rows.append((1000 + i, " ".join(f"bg{i}w{w}" for w in range(25))))
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+
+    def pairset(cap):
+        return {
+            (r["d1"], r["d2"])
+            for r in D.minhash_lsh_pairs(
+                docs, threshold=0.9, bucket_cap=cap
+            ).collect()
+        }
+
+    capped = pairset(MINHASH_BUCKET_CAP)
+    uncapped = pairset(1 << 40)
+    assert capped <= uncapped
+    assert len(uncapped) > len(capped) > 0
+    recall = len(capped) / len(uncapped)
+    assert recall >= 0.10, recall
+    assert {b for _, b in capped} == {b for _, b in uncapped}
+
+
+def test_giant_cluster_log_rounds(spark):
+    """r8 giant-cluster contract: ONE boilerplate family of C=4000
+    members must resolve to a single group with propagation rounds
+    ~log2(C), not C/stride. Under the old fixed 1..128 ladder this C
+    needs ceil(4000/128)=32 rounds — past max_iter=25, so labels came
+    back silently WRONG; the rank-doubling pairing converges in
+    <= log2(C)+2 rounds. Also checks the star variant agrees."""
+    n = 4000
+    base = " ".join(f"gtok{w}" for w in range(40))
+    docs = spark.createDataFrame(
+        [(i, f"{base} u{i}") for i in range(n)],
+        "doc_id long, text string",
+    )
+    pairs = D.minhash_lsh_pairs(docs, threshold=0.8)
+    stats: dict = {}
+    labels = D.connected_components(pairs, docs.select("doc_id"), stats=stats)
+    rows = labels.collect()
+    assert {r["group_id"] for r in rows} == {0}
+    assert all(r["group_size"] == n for r in rows)
+    import math
+
+    assert stats["rounds"] <= math.ceil(math.log2(n)) + 2, stats
+    stats2: dict = {}
+    labels2 = D.connected_components_two_phase(
+        pairs, docs.select("doc_id"), stats=stats2
+    )
+    rows2 = labels2.collect()
+    assert {r["group_id"] for r in rows2} == {0}
+    assert stats2["rounds"] <= stats["rounds"]
+
+
 def test_minhash_oversized_cluster_stays_one_group(spark):
     """r7/r8 chain-cap connectivity guard: a duplicate cluster larger
     than MINHASH_BUCKET_CAP pairs by id-rank doubling instead of

@@ -289,6 +289,257 @@ def build_skewed_dir(
     return out_dir
 
 
+# Clustered twin-family staging (VERDICT r7 next-steps #2/#5): documents
+# AND embeddings rewritten so near-dup FAMILIES share oversized LSH
+# buckets — the staged corpus the pair-cap recall measurement needs.
+#
+# 8 families in 4 twin PAIRS, same id->family rule for docs and
+# embeddings (so dedup_hybrid composes meaningfully):
+#   pairs 0,1 — CROSS-DUP regime: the twins are near-dups of each other
+#     (text jaccard ~0.81 > 0.8; embedding cosine 0.45 > the 0.30
+#     threshold), so capped pairing genuinely forgoes TRUE cross-family
+#     pairs inside the mixed bucket;
+#   pairs 2,3 — CROSS-NON-DUP regime: twins share the bucket (identical
+#     RHP signatures / colliding minhash bands through shared
+#     boilerplate) but verify below threshold (jaccard ~0.66, cosine 0),
+#     so forgone cross pairs are false candidates and only WITHIN-family
+#     recall is at stake.
+#
+# Embedding twins share buckets BY CONSTRUCTION: both twins are
+# c +- s*w with w in the null space of all 60 potentially-used
+# hyperplanes (4 tables x 15 prefix bits) and w ⊥ c, so their
+# projections on every used plane are IDENTICAL (same signature in
+# every table at any adaptive width <= 15) while cos(A,B) =
+# (1-s^2)/(1+s^2) is set exactly by s. Per-member nudges are 1e-4 on
+# one dimension — far below the centroid's minimum plane margin
+# (asserted at staging time), so members never leave the bucket.
+_CLUSTER_FAM = 8  # 4 twin pairs
+_CLUSTER_MEMBER_RULE = "pmod(xxhash64({id}), 1000000)"
+_CLUSTER_FAM_RULE = f"pmod(xxhash64({{id}} + 37), {_CLUSTER_FAM})"
+
+
+def _cluster_flags(id_col: str, frac: float):
+    member = F.expr(_CLUSTER_MEMBER_RULE.format(id=id_col)) < int(
+        frac * 1_000_000
+    )
+    fam = F.expr(_CLUSTER_FAM_RULE.format(id=id_col))
+    return member, fam
+
+
+def _family_texts() -> list[str]:
+    """16 deterministic family texts in twin pairs (returned list index
+    = family id). Pair j shares ``boiler`` words; pairs 0,1 keep only
+    10 private words (cross jaccard ~0.81 — true near-dups), pairs 2,3
+    keep 20 (cross ~0.66 — below the 0.8 threshold)."""
+    texts = []
+    for j in range(_CLUSTER_FAM // 2):
+        n_priv = 10 if j < 2 else 20
+        boiler = " ".join(f"p{j}b{w}" for w in range(100 - n_priv))
+        for a in range(2):
+            priv = " ".join(f"p{j}f{a}p{w}" for w in range(n_priv))
+            texts.append(f"{boiler} {priv}")
+    return texts
+
+
+def _twin_centroids(spark, sf_dir: str) -> list[list[float]]:
+    """Driver-side numpy construction of the 8 family centroids (twin
+    pairs c +- s*w). Deterministic: base vectors come from the corpus in
+    vec_id order, hyperplanes from rhp_sign_vector."""
+    import numpy as np
+
+    from fund_data_etl_pipeline_spark.operators.similarity import (
+        rhp_sign_vector,
+    )
+    from fund_data_etl_pipeline_spark.plans.dedup import (
+        _SLSH_P_MAX,
+        _SLSH_TABLES,
+    )
+    from fund_data_etl_pipeline_spark.sources.tables import load_table
+
+    used = [
+        t * _SLSH_P_MAX + p
+        for t in range(_SLSH_TABLES)
+        for p in range(_SLSH_P_MAX - 1)  # adaptive width <= 15 bits
+    ]
+    H = np.array([rhp_sign_vector(i, 64) for i in used], dtype=float)
+    # 4-dim null space of the 60 used planes
+    _, _, vt = np.linalg.svd(H)
+    null = vt[len(used):]  # (4, 64)
+    assert null.shape[0] >= 2, "need a non-trivial hyperplane null space"
+
+    cands = [
+        np.array(r["embedding"], dtype=float)
+        for r in load_table(spark, sf_dir, "embeddings")
+        .orderBy("vec_id")
+        .limit(200)
+        .collect()
+    ]
+    # pick the 4 base centroids with the LARGEST minimum plane margin so
+    # 1e-4 member nudges can never flip a used sign bit
+    def margin(c):
+        c = c / np.linalg.norm(c)
+        return float(np.min(np.abs(H @ c)))
+
+    cands.sort(key=margin, reverse=True)
+    cents = []
+    for j in range(_CLUSTER_FAM // 2):
+        c = cands[j] / np.linalg.norm(cands[j])
+        assert margin(cands[j]) > 0.01, "centroid margin too small"
+        # w in span(null), w ⊥ c, unit norm
+        cn = null @ c  # (4,)
+        q = np.zeros(null.shape[0])
+        q[0] = 1.0
+        q = q - (q @ cn) * cn / max(float(cn @ cn), 1e-12)
+        w = q @ null
+        w /= np.linalg.norm(w)
+        assert float(np.max(np.abs(H @ w))) < 1e-9, "w not in null space"
+        assert abs(float(w @ c)) < 1e-9, "w not orthogonal to c"
+        # cross-twin cosine = (1 - s^2)/(1 + s^2): 0.45 for the
+        # cross-dup pairs, 0.0 for the cross-non-dup pairs
+        s = float(np.sqrt((1 - 0.45) / (1 + 0.45))) if j < 2 else 1.0
+        cents.append((c + s * w).tolist())
+        cents.append((c - s * w).tolist())
+    return cents
+
+
+def build_clustered_dir(spark, sf_dir: str, factor: int, frac: float) -> str:
+    """Stage the twin-family clustered corpus: ``frac`` of the scaled
+    ids become family members in BOTH documents and embeddings (same
+    id -> family rule), the rest get the uniform replica treatment."""
+    from fund_data_etl_pipeline_spark.sources.tables import TABLE_NAMES, load_table
+
+    tag = str(frac).replace(".", "p")
+    out_dir = os.path.join(REPO, f".scale_probe_mixed{tag}_x{factor}")
+    marker = os.path.join(out_dir, ".complete")
+    fp_parts = []
+    for name in ("documents.parquet", "embeddings.parquet"):
+        st = os.stat(os.path.join(sf_dir, name))
+        fp_parts.append(f"{name}:{st.st_size}:{st.st_mtime_ns}")
+    fingerprint = "|".join(fp_parts) + f":f{_CLUSTER_FAM}:v2"
+    if os.path.exists(marker):
+        with open(marker) as fh:
+            if fh.read() == fingerprint:
+                return out_dir
+        import shutil
+
+        shutil.rmtree(out_dir)
+    os.makedirs(out_dir, exist_ok=True)
+
+    rep = F.explode(F.array(*[F.lit(i) for i in range(factor)])).alias("rep")
+
+    # --- documents ---
+    docs = load_table(spark, sf_dir, "documents")
+    new_doc = (F.col("doc_id") * factor + F.col("rep")).alias("doc_id")
+    member, fam = _cluster_flags("doc_id", frac)
+    fam_texts = _family_texts()
+    fam_text = F.element_at(
+        F.array(*[F.lit(t) for t in fam_texts]), (fam + 1).cast("int")
+    )
+    member_text = F.concat(
+        fam_text,
+        F.lit(" m"),
+        F.col("doc_id").cast("string"),
+        F.lit("x m"),
+        F.col("doc_id").cast("string"),
+        F.lit("y"),
+    )
+    uniform_text = F.concat(F.col("text"), F.lit(" zrep"), F.col("rep"))
+    (
+        docs.select("*", rep)
+        .select(new_doc, "text", "lang", "source", "n_chars", "rep")
+        .select(
+            "doc_id",
+            F.when(member, member_text).otherwise(uniform_text).alias("text"),
+            "lang",
+            "source",
+            F.col("n_chars").alias("n_chars_old"),
+        )
+        .select(
+            "doc_id", "text", "lang", "source",
+            F.length("text").cast("long").alias("n_chars"),
+        )
+        .write.mode("overwrite")
+        .parquet(os.path.join(out_dir, "documents.parquet"))
+    )
+
+    # --- embeddings ---
+    emb = load_table(spark, sf_dir, "embeddings")
+    cents = _twin_centroids(spark, sf_dir)
+    new_vec = (F.col("vec_id") * factor + F.col("rep")).alias("vec_id")
+    memberv, famv = _cluster_flags("vec_id", frac)
+    cvec = None
+    for k, cv in enumerate(cents):
+        lit = F.array(*[F.lit(float(x)) for x in cv])
+        cvec = lit if cvec is None else F.when(famv == k, lit).otherwise(cvec)
+    nudge_dim = F.pmod(F.col("vec_id"), F.lit(64))
+    nudge_val = (F.pmod(F.col("vec_id"), F.lit(97)) + F.lit(1.0)) / F.lit(
+        970000.0
+    )
+    clustered = F.transform(
+        cvec,
+        lambda x, i: F.when(i == nudge_dim, x + nudge_val)
+        .otherwise(x)
+        .cast("float"),
+    )
+    uniform = F.transform(
+        "embedding",
+        lambda x, i: F.when(i == F.col("rep"), x + F.lit(0.05))
+        .otherwise(x)
+        .cast("float"),
+    )
+    (
+        emb.select("*", rep)
+        .select(new_vec, "embedding", "label", "rep")
+        .select(
+            "vec_id",
+            F.when(memberv, clustered).otherwise(uniform).alias("embedding"),
+            "label",
+        )
+        .write.mode("overwrite")
+        .parquet(os.path.join(out_dir, "embeddings.parquet"))
+    )
+
+    for name in TABLE_NAMES:
+        if name in ("documents", "embeddings"):
+            continue
+        link = os.path.join(out_dir, f"{name}.parquet")
+        if not os.path.exists(link):
+            os.symlink(os.path.join(sf_dir, f"{name}.parquet"), link)
+    with open(marker, "w") as fh:
+        fh.write(fingerprint)
+    return out_dir
+
+
+def ngram_hot_drop_report(spark, sf_dir: str, cap: int) -> dict:
+    """No-silent-truncation accounting for the hot-shingle cap (VERDICT
+    r7 #5): how many distinct shingles and how many index postings the
+    DF cap drops on this corpus."""
+    from fund_data_etl_pipeline_spark.operators.dedup import (
+        shingle_hash_prepped,
+    )
+    from fund_data_etl_pipeline_spark.sources.tables import load_table
+
+    sets = shingle_hash_prepped(
+        load_table(spark, sf_dir, "documents"), "text", "doc_id", hs_col="sh"
+    )
+    inv = sets.select("doc_id", F.explode("sh").alias("s"))
+    dfreq = inv.groupBy("s").agg(F.count(F.lit(1)).alias("df"))
+    row = dfreq.agg(
+        F.count(F.lit(1)).alias("n_shingles"),
+        F.sum("df").alias("n_postings"),
+        F.sum(F.when(F.col("df") > cap, 1).otherwise(0)).alias("hot_shingles"),
+        F.sum(F.when(F.col("df") > cap, F.col("df")).otherwise(0)).alias(
+            "hot_postings"
+        ),
+    ).collect()[0]
+    return {
+        "n_shingles": int(row["n_shingles"]),
+        "n_postings": int(row["n_postings"]),
+        "hot_shingles_dropped": int(row["hot_shingles"]),
+        "hot_postings_dropped": int(row["hot_postings"]),
+    }
+
+
 def slsh_occupancy(spark, sf_dir: str) -> dict:
     """Bucket-occupancy diagnostic at the adaptive slsh width: max /
     p99 / mean rows per (table, bucket) — the number the skew probe
@@ -336,6 +587,55 @@ def slsh_occupancy(spark, sf_dir: str) -> dict:
         "max_occ": int(row["mx"]),
         "p99_occ": round(float(row["p99"]), 1),
         "mean_occ": round(float(row["mean"]), 2),
+    }
+
+
+def minhash_occupancy(spark, sf_dir: str) -> dict:
+    """(band, key) bucket-occupancy diagnostic — the minhash twin of
+    slsh_occupancy, plus the count of buckets past the pair cap."""
+    from fund_data_etl_pipeline_spark.functions.text import (
+        MINHASH_A,
+        MINHASH_BANDS,
+        MINHASH_BUCKET_CAP,
+        band_key,
+        minhash_signature_from_hashes,
+    )
+    from fund_data_etl_pipeline_spark.operators.dedup import (
+        shingle_hash_prepped,
+    )
+    from fund_data_etl_pipeline_spark.sources.tables import load_table
+
+    prepped = shingle_hash_prepped(
+        load_table(spark, sf_dir, "documents"), "text", "doc_id"
+    )
+    sig = prepped.select(
+        "doc_id", *minhash_signature_from_hashes(F.col("hs"))
+    )
+    sig_cols = [F.col(f"mh{i}") for i in range(len(MINHASH_A))]
+    bands = F.array(
+        *[
+            F.struct(F.lit(b).alias("band"), band_key(sig_cols, b).alias("key"))
+            for b in range(MINHASH_BANDS)
+        ]
+    )
+    occ = (
+        sig.select(F.explode(bands).alias("bk"))
+        .groupBy("bk.band", "bk.key")
+        .count()
+    )
+    row = occ.agg(
+        F.max("count").alias("mx"),
+        F.expr("percentile(count, 0.99)").alias("p99"),
+        F.avg("count").alias("mean"),
+        F.sum(
+            F.when(F.col("count") > MINHASH_BUCKET_CAP, 1).otherwise(0)
+        ).alias("over"),
+    ).collect()[0]
+    return {
+        "max_occ": int(row["mx"]),
+        "p99_occ": round(float(row["p99"]), 1),
+        "mean_occ": round(float(row["mean"]), 2),
+        "buckets_over_cap": int(row["over"]),
     }
 
 
@@ -407,12 +707,35 @@ def main() -> None:
         "near-copies of 4 centroids (VERDICT r6 #3) and probe the slsh "
         "skew behavior; default query set becomes dedup_semantic_lsh",
     )
+    ap.add_argument(
+        "--doc-skew",
+        type=float,
+        default=None,
+        help="twin-family clustered mode (VERDICT r7 #5): stage this "
+        "fraction of docs AND embeddings as twin near-dup families and "
+        "probe the capped text/hybrid dedups; default queries become "
+        "dedup_ngram_capped,dedup_hybrid,dedup_minhash_lsh,"
+        "dedup_semantic_lsh; occupancy + hot-shingle drop counts logged",
+    )
     args = ap.parse_args()
     factors = [int(f) for f in args.factors.split(",")]
     queries = (
         [q.strip() for q in args.queries.split(",") if q.strip()]
         if args.queries
-        else (["dedup_semantic_lsh"] if args.skew else PROBE_QUERIES)
+        else (
+            ["dedup_semantic_lsh"]
+            if args.skew
+            else (
+                [
+                    "dedup_ngram_capped",
+                    "dedup_hybrid",
+                    "dedup_minhash_lsh",
+                    "dedup_semantic_lsh",
+                ]
+                if args.doc_skew
+                else PROBE_QUERIES
+            )
+        )
     )
 
     import __spark_entry__ as e
@@ -433,6 +756,22 @@ def main() -> None:
             occ[f] = slsh_occupancy(spark, scaled_dirs[f])
         for s, o in occ.items():
             print(f"occupancy {s}x: {o}")
+    elif args.doc_skew:
+        from fund_data_etl_pipeline_spark.plans.dedup import _NGRAM_DF_CAP
+
+        scaled_dirs = {
+            f: build_clustered_dir(spark, args.sf, f, args.doc_skew)
+            for f in factors
+        }
+        base_dir = build_clustered_dir(spark, args.sf, 1, args.doc_skew)
+        occ = {}
+        for s, d in [(1, base_dir)] + [(f, scaled_dirs[f]) for f in factors]:
+            occ[s] = {
+                "minhash": minhash_occupancy(spark, d),
+                "slsh": slsh_occupancy(spark, d),
+                "ngram_drops": ngram_hot_drop_report(spark, d, _NGRAM_DF_CAP),
+            }
+            print(f"clustered {s}x: {occ[s]}")
     else:
         scaled_dirs = {f: build_scaled_dir(spark, args.sf, f) for f in factors}
         base_dir = args.sf
@@ -453,6 +792,9 @@ def main() -> None:
     out = {"factors": factors, "rows": rows}
     if args.skew:
         out["skew_frac"] = args.skew
+        out["occupancy"] = {str(s): o for s, o in occ.items()}
+    if args.doc_skew:
+        out["doc_skew_frac"] = args.doc_skew
         out["occupancy"] = {str(s): o for s, o in occ.items()}
     print(json.dumps(out))
     spark.stop()
