@@ -605,9 +605,13 @@ def minhash_occupancy(spark, sf_dir: str) -> dict:
     )
     from fund_data_etl_pipeline_spark.sources.tables import load_table
 
+    # persist: 16 signature expressions each reference hs — without the
+    # materialization Catalyst's projection collapse re-inlines the full
+    # words->hashes HOF pipeline into EVERY one (BASELINE note 6; this
+    # diagnostic ran 16x the operator's cost before the persist)
     prepped = shingle_hash_prepped(
         load_table(spark, sf_dir, "documents"), "text", "doc_id"
-    )
+    ).persist()
     sig = prepped.select(
         "doc_id", *minhash_signature_from_hashes(F.col("hs"))
     )
@@ -631,6 +635,7 @@ def minhash_occupancy(spark, sf_dir: str) -> dict:
             F.when(F.col("count") > MINHASH_BUCKET_CAP, 1).otherwise(0)
         ).alias("over"),
     ).collect()[0]
+    prepped.unpersist()
     return {
         "max_occ": int(row["mx"]),
         "p99_occ": round(float(row["p99"]), 1),
@@ -757,21 +762,13 @@ def main() -> None:
         for s, o in occ.items():
             print(f"occupancy {s}x: {o}")
     elif args.doc_skew:
-        from fund_data_etl_pipeline_spark.plans.dedup import _NGRAM_DF_CAP
-
         scaled_dirs = {
             f: build_clustered_dir(spark, args.sf, f, args.doc_skew)
             for f in factors
         }
         base_dir = build_clustered_dir(spark, args.sf, 1, args.doc_skew)
-        occ = {}
-        for s, d in [(1, base_dir)] + [(f, scaled_dirs[f]) for f in factors]:
-            occ[s] = {
-                "minhash": minhash_occupancy(spark, d),
-                "slsh": slsh_occupancy(spark, d),
-                "ngram_drops": ngram_hot_drop_report(spark, d, _NGRAM_DF_CAP),
-            }
-            print(f"clustered {s}x: {occ[s]}")
+        occ = {}  # filled AFTER the timed suites (diagnostics are the
+        # slow single-core part at 100x; timing is the deliverable)
     else:
         scaled_dirs = {f: build_scaled_dir(spark, args.sf, f) for f in factors}
         base_dir = args.sf
@@ -794,6 +791,15 @@ def main() -> None:
         out["skew_frac"] = args.skew
         out["occupancy"] = {str(s): o for s, o in occ.items()}
     if args.doc_skew:
+        from fund_data_etl_pipeline_spark.plans.dedup import _NGRAM_DF_CAP
+
+        for s, d in [(1, base_dir)] + [(f, scaled_dirs[f]) for f in factors]:
+            occ[s] = {
+                "minhash": minhash_occupancy(spark, d),
+                "slsh": slsh_occupancy(spark, d),
+                "ngram_drops": ngram_hot_drop_report(spark, d, _NGRAM_DF_CAP),
+            }
+            print(f"clustered {s}x: {occ[s]}")
         out["doc_skew_frac"] = args.doc_skew
         out["occupancy"] = {str(s): o for s, o in occ.items()}
     print(json.dumps(out))
