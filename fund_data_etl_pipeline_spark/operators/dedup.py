@@ -370,6 +370,130 @@ def doubling_chain_pairs(
     return tgt.join(right, [*part_cols, "r2"]).select("d1", "d2")
 
 
+def minhash_band_keys(
+    prepped: DataFrame,
+    id_col: str = "doc_id",
+    hs_col: str = "hs",
+    carry: tuple[str, ...] = (),
+) -> DataFrame:
+    """(id, band, key [, carry…]) rows — THE banding definition, shared
+    by the batch pair-finder (minhash_lsh_pairs), the batch incremental
+    path (incremental_minhash_pairs) and its streaming twin
+    (streaming/file_ingest.streaming_minhash_neardup), so every consumer
+    bands identically by construction — the attribution_join parity
+    pattern. ``carry`` keeps extra columns of ``prepped`` on the banded
+    rows (the streaming side carries ``hs`` through — see the
+    incremental builder's note on why)."""
+    sig = prepped.select(
+        id_col, *carry, *minhash_signature_from_hashes(F.col(hs_col))
+    )
+    sig_cols = [F.col(f"mh{i}") for i in range(len(MINHASH_A))]
+    bands = F.array(
+        *[
+            F.struct(F.lit(b).alias("band"), band_key(sig_cols, b).alias("key"))
+            for b in range(MINHASH_BANDS)
+        ]
+    )
+    return sig.select(id_col, *carry, F.explode(bands).alias("bk")).select(
+        id_col,
+        *carry,
+        F.col("bk.band").alias("band"),
+        F.col("bk.key").alias("key"),
+    )
+
+
+def incremental_minhash_pairs(
+    new_docs: DataFrame,
+    index_docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    threshold: float = 0.8,
+    index_bucket_cap: int = MINHASH_BUCKET_CAP,
+    watermark: str = "1 hour",
+) -> DataFrame:
+    """Incremental near-dup against a persisted corpus index — the
+    minhash twin of incremental_exact_dedup, and the VERDICT r7 #8
+    batch/streaming pair: today's (small) new batch bands with the SAME
+    minhash_band_keys code as the full-corpus path and equi-joins the
+    index's band table; candidates verify by the exact hashed-shingle
+    jaccard against the index's prepped sets. Output: (d1 = index doc,
+    d2 = new doc, jaccard) for every verified pair — "d2 has any pair"
+    IS the dup flag, and d1's min is the canonical attribution.
+
+    ``new_docs`` may be a STREAMING DataFrame: every stage is a
+    stateless projection or a stream-static equi-join (the index side
+    is static), legal in append mode; the only stateful operator is the
+    final within-watermark pair dedup. The same builder serves batch
+    and streaming — parity by construction, asserted by the
+    streaming-vs-batch pytest.
+
+    Two deliberate shape choices, both documented trade-offs:
+    - The index side keeps only the ``index_bucket_cap`` SMALLEST ids
+      per (band, key) (a window on the STATIC side): an incoming doc
+      joining a boilerplate bucket fans out to at most cap rows per
+      band, bounding per-doc candidates at cap*BANDS under any index
+      skew. A tight cluster's minimum id is always among the kept rows,
+      so the dup FLAG (what incremental dedup consumes) is preserved;
+      forgone are only attributions to larger-id cluster members.
+    - The new side CARRIES its hashed shingle set through the band
+      explode (4 copies) instead of the full-corpus path's ID-only join:
+      joining candidates back to the stream-derived prepped table would
+      be a stream-stream join (watermark bookkeeping for no benefit),
+      and the carried payload is today's small batch, not the corpus.
+      The stream side also pays the note-6 no-CSE re-evaluation of the
+      hashing pipeline (a stream can't persist); at scale wrap the sink
+      in foreachBatch and persist per micro-batch if the batch stops
+      being small.
+    """
+    idx_prepped = persist_tracked(
+        shingle_hash_prepped(index_docs, text_col, id_col)
+    )
+    wb = Window.partitionBy("band", "key").orderBy(id_col)
+    idx_bands = persist_tracked(
+        minhash_band_keys(idx_prepped, id_col)
+        .withColumn("rn", F.row_number().over(wb))
+        .filter(F.col("rn") <= index_bucket_cap)
+        .drop("rn")
+    )
+    new_prepped = shingle_hash_prepped(new_docs, text_col, id_col)
+    new_bands = minhash_band_keys(new_prepped, id_col, carry=("hs",))
+    cand = (
+        new_bands.select(
+            F.col(id_col).alias("d2"), F.col("hs").alias("hs2"), "band", "key"
+        )
+        .join(
+            idx_bands.select(F.col(id_col).alias("d1"), "band", "key"),
+            ["band", "key"],
+        )
+        .filter(F.col("d1") != F.col("d2"))
+    )
+    ea = idx_prepped.select(F.col(id_col).alias("d1"), F.col("hs").alias("hs1"))
+    verified = cand.join(ea, "d1")
+    inter = F.size(F.array_intersect("hs1", "hs2"))
+    union = F.size("hs1") + F.size("hs2") - inter
+    out = verified.select(
+        "d1",
+        "d2",
+        round2(
+            F.when(union > 0, inter.cast("double") / union).otherwise(
+                F.lit(0.0)
+            ),
+            6,
+        ).alias("jaccard"),
+    ).filter(F.col("jaccard") >= threshold)
+    # a pair sharing k bands appears k times with identical jaccard —
+    # collapse: bounded within-watermark state on a stream (the
+    # streaming_dedup precedent), plain dropDuplicates in batch
+    if out.isStreaming:
+        return (
+            out.withColumn("ingest_ts", F.current_timestamp())
+            .withWatermark("ingest_ts", watermark)
+            .dropDuplicatesWithinWatermark(["d1", "d2"])
+            .drop("ingest_ts")
+        )
+    return out.dropDuplicates(["d1", "d2"])
+
+
 def minhash_lsh_pairs(
     df: DataFrame,
     text_col: str = "text",
@@ -419,23 +543,7 @@ def minhash_lsh_pairs(
     # persisted (signature build + both verify sides read it); banded is
     # persisted slim (both pairing branches read it).
     prepped = persist_tracked(shingle_hash_prepped(df, text_col, id_col))
-    sig = prepped.select(
-        id_col, *minhash_signature_from_hashes(F.col("hs"))
-    )
-    sig_cols = [F.col(f"mh{i}") for i in range(len(MINHASH_A))]
-    bands = F.array(
-        *[
-            F.struct(F.lit(b).alias("band"), band_key(sig_cols, b).alias("key"))
-            for b in range(MINHASH_BANDS)
-        ]
-    )
-    banded = persist_tracked(
-        sig.select(id_col, F.explode(bands).alias("bk")).select(
-            id_col,
-            F.col("bk.band").alias("band"),
-            F.col("bk.key").alias("key"),
-        )
-    )
+    banded = persist_tracked(minhash_band_keys(prepped, id_col))
     # ``bucket_cap`` defaults to the shipped MINHASH_BUCKET_CAP; the
     # recall probe (tools/recall_probe.py) passes a huge value to measure
     # the uncapped form against the same corpus

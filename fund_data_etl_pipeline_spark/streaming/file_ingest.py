@@ -100,6 +100,31 @@ def streaming_dedup(
     )
 
 
+def streaming_minhash_neardup(
+    docs_stream: DataFrame,
+    index_docs: DataFrame,
+    threshold: float = 0.8,
+    watermark: str = "1 hour",
+) -> DataFrame:
+    """Streaming incremental NEAR-dup against a persisted minhash band
+    index (VERDICT r7 #8) — completes the dedup family's
+    batch/streaming story next to streaming_dedup's exact-hash form.
+    This is literally the batch ``operators/dedup.
+    incremental_minhash_pairs`` builder applied to a stream (the
+    attribution_join shared-builder parity pattern): banding via the
+    same minhash_band_keys code as the full-corpus path, candidates via
+    a stream-static equi-join against the capped index band table,
+    exact hashed-shingle jaccard verify, within-watermark pair dedup as
+    the only stateful operator (bounded state at any ingest rate).
+    Output: (d1 = index doc, d2 = incoming doc, jaccard) verified
+    pairs; "d2 appeared" is the dup signal a curation sink filters on."""
+    from ..operators.dedup import incremental_minhash_pairs
+
+    return incremental_minhash_pairs(
+        docs_stream, index_docs, threshold=threshold, watermark=watermark
+    )
+
+
 def streaming_curation(
     docs_stream: DataFrame, watermark: str = "1 hour"
 ) -> DataFrame:

@@ -243,3 +243,94 @@ def test_stream_static_enrichment_parity(spark, tmp_path):
     segs = {v[0]: (v[1], v[2]) for v in streamed.values()}
     assert segs[1] == ("premium", "EU")
     assert segs[2] == (None, None)
+
+
+def test_streaming_minhash_neardup_parity_with_batch(spark, tmp_path):
+    """The r8 incremental near-dup twin: the SAME
+    incremental_minhash_pairs builder on a two-micro-batch document
+    stream must emit exactly the batch run's verified (d1, d2, jaccard)
+    pair set — parity by construction, asserted bit-equal. Also pins the
+    index-side bucket cap: a boilerplate index bucket fans out at most
+    cap ids per band, and the cluster MINIMUM is always among them, so
+    the dup flag survives capping."""
+    from fund_data_etl_pipeline_spark.functions.text import (
+        MINHASH_BUCKET_CAP,
+    )
+    from fund_data_etl_pipeline_spark.operators.dedup import (
+        incremental_minhash_pairs,
+    )
+    from fund_data_etl_pipeline_spark.streaming.file_ingest import (
+        streaming_minhash_neardup,
+    )
+
+    doc_schema = "doc_id long, text string"
+    boiler = " ".join(f"idx{w}" for w in range(40))
+    # index: a boilerplate family LARGER than the cap + distinct rows
+    n_fam = MINHASH_BUCKET_CAP + 20
+    index_rows = [(i, f"{boiler} u{i}") for i in range(n_fam)]
+    index_rows += [
+        (500 + i, " ".join(f"solo{i}w{w}" for w in range(30)))
+        for i in range(5)
+    ]
+    index_docs = spark.createDataFrame(index_rows, doc_schema)
+
+    # new batch: near-dups of the boilerplate family, one near-dup of a
+    # solo index doc, and novel docs that must emit NO pair
+    new_rows = [(1000 + i, f"{boiler} v{i}") for i in range(6)]
+    new_rows.append((1100, " ".join(f"solo2w{w}" for w in range(30))))
+    new_rows += [
+        (1200 + i, " ".join(f"novel{i}w{w}" for w in range(30)))
+        for i in range(4)
+    ]
+
+    batch = {
+        (r["d1"], r["d2"], r["jaccard"])
+        for r in incremental_minhash_pairs(
+            spark.createDataFrame(new_rows, doc_schema), index_docs
+        ).collect()
+    }
+    # semantic checks on the batch result before the parity compare
+    dup_new = {d2 for _, d2, _ in batch}
+    assert {1000 + i for i in range(6)} <= dup_new  # family dups caught
+    assert 1100 in dup_new  # solo near-dup caught ("solo2w..." ~ "solo2w...")
+    assert not dup_new & {1200 + i for i in range(4)}  # novels clean
+    # index cap: every attribution for the family is to a kept id, and
+    # the family minimum (id 0) is among the attributed d1s
+    fam_d1 = {d1 for d1, d2, _ in batch if d2 < 1100}
+    assert 0 in fam_d1
+
+    src = tmp_path / "neardup_stream"
+    src.mkdir()
+    out = str(tmp_path / "neardup_out")
+    ckpt = str(tmp_path / "neardup_ckpt")
+
+    def run():
+        stream = spark.readStream.schema(doc_schema).json(str(src))
+        q = (
+            streaming_minhash_neardup(stream, index_docs)
+            .writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ckpt)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    cut = len(new_rows) // 2
+    _write_jsonl(
+        src / "b1.json",
+        [{"doc_id": i, "text": t} for i, t in new_rows[:cut]],
+    )
+    run()
+    _write_jsonl(
+        src / "b2.json",
+        [{"doc_id": i, "text": t} for i, t in new_rows[cut:]],
+    )
+    run()
+
+    streamed = {
+        (r["d1"], r["d2"], r["jaccard"])
+        for r in spark.read.parquet(out).collect()
+    }
+    assert streamed == batch
