@@ -519,9 +519,15 @@ def ngram_hot_drop_report(spark, sf_dir: str, cap: int) -> dict:
     )
     from fund_data_etl_pipeline_spark.sources.tables import load_table
 
+    # repartition (the staged parquet lands in ~5 file-chunks — without
+    # this the hashing runs on 5 cores with a straggler) AND persist
+    # before the explode: the ngram QUERY does the same (note 6) — HOF
+    # pipelines feeding a Generate must be materialized or the hashing
+    # chain re-evaluates pathologically
     sets = shingle_hash_prepped(
-        load_table(spark, sf_dir, "documents"), "text", "doc_id", hs_col="sh"
-    )
+        load_table(spark, sf_dir, "documents").repartition(32),
+        "text", "doc_id", hs_col="sh",
+    ).persist()
     inv = sets.select("doc_id", F.explode("sh").alias("s"))
     dfreq = inv.groupBy("s").agg(F.count(F.lit(1)).alias("df"))
     row = dfreq.agg(
@@ -532,6 +538,7 @@ def ngram_hot_drop_report(spark, sf_dir: str, cap: int) -> dict:
             "hot_postings"
         ),
     ).collect()[0]
+    sets.unpersist()
     return {
         "n_shingles": int(row["n_shingles"]),
         "n_postings": int(row["n_postings"]),
