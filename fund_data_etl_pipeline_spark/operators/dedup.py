@@ -432,9 +432,18 @@ def incremental_minhash_pairs(
       per (band, key) (a window on the STATIC side): an incoming doc
       joining a boilerplate bucket fans out to at most cap rows per
       band, bounding per-doc candidates at cap*BANDS under any index
-      skew. A tight cluster's minimum id is always among the kept rows,
-      so the dup FLAG (what incremental dedup consumes) is preserved;
-      forgone are only attributions to larger-id cluster members.
+      skew. Within a bucket whose rows all belong to one near-dup
+      family, the family's minimum id is among the kept rows, so the
+      dup FLAG (what incremental dedup consumes) is preserved and only
+      attributions to larger-id members are forgone. In a MIXED
+      oversized bucket (several families colliding on one band key) the
+      cap keeps the bucket-wide smallest ids, which can all belong to a
+      different family than the incoming doc's — if that happens in all
+      BANDS bands simultaneously the doc's flag itself is lost, the
+      same mixed-bucket caveat the batch pair-cap documents. Band keys
+      are minhash minima over the doc's own shingles, so cross-family
+      collisions need shared boilerplate in every band — the measured
+      recall on clustered staging (tools/recall_probe.py) prices this.
     - The new side CARRIES its hashed shingle set through the band
       explode (4 copies) instead of the full-corpus path's ID-only join:
       joining candidates back to the stream-derived prepped table would

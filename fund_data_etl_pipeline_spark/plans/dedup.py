@@ -830,9 +830,9 @@ def dedup_semantic_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     candidate pairs stay linear, the measured-exponent claim in
     BASELINE.md). A candidate pair is any two vectors sharing at least
     one table's bucket — exhaustively while the bucket holds <=
-    ``_SLSH_BUCKET_CAP`` rows, by id-ordered lead-chaining at the
-    id-rank doubling pairing above it (the measured skewed-corpus
-    mitigation; module comment) — and the exact rounded cosine then
+    ``_SLSH_BUCKET_CAP`` rows, by the id-rank doubling pairing above it
+    (the measured skewed-corpus mitigation; module comment) — and the
+    exact rounded cosine then
     confirms. Keep
     rule matches dedup_semantic: greedy first-occurrence — a vector
     drops iff ANY smaller-id confirmed neighbor exists. ``bucket0``

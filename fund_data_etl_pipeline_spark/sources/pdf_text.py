@@ -635,7 +635,17 @@ def _crypt_filter_is_identity(head: bytes, objs: dict[int, bytes]) -> bool | Non
         sub = parms_val
     ref = re.match(rb"(\d+)\s+\d+\s+R\b", sub.strip())
     if ref:
-        sub = _dict_of(objs.get(int(ref.group(1)), b""))
+        num = int(ref.group(1))
+        if num not in objs:
+            # Unresolvable indirect DecodeParms: we cannot see the
+            # /Name, so defaulting to Identity would skip decryption on
+            # a genuinely crypt-filtered stream and emit ciphertext as
+            # text. Treat it as a real crypt filter (decrypt) — the
+            # conservative reading; a truly-Identity stream then fails
+            # the decrypt and lands in the named quarantine instead of
+            # silently producing garbage.
+            return False
+        sub = _dict_of(objs[num])
     nm = re.search(rb"/Name\s*/([A-Za-z0-9.#+-]+)", sub)
     return nm is None or nm.group(1) == b"Identity"
 

@@ -282,6 +282,26 @@ def test_named_crypt_filter_not_exempted_by_identity_h():
     assert extract_pdf_text(blob) == "named crypt decrypted"
 
 
+def test_crypt_unresolvable_indirect_decodeparms_decrypts():
+    # Regression (ADVICE r8): a /Crypt filter whose /DecodeParms is an
+    # indirect reference to an object MISSING from the file must not
+    # default to Identity — that would skip decryption on a genuinely
+    # encrypted stream and emit ciphertext as text. The conservative
+    # reading is "a real crypt filter": decrypt. Object 99 does not
+    # exist in the build_aes_pdf fixture.
+    from fund_data_etl_pipeline_spark.sources.pdf_text import (
+        extract_pdf_text,
+    )
+
+    blob = build_aes_pdf(b"BT (unresolvable parms decrypted) Tj ET")
+    assert b"4 0 obj\n<< /Length" in blob
+    blob = blob.replace(
+        b"4 0 obj\n<< /Length",
+        b"4 0 obj\n<< /Filter /Crypt /DecodeParms 99 0 R /Length",
+    )
+    assert extract_pdf_text(blob) == "unresolvable parms decrypted"
+
+
 def test_crypt_filter_chain_decodeparms_array_position():
     # The /DecodeParms lookup must follow the /Crypt POSITION in a
     # filter-chain array: [/FlateDecode /Crypt] with parms
