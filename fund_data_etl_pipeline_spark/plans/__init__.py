@@ -94,25 +94,130 @@ def load_all() -> None:
     )
 
 
-# Round-8 rotation policy (VERDICT r7 next-step #1). Cap is still 50
-# driver slots; 106 queries registered (registry FROZEN since r5).
-# Invariant: every oracle-bearing query is driver-green within the last
-# two rounds, OR on the documented peer-coverage exception list below
-# (re-proven by the local gate at all three SFs instead).
+# Round-9 rotation policy (VERDICT r8 next-step #1). Cap is still 50
+# driver slots; 108 queries registered (the r5 freeze was a
+# rotation-bookkeeping device — VERDICT r8 #3 explicitly grows the
+# registry to 108 with dedup_incremental_exact + dedup_incremental_minhash,
+# both documented below). Invariant: every oracle-bearing query is
+# driver-green within the last two rounds, OR on the documented
+# peer-coverage exception list below (re-proven by the local gate at all
+# three SFs instead).
 #
-# This round's 50 slots: (a) the five r7 exception-list names — last
-# driver row r5, two rounds stale, they MUST lead; (b) 45 of the 50
-# r6-green names whose two-round window closes at r8. The five r6-green
-# names that overflow the cap move to the exception list with peer
-# coverage.
+# This round's 50 slots: (a) the five r8 exception-list names — last
+# driver row r6, two rounds stale, they MUST lead (VERDICT r8 #1);
+# (b) 45 of the 50 r7-green names whose two-round window closes at r9.
+# The five r7-green names that overflow the cap move to the exception
+# list with peer coverage.
 PRIORITY = [
-    # (a) r7 exception-list names — last driver row r5; they go first
+    # (a) r8 exception-list names — last driver row r6; they go first
+    "fund_manual_confirm",
+    "fund_manual_redemption",
+    "fund_manual_dividend",
+    "events_sliding_window",
+    "shipping_priority_topk",
+    # (b) r7-green names whose window closes at r9 (45 of 50)
+    "dedup_ngram_capped",
+    "when_cascade_tier",
+    "graph_pagerank",
+    "dedup_semantic",
+    "volume_shipping",
+    "market_share",
+    "late_sole_supplier",
+    "dq_constraint_report",
+    "k_anonymity_audit",
+    "source_capped_sample",
+    "user_rolling_7d_spend",
+    "attribution_join",
+    "vector_ann_ivf",
+    "dedup_ngram_jaccard",
+    "dedup_minhash_lsh",
+    "event_value_stats",
+    "top_users_per_event",
+    "fund_classify",
+    "fund_dividend",
+    "fund_dividend_merged",
+    "fund_quarantine",
+    "fund_purchase_apply",
+    "fund_purchase_confirm",
+    "fund_redemption_confirm",
+    "fund_conversion",
+    "multimodal_binary_stats",
+    "dim_join_left",
+    "group_merge",
+    "isin_filter",
+    "date_math",
+    "derived_arithmetic",
+    "union_slices",
+    "mixed_sort_key",
+    "json_extract_agg",
+    "anti_join_customers",
+    "distinct_pairs",
+    "asof_last_click",
+    "grouping_sets_sql",
+    "correlated_subquery",
+    "text_token_count",
+    "corpus_curation",
+    "text_c4_filters",
+    "quality_weighted_sample",
+    "events_session_window",
+    "user_retention_cohorts",
+]
+
+# PRIORITY is exactly at the 50-query driver cap (5 + 45).
+
+# EXCEPTION LIST (this round's cap overflow — 55 oracle-bearing names
+# owed a row vs 50 slots, so these five r7-green queries go one round on
+# peer coverage). Each is chosen because its machinery is provably
+# inside r8-green or r9-PRIORITY peers, and each is re-proven by the
+# local gate (tools/check_correctness.py) at sf0.001/0.01/0.1:
+#   rollup_priority — the same Expand-node rollup/cube/grouping-sets
+#     machinery as the r9-PRIORITY grouping_sets_sql and the r8-green
+#     cube_lineitem (all three lower to one Expand + hash-agg);
+#   semi_join_parts — LeftSemi translation; the r9-PRIORITY
+#     anti_join_customers is the same ExistenceJoin planning path
+#     (LeftAnti), same broadcast-able dim shape;
+#   window_running — running-sum window frame; the r9-PRIORITY
+#     user_rolling_7d_spend exercises the same WindowExec with the
+#     strictly-harder range frame, and events_sliding_window covers
+#     the windows.py module end-to-end;
+#   cast_round_coerce — try_cast coerce + round2; the r9-PRIORITY
+#     date_math/derived_arithmetic share functions/cleaning + numeric,
+#     and round2 is value-hashed in every money-bearing PRIORITY query;
+#   dedup_embedding_cosine — exact-cosine threshold pairing; the
+#     r9-PRIORITY dedup_semantic and the r8-green vector_cosine_topk
+#     exercise the same cosine arithmetic and greedy-min-id keep rule.
+#
+# NEW REGISTRATIONS (VERDICT r8 #3): dedup_incremental_exact and
+# dedup_incremental_minhash carry exact DuckDB oracles and are verified
+# via the sanctioned local-gate path this round (the #3 "or via the
+# local gate at 3 SFs" arm) — they take driver slots at the head of
+# round 10's PRIORITY.
+#
+# DEPRIORITY: names that safely fall past the cap this round. The 50
+# r8-green names (fresh driver rows, window open through round 10), the
+# five exception-list names above, the rows-only-by-design sketch query,
+# and the two new locally-gated registrations. 50 + 5 + 1 + 2 = 58 =
+# registered 108 - cap 50, so the cap's cut is wholly chosen here —
+# nothing falls past by registration-order accident.
+DEPRIORITY = [
+    # five exception-list names (peer coverage documented above)
+    "rollup_priority",
+    "semi_join_parts",
+    "window_running",
+    "cast_round_coerce",
+    "dedup_embedding_cosine",
+    # rows-only by design (KLL/HLL sketch aggregate; rank-contract parity
+    # is pytest-asserted) — its weak row adds nothing over r4's
+    "event_value_stats_approx",
+    # new this round, locally gated at 3 SFs (lead r10 PRIORITY)
+    "dedup_incremental_exact",
+    "dedup_incremental_minhash",
+    # r8-green (driver rows in CORRECTNESS_r08): window open to round 10
     "vector_cosine_topk",
     "dedup_canonical",
     "cube_lineitem",
     "topk_revenue",
     "events_tumbling_window",
-    # (b) r6-green names whose window closes at r8
     "cdc_latest_snapshot",
     "scd2_intervals",
     "event_value_winsorized",
@@ -158,95 +263,6 @@ PRIORITY = [
     "source_mixture_weights",
     "doc_tfidf_topk",
     "events_hourly_gapfill",
-]
-
-# PRIORITY is exactly at the 50-query driver cap (5 + 45).
-
-# EXCEPTION LIST (this round's cap overflow — 55 oracle-bearing names
-# owed a row vs 50 slots, so these five r6-green queries go one round on
-# peer coverage). Each is chosen because its machinery is provably
-# inside r7-green or r8-PRIORITY peers, and each is re-proven by the
-# local gate (tools/check_correctness.py) at sf0.001/0.01/0.1:
-#   fund_manual_confirm / fund_manual_redemption / fund_manual_dividend —
-#     all four manual-OCR jobs share jobs._manual_base (scan detect →
-#     image decode → OCR adapter → candidate-max cascade) and differ only
-#     in the per-job spec tables; fund_manual_apply stays in r8 PRIORITY
-#     and exercises the shared machinery end-to-end (plus the new
-#     run_all OCR-adapter e2e pytest drives all four sinks);
-#   events_sliding_window — F.window(ts, w, s) sliding windows; the
-#     r8-PRIORITY events_tumbling_window is the same TimeWindow expansion
-#     node (tumbling = slide==width special case), and the watermarked
-#     streaming twin's parity pytest covers the sliding form;
-#   shipping_priority_topk — window-rank top-k; same rank/limit
-#     machinery as the r8-PRIORITY topk_revenue and the r7-green
-#     top_users_per_event.
-#
-# DEPRIORITY: names that safely fall past the cap this round. The 50
-# r7-green names (fresh driver rows, window open through round 9), the
-# five exception-list names above, and the rows-only-by-design sketch
-# query. 50 + 5 + 1 = 56 = registered 106 - cap 50, so the cap's cut is
-# wholly chosen here — nothing falls past by registration-order accident.
-DEPRIORITY = [
-    # five exception-list names (peer coverage documented above)
-    "fund_manual_confirm",
-    "fund_manual_redemption",
-    "fund_manual_dividend",
-    "events_sliding_window",
-    "shipping_priority_topk",
-    # rows-only by design (KLL/HLL sketch aggregate; rank-contract parity
-    # is pytest-asserted) — its weak row adds nothing over r4's
-    "event_value_stats_approx",
-    # r7-green (driver rows in CORRECTNESS_r07): window open to round 9
-    "dedup_ngram_capped",
-    "dedup_embedding_cosine",
-    "when_cascade_tier",
-    "window_running",
-    "rollup_priority",
-    "graph_pagerank",
-    "dedup_semantic",
-    "volume_shipping",
-    "market_share",
-    "late_sole_supplier",
-    "dq_constraint_report",
-    "k_anonymity_audit",
-    "source_capped_sample",
-    "user_rolling_7d_spend",
-    "attribution_join",
-    "vector_ann_ivf",
-    "dedup_ngram_jaccard",
-    "dedup_minhash_lsh",
-    "event_value_stats",
-    "top_users_per_event",
-    "fund_classify",
-    "fund_dividend",
-    "fund_dividend_merged",
-    "fund_quarantine",
-    "fund_purchase_apply",
-    "fund_purchase_confirm",
-    "fund_redemption_confirm",
-    "fund_conversion",
-    "multimodal_binary_stats",
-    "dim_join_left",
-    "group_merge",
-    "isin_filter",
-    "cast_round_coerce",
-    "date_math",
-    "derived_arithmetic",
-    "union_slices",
-    "mixed_sort_key",
-    "json_extract_agg",
-    "anti_join_customers",
-    "semi_join_parts",
-    "distinct_pairs",
-    "asof_last_click",
-    "grouping_sets_sql",
-    "correlated_subquery",
-    "text_token_count",
-    "corpus_curation",
-    "text_c4_filters",
-    "quality_weighted_sample",
-    "events_session_window",
-    "user_retention_cohorts",
 ]
 
 

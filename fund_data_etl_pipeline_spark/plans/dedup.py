@@ -198,6 +198,130 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ---------------------------------------------------------------------------
+# Incremental (daily-ingest) dedup — VERDICT r8 #3. The registry split is
+# deterministic so the oracle can reproduce it: "today's batch" = the 25%
+# of documents with doc_id % 4 = 1, the index = the other 75%. The split is
+# a REGISTRY DEVICE only (the operators take any two DataFrames); the
+# batch/index shapes and the production contract live in
+# operators/dedup.incremental_exact_dedup / incremental_minhash_pairs.
+_INC_BATCH_PRED = "doc_id % 4 = 1"
+
+
+@register(
+    "dedup_incremental_exact",
+    # the index side contributes hash MEMBERSHIP only, so no DISTINCT is
+    # needed on either engine: ANTI JOIN / left_anti are set-semantics
+    oracle=f"""
+    WITH hist AS (
+      SELECT {G.NORM_MD5} AS content_hash
+      FROM documents WHERE NOT ({_INC_BATCH_PRED})
+    ),
+    hashed AS (
+      SELECT doc_id, {G.NORM_MD5} AS content_hash
+      FROM documents WHERE {_INC_BATCH_PRED}
+    ),
+    canon AS (
+      SELECT content_hash, MIN(doc_id) AS doc_id
+      FROM hashed GROUP BY content_hash
+    )
+    SELECT c.doc_id, c.content_hash
+    FROM canon c ANTI JOIN hist USING (content_hash)
+    """,
+)
+def dedup_incremental_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily-batch exact dedup against a persisted content-hash index
+    (operators/dedup.incremental_exact_dedup): the batch collapses
+    within-batch duplicate contents to the min id, then anti-joins the
+    history — no corpus re-scan. Output: the surviving (doc_id,
+    content_hash) rows of today's batch."""
+    docs = load_table(spark, sf_dir, "documents")
+    batch = docs.filter(F.expr(_INC_BATCH_PRED))
+    history = docs.filter(~F.expr(_INC_BATCH_PRED)).select(
+        D.normalized_md5(F.col("text")).alias("content_hash")
+    )
+    fresh, _updated = D.incremental_exact_dedup(batch, history)
+    return fresh.select("doc_id", "content_hash")
+
+
+def _inc_minhash_oracle(threshold: float = _JACCARD_T) -> str:
+    """Oracle twin of operators/dedup.incremental_minhash_pairs: the SAME
+    shingle/minhash/banding CTEs as _minhash_oracle, two-sided (index vs
+    new batch), with the index-side per-(band, key) smallest-id cap
+    mirrored as a ROW_NUMBER window — so the scale device (bounded
+    candidate fan-out under index skew) is itself value-checked."""
+    sig_exprs = ",\n             ".join(
+        f"{G.minhash_sql(i, 'hs')} AS mh{i}" for i in range(len(MINHASH_A))
+    )
+
+    def _bands(sig: str) -> str:
+        return "\n      UNION ALL\n      ".join(
+            f"SELECT doc_id, {b} AS band, {G.band_key_sql(b)} AS key"
+            f" FROM {sig}"
+            for b in range(MINHASH_BANDS)
+        )
+
+    return f"""
+    WITH idw AS (SELECT doc_id, {G.WORDS} AS w FROM documents
+                 WHERE NOT ({_INC_BATCH_PRED})),
+    ihs AS (SELECT doc_id, {G.shingle_hashes_sql()} AS hs FROM idw),
+    ndw AS (SELECT doc_id, {G.WORDS} AS w FROM documents
+            WHERE {_INC_BATCH_PRED}),
+    nhs AS (SELECT doc_id, {G.shingle_hashes_sql()} AS hs FROM ndw),
+    isig AS (SELECT doc_id,
+             {sig_exprs}
+            FROM ihs),
+    ibands0 AS (
+      {_bands('isig')}
+    ),
+    ibands AS (
+      SELECT doc_id, band, key FROM (
+        SELECT doc_id, band, key,
+               ROW_NUMBER() OVER (PARTITION BY band, key ORDER BY doc_id)
+                 AS rn
+        FROM ibands0
+      ) WHERE rn <= {MINHASH_BUCKET_CAP}
+    ),
+    nsig AS (SELECT doc_id,
+             {sig_exprs}
+            FROM nhs),
+    nbands AS (
+      {_bands('nsig')}
+    ),
+    cand AS (
+      SELECT DISTINCT i.doc_id AS d1, n.doc_id AS d2
+      FROM nbands n JOIN ibands i ON n.band = i.band AND n.key = i.key
+      WHERE i.doc_id <> n.doc_id
+    ),
+    verified AS (
+      SELECT d1, d2,
+             len(list_intersect(s1.hs, s2.hs)) AS i,
+             len(s1.hs) AS n1, len(s2.hs) AS n2
+      FROM cand
+      JOIN ihs s1 ON s1.doc_id = d1
+      JOIN nhs s2 ON s2.doc_id = d2
+    )
+    SELECT d1, d2, {_JACCARD_SQL} AS jaccard
+    FROM verified
+    WHERE {_JACCARD_SQL} >= {threshold}
+    """
+
+
+@register("dedup_incremental_minhash", oracle=_inc_minhash_oracle())
+def dedup_incremental_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental minhash near-dup (operators/dedup.
+    incremental_minhash_pairs, the r8 batch/streaming pair): today's
+    batch bands with the shared minhash_band_keys code and equi-joins
+    the bucket-capped index band table; exact hashed-shingle jaccard
+    verifies. Output: (d1 = index doc, d2 = new doc, jaccard)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return D.incremental_minhash_pairs(
+        docs.filter(F.expr(_INC_BATCH_PRED)),
+        docs.filter(~F.expr(_INC_BATCH_PRED)),
+        threshold=_JACCARD_T,
+    )
+
+
 # transitive closure of the LSH pair set with a recursive CTE:
 # group_id = MIN(reachable id) — exactly the fixpoint the Spark
 # label-propagation loop converges to; shared by dedup_groups and

@@ -186,6 +186,44 @@ def test_incremental_exact_dedup_across_batches(spark):
     assert hist3.count() == 4
 
 
+def test_registered_incremental_dedup_queries(spark, sf_dir):
+    """The r9 registrations (VERDICT r8 #3): the deterministic
+    batch/index registry split (doc_id % 4 = 1 is "today") must show in
+    the outputs — exact keeps only batch-side survivors whose content is
+    absent from the index, minhash pairs are always (index doc, batch
+    doc) with verified jaccard above the threshold."""
+    import __spark_entry__ as e
+
+    q = e.queries()
+    exact = q["dedup_incremental_exact"](spark, sf_dir).collect()
+    assert exact, "sf0.001 batch split must have survivors"
+    assert all(r["doc_id"] % 4 == 1 for r in exact)
+    # one row per distinct surviving content
+    hashes = [r["content_hash"] for r in exact]
+    assert len(hashes) == len(set(hashes))
+    # no survivor's content exists on the index side
+    from fund_data_etl_pipeline_spark.operators.dedup import normalized_md5
+    from fund_data_etl_pipeline_spark.sources import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    idx_hashes = {
+        r["h"]
+        for r in docs.filter(F.col("doc_id") % 4 != 1)
+        .select(normalized_md5(F.col("text")).alias("h"))
+        .collect()
+    }
+    assert not (set(hashes) & idx_hashes)
+
+    pairs = q["dedup_incremental_minhash"](spark, sf_dir).collect()
+    assert pairs, "sf0.001 split must yield cross-split near-dup pairs"
+    for r in pairs:
+        assert r["d1"] % 4 != 1, "d1 is always an index doc"
+        assert r["d2"] % 4 == 1, "d2 is always a batch doc"
+        assert r["jaccard"] >= 0.8
+    keys = [(r["d1"], r["d2"]) for r in pairs]
+    assert len(keys) == len(set(keys)), "band-collapsed: one row per pair"
+
+
 def test_dedup_groups_canonical_invariants(spark, sf_dir):
     """Every group_id is the component minimum: it never exceeds the
     member id, and the canonical doc is its own canonical."""
