@@ -317,10 +317,14 @@ def shingle_hash_prepped(
 
 # strides 2^j for every 2^j < occ — integer-exact shiftleft, never a
 # float log2 that could round differently across engines. 2^40 covers
-# 10^12-row buckets.
-_DOUBLING_STRIDES_EXPR = (
-    "filter(transform(sequence(0, 40), j -> shiftleft(CAST(1 AS BIGINT), j)),"
-    " s -> s < occ)"
+# 10^12-row buckets. Strides up to 2^_LEAD_MAX_J go through window
+# leads (no extra shuffle); the tail expression below generates only
+# the 2^31..2^40 strides for the rank-join fallback on buckets holding
+# more than 2^31 rows (never seen in practice — see doubling_chain_pairs).
+_LEAD_MAX_J = 30  # lead offsets are JVM ints; 2^30 is the largest safe one
+_DOUBLING_TAIL_STRIDES_EXPR = (
+    f"filter(transform(sequence({_LEAD_MAX_J + 1}, 40),"
+    " j -> shiftleft(CAST(1 AS BIGINT), j)), s -> s < occ)"
 )
 
 
@@ -353,21 +357,54 @@ def doubling_chain_pairs(
     same orientation as the all-pairs branch. The DuckDB oracle mirrors
     this via ROW_NUMBER + generate_series + a rank self-join
     (plans/dedup._doubling_chain_sql), so capped queries stay
-    value-exact."""
+    value-exact.
+
+    r9 (VERDICT r8 #5): pairs are generated by WINDOW LEADS, not the r8
+    rank equi-join. ``lead(id, 2^j)`` over the id-ordered bucket window
+    is non-null exactly when a member exists at rank r + 2^j (lead
+    nullness IS the rank join's existence constraint: non-null ⟺
+    r + 2^j ≤ occ ⟺ 2^j < occ given r ≥ 1), so the emitted pair set is
+    IDENTICAL — re-proven by the r8 oracle-parity pytests — while the
+    rank-join's extra (part_cols, r2) shuffle and the stride explode
+    disappear: the lead window reuses the occ window's hash exchange
+    with one added sort. This was the measured ~8% capped-vs-uncapped
+    overhead at mild 2% skew (BASELINE §4.3 recall table); leads also
+    make the no-oversized-bucket case genuinely free — the branch is an
+    empty filter on the already-built exchange, no join stages to
+    schedule. Lead offsets are JVM ints, so strides above 2^30 (live
+    only when ONE bucket holds > 2^31 rows — more near-identical docs
+    than any corpus has; the adaptive signature width and 64-bit band
+    keys exist to prevent exactly this) keep the r8 explode + rank-join
+    tail, a filter on occ > 2^31 that is empty everywhere real."""
     word = Window.partitionBy(*part_cols).orderBy(id_col)
-    pos = occ_df.filter(F.col("occ") > cap).withColumn(
+    pos = occ_df.filter(F.col("occ") > cap)
+    led = pos.select(
+        F.col(id_col).alias("d1"),
+        F.array_compact(
+            F.array(
+                *[
+                    F.lead(id_col, 1 << j).over(word)
+                    for j in range(_LEAD_MAX_J + 1)
+                ]
+            )
+        ).alias("__tgts"),
+    )
+    lead_pairs = led.select("d1", F.explode("__tgts").alias("d2"))
+    # tail: strides 2^31..2^40 for buckets beyond lead's int-offset range
+    pos_t = pos.filter(F.col("occ") > F.lit(1 << (_LEAD_MAX_J + 1))).withColumn(
         "r", F.row_number().over(word)
     )
-    tgt = pos.select(
+    tgt = pos_t.select(
         *part_cols,
         F.col(id_col).alias("d1"),
         "r",
-        F.explode(F.expr(_DOUBLING_STRIDES_EXPR)).alias("s"),
+        F.explode(F.expr(_DOUBLING_TAIL_STRIDES_EXPR)).alias("s"),
     ).select(*part_cols, "d1", (F.col("r") + F.col("s")).alias("r2"))
-    right = pos.select(
+    right = pos_t.select(
         *part_cols, F.col(id_col).alias("d2"), F.col("r").alias("r2")
     )
-    return tgt.join(right, [*part_cols, "r2"]).select("d1", "d2")
+    tail_pairs = tgt.join(right, [*part_cols, "r2"]).select("d1", "d2")
+    return lead_pairs.unionByName(tail_pairs)
 
 
 def minhash_band_keys(
@@ -402,14 +439,42 @@ def minhash_band_keys(
     )
 
 
+def build_minhash_index(
+    index_docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    index_bucket_cap: int = MINHASH_BUCKET_CAP,
+) -> tuple[DataFrame, DataFrame]:
+    """The persisted-index half of the incremental near-dup pipeline:
+    ``(prepped, bands)`` — the corpus shingle-set table and the
+    bucket-capped band table ``incremental_minhash_pairs`` probes. A
+    daily pipeline builds these ONCE (linear in corpus size), writes
+    them out (bucketed by ``id_col`` / by (band, key) at scale so the
+    per-batch joins are co-located), and passes them back via
+    ``index_tables=`` — per-batch cost is then independent of how the
+    corpus grew (tools/inc_probe.py measures exactly this). Kept as one
+    definition so the operator's inline path and every probe/caller
+    build bit-identical index tables."""
+    prepped = shingle_hash_prepped(index_docs, text_col, id_col)
+    wb = Window.partitionBy("band", "key").orderBy(id_col)
+    bands = (
+        minhash_band_keys(prepped, id_col)
+        .withColumn("rn", F.row_number().over(wb))
+        .filter(F.col("rn") <= index_bucket_cap)
+        .drop("rn")
+    )
+    return prepped, bands
+
+
 def incremental_minhash_pairs(
     new_docs: DataFrame,
-    index_docs: DataFrame,
+    index_docs: DataFrame | None = None,
     text_col: str = "text",
     id_col: str = "doc_id",
     threshold: float = 0.8,
     index_bucket_cap: int = MINHASH_BUCKET_CAP,
     watermark: str = "1 hour",
+    index_tables: tuple[DataFrame, DataFrame] | None = None,
 ) -> DataFrame:
     """Incremental near-dup against a persisted corpus index — the
     minhash twin of incremental_exact_dedup, and the VERDICT r7 #8
@@ -453,17 +518,28 @@ def incremental_minhash_pairs(
       hashing pipeline (a stream can't persist); at scale wrap the sink
       in foreachBatch and persist per micro-batch if the batch stops
       being small.
+
+    Index input, one of:
+    - ``index_docs``: raw corpus documents — prepped and banded inline
+      (via build_minhash_index) and persisted for this call. The probe /
+      small-corpus shape.
+    - ``index_tables=(prepped, bands)``: the PREBUILT persisted index
+      (build_minhash_index written to storage) — the daily-pipeline
+      steady state, where index construction is amortized once per
+      ingest day instead of paid per batch.
     """
-    idx_prepped = persist_tracked(
-        shingle_hash_prepped(index_docs, text_col, id_col)
-    )
-    wb = Window.partitionBy("band", "key").orderBy(id_col)
-    idx_bands = persist_tracked(
-        minhash_band_keys(idx_prepped, id_col)
-        .withColumn("rn", F.row_number().over(wb))
-        .filter(F.col("rn") <= index_bucket_cap)
-        .drop("rn")
-    )
+    if index_tables is not None:
+        idx_prepped, idx_bands = index_tables
+    else:
+        if index_docs is None:
+            raise ValueError(
+                "incremental_minhash_pairs needs index_docs or index_tables"
+            )
+        prepped, bands = build_minhash_index(
+            index_docs, text_col, id_col, index_bucket_cap
+        )
+        idx_prepped = persist_tracked(prepped)
+        idx_bands = persist_tracked(bands)
     new_prepped = shingle_hash_prepped(new_docs, text_col, id_col)
     new_bands = minhash_band_keys(new_prepped, id_col, carry=("hs",))
     cand = (

@@ -36,8 +36,12 @@ def _doubling_chain_sql(id_col: str, part_cols: tuple[str, ...], cap: int) -> st
     over the id-ordered bucket + generate_series + a rank self-join;
     integer-exact (1::BIGINT << j), never a float log2. Same
     WHERE-before-WINDOW evaluation as Spark's filter-then-row_number
-    (whole buckets sit on one side of the occ split). Expects a ``bo``
-    CTE carrying (id, part cols, occ)."""
+    (whole buckets sit on one side of the occ split). The Spark side
+    generates the same pairs by window LEADS since r9 (lead(id, 2^j)
+    non-null ⟺ rank r + 2^j exists — see the operator docstring); the
+    oracle keeps the rank-join formulation, which states the contract
+    over the full 2^40 stride range in one piece. Expects a ``bo`` CTE
+    carrying (id, part cols, occ)."""
     pc = ", ".join(part_cols)
     on = " AND ".join(f"ro2.{c} = tg.{c}" for c in part_cols)
     ranked = (

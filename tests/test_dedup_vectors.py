@@ -224,6 +224,41 @@ def test_registered_incremental_dedup_queries(spark, sf_dir):
     assert len(keys) == len(set(keys)), "band-collapsed: one row per pair"
 
 
+def test_incremental_minhash_prebuilt_index_parity(spark, sf_dir, tmp_path):
+    """The daily-pipeline steady state (build_minhash_index written to
+    parquet, passed back via index_tables=) must emit the BIT-EQUAL pair
+    set as the inline index_docs path — same-builder parity, the r9
+    probe's premise (tools/inc_probe.py times the prebuilt shape)."""
+    from fund_data_etl_pipeline_spark.operators.dedup import (
+        build_minhash_index,
+        incremental_minhash_pairs,
+    )
+    from fund_data_etl_pipeline_spark.sources import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    batch = docs.filter(F.col("doc_id") % 4 == 1)
+    index = docs.filter(F.col("doc_id") % 4 != 1)
+
+    inline = sorted(
+        map(tuple, incremental_minhash_pairs(batch, index).collect())
+    )
+
+    prepped, bands = build_minhash_index(index)
+    pp, bp = str(tmp_path / "prepped"), str(tmp_path / "bands")
+    prepped.write.parquet(pp)
+    bands.write.parquet(bp)
+    prebuilt = sorted(
+        map(
+            tuple,
+            incremental_minhash_pairs(
+                batch,
+                index_tables=(spark.read.parquet(pp), spark.read.parquet(bp)),
+            ).collect(),
+        )
+    )
+    assert inline == prebuilt and inline
+
+
 def test_dedup_groups_canonical_invariants(spark, sf_dir):
     """Every group_id is the component minimum: it never exceeds the
     member id, and the canonical doc is its own canonical."""
@@ -695,6 +730,56 @@ def test_doubling_chain_oracle_parity_slsh(spark, tmp_path):
     )
     assert s_cols == o_cols
     assert s_rows == o_rows
+
+
+def test_doubling_chain_no_oversized_bucket_case(spark, sf_dir):
+    """r9 (VERDICT r8 #5): when NO bucket exceeds the cap, the doubling
+    branch contributes nothing — zero rows — and its lead-window form
+    adds no join stage to pay for that nothing (the plan shows exactly
+    one shuffle, the part-cols hash exchange the occ window already
+    owns; the rank-join tail only materializes past occ > 2^31)."""
+    from fund_data_etl_pipeline_spark.operators.dedup import (
+        doubling_chain_pairs,
+    )
+
+    df = spark.createDataFrame(
+        [(b, i, 5) for b in range(3) for i in range(5)],
+        "bucket int, vec_id long, occ long",
+    )
+    chain = doubling_chain_pairs(df, "vec_id", ["bucket"], cap=8)
+    assert chain.count() == 0
+    plan = chain._jdf.queryExecution().executedPlan().toString()
+    # the live branch is window LEADS (no join of its own); every join
+    # in the tree sits under the dormant occ > 2^31 tail filter
+    assert "lead(" in plan
+    assert "2147483648" in plan, "the int-offset tail guard must be planned"
+    # identical-output contract: with no oversized bucket, capped
+    # pairing IS uncapped pairing
+    from fund_data_etl_pipeline_spark.plans.dedup import (
+        slsh_verified_pairs,
+    )
+    from fund_data_etl_pipeline_spark.operators.similarity import (
+        as_double,
+        norm,
+    )
+    from fund_data_etl_pipeline_spark.sources import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", as_double(F.col("embedding")).alias("v")
+    )
+    prepped = emb.select("vec_id", "v", norm(F.col("v")).alias("nv"))
+    capped = sorted(
+        map(tuple, slsh_verified_pairs(emb, prepped, 8).collect())
+    )
+    uncapped = sorted(
+        map(
+            tuple,
+            slsh_verified_pairs(
+                emb, prepped, 8, bucket_cap=1 << 40
+            ).collect(),
+        )
+    )
+    assert capped == uncapped
 
 
 def test_doubling_chain_oracle_parity_minhash(spark, tmp_path):

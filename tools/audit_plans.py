@@ -73,6 +73,10 @@ PERSIST_OK = {
     "contamination_check",
     "dedup_embedding_cosine",
     "dedup_semantic",
+    # r9: the inline-index incremental path persists the prepped/band
+    # index tables (GC-tied like every entry here); the prebuilt-index
+    # production shape reads them from parquet instead
+    "dedup_incremental_minhash",
 }
 # Arrow-batched Python is the sanctioned slow path, only where the
 # operator is genuinely non-relational (media codecs)
