@@ -96,6 +96,10 @@ HEADLINE = [
     "source_capped_sample",
     "market_share",
     "late_sole_supplier",
+    # round-9: the daily-ingest incremental near-dup shape (fixed batch
+    # vs bucket-capped index; flat-per-batch claim probed by
+    # tools/inc_probe.py — this row tracks the registry-split form)
+    "dedup_incremental_minhash",
 ]
 
 

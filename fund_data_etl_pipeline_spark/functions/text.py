@@ -20,6 +20,14 @@ HASH_P = 1_000_000_007
 MINHASH_A = [2, 3, 5, 7, 11, 13, 17, 19, 23, 29, 31, 37, 41, 43, 47, 53]
 MINHASH_B = [101, 211, 307, 401, 503, 601, 701, 809, 907, 1009,
              1103, 1201, 1301, 1409, 1499, 1601]
+# second, independent permutation seed set (r9 straggler recovery — the
+# standard banding-recall booster: a doc whose seed-1 band minima all
+# missed its cluster gets four fresh draws). Next 16 primes for the
+# multipliers, a disjoint prime run for the offsets.
+MINHASH_A2 = [59, 61, 67, 71, 73, 79, 83, 89,
+              97, 101, 103, 107, 109, 113, 127, 131]
+MINHASH_B2 = [1697, 1801, 1901, 2003, 2111, 2203, 2309, 2411,
+              2503, 2609, 2707, 2801, 2903, 3001, 3109, 3203]
 MINHASH_BANDS = 4          # 4 bands x 4 rows
 MINHASH_ROWS_PER_BAND = 4
 # per-(band, key) pair cap (r7/r8): organic band collisions measured max
@@ -133,15 +141,20 @@ def minhash_signature(sh: Column) -> list[Column]:
     ]
 
 
-def minhash_signature_from_hashes(hs: Column) -> list[Column]:
+def minhash_signature_from_hashes(hs: Column, seed: int = 0) -> list[Column]:
     """Same signature, computed from a pre-hashed ``transform(sh,
     word_hash)`` column: the md5 cost is paid once instead of once per
-    permutation (16x less hashing in the map stage)."""
+    permutation (16x less hashing in the map stage). ``seed=1`` swaps in
+    the independent second permutation set (MINHASH_A2/B2) — the r9
+    straggler-recovery pass."""
+    ab = (
+        zip(MINHASH_A, MINHASH_B) if seed == 0 else zip(MINHASH_A2, MINHASH_B2)
+    )
     return [
         F.array_min(
             F.transform(hs, lambda h: (F.lit(a) * h + F.lit(b)) % HASH_P)
         ).alias(f"mh{i}")
-        for i, (a, b) in enumerate(zip(MINHASH_A, MINHASH_B))
+        for i, (a, b) in enumerate(ab)
     ]
 
 

@@ -315,17 +315,18 @@ def shingle_hash_prepped(
     )
 
 
-# strides 2^j for every 2^j < occ — integer-exact shiftleft, never a
-# float log2 that could round differently across engines. 2^40 covers
-# 10^12-row buckets. Strides up to 2^_LEAD_MAX_J go through window
-# leads (no extra shuffle); the tail expression below generates only
-# the 2^31..2^40 strides for the rank-join fallback on buckets holding
-# more than 2^31 rows (never seen in practice — see doubling_chain_pairs).
+# strides 2^j for every 2^j < min(occ, 2^31) — integer-exact, and the
+# stride ceiling is an OPERATIONAL bound, not a correctness cap: a
+# bucket needs > 2^31 rows before stride 2^31 would be live, and a
+# bucket IS one window partition (one task) in every formulation of
+# this pairing (lead window here, ROW_NUMBER in the r8 rank-join and in
+# the oracle alike) — a two-billion-row single partition does not
+# execute on any engine, and the adaptive signature widths + 64-bit
+# band keys exist precisely to keep occupancy orders of magnitude below
+# that. See doubling_chain_pairs for the r9 lesson: carrying a "dormant"
+# plan branch for the unreachable regime cost two extra expansions of
+# the whole upstream signature pipeline per query.
 _LEAD_MAX_J = 30  # lead offsets are JVM ints; 2^30 is the largest safe one
-_DOUBLING_TAIL_STRIDES_EXPR = (
-    f"filter(transform(sequence({_LEAD_MAX_J + 1}, 40),"
-    " j -> shiftleft(CAST(1 AS BIGINT), j)), s -> s < occ)"
-)
 
 
 def doubling_chain_pairs(
@@ -371,11 +372,19 @@ def doubling_chain_pairs(
     overhead at mild 2% skew (BASELINE §4.3 recall table); leads also
     make the no-oversized-bucket case genuinely free — the branch is an
     empty filter on the already-built exchange, no join stages to
-    schedule. Lead offsets are JVM ints, so strides above 2^30 (live
-    only when ONE bucket holds > 2^31 rows — more near-identical docs
-    than any corpus has; the adaptive signature width and 64-bit band
-    keys exist to prevent exactly this) keep the r8 explode + rank-join
-    tail, a filter on occ > 2^31 that is empty everywhere real."""
+    schedule.
+
+    Stride ceiling: lead offsets are JVM ints, so strides stop at 2^30
+    — an operational bound shared by every formulation (see the module
+    comment above _LEAD_MAX_J): a stride past 2^30 is live only in a
+    bucket of > 2^31 rows, and a bucket is ONE window partition in the
+    lead form, the r8 rank-join form, and the oracle alike — it cannot
+    execute before the stride set matters. The first r9 cut carried a
+    "dormant" rank-join tail for that regime anyway; it cost two extra
+    expansions of the whole upstream signature pipeline per query
+    (Spark expands every DataFrame reference into its own subtree) —
+    measurable at mild skew, guarding nothing reachable. Removed; the
+    oracle's generate_series ceiling matches."""
     word = Window.partitionBy(*part_cols).orderBy(id_col)
     pos = occ_df.filter(F.col("occ") > cap)
     led = pos.select(
@@ -389,22 +398,7 @@ def doubling_chain_pairs(
             )
         ).alias("__tgts"),
     )
-    lead_pairs = led.select("d1", F.explode("__tgts").alias("d2"))
-    # tail: strides 2^31..2^40 for buckets beyond lead's int-offset range
-    pos_t = pos.filter(F.col("occ") > F.lit(1 << (_LEAD_MAX_J + 1))).withColumn(
-        "r", F.row_number().over(word)
-    )
-    tgt = pos_t.select(
-        *part_cols,
-        F.col(id_col).alias("d1"),
-        "r",
-        F.explode(F.expr(_DOUBLING_TAIL_STRIDES_EXPR)).alias("s"),
-    ).select(*part_cols, "d1", (F.col("r") + F.col("s")).alias("r2"))
-    right = pos_t.select(
-        *part_cols, F.col(id_col).alias("d2"), F.col("r").alias("r2")
-    )
-    tail_pairs = tgt.join(right, [*part_cols, "r2"]).select("d1", "d2")
-    return lead_pairs.unionByName(tail_pairs)
+    return led.select("d1", F.explode("__tgts").alias("d2"))
 
 
 def minhash_band_keys(
@@ -412,6 +406,7 @@ def minhash_band_keys(
     id_col: str = "doc_id",
     hs_col: str = "hs",
     carry: tuple[str, ...] = (),
+    seed: int = 0,
 ) -> DataFrame:
     """(id, band, key [, carry…]) rows — THE banding definition, shared
     by the batch pair-finder (minhash_lsh_pairs), the batch incremental
@@ -420,9 +415,13 @@ def minhash_band_keys(
     bands identically by construction — the attribution_join parity
     pattern. ``carry`` keeps extra columns of ``prepped`` on the banded
     rows (the streaming side carries ``hs`` through — see the
-    incremental builder's note on why)."""
+    incremental builder's note on why). ``seed=1`` bands with the
+    independent second permutation set — the straggler-recovery pass
+    (minhash_recovery_pairs)."""
     sig = prepped.select(
-        id_col, *carry, *minhash_signature_from_hashes(F.col(hs_col))
+        id_col,
+        *carry,
+        *minhash_signature_from_hashes(F.col(hs_col), seed=seed),
     )
     sig_cols = [F.col(f"mh{i}") for i in range(len(MINHASH_A))]
     bands = F.array(
@@ -656,6 +655,76 @@ def minhash_lsh_pairs(
         "d2",
         round2(
             F.when(union > 0, inter.cast("double") / union).otherwise(F.lit(0.0)), 6
+        ).alias("jaccard"),
+    ).filter(F.col("jaccard") >= threshold)
+
+
+def minhash_recovery_pairs(
+    docs: DataFrame,
+    first_pairs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    threshold: float = 0.8,
+    index_bucket_cap: int = MINHASH_BUCKET_CAP,
+) -> DataFrame:
+    """Second-seed banding recall booster (VERDICT r8 stretch #8): the
+    cc_probe found 0.06–0.08% of a giant cluster's members share NO band
+    bucket with the cluster (their unique-token shingles claim every
+    band minimum) — isolated under ANY pairing rule, a property of the
+    seed-1 permutations, not of the cap. The standard fix is a second,
+    independent permutation draw over ONLY the unmatched docs: each
+    straggler gets four fresh band lotteries while the pass stays
+    sub-linear (the query side is the straggler set, not the corpus).
+
+    Shape = the incremental_minhash_pairs probe-the-index pattern with
+    the unpaired set as the "batch": docs with no seed-1 pair re-band
+    with MINHASH_A2/B2 (minhash_band_keys seed=1) and equi-join the full
+    corpus's seed-2 band table, capped to the ``index_bucket_cap``
+    smallest ids per bucket (the same skew bound); exact hashed-shingle
+    jaccard verifies. The corpus side's seed-2 banding is one linear
+    map-side pass — no pairing within already-paired docs is ever
+    generated (candidates require an unpaired side). Output: (d1 < d2,
+    jaccard) NEW verified pairs to union with the seed-1 pair set before
+    grouping. Cost/recovery on the giant-cluster staging is measured by
+    tools/cc_probe.py --recover (BASELINE §4.3)."""
+    prepped = persist_tracked(shingle_hash_prepped(docs, text_col, id_col))
+    paired_ids = first_pairs.select(
+        F.explode(F.array("d1", "d2")).alias(id_col)
+    ).distinct()
+    unpaired = prepped.join(paired_ids, id_col, "left_anti")
+    wb = Window.partitionBy("band", "key").orderBy(id_col)
+    idx_bands = (
+        minhash_band_keys(prepped, id_col, seed=1)
+        .withColumn("rn", F.row_number().over(wb))
+        .filter(F.col("rn") <= index_bucket_cap)
+        .drop("rn")
+    )
+    new_bands = minhash_band_keys(unpaired, id_col, seed=1)
+    cand = (
+        new_bands.select(F.col(id_col).alias("q"), "band", "key")
+        .join(
+            idx_bands.select(F.col(id_col).alias("m"), "band", "key"),
+            ["band", "key"],
+        )
+        .filter(F.col("q") != F.col("m"))
+        .select(
+            F.least("q", "m").alias("d1"), F.greatest("q", "m").alias("d2")
+        )
+        .dropDuplicates(["d1", "d2"])
+    )
+    ea = prepped.select(F.col(id_col).alias("d1"), F.col("hs").alias("hs1"))
+    eb = prepped.select(F.col(id_col).alias("d2"), F.col("hs").alias("hs2"))
+    verified = cand.join(ea, "d1").join(eb, "d2")
+    inter = F.size(F.array_intersect("hs1", "hs2"))
+    union = F.size("hs1") + F.size("hs2") - inter
+    return verified.select(
+        "d1",
+        "d2",
+        round2(
+            F.when(union > 0, inter.cast("double") / union).otherwise(
+                F.lit(0.0)
+            ),
+            6,
         ).alias("jaccard"),
     ).filter(F.col("jaccard") >= threshold)
 

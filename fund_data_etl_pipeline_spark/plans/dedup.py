@@ -39,9 +39,14 @@ def _doubling_chain_sql(id_col: str, part_cols: tuple[str, ...], cap: int) -> st
     (whole buckets sit on one side of the occ split). The Spark side
     generates the same pairs by window LEADS since r9 (lead(id, 2^j)
     non-null ⟺ rank r + 2^j exists — see the operator docstring); the
-    oracle keeps the rank-join formulation, which states the contract
-    over the full 2^40 stride range in one piece. Expects a ``bo`` CTE
-    carrying (id, part cols, occ)."""
+    oracle keeps the rank-join formulation. The stride ceiling is
+    operators/dedup._LEAD_MAX_J = 30 on BOTH sides — an operational
+    bound, not a recall cap: a stride past 2^30 is live only in a
+    bucket of > 2^31 rows, which is one window partition in every
+    formulation (including this SQL's ROW_NUMBER) and cannot execute.
+    Expects a ``bo`` CTE carrying (id, part cols, occ)."""
+    from ..operators.dedup import _LEAD_MAX_J
+
     pc = ", ".join(part_cols)
     on = " AND ".join(f"ro2.{c} = tg.{c}" for c in part_cols)
     ranked = (
@@ -54,7 +59,7 @@ def _doubling_chain_sql(id_col: str, part_cols: tuple[str, ...], cap: int) -> st
         FROM (
           SELECT {pc}, {id_col} AS d1, r + ((1::BIGINT) << j) AS r2
           FROM ({ranked}) ro
-          CROSS JOIN UNNEST(generate_series(0, 40)) AS t(j)
+          CROSS JOIN UNNEST(generate_series(0, {_LEAD_MAX_J})) AS t(j)
           WHERE ((1::BIGINT) << j) < occ
         ) tg
         JOIN ({ranked}) ro2

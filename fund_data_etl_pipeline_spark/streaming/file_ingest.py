@@ -102,9 +102,10 @@ def streaming_dedup(
 
 def streaming_minhash_neardup(
     docs_stream: DataFrame,
-    index_docs: DataFrame,
+    index_docs: DataFrame | None = None,
     threshold: float = 0.8,
     watermark: str = "1 hour",
+    index_tables: tuple[DataFrame, DataFrame] | None = None,
 ) -> DataFrame:
     """Streaming incremental NEAR-dup against a persisted minhash band
     index (VERDICT r7 #8) — completes the dedup family's
@@ -117,11 +118,21 @@ def streaming_minhash_neardup(
     exact hashed-shingle jaccard verify, within-watermark pair dedup as
     the only stateful operator (bounded state at any ingest rate).
     Output: (d1 = index doc, d2 = incoming doc, jaccard) verified
-    pairs; "d2 appeared" is the dup signal a curation sink filters on."""
+    pairs; "d2 appeared" is the dup signal a curation sink filters on.
+
+    ``index_tables=(prepped, bands)`` passes a PREBUILT persisted index
+    (operators/dedup.build_minhash_index written to storage) straight
+    through — the production streaming shape: the long-running query
+    reads static index parquet instead of re-prepping the corpus at
+    start-up. tools/stream_probe.py times exactly this form."""
     from ..operators.dedup import incremental_minhash_pairs
 
     return incremental_minhash_pairs(
-        docs_stream, index_docs, threshold=threshold, watermark=watermark
+        docs_stream,
+        index_docs,
+        threshold=threshold,
+        watermark=watermark,
+        index_tables=index_tables,
     )
 
 

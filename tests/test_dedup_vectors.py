@@ -259,6 +259,52 @@ def test_incremental_minhash_prebuilt_index_parity(spark, sf_dir, tmp_path):
     assert inline == prebuilt and inline
 
 
+def test_minhash_recovery_pairs_second_seed(spark):
+    """r9 stretch (VERDICT r8 #8): the second-seed recovery pass must
+    (a) band with genuinely different keys than seed 1, (b) reattach
+    near-dup docs that arrive with no seed-1 pair, (c) never generate a
+    pair between two already-paired docs, and (d) keep the jaccard
+    verify gate."""
+    from fund_data_etl_pipeline_spark.operators.dedup import (
+        minhash_band_keys,
+        minhash_recovery_pairs,
+        shingle_hash_prepped,
+    )
+
+    boiler = " ".join(f"tok{w}" for w in range(30))
+    other = " ".join(f"zed{w}" for w in range(30))
+    docs = spark.createDataFrame(
+        [
+            (1, boiler + " a"),
+            (2, boiler + " b"),
+            (10, other + " x"),
+            (11, other + " y"),
+            (50, "completely different text about spark window exchanges"),
+        ],
+        "doc_id long, text string",
+    )
+    # seed independence: same docs, different band keys
+    prepped = shingle_hash_prepped(docs)
+    k0 = {
+        (r["doc_id"], r["band"], r["key"])
+        for r in minhash_band_keys(prepped).collect()
+    }
+    k1 = {
+        (r["doc_id"], r["band"], r["key"])
+        for r in minhash_band_keys(prepped, seed=1).collect()
+    }
+    assert k0 != k1
+
+    first = spark.createDataFrame(
+        [(1, 2, 1.0)], "d1 long, d2 long, jaccard double"
+    )
+    rec = minhash_recovery_pairs(docs, first).collect()
+    got = {(r["d1"], r["d2"]) for r in rec}
+    assert (10, 11) in got, "unpaired near-dup twins must be recovered"
+    assert (1, 2) not in got, "already-paired docs generate no new pair"
+    assert all(r["jaccard"] >= 0.8 for r in rec)
+
+
 def test_dedup_groups_canonical_invariants(spark, sf_dir):
     """Every group_id is the component minimum: it never exceeds the
     member id, and the canonical doc is its own canonical."""
@@ -735,9 +781,8 @@ def test_doubling_chain_oracle_parity_slsh(spark, tmp_path):
 def test_doubling_chain_no_oversized_bucket_case(spark, sf_dir):
     """r9 (VERDICT r8 #5): when NO bucket exceeds the cap, the doubling
     branch contributes nothing — zero rows — and its lead-window form
-    adds no join stage to pay for that nothing (the plan shows exactly
-    one shuffle, the part-cols hash exchange the occ window already
-    owns; the rank-join tail only materializes past occ > 2^31)."""
+    has NO join to pay for that nothing: the whole chain is one window
+    over the exchange the occupancy count already owns."""
     from fund_data_etl_pipeline_spark.operators.dedup import (
         doubling_chain_pairs,
     )
@@ -749,10 +794,10 @@ def test_doubling_chain_no_oversized_bucket_case(spark, sf_dir):
     chain = doubling_chain_pairs(df, "vec_id", ["bucket"], cap=8)
     assert chain.count() == 0
     plan = chain._jdf.queryExecution().executedPlan().toString()
-    # the live branch is window LEADS (no join of its own); every join
-    # in the tree sits under the dormant occ > 2^31 tail filter
+    # window LEADS, zero joins, a single hash exchange in the whole tree
     assert "lead(" in plan
-    assert "2147483648" in plan, "the int-offset tail guard must be planned"
+    assert "Join" not in plan
+    assert plan.count("Exchange hashpartitioning") == 1
     # identical-output contract: with no oversized bucket, capped
     # pairing IS uncapped pairing
     from fund_data_etl_pipeline_spark.plans.dedup import (

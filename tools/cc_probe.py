@@ -87,11 +87,12 @@ def build_giant_cluster_dir(spark, sf_dir: str, size: int) -> str:
     return out_dir
 
 
-def probe_size(spark, sf_dir: str, size: int) -> dict:
+def probe_size(spark, sf_dir: str, size: int, recover: bool = False) -> dict:
     from fund_data_etl_pipeline_spark.operators.dedup import (
         connected_components,
         connected_components_two_phase,
         minhash_lsh_pairs,
+        minhash_recovery_pairs,
     )
     from fund_data_etl_pipeline_spark.sources.tables import load_table
 
@@ -120,6 +121,27 @@ def probe_size(spark, sf_dir: str, size: int) -> dict:
         "time_pairs_s": t_pairs,
         "banding_stragglers": size - n_paired,
     }
+    if recover:
+        # r9 stretch: second-seed pass over ONLY unpaired docs — how
+        # many stragglers does it reattach, at what cost?
+        t0 = time.time()
+        rec = minhash_recovery_pairs(docs, pairs, threshold=0.8)
+        n_rec = rec.count()
+        t_rec = round(time.time() - t0, 3)
+        rec_ids = rec.select(F.explode(F.array("d1", "d2")).alias("id")).distinct()
+        recovered = (
+            rec_ids.filter(F.col("id") >= PLANT_BASE)
+            .join(in_any_pair, "id", "left_anti")
+            .count()
+        )
+        row.update(
+            {
+                "recovery_pairs": n_rec,
+                "recovered_stragglers": recovered,
+                "time_recover_s": t_rec,
+            }
+        )
+        spark.catalog.clearCache()
     for name, fn in (
         ("prop", connected_components),
         ("star", connected_components_two_phase),
@@ -151,6 +173,12 @@ def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--sizes", default="1000,10000,100000")
     ap.add_argument("--sf", default="/root/testdata/sf0.1")
+    ap.add_argument(
+        "--recover",
+        action="store_true",
+        help="run the second-seed straggler recovery pass and report "
+        "cost/recovery per size (r9 stretch)",
+    )
     args = ap.parse_args()
     sizes = [int(s) for s in args.sizes.split(",")]
 
@@ -160,7 +188,7 @@ def main() -> None:
     spark.sparkContext.setLogLevel("ERROR")
     rows = []
     for size in sizes:
-        row = probe_size(spark, args.sf, size)
+        row = probe_size(spark, args.sf, size, recover=args.recover)
         rows.append(row)
         print(
             f"C={size}: pairs={row['n_pairs']} ({row['time_pairs_s']}s) "
@@ -169,6 +197,13 @@ def main() -> None:
             f"cover={row['giant_cover_prop']} ok={row['connected_ok_prop']}  "
             f"star rounds={row['rounds_star']} {row['time_star_s']}s "
             f"cover={row['giant_cover_star']} ok={row['connected_ok_star']}"
+            + (
+                f"  recovery: +{row['recovery_pairs']} pairs, "
+                f"{row['recovered_stragglers']} stragglers reattached "
+                f"({row['time_recover_s']}s)"
+                if args.recover
+                else ""
+            )
         )
     print(json.dumps({"rows": rows}))
     spark.stop()
