@@ -45,6 +45,8 @@ def _stage_batches(spark, sf: str, root: str, batch_rows: int, batches: int):
     stream never collides with index ids; returns the watched dir."""
     from fund_data_etl_pipeline_spark.sources.tables import load_table
 
+    import glob
+
     in_dir = os.path.join(root, "in")
     os.makedirs(in_dir, exist_ok=True)
     docs = (
@@ -56,9 +58,15 @@ def _stage_batches(spark, sf: str, root: str, batch_rows: int, batches: int):
     schema = load_table(spark, sf, "documents").schema
     for b in range(batches):
         chunk = docs[b * batch_rows : (b + 1) * batch_rows]
+        stage = os.path.join(root, f"stage_b{b}")
         spark.createDataFrame(chunk, schema).coalesce(1).write.mode(
             "overwrite"
-        ).parquet(os.path.join(in_dir, f"b{b}"))
+        ).parquet(stage)
+        # the file stream lists FILES at the watched path (no recursion):
+        # surface the single part file flat, one file per micro-batch
+        (part,) = glob.glob(os.path.join(stage, "part-*.parquet"))
+        shutil.move(part, os.path.join(in_dir, f"batch{b}.parquet"))
+        shutil.rmtree(stage)
     return in_dir
 
 
