@@ -95,10 +95,10 @@ def load_all() -> None:
 
 
 # Round-9 rotation policy (VERDICT r8 next-step #1). Cap is still 50
-# driver slots; 108 queries registered (the r5 freeze was a
+# driver slots; 109 queries registered (the r5 freeze was a
 # rotation-bookkeeping device — VERDICT r8 #3 explicitly grows the
-# registry to 108 with dedup_incremental_exact + dedup_incremental_minhash,
-# both documented below). Invariant: every oracle-bearing query is
+# registry with dedup_incremental_exact + dedup_incremental_minhash, both
+# documented below; the r9 stretch adds dedup_recovery_pairs the same way). Invariant: every oracle-bearing query is
 # driver-green within the last two rounds, OR on the documented
 # peer-coverage exception list below (re-proven by the local gate at all
 # three SFs instead).
@@ -187,17 +187,18 @@ PRIORITY = [
 #     r9-PRIORITY dedup_semantic and the r8-green vector_cosine_topk
 #     exercise the same cosine arithmetic and greedy-min-id keep rule.
 #
-# NEW REGISTRATIONS (VERDICT r8 #3): dedup_incremental_exact and
-# dedup_incremental_minhash carry exact DuckDB oracles and are verified
-# via the sanctioned local-gate path this round (the #3 "or via the
-# local gate at 3 SFs" arm) — they take driver slots at the head of
-# round 10's PRIORITY.
+# NEW REGISTRATIONS (VERDICT r8 #3 + stretch #8):
+# dedup_incremental_exact, dedup_incremental_minhash and
+# dedup_recovery_pairs (the second-seed straggler-recovery pass) carry
+# exact DuckDB oracles and are verified via the sanctioned local-gate
+# path this round (the #3 "or via the local gate at 3 SFs" arm) — they
+# take driver slots at the head of round 10's PRIORITY.
 #
 # DEPRIORITY: names that safely fall past the cap this round. The 50
 # r8-green names (fresh driver rows, window open through round 10), the
 # five exception-list names above, the rows-only-by-design sketch query,
-# and the two new locally-gated registrations. 50 + 5 + 1 + 2 = 58 =
-# registered 108 - cap 50, so the cap's cut is wholly chosen here —
+# and the three new locally-gated registrations. 50 + 5 + 1 + 3 = 59 =
+# registered 109 - cap 50, so the cap's cut is wholly chosen here —
 # nothing falls past by registration-order accident.
 DEPRIORITY = [
     # five exception-list names (peer coverage documented above)
@@ -212,6 +213,7 @@ DEPRIORITY = [
     # new this round, locally gated at 3 SFs (lead r10 PRIORITY)
     "dedup_incremental_exact",
     "dedup_incremental_minhash",
+    "dedup_recovery_pairs",
     # r8-green (driver rows in CORRECTNESS_r08): window open to round 10
     "vector_cosine_topk",
     "dedup_canonical",

@@ -44,9 +44,15 @@ def shingle_hashes_sql() -> str:
     )
 
 
-def minhash_sql(i: int, hs: str = "hs") -> str:
-    """Minhash permutation i over pre-combined shingle hashes."""
-    a, b = MINHASH_A[i], MINHASH_B[i]
+def minhash_sql(i: int, hs: str = "hs", seed: int = 0) -> str:
+    """Minhash permutation i over pre-combined shingle hashes. ``seed=1``
+    replays the independent second permutation set (MINHASH_A2/B2 — the
+    r9 straggler-recovery pass)."""
+    from ..functions.text import MINHASH_A2, MINHASH_B2
+
+    a, b = (MINHASH_A[i], MINHASH_B[i]) if seed == 0 else (
+        MINHASH_A2[i], MINHASH_B2[i]
+    )
     return f"list_min(list_transform({hs}, h -> ({a} * h + {b}) % {HASH_P}))"
 
 

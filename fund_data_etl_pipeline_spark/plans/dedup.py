@@ -253,6 +253,76 @@ def dedup_incremental_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     return fresh.select("doc_id", "content_hash")
 
 
+def _recovery_oracle(threshold: float = _JACCARD_T) -> str:
+    """Oracle twin of operators/dedup.minhash_recovery_pairs: seed-1
+    pairs (the full _minhash_oracle, nested as a subquery — the
+    _GROUPS_CTE trick) define the unpaired set; seed-2 signatures
+    (G.minhash_sql seed=1 → MINHASH_A2/B2) band ALL docs, the index
+    side capped per (band, key) by ROW_NUMBER, and only
+    unpaired-touching candidates verify."""
+    sig2 = ",\n             ".join(
+        f"{G.minhash_sql(i, 'hs', seed=1)} AS mh{i}"
+        for i in range(len(MINHASH_A))
+    )
+    bands2 = "\n      UNION ALL\n      ".join(
+        f"SELECT doc_id, {b} AS band, {G.band_key_sql(b)} AS key FROM sig2"
+        for b in range(MINHASH_BANDS)
+    )
+    return f"""
+    WITH {_shingle_cte()},
+    p1 AS (SELECT d1, d2 FROM ({_minhash_oracle(threshold)}) t),
+    paired AS (SELECT d1 AS doc_id FROM p1 UNION SELECT d2 FROM p1),
+    unp AS (SELECT doc_id FROM documents ANTI JOIN paired USING (doc_id)),
+    sig2 AS (SELECT doc_id,
+             {sig2}
+            FROM s),
+    bands2 AS (
+      {bands2}
+    ),
+    ibands AS (
+      SELECT doc_id, band, key FROM (
+        SELECT doc_id, band, key,
+               ROW_NUMBER() OVER (PARTITION BY band, key ORDER BY doc_id)
+                 AS rn
+        FROM bands2
+      ) WHERE rn <= {MINHASH_BUCKET_CAP}
+    ),
+    nbands AS (SELECT b.* FROM bands2 b JOIN unp USING (doc_id)),
+    cand AS (
+      SELECT DISTINCT least(n.doc_id, i.doc_id) AS d1,
+             greatest(n.doc_id, i.doc_id) AS d2
+      FROM nbands n JOIN ibands i ON n.band = i.band AND n.key = i.key
+      WHERE n.doc_id <> i.doc_id
+    ),
+    verified AS (
+      SELECT d1, d2,
+             len(list_intersect(s1.hs, s2.hs)) AS i,
+             len(s1.hs) AS n1, len(s2.hs) AS n2
+      FROM cand
+      JOIN s s1 ON s1.doc_id = d1
+      JOIN s s2 ON s2.doc_id = d2
+    )
+    SELECT d1, d2, {_JACCARD_SQL} AS jaccard
+    FROM verified
+    WHERE {_JACCARD_SQL} >= {threshold}
+    """
+
+
+@register("dedup_recovery_pairs", oracle=_recovery_oracle())
+def dedup_recovery_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Second-seed straggler recovery (operators/dedup.
+    minhash_recovery_pairs, the r9 stretch): docs with no seed-1
+    verified pair re-band with the independent MINHASH_A2/B2
+    permutations and probe the corpus's capped seed-2 band table; exact
+    jaccard verifies. Output: (d1 < d2, jaccard) NEW pairs only — a
+    dedup pipeline unions them with the seed-1 pair set before
+    grouping. Both banding lotteries and the cap replay in the oracle,
+    so the recall booster itself is value-checked."""
+    docs = load_table(spark, sf_dir, "documents")
+    first = D.minhash_lsh_pairs(docs, threshold=_JACCARD_T)
+    return D.minhash_recovery_pairs(docs, first, threshold=_JACCARD_T)
+
+
 def _inc_minhash_oracle(threshold: float = _JACCARD_T) -> str:
     """Oracle twin of operators/dedup.incremental_minhash_pairs: the SAME
     shingle/minhash/banding CTEs as _minhash_oracle, two-sided (index vs

@@ -183,5 +183,5 @@ def test_wrapper_unpersists_on_builder_failure(spark):
             QUERIES[name](spark, SF)
         assert jcm.isEmpty()
     finally:
-        # keep the registry at its frozen 106 for any test that iterates it
+        # restore the registry size for any test that iterates it
         QUERIES.pop(name, None)

@@ -77,6 +77,9 @@ PERSIST_OK = {
     # index tables (GC-tied like every entry here); the prebuilt-index
     # production shape reads them from parquet instead
     "dedup_incremental_minhash",
+    # r9: composes minhash_lsh_pairs (seed-1) + the recovery pass, both
+    # persisting the shared prepped table
+    "dedup_recovery_pairs",
 }
 # Arrow-batched Python is the sanctioned slow path, only where the
 # operator is genuinely non-relational (media codecs)
