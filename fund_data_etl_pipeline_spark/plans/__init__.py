@@ -192,7 +192,13 @@ PRIORITY = [
 # dedup_recovery_pairs (the second-seed straggler-recovery pass) carry
 # exact DuckDB oracles and are verified via the sanctioned local-gate
 # path this round (the #3 "or via the local gate at 3 SFs" arm) — they
-# take driver slots at the head of round 10's PRIORITY.
+# take driver slots at the head of round 10's PRIORITY. Note on
+# dedup_recovery_pairs' organic row counts: seed-1 banding at t=0.8
+# catches every near-dup pair in the small organic corpora, so the
+# oracle comparison is 0 = 0 rows at sf0.001/0.01 and 1 = 1 at sf0.1;
+# the operator's SEMANTICS are pinned by the planted-twin pytest and
+# its measured recall by tools/cc_probe.py --recover (80–100% of
+# giant-cluster banding stragglers reattached — BASELINE §4.3).
 #
 # DEPRIORITY: names that safely fall past the cap this round. The 50
 # r8-green names (fresh driver rows, window open through round 10), the
