@@ -87,6 +87,37 @@ def _materialize_index(spark, index_dir: str, tag: str) -> tuple[str, str, float
     return pp, bp, dt
 
 
+def _materialize_hash_index(spark, index_dir: str, tag: str) -> tuple[str, float]:
+    """The exact path's persisted index: one normalized content md5 per
+    corpus doc, written to fingerprinted parquet staging. Returns
+    (path, build_seconds; 0.0 on cache hit)."""
+    from fund_data_etl_pipeline_spark.functions.text import normalized_md5
+    from fund_data_etl_pipeline_spark.sources.tables import load_table
+
+    out_dir = os.path.join(REPO, f".inc_probe_hash_{tag}")
+    marker = os.path.join(out_dir, ".complete")
+    src = os.path.join(index_dir, "documents.parquet")
+    st = os.stat(src)
+    fingerprint = f"{src}:{st.st_size}:{st.st_mtime_ns}:v1"
+    hp = os.path.join(out_dir, "hashes.parquet")
+    if os.path.exists(marker):
+        with open(marker) as fh:
+            if fh.read() == fingerprint:
+                return hp, 0.0
+        import shutil
+
+        shutil.rmtree(out_dir)
+    os.makedirs(out_dir, exist_ok=True)
+    t0 = time.time()
+    load_table(spark, index_dir, "documents").select(
+        normalized_md5(F.col("text")).alias("content_hash")
+    ).write.mode("overwrite").parquet(hp)
+    dt = round(time.time() - t0, 3)
+    with open(marker, "w") as fh:
+        fh.write(fingerprint)
+    return hp, dt
+
+
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--factors", default="10,100")
@@ -98,6 +129,13 @@ def main() -> None:
         default=None,
         help="probe against the twin-family clustered staging at this "
         "member fraction instead of the uniform replicas",
+    )
+    ap.add_argument(
+        "--op",
+        default="minhash",
+        choices=["minhash", "exact"],
+        help="which incremental path to probe: the near-dup band index "
+        "(minhash) or the content-hash anti-join (exact)",
     )
     args = ap.parse_args()
     factors = [int(f) for f in args.factors.split(",")]
@@ -132,7 +170,13 @@ def main() -> None:
     batch = spark.read.parquet(batch_path)
     n_batch = batch.count()
     bound = MINHASH_BUCKET_CAP * MINHASH_BANDS * n_batch
-    print(f"batch: {n_batch} docs (fixed); candidate bound cap*bands*batch={bound}")
+    if args.op == "minhash":
+        print(
+            f"batch: {n_batch} docs (fixed); candidate bound "
+            f"cap*bands*batch={bound}"
+        )
+    else:
+        print(f"batch: {n_batch} docs (fixed); op=exact (hash anti-join)")
 
     rows = []
     for f in sorted({1, *factors}):
@@ -143,6 +187,38 @@ def main() -> None:
         else:
             index_dir = build_scaled_dir(spark, args.sf, f)
         tag = f"{mode.replace('.', 'p')}_x{f}"
+        if args.op == "exact":
+            from fund_data_etl_pipeline_spark.operators.dedup import (
+                incremental_exact_dedup,
+            )
+
+            hp, t_build = _materialize_hash_index(spark, index_dir, tag)
+            n_index = spark.read.parquet(hp).count()
+            hist = spark.read.parquet(hp)
+            t_batch = None
+            for _ in range(args.passes):
+                spark.catalog.clearCache()
+                t0 = time.time()
+                fresh, _hist2 = incremental_exact_dedup(batch, hist)
+                fresh.write.format("noop").mode("overwrite").save()
+                dt = round(time.time() - t0, 3)
+                t_batch = dt if t_batch is None else min(t_batch, dt)
+            fresh, _hist2 = incremental_exact_dedup(batch, hist)
+            n_fresh = fresh.count()
+            spark.catalog.clearCache()
+            row = {
+                "factor": f,
+                "index_docs": n_index,
+                "t_index_build": t_build,
+                "t_batch": t_batch,
+                "fresh_survivors": n_fresh,
+            }
+            rows.append(row)
+            print(
+                f"x{f:<4} index={n_index:<8} build={t_build:<8} "
+                f"batch={t_batch:<7} fresh={n_fresh}"
+            )
+            continue
         pp, bp, t_build = _materialize_index(spark, index_dir, tag)
         n_index = spark.read.parquet(pp).count()
 
@@ -189,7 +265,13 @@ def main() -> None:
     print(f"per-batch exponent vs index scale: {exp}")
     print(
         json.dumps(
-            {"mode": mode, "batch_docs": n_batch, "rows": rows, "exponent": exp}
+            {
+                "mode": mode,
+                "op": args.op,
+                "batch_docs": n_batch,
+                "rows": rows,
+                "exponent": exp,
+            }
         )
     )
     spark.stop()
