@@ -334,3 +334,36 @@ def test_streaming_minhash_neardup_parity_with_batch(spark, tmp_path):
         for r in spark.read.parquet(out).collect()
     }
     assert streamed == batch
+
+    # r9: the PREBUILT-index streaming form (build_minhash_index written
+    # to parquet, passed via index_tables= — the production shape
+    # tools/stream_probe.py times) must emit the same set again
+    from fund_data_etl_pipeline_spark.operators.dedup import (
+        build_minhash_index,
+    )
+
+    prepped, bands = build_minhash_index(index_docs)
+    pp, bp = str(tmp_path / "idx_prepped"), str(tmp_path / "idx_bands")
+    prepped.write.parquet(pp)
+    bands.write.parquet(bp)
+    out2 = str(tmp_path / "neardup_out2")
+    ckpt2 = str(tmp_path / "neardup_ckpt2")
+    stream = spark.readStream.schema(doc_schema).json(str(src))
+    q = (
+        streaming_minhash_neardup(
+            stream,
+            index_tables=(spark.read.parquet(pp), spark.read.parquet(bp)),
+        )
+        .writeStream.format("parquet")
+        .option("path", out2)
+        .option("checkpointLocation", ckpt2)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    streamed2 = {
+        (r["d1"], r["d2"], r["jaccard"])
+        for r in spark.read.parquet(out2).collect()
+    }
+    assert streamed2 == batch
