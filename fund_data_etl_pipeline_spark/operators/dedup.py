@@ -528,6 +528,14 @@ def incremental_minhash_pairs(
       ingest day instead of paid per batch.
     """
     if index_tables is not None:
+        if index_docs is not None:
+            # r10 (ADVICE r9 #4): passing both was silently dropping the
+            # raw docs — a mismatched corpus/index pair got no signal.
+            raise ValueError(
+                "incremental_minhash_pairs got BOTH index_docs and "
+                "index_tables; pass exactly one (index_tables is the "
+                "prebuilt form of index_docs, they cannot be reconciled)"
+            )
         idx_prepped, idx_bands = index_tables
     else:
         if index_docs is None:
@@ -584,8 +592,19 @@ def minhash_lsh_pairs(
     id_col: str = "doc_id",
     threshold: float = 0.8,
     bucket_cap: int = MINHASH_BUCKET_CAP,
+    prepped: DataFrame | None = None,
+    band_subset: tuple[int, ...] | None = None,
 ) -> DataFrame:
     """MinHash + banded LSH near-dup pairs, verified with exact Jaccard.
+
+    ``prepped`` optionally supplies an ALREADY-PERSISTED
+    shingle_hash_prepped table so a composition (e.g. the seed-1 +
+    seed-2 recovery query) hashes the corpus ONCE and shares one cache
+    across both passes (r10, ADVICE r9 #3). ``band_subset`` restricts
+    the banding lottery to the named bands — a reduced banding budget
+    trades recall for candidate volume (the standard bands/rows knob);
+    the registered recovery query runs its first pass at one band so
+    organic corpora exercise the straggler-recovery path end-to-end.
 
     Plan shape (restructured r7 after the first two-decade probe measured
     exponent ~1.0 with the second decade at 1.10): ONE map-only pass
@@ -626,8 +645,12 @@ def minhash_lsh_pairs(
     # vs true string jaccard ~ |sh|^2 / 2P ~ 1e-4 relative). prepped is
     # persisted (signature build + both verify sides read it); banded is
     # persisted slim (both pairing branches read it).
-    prepped = persist_tracked(shingle_hash_prepped(df, text_col, id_col))
-    banded = persist_tracked(minhash_band_keys(prepped, id_col))
+    if prepped is None:
+        prepped = persist_tracked(shingle_hash_prepped(df, text_col, id_col))
+    banded = minhash_band_keys(prepped, id_col)
+    if band_subset is not None:
+        banded = banded.filter(F.col("band").isin(list(band_subset)))
+    banded = persist_tracked(banded)
     # ``bucket_cap`` defaults to the shipped MINHASH_BUCKET_CAP; the
     # recall probe (tools/recall_probe.py) passes a huge value to measure
     # the uncapped form against the same corpus
@@ -666,6 +689,7 @@ def minhash_recovery_pairs(
     id_col: str = "doc_id",
     threshold: float = 0.8,
     index_bucket_cap: int = MINHASH_BUCKET_CAP,
+    prepped: DataFrame | None = None,
 ) -> DataFrame:
     """Second-seed banding recall booster (VERDICT r8 stretch #8): the
     cc_probe found 0.06–0.08% of a giant cluster's members share NO band
@@ -686,8 +710,17 @@ def minhash_recovery_pairs(
     generated (candidates require an unpaired side). Output: (d1 < d2,
     jaccard) NEW verified pairs to union with the seed-1 pair set before
     grouping. Cost/recovery on the giant-cluster staging is measured by
-    tools/cc_probe.py --recover (BASELINE §4.3)."""
-    prepped = persist_tracked(shingle_hash_prepped(docs, text_col, id_col))
+    tools/cc_probe.py --recover (BASELINE §4.3).
+
+    ``prepped`` optionally supplies the ALREADY-PERSISTED
+    shingle_hash_prepped table the first pass built, so the composed
+    seed-1 + seed-2 query hashes and caches the corpus exactly once
+    (r10, ADVICE r9 #3 — the same sharing device as
+    incremental_minhash_pairs' index_tables=)."""
+    if prepped is None:
+        prepped = persist_tracked(
+            shingle_hash_prepped(docs, text_col, id_col)
+        )
     paired_ids = first_pairs.select(
         F.explode(F.array("d1", "d2")).alias(id_col)
     ).distinct()

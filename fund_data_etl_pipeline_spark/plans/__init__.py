@@ -94,28 +94,146 @@ def load_all() -> None:
     )
 
 
-# Round-9 rotation policy (VERDICT r8 next-step #1). Cap is still 50
-# driver slots; 109 queries registered (the r5 freeze was a
-# rotation-bookkeeping device — VERDICT r8 #3 explicitly grows the
-# registry with dedup_incremental_exact + dedup_incremental_minhash, both
-# documented below; the r9 stretch adds dedup_recovery_pairs the same way). Invariant: every oracle-bearing query is
-# driver-green within the last two rounds, OR on the documented
+# Round-10 rotation policy (VERDICT r9 next-step #1). Cap is 50 driver
+# slots; 110 queries registered (109 + the r10 dim_merge registration —
+# VERDICT r9 "What's missing" #2). Invariant: every oracle-bearing query
+# is driver-green within the last two rounds, OR on the documented
 # peer-coverage exception list below (re-proven by the local gate at all
 # three SFs instead).
 #
-# This round's 50 slots: (a) the five r8 exception-list names — last
-# driver row r6, two rounds stale, they MUST lead (VERDICT r8 #1);
-# (b) 45 of the 50 r7-green names whose two-round window closes at r9.
-# The five r7-green names that overflow the cap move to the exception
-# list with peer coverage.
+# This round's 50 slots: (a) the three r9 registrations, locally gated
+# at r9, never driver-checked — they lead (VERDICT r9 #1); (b) the five
+# r9 exception-list names — last driver row r7, their window closes now;
+# (c) 42 of the 50 r8-green names whose two-round window closes at r10.
+# The other 8 r8-green names move to the exception list with peer
+# coverage (the round-5 valve — see note below the list).
 PRIORITY = [
-    # (a) r8 exception-list names — last driver row r6; they go first
+    # (a) r9 registrations (local 3-SF gate only so far)
+    "dedup_incremental_exact",
+    "dedup_incremental_minhash",
+    "dedup_recovery_pairs",
+    # (b) r9 exception-list names — last driver row r7; window closes
+    "rollup_priority",
+    "semi_join_parts",
+    "window_running",
+    "cast_round_coerce",
+    "dedup_embedding_cosine",
+    # (c) r8-green names whose window closes at r10 (42 of 50)
+    "dedup_canonical",
+    "events_tumbling_window",
+    "cdc_latest_snapshot",
+    "scd2_intervals",
+    "event_value_winsorized",
+    "cdc_incremental_merge",
+    "vector_ann_lsh",
+    "dedup_exact",
+    "dedup_groups",
+    "dedup_groups_star",
+    "leakage_safe_split",
+    "dedup_spans",
+    "contamination_check",
+    "dedup_simhash",
+    "dedup_hybrid",
+    "dedup_semantic_lsh",
+    "events_funnel",
+    "fund_manual_apply",
+    "fund_dividend_scaled",
+    "pricing_summary",
+    "pivot_status",
+    "range_join_ship_window",
+    "salted_skew_agg",
+    "zorder_layout",
+    "table_profile",
+    "local_supplier_revenue",
+    "large_order_customers",
+    "bm25_topk",
+    "events_anomaly_zscore",
+    "text_quality",
+    "text_lang_id",
+    "text_fingerprint",
+    "stratified_sample",
+    "sequence_packing",
+    "epoch_shuffle",
+    "doc_chunking",
+    "corpus_top_terms",
+    "text_repetition_filter",
+    "text_scrub",
+    "source_mixture_weights",
+    "doc_tfidf_topk",
+    "events_hourly_gapfill",
+]
+
+# PRIORITY is exactly at the 50-query driver cap (3 + 5 + 42).
+
+# EXCEPTION LIST (round-10 cap overflow — 58 oracle-bearing names owed a
+# row vs 50 slots, so these eight r8-green queries go one round on peer
+# coverage). Each is chosen because its machinery is provably inside
+# r9-green or r10-PRIORITY peers, and each is re-proven by the local
+# gate (tools/check_correctness.py) at sf0.001/0.01/0.1 this round:
+#   cube_lineitem — CUBE lowers to the same Expand + hash-agg as the
+#     r9-green grouping_sets_sql and the r10-PRIORITY rollup_priority
+#     (one Expand node, identical aggregate path);
+#   topk_revenue — TakeOrderedAndProject over a hash agg; the r9-green
+#     shipping_priority_topk is the same plan shape end-to-end;
+#   agg_stats — partial-aggregable multi-stat hash agg; the r9-green
+#     event_value_stats is the same shape, and run_all's audit pytest
+#     executes agg_stats' builder every round;
+#   intersect_nations — INTERSECT lowers to LeftSemi + distinct; the
+#     r10-PRIORITY semi_join_parts pins the LeftSemi translation and
+#     the r9-green distinct_pairs the distinct;
+#   except_nations — EXCEPT lowers to LeftAnti + distinct; the r9-green
+#     anti_join_customers pins the LeftAnti path;
+#   vector_cosine_topk — exact cosine + per-query rank; the r9-green
+#     dedup_semantic and vector_ann_ivf exercise the same cosine
+#     arithmetic (functions shared via operators/similarity) and rank;
+#   quality_deciles — ntile WindowExec; the r9-green
+#     user_rolling_7d_spend runs the strictly-harder range-frame window
+#     over the same exchange shape;
+#   doc_hash_split — deterministic salted-hash split; the r9-green
+#     quality_weighted_sample and source_capped_sample exercise the
+#     same operators/sampling hash machinery.
+#
+# NEW REGISTRATION (VERDICT r9 "What's missing" #2): dim_merge — the
+# dimension-table upsert (merge_dim operator) — carries an exact DuckDB
+# oracle and is verified via the sanctioned local-gate path this round
+# (3-SF re-proof); it takes a driver slot at the head of round 11's
+# PRIORITY, exactly the r9-registration pattern.
+#
+# Note on dedup_recovery_pairs (seated in PRIORITY above): its r9
+# vacuous-row problem (organic 0/0/1 rows) is FIXED this round — the
+# registered query's first pass runs at a one-band budget
+# (plans/dedup._RECOVERY_P1_BANDS), so the driver row compares 4
+# nontrivial recovered pairs at sf0.01 (6 at sf0.001, 16 at sf0.1),
+# hash-exact (VERDICT r9 #3 / ADVICE r9 #2).
+#
+# DEPRIORITY: names that safely fall past the cap this round. The 50
+# r9-green names (fresh driver rows in CORRECTNESS_r09, window open
+# through round 11), the eight exception-list names above, the
+# rows-only-by-design sketch query, and the new locally-gated dim_merge.
+# 50 + 8 + 1 + 1 = 60 = registered 110 - cap 50, so the cap's cut is
+# wholly chosen here — nothing falls past by registration-order
+# accident.
+DEPRIORITY = [
+    # eight exception-list names (peer coverage documented above)
+    "cube_lineitem",
+    "topk_revenue",
+    "agg_stats",
+    "intersect_nations",
+    "except_nations",
+    "vector_cosine_topk",
+    "quality_deciles",
+    "doc_hash_split",
+    # rows-only by design (KLL/HLL sketch aggregate; rank-contract parity
+    # is pytest-asserted) — its weak row adds nothing over r4's
+    "event_value_stats_approx",
+    # new this round, locally gated at 3 SFs (leads r11 PRIORITY)
+    "dim_merge",
+    # r9-green (driver rows in CORRECTNESS_r09): window open to round 11
     "fund_manual_confirm",
     "fund_manual_redemption",
     "fund_manual_dividend",
     "events_sliding_window",
     "shipping_priority_topk",
-    # (b) r7-green names whose window closes at r9 (45 of 50)
     "dedup_ngram_capped",
     "when_cascade_tier",
     "graph_pagerank",
@@ -161,116 +279,6 @@ PRIORITY = [
     "quality_weighted_sample",
     "events_session_window",
     "user_retention_cohorts",
-]
-
-# PRIORITY is exactly at the 50-query driver cap (5 + 45).
-
-# EXCEPTION LIST (this round's cap overflow — 55 oracle-bearing names
-# owed a row vs 50 slots, so these five r7-green queries go one round on
-# peer coverage). Each is chosen because its machinery is provably
-# inside r8-green or r9-PRIORITY peers, and each is re-proven by the
-# local gate (tools/check_correctness.py) at sf0.001/0.01/0.1:
-#   rollup_priority — the same Expand-node rollup/cube/grouping-sets
-#     machinery as the r9-PRIORITY grouping_sets_sql and the r8-green
-#     cube_lineitem (all three lower to one Expand + hash-agg);
-#   semi_join_parts — LeftSemi translation; the r9-PRIORITY
-#     anti_join_customers is the same ExistenceJoin planning path
-#     (LeftAnti), same broadcast-able dim shape;
-#   window_running — running-sum window frame; the r9-PRIORITY
-#     user_rolling_7d_spend exercises the same WindowExec with the
-#     strictly-harder range frame, and events_sliding_window covers
-#     the windows.py module end-to-end;
-#   cast_round_coerce — try_cast coerce + round2; the r9-PRIORITY
-#     date_math/derived_arithmetic share functions/cleaning + numeric,
-#     and round2 is value-hashed in every money-bearing PRIORITY query;
-#   dedup_embedding_cosine — exact-cosine threshold pairing; the
-#     r9-PRIORITY dedup_semantic and the r8-green vector_cosine_topk
-#     exercise the same cosine arithmetic and greedy-min-id keep rule.
-#
-# NEW REGISTRATIONS (VERDICT r8 #3 + stretch #8):
-# dedup_incremental_exact, dedup_incremental_minhash and
-# dedup_recovery_pairs (the second-seed straggler-recovery pass) carry
-# exact DuckDB oracles and are verified via the sanctioned local-gate
-# path this round (the #3 "or via the local gate at 3 SFs" arm) — they
-# take driver slots at the head of round 10's PRIORITY. Note on
-# dedup_recovery_pairs' organic row counts: seed-1 banding at t=0.8
-# catches every near-dup pair in the small organic corpora, so the
-# oracle comparison is 0 = 0 rows at sf0.001/0.01 and 1 = 1 at sf0.1;
-# the operator's SEMANTICS are pinned by the planted-twin pytest and
-# its measured recall by tools/cc_probe.py --recover (80–100% of
-# giant-cluster banding stragglers reattached — BASELINE §4.3).
-#
-# DEPRIORITY: names that safely fall past the cap this round. The 50
-# r8-green names (fresh driver rows, window open through round 10), the
-# five exception-list names above, the rows-only-by-design sketch query,
-# and the three new locally-gated registrations. 50 + 5 + 1 + 3 = 59 =
-# registered 109 - cap 50, so the cap's cut is wholly chosen here —
-# nothing falls past by registration-order accident.
-DEPRIORITY = [
-    # five exception-list names (peer coverage documented above)
-    "rollup_priority",
-    "semi_join_parts",
-    "window_running",
-    "cast_round_coerce",
-    "dedup_embedding_cosine",
-    # rows-only by design (KLL/HLL sketch aggregate; rank-contract parity
-    # is pytest-asserted) — its weak row adds nothing over r4's
-    "event_value_stats_approx",
-    # new this round, locally gated at 3 SFs (lead r10 PRIORITY)
-    "dedup_incremental_exact",
-    "dedup_incremental_minhash",
-    "dedup_recovery_pairs",
-    # r8-green (driver rows in CORRECTNESS_r08): window open to round 10
-    "vector_cosine_topk",
-    "dedup_canonical",
-    "cube_lineitem",
-    "topk_revenue",
-    "events_tumbling_window",
-    "cdc_latest_snapshot",
-    "scd2_intervals",
-    "event_value_winsorized",
-    "cdc_incremental_merge",
-    "vector_ann_lsh",
-    "dedup_exact",
-    "dedup_groups",
-    "dedup_groups_star",
-    "leakage_safe_split",
-    "dedup_spans",
-    "contamination_check",
-    "dedup_simhash",
-    "dedup_hybrid",
-    "dedup_semantic_lsh",
-    "events_funnel",
-    "fund_manual_apply",
-    "fund_dividend_scaled",
-    "pricing_summary",
-    "agg_stats",
-    "pivot_status",
-    "range_join_ship_window",
-    "salted_skew_agg",
-    "intersect_nations",
-    "except_nations",
-    "zorder_layout",
-    "table_profile",
-    "local_supplier_revenue",
-    "large_order_customers",
-    "bm25_topk",
-    "events_anomaly_zscore",
-    "text_quality",
-    "text_lang_id",
-    "text_fingerprint",
-    "quality_deciles",
-    "doc_hash_split",
-    "stratified_sample",
-    "sequence_packing",
-    "epoch_shuffle",
-    "doc_chunking",
-    "corpus_top_terms",
-    "text_repetition_filter",
-    "text_scrub",
-    "source_mixture_weights",
-    "doc_tfidf_topk",
-    "events_hourly_gapfill",
 ]
 
 

@@ -156,13 +156,18 @@ def dedup_ngram_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _minhash_oracle(threshold: float = _JACCARD_T) -> str:
+def _minhash_oracle(
+    threshold: float = _JACCARD_T,
+    band_subset: tuple[int, ...] | None = None,
+) -> str:
     sig_exprs = ",\n             ".join(
         f"{G.minhash_sql(i, 'hs')} AS mh{i}" for i in range(len(MINHASH_A))
     )
     band_selects = "\n      UNION ALL\n      ".join(
         f"SELECT doc_id, {b} AS band, {G.band_key_sql(b)} AS key FROM sig"
-        for b in range(MINHASH_BANDS)
+        for b in (
+            band_subset if band_subset is not None else range(MINHASH_BANDS)
+        )
     )
     return f"""
     WITH {_shingle_cte()},
@@ -253,12 +258,16 @@ def dedup_incremental_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     return fresh.select("doc_id", "content_hash")
 
 
-def _recovery_oracle(threshold: float = _JACCARD_T) -> str:
+def _recovery_oracle(
+    threshold: float = _JACCARD_T,
+    p1_band_subset: tuple[int, ...] | None = None,
+) -> str:
     """Oracle twin of operators/dedup.minhash_recovery_pairs: seed-1
-    pairs (the full _minhash_oracle, nested as a subquery — the
-    _GROUPS_CTE trick) define the unpaired set; seed-2 signatures
-    (G.minhash_sql seed=1 → MINHASH_A2/B2) band ALL docs, the index
-    side capped per (band, key) by ROW_NUMBER, and only
+    pairs (_minhash_oracle, nested as a subquery — the _GROUPS_CTE
+    trick; ``p1_band_subset`` mirrors the registered query's reduced
+    first-pass banding budget) define the unpaired set; seed-2
+    signatures (G.minhash_sql seed=1 → MINHASH_A2/B2) band ALL docs,
+    the index side capped per (band, key) by ROW_NUMBER, and only
     unpaired-touching candidates verify."""
     sig2 = ",\n             ".join(
         f"{G.minhash_sql(i, 'hs', seed=1)} AS mh{i}"
@@ -270,7 +279,7 @@ def _recovery_oracle(threshold: float = _JACCARD_T) -> str:
     )
     return f"""
     WITH {_shingle_cte()},
-    p1 AS (SELECT d1, d2 FROM ({_minhash_oracle(threshold)}) t),
+    p1 AS (SELECT d1, d2 FROM ({_minhash_oracle(threshold, p1_band_subset)}) t),
     paired AS (SELECT d1 AS doc_id FROM p1 UNION SELECT d2 FROM p1),
     unp AS (SELECT doc_id FROM documents ANTI JOIN paired USING (doc_id)),
     sig2 AS (SELECT doc_id,
@@ -308,19 +317,46 @@ def _recovery_oracle(threshold: float = _JACCARD_T) -> str:
     """
 
 
-@register("dedup_recovery_pairs", oracle=_recovery_oracle())
+# The registered recovery query's FIRST pass runs at a one-band budget:
+# at the driver SFs the full 4-band seed-1 lottery catches every organic
+# near-dup pair (their jaccards are 0.9+, band-miss odds (1-J^4)^4 <
+# 2%), which made the r9 driver row compare empty sets (VERDICT r9 #3 /
+# ADVICE r9 #2 — vacuous). One band misses (1-J^4) ≈ 5–35% of organic
+# pairs, so real stragglers exist at every SF (4 recovered pairs at
+# sf0.01) and the seed-2 banding + cap + verify machinery is
+# value-checked against nontrivial rows. Production composition uses
+# the full first pass (operator default); that form stays pinned by the
+# planted-twin pytest + cc_probe --recover.
+_RECOVERY_P1_BANDS: tuple[int, ...] = (0,)
+
+
+@register(
+    "dedup_recovery_pairs",
+    oracle=_recovery_oracle(p1_band_subset=_RECOVERY_P1_BANDS),
+)
 def dedup_recovery_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Second-seed straggler recovery (operators/dedup.
     minhash_recovery_pairs, the r9 stretch): docs with no seed-1
-    verified pair re-band with the independent MINHASH_A2/B2
+    verified pair (first pass at the reduced _RECOVERY_P1_BANDS budget —
+    see the note above) re-band with the independent MINHASH_A2/B2
     permutations and probe the corpus's capped seed-2 band table; exact
     jaccard verifies. Output: (d1 < d2, jaccard) NEW pairs only — a
     dedup pipeline unions them with the seed-1 pair set before
     grouping. Both banding lotteries and the cap replay in the oracle,
-    so the recall booster itself is value-checked."""
+    so the recall booster itself is value-checked. The corpus is
+    shingle-hashed and persisted ONCE, shared by both passes (ADVICE
+    r9 #3)."""
     docs = load_table(spark, sf_dir, "documents")
-    first = D.minhash_lsh_pairs(docs, threshold=_JACCARD_T)
-    return D.minhash_recovery_pairs(docs, first, threshold=_JACCARD_T)
+    prepped = persist_tracked(D.shingle_hash_prepped(docs, "text", "doc_id"))
+    first = D.minhash_lsh_pairs(
+        docs,
+        threshold=_JACCARD_T,
+        prepped=prepped,
+        band_subset=_RECOVERY_P1_BANDS,
+    )
+    return D.minhash_recovery_pairs(
+        docs, first, threshold=_JACCARD_T, prepped=prepped
+    )
 
 
 def _inc_minhash_oracle(threshold: float = _JACCARD_T) -> str:

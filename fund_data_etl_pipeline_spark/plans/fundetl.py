@@ -296,3 +296,100 @@ def fund_manual_dividend(spark: SparkSession, sf_dir: str) -> DataFrame:
     return jobs.manual_dividend_job(
         FX.docs_df(spark, FX.MANUAL_DOCS), FX.dim_df(spark), FX.RUN_DATE
     )
+
+
+@register(
+    "dim_merge",
+    oracle="""
+    WITH base AS (
+      SELECT n_name AS product_name,
+             CAST(n_nationkey AS VARCHAR) AS ledger_code,
+             'default' AS map_kind
+      FROM nation
+    ),
+    changes AS (
+      SELECT n_name AS product_name,
+             'N' || CAST(n_nationkey AS VARCHAR) AS ledger_code,
+             'default' AS map_kind, 'upsert' AS op,
+             CAST(n_nationkey + 100 AS BIGINT) AS seq
+      FROM nation WHERE n_nationkey % 3 = 0
+      UNION ALL
+      SELECT n_name, CAST(NULL AS VARCHAR), 'default', 'delete',
+             CAST(n_nationkey + 200 AS BIGINT)
+      FROM nation WHERE n_nationkey % 4 = 1
+      UNION ALL
+      SELECT 'R-' || r_name, CAST(r_regionkey AS VARCHAR), 'default',
+             'upsert', CAST(r_regionkey AS BIGINT)
+      FROM region
+      UNION ALL
+      SELECT n_name, 'X' || CAST(n_nationkey AS VARCHAR), 'default',
+             'upsert', CAST(n_nationkey + 300 AS BIGINT)
+      FROM nation WHERE n_nationkey % 6 = 0
+    ),
+    latest AS (
+      SELECT product_name, ledger_code, map_kind, op FROM (
+        SELECT product_name, ledger_code, map_kind, op,
+               ROW_NUMBER() OVER (
+                 PARTITION BY product_name, map_kind ORDER BY seq DESC
+               ) AS rn
+        FROM changes
+      ) WHERE rn = 1
+    )
+    SELECT b.product_name, b.ledger_code, b.map_kind
+    FROM base b
+    ANTI JOIN latest l USING (product_name, map_kind)
+    UNION ALL
+    SELECT product_name, ledger_code, map_kind FROM latest
+    WHERE op = 'upsert'
+    """,
+)
+def dim_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dimension upsert/delete merge (operators/normalize.merge_dim —
+    VERDICT r9 "What's missing" #2; reference CRUD at
+    ui/product_code_manager.py:119-128,166-170). The driver tables stage
+    a deterministic change feed over a nation-derived dimension:
+    upserts (key % 3), deletes (key % 4 = 1), brand-new rows (from
+    region), and a CONFLICTING later upsert (key % 6) that must beat the
+    earlier one — last-write-wins by seq, every branch of the merge
+    exercised. Codes stay strings (mixed-type sort is O1's concern)."""
+    from ..operators.normalize import merge_dim
+    from ..sources import load_table
+
+    nation = load_table(spark, sf_dir, "nation")
+    region = load_table(spark, sf_dir, "region")
+    base = nation.select(
+        F.col("n_name").alias("product_name"),
+        F.col("n_nationkey").cast("string").alias("ledger_code"),
+        F.lit("default").alias("map_kind"),
+    )
+    nk = F.col("n_nationkey")
+    up1 = nation.filter(nk % 3 == 0).select(
+        F.col("n_name").alias("product_name"),
+        F.concat(F.lit("N"), nk.cast("string")).alias("ledger_code"),
+        F.lit("default").alias("map_kind"),
+        F.lit("upsert").alias("op"),
+        (nk + 100).cast("long").alias("seq"),
+    )
+    dels = nation.filter(nk % 4 == 1).select(
+        F.col("n_name").alias("product_name"),
+        F.lit(None).cast("string").alias("ledger_code"),
+        F.lit("default").alias("map_kind"),
+        F.lit("delete").alias("op"),
+        (nk + 200).cast("long").alias("seq"),
+    )
+    news = region.select(
+        F.concat(F.lit("R-"), F.col("r_name")).alias("product_name"),
+        F.col("r_regionkey").cast("string").alias("ledger_code"),
+        F.lit("default").alias("map_kind"),
+        F.lit("upsert").alias("op"),
+        F.col("r_regionkey").cast("long").alias("seq"),
+    )
+    up2 = nation.filter(nk % 6 == 0).select(
+        F.col("n_name").alias("product_name"),
+        F.concat(F.lit("X"), nk.cast("string")).alias("ledger_code"),
+        F.lit("default").alias("map_kind"),
+        F.lit("upsert").alias("op"),
+        (nk + 300).cast("long").alias("seq"),
+    )
+    changes = up1.unionByName(dels).unionByName(news).unionByName(up2)
+    return merge_dim(base, changes)
