@@ -324,10 +324,19 @@ def ann_lsh_topk(
     exact cosine ranks the candidates. The crossJoin of cosine_topk becomes
     an equi-join on (table, bucket) — the 100 TB-scale path; recall grows
     with ``tables``, candidate count shrinks with ``planes``.
+
+    Candidate generation is ID-ONLY (r10, VERDICT r9 #2 — the same
+    restructure dedup_semantic_lsh got in r6): the (tbl, bucket)
+    equi-join and the pair dedup move (id, tbl, bucket) rows, never the
+    embedding arrays; the distinct (query_id, neighbor_id) pairs join
+    the vectors back by id for the exact-cosine rank. At the test's 64
+    dims the payload was ~16× the id width — at production 1–4 k-dim
+    embeddings the old form's candidate shuffle grows ~50×, while this
+    one is invariant to dimension until the verify stage.
     """
     from pyspark.sql.window import Window as W
 
-    def with_buckets(df: DataFrame, idn: str, vn: str) -> DataFrame:
+    def with_buckets(df: DataFrame, idn: str) -> DataFrame:
         v = as_double(F.col(vec_col))
         buckets = F.array(
             *[
@@ -339,21 +348,32 @@ def ann_lsh_topk(
             ]
         )
         return df.select(
-            F.col(id_col).alias(idn), v.alias(vn), F.explode(buckets).alias("tb")
-        ).select(idn, vn, F.col("tb.tbl").alias("tbl"), F.col("tb.bucket").alias("bucket"))
+            F.col(id_col).alias(idn), F.explode(buckets).alias("tb")
+        ).select(idn, F.col("tb.tbl").alias("tbl"), F.col("tb.bucket").alias("bucket"))
 
-    q = with_buckets(queries, "query_id", "qv")
-    v = with_buckets(vectors, "neighbor_id", "nv")
+    q = with_buckets(queries, "query_id")
+    v = with_buckets(vectors, "neighbor_id")
     cand = (
         q.join(v, ["tbl", "bucket"])
         .filter(F.col("query_id") != F.col("neighbor_id"))
-        .select("query_id", "qv", "neighbor_id", "nv")
+        .select("query_id", "neighbor_id")
         .dropDuplicates(["query_id", "neighbor_id"])
     )
-    scored = cand.select(
-        "query_id",
-        "neighbor_id",
-        round2(cosine(F.col("qv"), F.col("nv")), 6).alias("cos_sim"),
+    qvecs = queries.select(
+        F.col(id_col).alias("query_id"), as_double(F.col(vec_col)).alias("qv")
+    )
+    nvecs = vectors.select(
+        F.col(id_col).alias("neighbor_id"),
+        as_double(F.col(vec_col)).alias("nv"),
+    )
+    scored = (
+        cand.join(qvecs, "query_id")
+        .join(nvecs, "neighbor_id")
+        .select(
+            "query_id",
+            "neighbor_id",
+            round2(cosine(F.col("qv"), F.col("nv")), 6).alias("cos_sim"),
+        )
     )
     w = W.partitionBy("query_id").orderBy(
         F.col("cos_sim").desc(), F.col("neighbor_id")

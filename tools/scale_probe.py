@@ -200,7 +200,12 @@ def build_scaled_dir(spark, sf_dir: str, factor: int) -> str:
 
 
 def build_skewed_dir(
-    spark, sf_dir: str, factor: int, frac: float, n_centroids: int = 4
+    spark,
+    sf_dir: str,
+    factor: int,
+    frac: float,
+    n_centroids: int = 4,
+    include_query_ids: int = 0,
 ) -> str:
     """Stage a CLUSTERED embeddings corpus (VERDICT r6 next-step #3): a
     ``frac`` fraction of the scaled vectors become tiny deterministic
@@ -215,15 +220,25 @@ def build_skewed_dir(
     overtakes the linear ~N*OCC/2 term once N > C*OCC/frac^2 — at
     frac=1% that is 640k vectors (beyond this probe's 100x=200k corpus,
     so 1% stays linear-dominated HERE), at frac=5% it is 25.6k (well
-    inside), which is why the BASELINE.md row stresses 5%."""
+    inside), which is why the BASELINE.md row stresses 5%.
+
+    ``include_query_ids`` > 0 additionally forces vec_id <
+    include_query_ids into the clustered family — clustered-QUERY skew
+    (VERDICT r9 #6): the registered ANN queries draw their query set
+    from the lowest vec_ids, so this stages every query vector inside a
+    hot bucket shared by ~frac*N corpus vectors, the worst-case
+    candidate fan-out on the query side."""
     from fund_data_etl_pipeline_spark.sources.tables import TABLE_NAMES, load_table
 
     tag = str(frac).replace(".", "p")
-    out_dir = os.path.join(REPO, f".scale_probe_skew{tag}_x{factor}")
+    qtag = f"q{include_query_ids}_" if include_query_ids else ""
+    out_dir = os.path.join(REPO, f".scale_probe_skew{qtag}{tag}_x{factor}")
     marker = os.path.join(out_dir, ".complete")
     src = os.path.join(sf_dir, "embeddings.parquet")
     st = os.stat(src)
-    fingerprint = f"emb:{st.st_size}:{st.st_mtime_ns}:c{n_centroids}"
+    fingerprint = (
+        f"emb:{st.st_size}:{st.st_mtime_ns}:c{n_centroids}:q{include_query_ids}"
+    )
     if os.path.exists(marker):
         with open(marker) as fh:
             if fh.read() == fingerprint:
@@ -244,6 +259,8 @@ def build_skewed_dir(
     skewed = F.pmod(F.xxhash64(new_id), F.lit(1_000_000)) < int(
         frac * 1_000_000
     )
+    if include_query_ids:
+        skewed = skewed | (new_id < include_query_ids)
     cpick = F.pmod(F.xxhash64(new_id + F.lit(131)), F.lit(n_centroids))
     cvec = None
     for ci in range(n_centroids):
@@ -597,6 +614,73 @@ def slsh_occupancy(spark, sf_dir: str) -> dict:
     }
 
 
+def ann_occupancy(spark, sf_dir: str) -> dict:
+    """Bucket-occupancy diagnostic at the REGISTERED ANN-LSH params
+    (plans/vectors: 4 tables x 4 planes): max / p99 / mean rows per
+    (tbl, bucket), plus the query-side candidate fan-out — the sum of
+    bucket occupancies over the registered query set's buckets (what
+    the per-query candidate join actually pays). The query-skew probe
+    (VERDICT r9 #6) records this next to the exponent."""
+    from fund_data_etl_pipeline_spark.operators.similarity import (
+        as_double,
+        rhp_bucket,
+    )
+    from fund_data_etl_pipeline_spark.plans.vectors import (
+        _LSH_DIMS,
+        _LSH_PLANES,
+        _LSH_TABLES,
+        _N_QUERIES,
+    )
+    from fund_data_etl_pipeline_spark.sources.tables import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", as_double(F.col("embedding")).alias("v")
+    )
+    sig = emb.select(
+        "vec_id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(t).alias("tbl"),
+                        rhp_bucket(
+                            F.col("v"), _LSH_PLANES, _LSH_DIMS,
+                            offset=t * _LSH_PLANES,
+                        ).alias("bucket"),
+                    )
+                    for t in range(_LSH_TABLES)
+                ]
+            )
+        ).alias("tb"),
+    ).select("vec_id", F.col("tb.tbl").alias("tbl"), F.col("tb.bucket").alias("bucket"))
+    sig = sig.persist()
+    try:
+        occ = sig.groupBy("tbl", "bucket").count()
+        row = occ.agg(
+            F.max("count").alias("mx"),
+            F.expr("percentile(count, 0.99)").alias("p99"),
+            F.avg("count").alias("mean"),
+        ).collect()[0]
+        qfan = (
+            sig.filter(F.col("vec_id") < _N_QUERIES)
+            .join(occ, ["tbl", "bucket"])
+            .groupBy("vec_id")
+            .agg(F.sum("count").alias("fan"))
+            .agg(F.max("fan"), F.avg("fan"))
+            .collect()[0]
+        )
+    finally:
+        sig.unpersist()
+    return {
+        "n": emb.count(),
+        "max_occ": int(row["mx"]),
+        "p99_occ": round(float(row["p99"]), 1),
+        "mean_occ": round(float(row["mean"]), 2),
+        "query_max_fan": int(qfan[0]),
+        "query_mean_fan": round(float(qfan[1]), 1),
+    }
+
+
 def minhash_occupancy(spark, sf_dir: str) -> dict:
     """(band, key) bucket-occupancy diagnostic — the minhash twin of
     slsh_occupancy, plus the count of buckets past the pair cap."""
@@ -729,6 +813,17 @@ def main() -> None:
         "dedup_ngram_capped,dedup_hybrid,dedup_minhash_lsh,"
         "dedup_semantic_lsh; occupancy + hot-shingle drop counts logged",
     )
+    ap.add_argument(
+        "--query-skew",
+        type=float,
+        default=None,
+        help="clustered-QUERY skew mode (VERDICT r9 #6): stage this "
+        "fraction of vectors as centroid near-copies AND force the "
+        "registered ANN query ids into the clustered family, so every "
+        "query sits in a hot bucket; default queries become "
+        "vector_ann_lsh,vector_ann_ivf; ann_occupancy (incl. per-query "
+        "candidate fan-out) logged per scale point",
+    )
     args = ap.parse_args()
     factors = [int(f) for f in args.factors.split(",")]
     queries = (
@@ -745,7 +840,11 @@ def main() -> None:
                     "dedup_semantic_lsh",
                 ]
                 if args.doc_skew
-                else PROBE_QUERIES
+                else (
+                    ["vector_ann_lsh", "vector_ann_ivf"]
+                    if args.query_skew
+                    else PROBE_QUERIES
+                )
             )
         )
     )
@@ -776,6 +875,20 @@ def main() -> None:
         base_dir = build_clustered_dir(spark, args.sf, 1, args.doc_skew)
         occ = {}  # filled AFTER the timed suites (diagnostics are the
         # slow single-core part at 100x; timing is the deliverable)
+    elif args.query_skew:
+        from fund_data_etl_pipeline_spark.plans.vectors import _N_QUERIES
+
+        scaled_dirs = {
+            f: build_skewed_dir(
+                spark, args.sf, f, args.query_skew,
+                include_query_ids=_N_QUERIES,
+            )
+            for f in factors
+        }
+        base_dir = build_skewed_dir(
+            spark, args.sf, 1, args.query_skew, include_query_ids=_N_QUERIES
+        )
+        occ = {}  # filled after the timed suites (timing first)
     else:
         scaled_dirs = {f: build_scaled_dir(spark, args.sf, f) for f in factors}
         base_dir = args.sf
@@ -808,6 +921,12 @@ def main() -> None:
             }
             print(f"clustered {s}x: {occ[s]}")
         out["doc_skew_frac"] = args.doc_skew
+        out["occupancy"] = {str(s): o for s, o in occ.items()}
+    if args.query_skew:
+        for s, d in [(1, base_dir)] + [(f, scaled_dirs[f]) for f in factors]:
+            occ[s] = ann_occupancy(spark, d)
+            print(f"ann query-skew {s}x: {occ[s]}")
+        out["query_skew_frac"] = args.query_skew
         out["occupancy"] = {str(s): o for s, o in occ.items()}
     print(json.dumps(out))
     spark.stop()
