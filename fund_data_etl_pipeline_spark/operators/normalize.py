@@ -102,7 +102,9 @@ def merge_dim(
     survivors = latest.filter(F.col(op_col) == "upsert").drop(
         op_col, seq_col
     )
-    return untouched.unionByName(survivors)
+    # the list-of-names anti join fronts its key columns; restore the
+    # base's column order so the merged dimension's schema is stable
+    return untouched.unionByName(survivors).select(*base.columns)
 
 
 def require_fields(df: DataFrame, cols: list[str]) -> DataFrame:

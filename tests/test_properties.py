@@ -150,3 +150,63 @@ def test_round2_py_matches_column_form(spark):
         ]
         py_out = [round2_py(v, scale) for v in values]
         assert col_out == py_out, (scale, list(zip(values, col_out, py_out)))
+
+
+@given(
+    st.lists(
+        st.tuples(
+            st.sampled_from(["a", "b", "c", "d"]),   # key
+            st.sampled_from(["upsert", "delete"]),
+            st.integers(0, 99),                       # code payload
+        ),
+        min_size=0,
+        max_size=12,
+    )
+)
+@settings(max_examples=12, deadline=None)
+def test_merge_dim_idempotent_and_lww(spark, ops):
+    """r10 merge_dim properties: (a) applying the same change feed twice
+    is a no-op (merge(merge(b, ch), ch) == merge(b, ch) — re-upserting
+    the surviving values and re-deleting absent keys change nothing);
+    (b) each key's final state equals a driver-side dict replay of the
+    ops in seq order (the reference's mutation semantics)."""
+    from fund_data_etl_pipeline_spark.operators.normalize import merge_dim
+
+    base_rows = [("a", "0", "default"), ("x", "9", "default")]
+    base = spark.createDataFrame(
+        base_rows, "product_name string, ledger_code string, map_kind string"
+    )
+    ch_rows = [
+        (k, str(c) if op == "upsert" else None, "default", op, i)
+        for i, (k, op, c) in enumerate(ops)
+    ]
+    schema = (
+        "product_name string, ledger_code string, map_kind string,"
+        " op string, seq long"
+    )
+    changes = spark.createDataFrame(ch_rows, schema) if ch_rows else (
+        spark.createDataFrame([], schema)
+    )
+    once = merge_dim(base, changes)
+    # named access: the anti-join puts its key columns first, so
+    # positional order is (product_name, map_kind, ledger_code)
+    got = {
+        (r["product_name"], r["map_kind"]): r["ledger_code"]
+        for r in once.collect()
+    }
+
+    # (b) dict replay oracle
+    d = {(k, m): c for k, c, m in base_rows}
+    for k, op, c in ops:  # ops are already in seq order
+        if op == "upsert":
+            d[(k, "default")] = str(c)
+        else:
+            d.pop((k, "default"), None)
+    assert got == d
+
+    # (a) idempotence
+    twice = merge_dim(once, changes)
+    assert {
+        (r["product_name"], r["map_kind"]): r["ledger_code"]
+        for r in twice.collect()
+    } == got
