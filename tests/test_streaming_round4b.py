@@ -367,3 +367,86 @@ def test_streaming_minhash_neardup_parity_with_batch(spark, tmp_path):
         for r in spark.read.parquet(out2).collect()
     }
     assert streamed2 == batch
+
+
+def test_streaming_dim_maintenance_parity_with_batch(spark, tmp_path):
+    """r10: folding a dimension change feed per micro-batch through
+    streaming_dim_maintenance (foreachBatch over THE SAME merge_dim
+    builder) ends at exactly the batch merge_dim(base, all changes) —
+    including a cross-batch edit chain, a delete, an insert, and a
+    same-key conflict resolved by seq across the batch boundary. Also
+    pins the version/pointer commit protocol: one immutable vN dir per
+    micro-batch, _CURRENT pointing at the last."""
+    import os
+
+    from fund_data_etl_pipeline_spark.operators.normalize import merge_dim
+    from fund_data_etl_pipeline_spark.streaming.file_ingest import (
+        streaming_dim_maintenance,
+    )
+
+    base = spark.createDataFrame(
+        [
+            ("fund-a", "1001", "default"),
+            ("fund-b", "1002", "default"),
+            ("fund-a", "C100", "conversion"),
+        ],
+        "product_name string, ledger_code string, map_kind string",
+    )
+    # seq monotone in arrival order (the documented delivery contract);
+    # fund-a edited in batch 1 then re-edited in batch 2 (the cross-batch
+    # last-write-wins case), fund-b deleted, fund-c inserted
+    feed = [
+        {"product_name": "fund-a", "ledger_code": "2001",
+         "map_kind": "default", "op": "upsert", "seq": 1},
+        {"product_name": "fund-b", "ledger_code": None,
+         "map_kind": "default", "op": "delete", "seq": 2},
+        {"product_name": "fund-c", "ledger_code": "1003",
+         "map_kind": "default", "op": "upsert", "seq": 3},
+        {"product_name": "fund-a", "ledger_code": "3001",
+         "map_kind": "default", "op": "upsert", "seq": 4},
+        {"product_name": "fund-c", "ledger_code": None,
+         "map_kind": "default", "op": "delete", "seq": 5},
+    ]
+    cut = 2
+    src = tmp_path / "changes"
+    src.mkdir()
+    out = str(tmp_path / "dim")
+    os.makedirs(out)
+    ckpt = str(tmp_path / "ckpt")
+    schema = (
+        "product_name string, ledger_code string, map_kind string,"
+        " op string, seq long"
+    )
+
+    def run():
+        stream = spark.readStream.schema(schema).json(str(src))
+        q = streaming_dim_maintenance(stream, base, out, ckpt)
+        q.awaitTermination(120)
+
+    _write_jsonl(src / "b1.json", feed[:cut])
+    run()
+    _write_jsonl(src / "b2.json", feed[cut:])
+    run()
+
+    with open(os.path.join(out, "_CURRENT")) as fh:
+        cur = fh.read().strip()
+    streamed = {
+        (r["product_name"], r["map_kind"]): r["ledger_code"]
+        for r in spark.read.parquet(cur).collect()
+    }
+    changes = spark.createDataFrame(
+        [tuple(r.values()) for r in feed], schema
+    )
+    expected = {
+        (r["product_name"], r["map_kind"]): r["ledger_code"]
+        for r in merge_dim(base, changes).collect()
+    }
+    assert streamed == expected
+    assert expected == {
+        ("fund-a", "default"): "3001",
+        ("fund-a", "conversion"): "C100",
+    }
+    # at least two immutable versions committed, pointer at the newest
+    versions = sorted(d for d in os.listdir(out) if d.startswith("v"))
+    assert len(versions) >= 2
+    assert cur.endswith(versions[-1])
