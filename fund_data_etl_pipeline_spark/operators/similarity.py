@@ -20,6 +20,49 @@ from ..functions.text import HASH_P
 from .caching import persist_tracked, release_on_gc
 
 
+# Adaptive index widths (r10 — the note-10 discipline applied to the ANN
+# paths: any bucket/list parameter FIXED while N grows degrades the
+# index toward brute force — at planes=4 a 200 k-vector corpus averaged
+# 12,500 rows per (table, bucket) and ~55–61 k candidates PER QUERY in
+# the r10 query-skew probe). The REGISTERED queries pin widths (their
+# DuckDB oracles replay the exact banding, and recall on a given corpus
+# is a data-geometry question the pinned form keeps reproducible); the
+# operator API defaults to these N-tracking widths, the form you'd ship
+# at 100 TB.
+ANN_OCC_TARGET = 64  # target expected bucket occupancy per table
+ANN_P_MIN = 4
+ANN_P_MAX = 24
+IVF_LISTS_MIN = 16
+
+
+def ann_planes(
+    n: int,
+    occ: int = ANN_OCC_TARGET,
+    p_min: int = ANN_P_MIN,
+    p_max: int = ANN_P_MAX,
+) -> int:
+    """Smallest p in [p_min, p_max] with n <= occ * 2**p — expected
+    bucket occupancy stays ~occ as the corpus grows (the slsh_planes
+    ladder, same integer form). More planes cut per-table recall for a
+    FIXED data geometry; production counters with more tables, which
+    multiplies candidates linearly instead of exponentially."""
+    p = p_min
+    while p < p_max and n > occ * (1 << p):
+        p += 1
+    return p
+
+
+def ivf_lists(n: int, floor: int = IVF_LISTS_MIN) -> int:
+    """~sqrt(N) coarse lists, rounded up to a power of two (the standard
+    IVF sizing: per-list scan cost and list count balance at sqrt(N), so
+    a probe visits ~n_probe*sqrt(N) candidates instead of n_probe*N/16).
+    Floor keeps tiny corpora at the pinned registered width."""
+    lists = floor
+    while lists * lists < n:
+        lists <<= 1
+    return lists
+
+
 def as_double(vec: Column) -> Column:
     return F.transform(vec, lambda x: x.cast("double"))
 
@@ -80,7 +123,7 @@ def ivf_topk(
     vectors: DataFrame,
     queries: DataFrame,
     k: int = 5,
-    n_lists: int = 16,
+    n_lists: int | None = None,
     n_probe: int = 2,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
@@ -97,13 +140,19 @@ def ivf_topk(
     full corpus, only enough vectors per list (~256·n_lists); the sample
     is the same rows every run, so list assignment stays reproducible.
     Centroids ship as literals, so assignment is a pure map-side
-    expression."""
+    expression. ``n_lists=None`` (default, r10) sizes the list count at
+    ~sqrt(N) via ivf_lists — the standard IVF balance point — so probe
+    cost stays ~n_probe*sqrt(N) as the corpus grows instead of
+    n_probe*N/16 (the note-10 fixed-parameter trap); the registered
+    query pins 16 for oracle determinism."""
     from pyspark.ml.clustering import KMeans
     from pyspark.ml.functions import array_to_vector
     from pyspark.sql.window import Window as W
 
     from .sampling import hash_sample
 
+    if n_lists is None:
+        n_lists = ivf_lists(vectors.count())
     train_src = (
         hash_sample(vectors, train_fraction, id_col=id_col, salt="ivf-train-v1")
         if train_fraction < 1.0
@@ -171,7 +220,7 @@ def ivf_seed_topk(
     vectors: DataFrame,
     queries: DataFrame,
     k: int = 5,
-    n_lists: int = 16,
+    n_lists: int | None = None,
     n_probe: int = 2,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
@@ -196,8 +245,15 @@ def ivf_seed_topk(
     persisted prepped table (3 HOF folds -> 1 per pair); the cache must
     outlive the call because the returned plan is lazy and scans prepped
     for seeds, assignment and neighbor-side scoring (see dedup_semantic).
+
+    ``n_lists=None`` (default, r10) sizes the list count at ~sqrt(N) via
+    ivf_lists; the registered query pins 16 so its DuckDB oracle replays
+    the exact quantizer (see the module's adaptive-width note).
     """
     from pyspark.sql.window import Window as W
+
+    if n_lists is None:
+        n_lists = ivf_lists(vectors.count())
 
     prepped = persist_tracked(
         vectors.select(
@@ -311,7 +367,7 @@ def ann_lsh_topk(
     vectors: DataFrame,
     queries: DataFrame,
     k: int = 5,
-    planes: int = 4,
+    planes: int | None = None,
     tables: int = 4,
     dims: int = 64,
     id_col: str = "vec_id",
@@ -325,6 +381,15 @@ def ann_lsh_topk(
     an equi-join on (table, bucket) — the 100 TB-scale path; recall grows
     with ``tables``, candidate count shrinks with ``planes``.
 
+    ``planes=None`` (default, r10) sizes the signature from the corpus
+    count via the ann_planes ladder so expected bucket occupancy — and
+    with it per-query candidate volume — stays ~ANN_OCC_TARGET as N
+    grows instead of N/2**planes (the note-10 fixed-parameter trap; at
+    the pinned width 4 the r10 probe measured ~55–61 k candidates per
+    query at 200 k vectors). The registered query pins planes=4: its
+    DuckDB oracle replays that exact banding, and pinning keeps its
+    recall a stable property of the test corpus.
+
     Candidate generation is ID-ONLY (r10, VERDICT r9 #2 — the same
     restructure dedup_semantic_lsh got in r6): the (tbl, bucket)
     equi-join and the pair dedup move (id, tbl, bucket) rows, never the
@@ -335,6 +400,9 @@ def ann_lsh_topk(
     one is invariant to dimension until the verify stage.
     """
     from pyspark.sql.window import Window as W
+
+    if planes is None:
+        planes = ann_planes(vectors.count())
 
     def with_buckets(df: DataFrame, idn: str) -> DataFrame:
         v = as_double(F.col(vec_col))

@@ -1115,3 +1115,47 @@ def test_minhash_oversized_cluster_stays_one_group(spark):
         "chain-capped pairing must keep the duplicate cluster connected"
     )
     assert all(r["group_size"] == n for r in rows)
+
+
+def test_adaptive_ann_widths(spark, sf_dir):
+    """r10 note-10 discipline on the ANN paths: (a) the width ladders
+    track N (occupancy/probe cost ~constant as the corpus grows);
+    (b) planes=None / n_lists=None resolve from the corpus count and
+    run end-to-end, returning exactly k ranked neighbors per query;
+    (c) the pinned registered widths are the ladders' small-corpus
+    values, so the oracle-checked form IS the adaptive form at test
+    scale."""
+    from fund_data_etl_pipeline_spark.operators.similarity import (
+        ANN_OCC_TARGET,
+        ann_lsh_topk,
+        ann_planes,
+        ivf_lists,
+        ivf_seed_topk,
+    )
+    from fund_data_etl_pipeline_spark.sources import load_table
+
+    # (a) ladder shapes
+    assert ann_planes(500) == 4          # registered/pinned width
+    assert ann_planes(200_000) == 12     # the r10 probe's 100x corpus
+    for n in (10_000, 1_000_000, 100_000_000):
+        p = ann_planes(n)
+        assert n <= ANN_OCC_TARGET * (1 << p) or p == 24
+    assert ivf_lists(500) == 32
+    assert ivf_lists(200) == 16          # floor = pinned width
+    for n in (10_000, 1_000_000):
+        ls = ivf_lists(n)
+        assert ls * ls >= n and (ls & (ls - 1)) == 0
+
+    # (b) auto widths execute and keep the top-k contract
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(emb.vec_id < 3)
+    for out in (
+        ann_lsh_topk(emb, queries, k=3),
+        ivf_seed_topk(emb, queries, k=3, n_probe=2),
+    ):
+        rows = out.collect()
+        by_q = {}
+        for r in rows:
+            by_q.setdefault(r["query_id"], []).append(r["rank"])
+        assert set(by_q) == {0, 1, 2}
+        assert all(sorted(v) == [1, 2, 3] for v in by_q.values())
