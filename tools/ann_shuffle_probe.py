@@ -136,6 +136,11 @@ def main() -> None:
             emb, queries, k=_K, planes=_LSH_PLANES, tables=_LSH_TABLES,
             dims=_LSH_DIMS,
         )),
+        # the r10 adaptive default: planes from the ann_planes ladder —
+        # candidate volume per query stays ~OCC*tables as N grows
+        ("adaptive", lambda: ann_lsh_topk(
+            emb, queries, k=_K, tables=_LSH_TABLES, dims=_LSH_DIMS,
+        )),
     ):
         spark.catalog.clearCache()
         before = _shuffle_write_bytes(spark)
