@@ -171,3 +171,46 @@ def test_ivf_seed_plan_shape(spark, sf_dir):
     )
     assert "BroadcastExchange" in plan
     assert "CartesianProduct" not in plan
+
+
+def test_ivf_index_build_paths_agree(spark, sf_dir):
+    """r10 build_ivf_index: (a) the numpy (Arrow matmul) assignment and
+    the HOF fold assignment pick identical lists on the test corpus
+    (same float64 arithmetic, rounded to 6, min-list_id ties — bit
+    agreement is empirical, which is exactly what this pins); (b) a
+    query over the prebuilt index_tables= is row-identical to the
+    inline form at the same width — the amortized daily-index shape
+    changes cost, never results."""
+    from pyspark.sql import functions as F
+
+    from fund_data_etl_pipeline_spark.operators.similarity import (
+        build_ivf_index,
+        ivf_seed_topk,
+    )
+    from fund_data_etl_pipeline_spark.sources import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 10)
+
+    seeds_np, assigned_np = build_ivf_index(emb, n_lists=8)
+    _seeds_hof, assigned_hof = build_ivf_index(
+        emb, n_lists=8, numpy_assign=False
+    )
+    np_map = {r["neighbor_id"]: r["list_id"] for r in assigned_np.collect()}
+    hof_map = {r["neighbor_id"]: r["list_id"] for r in assigned_hof.collect()}
+    assert np_map == hof_map and len(np_map) == emb.count()
+
+    inline = sorted(
+        map(tuple, ivf_seed_topk(emb, queries, k=5, n_lists=8,
+                                 n_probe=2).collect())
+    )
+    via_index = sorted(
+        map(
+            tuple,
+            ivf_seed_topk(
+                emb, queries, k=5, n_probe=2,
+                index_tables=(seeds_np, assigned_np),
+            ).collect(),
+        )
+    )
+    assert via_index == inline and inline
