@@ -33,6 +33,11 @@ ANN_OCC_TARGET = 64  # target expected bucket occupancy per table
 ANN_P_MIN = 4
 ANN_P_MAX = 24
 IVF_LISTS_MIN = 16
+# widest centroid set expressed as Catalyst literals (above this, the
+# per-centroid expression tree — n_lists structs × dims literals —
+# dominates analysis time outright; assignment switches to the Arrow
+# GEMM path)
+_IVF_LITERAL_MAX = 64
 
 
 def ann_planes(
@@ -189,16 +194,62 @@ def ivf_topk(
         )
         return F.slice(F.array_sort(scored), 1, n)
 
-    v = vectors.select(
-        F.col(id_col).alias("neighbor_id"), as_double(F.col(vec_col)).alias("nv")
-    ).withColumn("list_id", ranked_lists(F.col("nv"), 1)[0]["i"])
-    q = (
-        queries.select(
-            F.col(id_col).alias("query_id"), as_double(F.col(vec_col)).alias("qv")
+    def numpy_ranked(df: DataFrame, idn: str, n: int) -> DataFrame:
+        """(id, list_id) for each vector's n nearest centroids via an
+        Arrow-batched GEMM — above the literal-width threshold the
+        per-centroid literal expression tree is the bottleneck (32 k
+        AST nodes at 512 lists × 64 dims stall analysis outright, the
+        r10 adaptive-width lesson), and the distance pass itself is
+        the N·n_lists term a vectorized kernel does ~40–70× faster.
+        Ties break to the LOWER centroid index, matching array_sort on
+        the (d, i) struct."""
+        import numpy as np
+
+        cmat = np.array(centroids, dtype="float64")
+        c2 = (cmat * cmat).sum(axis=1)
+
+        def _rank(batches):
+            import pandas as pd
+
+            for pdf in batches:
+                if not len(pdf):
+                    continue
+                vm = np.array(list(pdf["v"]), dtype="float64")
+                d = (vm * vm).sum(axis=1)[:, None] - 2.0 * (vm @ cmat.T) + c2
+                idx = np.argsort(d, axis=1, kind="stable")[:, :n]
+                ids = np.repeat(pdf["vid"].to_numpy(), n)
+                yield pd.DataFrame(
+                    {idn: ids, "list_id": idx.reshape(-1).astype("int64")}
+                )
+
+        return df.mapInPandas(_rank, schema=f"{idn} long, list_id long")
+
+    if n_lists > _IVF_LITERAL_MAX:
+        vp = vectors.select(
+            F.col(id_col).alias("vid"), as_double(F.col(vec_col)).alias("v")
         )
-        .withColumn("probe", F.explode(ranked_lists(F.col("qv"), n_probe)))
-        .select("query_id", "qv", F.col("probe.i").alias("list_id"))
-    )
+        qp = queries.select(
+            F.col(id_col).alias("vid"), as_double(F.col(vec_col)).alias("v")
+        )
+        v = vp.select(F.col("vid").alias("neighbor_id"),
+                      F.col("v").alias("nv")).join(
+            numpy_ranked(vp, "neighbor_id", 1), "neighbor_id"
+        )
+        q = qp.select(F.col("vid").alias("query_id"),
+                      F.col("v").alias("qv")).join(
+            numpy_ranked(qp, "query_id", n_probe), "query_id"
+        )
+    else:
+        v = vectors.select(
+            F.col(id_col).alias("neighbor_id"), as_double(F.col(vec_col)).alias("nv")
+        ).withColumn("list_id", ranked_lists(F.col("nv"), 1)[0]["i"])
+        q = (
+            queries.select(
+                F.col(id_col).alias("query_id"), as_double(F.col(vec_col)).alias("qv")
+            )
+            .withColumn("probe", F.explode(ranked_lists(F.col("qv"), n_probe)))
+            .select("query_id", "qv", F.col("probe.i").alias("list_id"))
+        )
     scored = (
         q.join(v, "list_id")
         .filter(F.col("query_id") != F.col("neighbor_id"))

@@ -214,3 +214,26 @@ def test_ivf_index_build_paths_agree(spark, sf_dir):
         )
     )
     assert via_index == inline and inline
+
+
+def test_ivf_topk_literal_vs_numpy_assignment(spark, sf_dir, monkeypatch):
+    """r10: above _IVF_LITERAL_MAX the KMeans variant assigns via the
+    Arrow GEMM instead of per-centroid literal expressions (the 512-list
+    expression tree stalls analysis). Forcing the threshold to 0 routes
+    the same (n_lists=8) quantizer through the numpy branch — the picks
+    and final top-k must match the literal branch on the test corpus."""
+    from pyspark.sql import functions as F
+
+    import fund_data_etl_pipeline_spark.operators.similarity as S
+    from fund_data_etl_pipeline_spark.sources import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") < 5)
+    lit_rows = sorted(
+        map(tuple, S.ivf_topk(emb, q, k=5, n_lists=8, n_probe=2).collect())
+    )
+    monkeypatch.setattr(S, "_IVF_LITERAL_MAX", 0)
+    np_rows = sorted(
+        map(tuple, S.ivf_topk(emb, q, k=5, n_lists=8, n_probe=2).collect())
+    )
+    assert np_rows == lit_rows and lit_rows
