@@ -234,12 +234,21 @@ def streaming_dim_maintenance(
     def _fold(batch_df: DataFrame, batch_id: int) -> None:
         sess = batch_df.sparkSession
         cur_file = os.path.join(out_dir, "_CURRENT")
+        vdir = os.path.join(out_dir, f"v{batch_id}")
         if os.path.exists(cur_file):
             with open(cur_file) as fh:
-                current = sess.read.parquet(fh.read().strip())
+                cur = fh.read().strip()
+            if cur == vdir:
+                # checkpoint replay AFTER the pointer committed: this
+                # batch's fold already completed — and re-folding here
+                # would read and overwrite the SAME parquet path. The
+                # pointer only ever advances after a successful version
+                # write, so pointer==vdir proves the merged result is
+                # already on disk.
+                return
+            current = sess.read.parquet(cur)
         else:
             current = base
-        vdir = os.path.join(out_dir, f"v{batch_id}")
         # overwrite => a replayed batch id (checkpoint restart) rewrites
         # the same version instead of double-applying
         merge_dim(current, batch_df).write.mode("overwrite").parquet(vdir)

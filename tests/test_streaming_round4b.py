@@ -450,3 +450,62 @@ def test_streaming_dim_maintenance_parity_with_batch(spark, tmp_path):
     versions = sorted(d for d in os.listdir(out) if d.startswith("v"))
     assert len(versions) >= 2
     assert cur.endswith(versions[-1])
+
+
+def test_streaming_dim_maintenance_committed_replay_guard(spark, tmp_path):
+    """r10 replay safety: losing the CHECKPOINT (fresh checkpointLocation
+    over the same source) replays batch 0 after its version and pointer
+    already committed — the fold must recognize pointer==v0 and skip,
+    because re-folding would read and overwrite the same parquet path.
+    The maintained dimension stays exactly the once-applied merge."""
+    import os
+
+    from fund_data_etl_pipeline_spark.operators.normalize import merge_dim
+    from fund_data_etl_pipeline_spark.streaming.file_ingest import (
+        streaming_dim_maintenance,
+    )
+
+    base = spark.createDataFrame(
+        [("fund-a", "1001", "default")],
+        "product_name string, ledger_code string, map_kind string",
+    )
+    feed = [
+        {"product_name": "fund-a", "ledger_code": "2001",
+         "map_kind": "default", "op": "upsert", "seq": 1},
+        {"product_name": "fund-b", "ledger_code": "1002",
+         "map_kind": "default", "op": "upsert", "seq": 2},
+    ]
+    src = tmp_path / "changes"
+    src.mkdir()
+    out = str(tmp_path / "dim")
+    os.makedirs(out)
+    schema = (
+        "product_name string, ledger_code string, map_kind string,"
+        " op string, seq long"
+    )
+    _write_jsonl(src / "b1.json", feed)
+
+    def run(ckpt):
+        stream = spark.readStream.schema(schema).json(str(src))
+        q = streaming_dim_maintenance(stream, base, out, str(tmp_path / ckpt))
+        q.awaitTermination(120)
+
+    run("ckpt1")                      # batch 0 folds, pointer -> v0
+    run("ckpt2")                      # lost checkpoint: batch 0 REPLAYS
+
+    with open(os.path.join(out, "_CURRENT")) as fh:
+        cur = fh.read().strip()
+    assert cur.endswith("v0")
+    got = {
+        (r["product_name"], r["map_kind"]): r["ledger_code"]
+        for r in spark.read.parquet(cur).collect()
+    }
+    changes = spark.createDataFrame([tuple(r.values()) for r in feed], schema)
+    expected = {
+        (r["product_name"], r["map_kind"]): r["ledger_code"]
+        for r in merge_dim(base, changes).collect()
+    }
+    assert got == expected == {
+        ("fund-a", "default"): "2001",
+        ("fund-b", "default"): "1002",
+    }
