@@ -187,9 +187,13 @@ def main() -> None:
                 if first_dt is None:
                     first_dt = dt
                 # record inside the loop: if a later pass throws, the
-                # valid measurements so far survive instead of vanishing
-                if first_dt < 1.0:
-                    times[name] = sorted(samples)[len(samples) // 2]
+                # valid measurements so far survive instead of vanishing.
+                # The median only exists at 3 samples — at 2,
+                # sorted()[len//2] would be the MAX of the two (ADVICE
+                # r10), so the partial record keeps the min until the
+                # protocol's full sample count is in.
+                if first_dt < 1.0 and len(samples) == 3:
+                    times[name] = sorted(samples)[1]
                 else:
                     times[name] = min(samples)
                 if first_dt >= 1.0 and len(samples) == 2:

@@ -196,17 +196,25 @@ def ivf_topk(
 
     def numpy_ranked(df: DataFrame, idn: str, n: int) -> DataFrame:
         """(id, list_id) for each vector's n nearest centroids via an
-        Arrow-batched GEMM — above the literal-width threshold the
-        per-centroid literal expression tree is the bottleneck (32 k
-        AST nodes at 512 lists × 64 dims stall analysis outright, the
-        r10 adaptive-width lesson), and the distance pass itself is
-        the N·n_lists term a vectorized kernel does ~40–70× faster.
+        Arrow-batched vectorized kernel — above the literal-width
+        threshold the per-centroid literal expression tree is the
+        bottleneck (32 k AST nodes at 512 lists × 64 dims stall
+        analysis outright, the r10 adaptive-width lesson), and the
+        distance pass itself is the N·n_lists term a vectorized kernel
+        does ~40–70× faster. The distance is accumulated dim-by-dim in
+        the SAME left-fold order as the literal branch's ``aggregate``
+        (acc = 0.0, then acc + (x_j - c_j)^2 in dim order, each step an
+        elementwise add) — NOT the expanded |v|^2 - 2·v·c + |c|^2 GEMM
+        form, whose different float summation could flip near-tie list
+        assignments across the _IVF_LITERAL_MAX switch (ADVICE r10).
         Ties break to the LOWER centroid index, matching array_sort on
-        the (d, i) struct."""
+        the (d, i) struct. The id column's output type is derived from
+        the input, so non-integral ids pass through unchanged."""
         import numpy as np
 
         cmat = np.array(centroids, dtype="float64")
-        c2 = (cmat * cmat).sum(axis=1)
+        dims = cmat.shape[1]
+        id_sql = df.schema["vid"].dataType.simpleString()
 
         def _rank(batches):
             import pandas as pd
@@ -215,14 +223,18 @@ def ivf_topk(
                 if not len(pdf):
                     continue
                 vm = np.array(list(pdf["v"]), dtype="float64")
-                d = (vm * vm).sum(axis=1)[:, None] - 2.0 * (vm @ cmat.T) + c2
+                d = np.zeros((vm.shape[0], cmat.shape[0]))
+                for j in range(dims):
+                    t = vm[:, j, None] - cmat[None, :, j]
+                    t *= t
+                    d += t
                 idx = np.argsort(d, axis=1, kind="stable")[:, :n]
                 ids = np.repeat(pdf["vid"].to_numpy(), n)
                 yield pd.DataFrame(
                     {idn: ids, "list_id": idx.reshape(-1).astype("int64")}
                 )
 
-        return df.mapInPandas(_rank, schema=f"{idn} long, list_id long")
+        return df.mapInPandas(_rank, schema=f"{idn} {id_sql}, list_id long")
 
     if n_lists > _IVF_LITERAL_MAX:
         vp = vectors.select(
@@ -264,6 +276,36 @@ def ivf_topk(
     )
     return scored.withColumn("rank", F.row_number().over(w)).filter(
         F.col("rank") <= k
+    )
+
+
+_INTEGRAL_SQL = {"tinyint", "smallint", "int", "bigint"}
+
+
+def _argmax_list(scored: DataFrame, idn: str) -> DataFrame:
+    """argmax over (cos_r DESC, list_id ASC) per id, as a hash
+    aggregate: max_by collapses each vector's n_lists candidate rows
+    map-side so only one row per vector reaches the exchange — a
+    row_number window here shuffles the full cross product (r10: the
+    100x adaptive probe timed out on exactly that). The max_by struct
+    trick needs a numeric list_id (``-list_id`` makes max pick the
+    min); non-integral ids keep the same tie-break as an order-by
+    (ADVICE r10), paying the window shuffle only on that generic path.
+    """
+    if scored.schema["list_id"].dataType.simpleString() in _INTEGRAL_SQL:
+        return scored.groupBy(idn).agg(
+            F.max_by(
+                "list_id",
+                F.struct(F.col("cos_r"), (-F.col("list_id")).alias("nl")),
+            ).alias("list_id")
+        )
+    from pyspark.sql.window import Window as W
+
+    w = W.partitionBy(idn).orderBy(F.col("cos_r").desc(), F.col("list_id"))
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(idn, "list_id")
     )
 
 
@@ -310,33 +352,39 @@ def build_ivf_index(
             F.col("nv").alias("ns"),
         )
     )
+    id_sql = prepped.schema["vid"].dataType.simpleString()
     if not numpy_assign:
+        # zero-norm guard (ADVICE r10): clamp a zero denominator to 1 so
+        # a degenerate all-zeros vector scores cos = 0 against every
+        # seed and the min-list_id tie-break assigns it to the FIRST
+        # list — the same defined fallback the numpy path applies, so
+        # the two paths agree by construction instead of diverging
+        # NULL-vs-NaN. (The unclamped division never fires on real
+        # corpora — the testdata embeddings are unit-norm — so oracle
+        # replays are unaffected.)
+        den = F.col("nv") * F.col("ns")
         scored = prepped.crossJoin(F.broadcast(seeds)).select(
             F.col("vid").alias("neighbor_id"),
             "list_id",
             round2(
-                dot(F.col("v"), F.col("sv")) / (F.col("nv") * F.col("ns")), 6
+                dot(F.col("v"), F.col("sv"))
+                / F.when(den == 0, F.lit(1.0)).otherwise(den),
+                6,
             ).alias("cos_r"),
         )
-        assigned = scored.groupBy("neighbor_id").agg(
-            F.max_by(
-                "list_id",
-                F.struct(F.col("cos_r"), (-F.col("list_id")).alias("nl")),
-            ).alias("list_id")
-        )
+        assigned = _argmax_list(scored, "neighbor_id")
         return seeds, release_on_gc(assigned, prepped)
 
     seed_rows = seeds.collect()  # n_lists x dims doubles — tiny
     import numpy as np
 
+    # pre-sort seeds by list_id so argmax's first-max rule below gives
+    # the min-list_id tie-break; a Python sort keeps this generic over
+    # string ids (np.lexsort chokes on object dtype)
+    seed_rows = sorted(seed_rows, key=lambda r: r["list_id"])
     smat = np.array([r["sv"] for r in seed_rows], dtype="float64")
     snorm = np.array([r["ns"] for r in seed_rows], dtype="float64")
-    sids = np.array([r["list_id"] for r in seed_rows], dtype="int64")
-    # argmax over rounded cosine with the min-list_id tie-break, the
-    # same rule as the HOF path; order columns by (-cos, list_id) and
-    # take the first
-    order = np.lexsort((sids,))  # stable pre-sort by list_id
-    smat, snorm, sids = smat[order], snorm[order], sids[order]
+    sids = np.array([r["list_id"] for r in seed_rows])
 
     def _assign(batches):
         import pandas as pd
@@ -345,10 +393,10 @@ def build_ivf_index(
             if not len(pdf):
                 continue
             vm = np.array(list(pdf["v"]), dtype="float64")
-            cos = (vm @ smat.T) / np.outer(
-                pdf["nv"].to_numpy(dtype="float64"), snorm
-            )
-            cos = np.round(cos, 6)
+            den = np.outer(pdf["nv"].to_numpy(dtype="float64"), snorm)
+            # zero-norm guard — see the HOF branch: cos = 0, first list
+            den[den == 0.0] = 1.0
+            cos = np.round((vm @ smat.T) / den, 6)
             # argmax returns the FIRST max; columns are list_id-sorted,
             # so ties resolve to the smallest list_id — the HOF rule
             pick = cos.argmax(axis=1)
@@ -357,7 +405,7 @@ def build_ivf_index(
             )
 
     assigned = prepped.mapInPandas(
-        _assign, schema="neighbor_id long, list_id long"
+        _assign, schema=f"neighbor_id {id_sql}, list_id {id_sql}"
     )
     return seeds, release_on_gc(assigned, prepped)
 
@@ -427,31 +475,24 @@ def ivf_seed_topk(
         )
 
     def nearest_lists(df: DataFrame, idn: str, n: int) -> DataFrame:
+        # zero-norm clamp mirrors build_ivf_index so inline assignment
+        # and a prebuilt index agree on degenerate vectors (cos = 0,
+        # first list); no-op on real unit-norm corpora
+        den = F.col("nv") * F.col("ns")
         scored = df.crossJoin(F.broadcast(seeds)).select(
             F.col("vid").alias(idn),
             "list_id",
             round2(
-                dot(F.col("v"), F.col("sv")) / (F.col("nv") * F.col("ns")), 6
+                dot(F.col("v"), F.col("sv"))
+                / F.when(den == 0, F.lit(1.0)).otherwise(den),
+                6,
             ).alias("cos_r"),
         )
         if n == 1:
             # the CORPUS assignment (N x n_lists rows — at the adaptive
-            # sqrt(N) width this is the N^1.5 index-build term): argmax
-            # as a max_by hash aggregate, so the combiner collapses each
-            # vector's n_lists candidate rows map-side and only one row
-            # per vector reaches the exchange — a row_number window here
-            # shuffles the full cross product (r10: the 100x adaptive
-            # probe timed out on exactly that). Tie-break identical to
-            # the window form: max cos_r, then MIN list_id (struct
-            # compares fields in order; -list_id makes max pick the min).
-            return scored.groupBy(idn).agg(
-                F.max_by(
-                    "list_id",
-                    F.struct(
-                        F.col("cos_r"), (-F.col("list_id")).alias("nl")
-                    ),
-                ).alias("list_id")
-            )
+            # sqrt(N) width this is the N^1.5 index-build term): see
+            # _argmax_list for the map-side-combine rationale
+            return _argmax_list(scored, idn)
         w = W.partitionBy(idn).orderBy(F.col("cos_r").desc(), F.col("list_id"))
         return (
             scored.withColumn("rn", F.row_number().over(w))

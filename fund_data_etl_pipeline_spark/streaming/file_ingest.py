@@ -226,15 +226,43 @@ def streaming_dim_maintenance(
     format's atomic commit (Delta/Iceberg MERGE INTO); this stand-in
     keeps the engine dependency-free while preserving the semantics
     (immutable versions, atomic pointer swap, idempotent per-batch-id
-    overwrite so checkpoint replays converge)."""
+    overwrite so checkpoint replays converge).
+
+    Version directories are keyed by (streaming-query id, batch id):
+    ``q{id8}_v{batchId}``. Batch ids are only unique WITHIN one
+    checkpoint — a LOST checkpoint restarts numbering at 0 over a
+    superset feed, and r10's bare ``v{batchId}`` naming let that replay
+    rewrite the committed v0 and move ``_CURRENT`` backwards (ADVICE
+    r10). The query id lives in the checkpoint's metadata file, so a
+    wiped checkpoint mints a fresh id and the recovery fold lands in a
+    fresh namespace: old versions stay immutable, within-checkpoint
+    crash replays still overwrite their own deterministic path, and the
+    lost-checkpoint re-fold converges because merge_dim re-application
+    is idempotent under the monotone-seq contract (parity pytest)."""
+    import json
     import os
 
     from ..operators.normalize import merge_dim
 
+    def _query_ns() -> str:
+        meta = os.path.join(checkpoint_dir, "metadata")
+        try:
+            with open(meta) as fh:
+                return "q" + json.load(fh)["id"].replace("-", "")[:8]
+        except (OSError, KeyError, ValueError):
+            # metadata is written at stream start, before batch 0; an
+            # unreadable file means a non-local checkpoint store — fall
+            # back to a location-stable namespace (weaker: a wiped
+            # SAME-PATH checkpoint reuses it, restoring only the r10
+            # pointer==vdir guarantee)
+            import hashlib
+
+            return "q" + hashlib.md5(checkpoint_dir.encode()).hexdigest()[:8]
+
     def _fold(batch_df: DataFrame, batch_id: int) -> None:
         sess = batch_df.sparkSession
         cur_file = os.path.join(out_dir, "_CURRENT")
-        vdir = os.path.join(out_dir, f"v{batch_id}")
+        vdir = os.path.join(out_dir, f"{_query_ns()}_v{batch_id}")
         if os.path.exists(cur_file):
             with open(cur_file) as fh:
                 cur = fh.read().strip()
@@ -249,8 +277,10 @@ def streaming_dim_maintenance(
             current = sess.read.parquet(cur)
         else:
             current = base
-        # overwrite => a replayed batch id (checkpoint restart) rewrites
-        # the same version instead of double-applying
+        # overwrite => a replayed batch id (same-checkpoint restart)
+        # rewrites ITS OWN version path instead of double-applying; a
+        # different checkpoint's committed versions are out of reach by
+        # the namespace construction above
         merge_dim(current, batch_df).write.mode("overwrite").parquet(vdir)
         tmp = cur_file + ".tmp"
         with open(tmp, "w") as fh:

@@ -446,18 +446,27 @@ def test_streaming_dim_maintenance_parity_with_batch(spark, tmp_path):
         ("fund-a", "default"): "3001",
         ("fund-a", "conversion"): "C100",
     }
-    # at least two immutable versions committed, pointer at the newest
-    versions = sorted(d for d in os.listdir(out) if d.startswith("v"))
+    # at least two immutable versions committed, pointer at the newest;
+    # r11: versions are namespaced q{queryId8}_v{batchId} — same
+    # checkpoint across both runs, so one namespace, ordered suffixes
+    import re
+
+    versions = sorted(d for d in os.listdir(out) if re.search(r"_v\d+$", d))
     assert len(versions) >= 2
+    assert len({v.split("_v")[0] for v in versions}) == 1
     assert cur.endswith(versions[-1])
 
 
 def test_streaming_dim_maintenance_committed_replay_guard(spark, tmp_path):
-    """r10 replay safety: losing the CHECKPOINT (fresh checkpointLocation
-    over the same source) replays batch 0 after its version and pointer
-    already committed — the fold must recognize pointer==v0 and skip,
-    because re-folding would read and overwrite the same parquet path.
-    The maintained dimension stays exactly the once-applied merge."""
+    """r10/r11 replay safety: losing the CHECKPOINT (fresh
+    checkpointLocation over the same source) replays batch 0 after the
+    old run's version and pointer already committed. r11 keys version
+    dirs by the streaming-query id (fresh per checkpoint), so the
+    recovery fold lands in a NEW namespace: the old run's committed
+    version stays byte-identical (immutable), the pointer moves to the
+    new dir, and the re-fold converges to the once-applied merge
+    because merge_dim re-application is idempotent under monotone seq
+    (ADVICE r10 — the bare v{batchId} naming rewrote committed v0)."""
     import os
 
     from fund_data_etl_pipeline_spark.operators.normalize import merge_dim
@@ -490,12 +499,119 @@ def test_streaming_dim_maintenance_committed_replay_guard(spark, tmp_path):
         q = streaming_dim_maintenance(stream, base, out, str(tmp_path / ckpt))
         q.awaitTermination(120)
 
-    run("ckpt1")                      # batch 0 folds, pointer -> v0
+    run("ckpt1")                      # batch 0 folds, pointer -> q1_v0
+    with open(os.path.join(out, "_CURRENT")) as fh:
+        first_dir = fh.read().strip()
+    first_files = {
+        f: os.path.getsize(os.path.join(first_dir, f))
+        for f in os.listdir(first_dir)
+        if f.endswith(".parquet")
+    }
     run("ckpt2")                      # lost checkpoint: batch 0 REPLAYS
 
     with open(os.path.join(out, "_CURRENT")) as fh:
         cur = fh.read().strip()
-    assert cur.endswith("v0")
+    assert cur.endswith("_v0")
+    # fresh query id => fresh namespace: the old committed version was
+    # NOT rewritten (same parquet part files, same sizes) and the
+    # pointer moved forward to the recovery fold's own directory
+    assert cur != first_dir
+    assert {
+        f: os.path.getsize(os.path.join(first_dir, f))
+        for f in os.listdir(first_dir)
+        if f.endswith(".parquet")
+    } == first_files
+    changes = spark.createDataFrame([tuple(r.values()) for r in feed], schema)
+    expected = {
+        (r["product_name"], r["map_kind"]): r["ledger_code"]
+        for r in merge_dim(base, changes).collect()
+    }
+    for vdir in (cur, first_dir):
+        got = {
+            (r["product_name"], r["map_kind"]): r["ledger_code"]
+            for r in spark.read.parquet(vdir).collect()
+        }
+        assert got == expected
+    assert expected == {
+        ("fund-a", "default"): "2001",
+        ("fund-b", "default"): "1002",
+    }
+
+
+def test_streaming_dim_maintenance_crash_before_pointer_swap(spark, tmp_path):
+    """r11 (VERDICT r10 #5): the OTHER crash window — a batch's version
+    parquet is fully written but the process dies BEFORE the _CURRENT
+    pointer swap. On restart, Structured Streaming replays the batch
+    (offsets logged, commit log entry missing); the fold must redo the
+    merge against the still-pointing-backwards current version,
+    overwrite its own deterministic version path, and land _CURRENT on
+    a state bit-equal to the uninterrupted run. Simulated by removing
+    the checkpoint's commits/1 entry and rolling _CURRENT back to v0
+    after a clean two-batch run."""
+    import os
+
+    from fund_data_etl_pipeline_spark.operators.normalize import merge_dim
+    from fund_data_etl_pipeline_spark.streaming.file_ingest import (
+        streaming_dim_maintenance,
+    )
+
+    base = spark.createDataFrame(
+        [("fund-a", "1001", "default")],
+        "product_name string, ledger_code string, map_kind string",
+    )
+    feed = [
+        {"product_name": "fund-a", "ledger_code": "2001",
+         "map_kind": "default", "op": "upsert", "seq": 1},
+        {"product_name": "fund-b", "ledger_code": "1002",
+         "map_kind": "default", "op": "upsert", "seq": 2},
+        {"product_name": "fund-a", "ledger_code": "3001",
+         "map_kind": "default", "op": "upsert", "seq": 3},
+        {"product_name": "fund-b", "ledger_code": None,
+         "map_kind": "default", "op": "delete", "seq": 4},
+    ]
+    src = tmp_path / "changes"
+    src.mkdir()
+    out = str(tmp_path / "dim")
+    os.makedirs(out)
+    ckpt = str(tmp_path / "ckpt")
+    schema = (
+        "product_name string, ledger_code string, map_kind string,"
+        " op string, seq long"
+    )
+
+    def run():
+        stream = spark.readStream.schema(schema).json(str(src))
+        q = streaming_dim_maintenance(stream, base, out, ckpt)
+        q.awaitTermination(120)
+
+    _write_jsonl(src / "b1.json", feed[:2])
+    run()                                   # batch 0 -> pointer q_v0
+    with open(os.path.join(out, "_CURRENT")) as fh:
+        v0_dir = fh.read().strip()
+    _write_jsonl(src / "b2.json", feed[2:])
+    run()                                   # batch 1 -> pointer q_v1
+    with open(os.path.join(out, "_CURRENT")) as fh:
+        v1_dir = fh.read().strip()
+    assert v1_dir.endswith("_v1")
+    clean = {
+        (r["product_name"], r["map_kind"]): r["ledger_code"]
+        for r in spark.read.parquet(v1_dir).collect()
+    }
+
+    # simulate the crash window: batch 1's parquet exists, but the
+    # pointer swap never happened and the streaming commit log has no
+    # record of batch 1 — exactly the state after a mid-commit death
+    os.remove(os.path.join(ckpt, "commits", "1"))
+    crc = os.path.join(ckpt, "commits", ".1.crc")
+    if os.path.exists(crc):  # local-FS checksum shadow of the log entry
+        os.remove(crc)
+    with open(os.path.join(out, "_CURRENT"), "w") as fh:
+        fh.write(v0_dir)
+
+    run()                                   # restart: batch 1 REPLAYS
+    with open(os.path.join(out, "_CURRENT")) as fh:
+        cur = fh.read().strip()
+    assert cur == v1_dir
     got = {
         (r["product_name"], r["map_kind"]): r["ledger_code"]
         for r in spark.read.parquet(cur).collect()
@@ -505,7 +621,4 @@ def test_streaming_dim_maintenance_committed_replay_guard(spark, tmp_path):
         (r["product_name"], r["map_kind"]): r["ledger_code"]
         for r in merge_dim(base, changes).collect()
     }
-    assert got == expected == {
-        ("fund-a", "default"): "2001",
-        ("fund-b", "default"): "1002",
-    }
+    assert got == clean == expected == {("fund-a", "default"): "3001"}
