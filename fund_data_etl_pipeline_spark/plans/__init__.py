@@ -94,31 +94,140 @@ def load_all() -> None:
     )
 
 
-# Round-10 rotation policy (VERDICT r9 next-step #1). Cap is 50 driver
-# slots; 110 queries registered (109 + the r10 dim_merge registration —
-# VERDICT r9 "What's missing" #2). Invariant: every oracle-bearing query
-# is driver-green within the last two rounds, OR on the documented
+# Round-11 rotation policy (VERDICT r10 next-step #1). Cap is 50 driver
+# slots; 110 queries registered. Invariant: every oracle-bearing query is
+# driver-green within the last two rounds, OR on the documented
 # peer-coverage exception list below (re-proven by the local gate at all
 # three SFs instead).
 #
-# This round's 50 slots: (a) the three r9 registrations, locally gated
-# at r9, never driver-checked — they lead (VERDICT r9 #1); (b) the five
-# r9 exception-list names — last driver row r7, their window closes now;
-# (c) 42 of the 50 r8-green names whose two-round window closes at r10.
-# The other 8 r8-green names move to the exception list with peer
-# coverage (the round-5 valve — see note below the list).
+# This round's 50 slots: (a) dim_merge — registered r10, locally gated at
+# 3 SFs, never driver-checked — leads; (b) the eight r10 exception-list
+# names — last driver row r8, their window closes now; (c) 41 of the 50
+# r9-green names whose two-round window closes at r11. The other 9
+# r9-green names move to the exception list with peer coverage (the
+# round-5 valve — see note below the list).
 PRIORITY = [
-    # (a) r9 registrations (local 3-SF gate only so far)
+    # (a) r10 registration (local 3-SF gate only so far)
+    "dim_merge",
+    # (b) r10 exception-list names — last driver row r8; window closes
+    "cube_lineitem",
+    "topk_revenue",
+    "agg_stats",
+    "intersect_nations",
+    "except_nations",
+    "vector_cosine_topk",
+    "quality_deciles",
+    "doc_hash_split",
+    # (c) r9-green names whose window closes at r11 (41 of 50)
+    "vector_ann_ivf",
+    "dedup_ngram_capped",
+    "dedup_minhash_lsh",
+    "event_value_stats",
+    "top_users_per_event",
+    "attribution_join",
+    "fund_classify",
+    "fund_dividend",
+    "fund_dividend_merged",
+    "fund_quarantine",
+    "fund_purchase_apply",
+    "fund_purchase_confirm",
+    "fund_redemption_confirm",
+    "fund_conversion",
+    "graph_pagerank",
+    "multimodal_binary_stats",
+    "dq_constraint_report",
+    "k_anonymity_audit",
+    "dim_join_left",
+    "group_merge",
+    "when_cascade_tier",
+    "isin_filter",
+    "date_math",
+    "derived_arithmetic",
+    "union_slices",
+    "mixed_sort_key",
+    "json_extract_agg",
+    "anti_join_customers",
+    "distinct_pairs",
+    "asof_last_click",
+    "grouping_sets_sql",
+    "correlated_subquery",
+    "shipping_priority_topk",
+    "market_share",
+    "late_sole_supplier",
+    "text_token_count",
+    "source_capped_sample",
+    "corpus_curation",
+    "text_c4_filters",
+    "events_session_window",
+    "user_rolling_7d_spend",
+]
+
+# PRIORITY is exactly at the 50-query driver cap (1 + 8 + 41).
+
+# EXCEPTION LIST (round-11 cap overflow — 59 oracle-bearing names owed a
+# row vs 50 slots, so these nine r9-green queries go one round on peer
+# coverage). Each is chosen because its machinery is provably inside
+# r10-green or r11-PRIORITY peers, and each is re-proven by the local
+# gate (tools/check_correctness.py) at sf0.001/0.01/0.1 this round:
+#   fund_manual_confirm / fund_manual_redemption / fund_manual_dividend —
+#     all three run the SAME _manual_base OCR pipeline (doc-type detect,
+#     candidate-max P12, code-repair P13) as the r10-green
+#     fund_manual_apply; their business-type specifics (confirm/
+#     redemption/dividend field sets) are the same spec-dict machinery
+#     the r11-PRIORITY fund_purchase_confirm / fund_redemption_confirm /
+#     fund_dividend drive on the text path;
+#   events_sliding_window — same streaming-window lowering as the
+#     r10-green events_tumbling_window (window() with slide is the same
+#     Expand + agg shape); events_session_window stays in PRIORITY;
+#   user_retention_cohorts — cohort pivot over the events table; the
+#     r10-green events_funnel pins the per-user sequence agg and the
+#     r11-PRIORITY user_rolling_7d_spend the window exchange;
+#   dedup_ngram_jaccard — identical shingle + pair machinery as the
+#     r11-PRIORITY dedup_ngram_capped (the capped form is the strict
+#     superset: same prep, plus the occupancy split) and
+#     dedup_minhash_lsh;
+#   dedup_semantic — the designed-O(N^1.5) oracle-exact twin of the
+#     r10-green dedup_semantic_lsh (same prepped/norm/cosine stack via
+#     operators/similarity); the r11-PRIORITY vector_cosine_topk pins
+#     the exact-cosine rank arithmetic;
+#   volume_shipping — join-agg over lineitem/orders/customer/nation; the
+#     r11-PRIORITY market_share is the strictly-wider same-shape plan
+#     (same join tree plus a share division), and the r10-green
+#     local_supplier_revenue pins the nation-join agg;
+#   quality_weighted_sample — weighted hash sampling; the r10-green
+#     stratified_sample and the r11-PRIORITY source_capped_sample /
+#     quality_deciles exercise the same operators/sampling hash + window
+#     machinery.
+#
+# DEPRIORITY: names that safely fall past the cap this round. The 50
+# r10-green names (fresh driver rows in CORRECTNESS_r10, window open
+# through round 12), the nine exception-list names above, and the
+# rows-only-by-design sketch query. 50 + 9 + 1 = 60 = registered 110 -
+# cap 50, so the cap's cut is wholly chosen here — nothing falls past by
+# registration-order accident.
+DEPRIORITY = [
+    # nine exception-list names (peer coverage documented above)
+    "fund_manual_confirm",
+    "fund_manual_redemption",
+    "fund_manual_dividend",
+    "events_sliding_window",
+    "user_retention_cohorts",
+    "dedup_ngram_jaccard",
+    "dedup_semantic",
+    "volume_shipping",
+    "quality_weighted_sample",
+    # rows-only by design (KLL/HLL sketch aggregate; rank-contract parity
+    # is pytest-asserted) — its weak row adds nothing over r4's
+    "event_value_stats_approx",
+    # r10-green (driver rows in CORRECTNESS_r10): window open to round 12
     "dedup_incremental_exact",
     "dedup_incremental_minhash",
     "dedup_recovery_pairs",
-    # (b) r9 exception-list names — last driver row r7; window closes
     "rollup_priority",
     "semi_join_parts",
     "window_running",
     "cast_round_coerce",
     "dedup_embedding_cosine",
-    # (c) r8-green names whose window closes at r10 (42 of 50)
     "dedup_canonical",
     "events_tumbling_window",
     "cdc_latest_snapshot",
@@ -161,124 +270,6 @@ PRIORITY = [
     "source_mixture_weights",
     "doc_tfidf_topk",
     "events_hourly_gapfill",
-]
-
-# PRIORITY is exactly at the 50-query driver cap (3 + 5 + 42).
-
-# EXCEPTION LIST (round-10 cap overflow — 58 oracle-bearing names owed a
-# row vs 50 slots, so these eight r8-green queries go one round on peer
-# coverage). Each is chosen because its machinery is provably inside
-# r9-green or r10-PRIORITY peers, and each is re-proven by the local
-# gate (tools/check_correctness.py) at sf0.001/0.01/0.1 this round:
-#   cube_lineitem — CUBE lowers to the same Expand + hash-agg as the
-#     r9-green grouping_sets_sql and the r10-PRIORITY rollup_priority
-#     (one Expand node, identical aggregate path);
-#   topk_revenue — TakeOrderedAndProject over a hash agg; the r9-green
-#     shipping_priority_topk is the same plan shape end-to-end;
-#   agg_stats — partial-aggregable multi-stat hash agg; the r9-green
-#     event_value_stats is the same shape, and run_all's audit pytest
-#     executes agg_stats' builder every round;
-#   intersect_nations — INTERSECT lowers to LeftSemi + distinct; the
-#     r10-PRIORITY semi_join_parts pins the LeftSemi translation and
-#     the r9-green distinct_pairs the distinct;
-#   except_nations — EXCEPT lowers to LeftAnti + distinct; the r9-green
-#     anti_join_customers pins the LeftAnti path;
-#   vector_cosine_topk — exact cosine + per-query rank; the r9-green
-#     dedup_semantic and vector_ann_ivf exercise the same cosine
-#     arithmetic (functions shared via operators/similarity) and rank;
-#   quality_deciles — ntile WindowExec; the r9-green
-#     user_rolling_7d_spend runs the strictly-harder range-frame window
-#     over the same exchange shape;
-#   doc_hash_split — deterministic salted-hash split; the r9-green
-#     quality_weighted_sample and source_capped_sample exercise the
-#     same operators/sampling hash machinery.
-#
-# NEW REGISTRATION (VERDICT r9 "What's missing" #2): dim_merge — the
-# dimension-table upsert (merge_dim operator) — carries an exact DuckDB
-# oracle and is verified via the sanctioned local-gate path this round
-# (3-SF re-proof); it takes a driver slot at the head of round 11's
-# PRIORITY, exactly the r9-registration pattern.
-#
-# Note on dedup_recovery_pairs (seated in PRIORITY above): its r9
-# vacuous-row problem (organic 0/0/1 rows) is FIXED this round — the
-# registered query's first pass runs at a one-band budget
-# (plans/dedup._RECOVERY_P1_BANDS), so the driver row compares 4
-# nontrivial recovered pairs at sf0.01 (6 at sf0.001, 16 at sf0.1),
-# hash-exact (VERDICT r9 #3 / ADVICE r9 #2).
-#
-# DEPRIORITY: names that safely fall past the cap this round. The 50
-# r9-green names (fresh driver rows in CORRECTNESS_r09, window open
-# through round 11), the eight exception-list names above, the
-# rows-only-by-design sketch query, and the new locally-gated dim_merge.
-# 50 + 8 + 1 + 1 = 60 = registered 110 - cap 50, so the cap's cut is
-# wholly chosen here — nothing falls past by registration-order
-# accident.
-DEPRIORITY = [
-    # eight exception-list names (peer coverage documented above)
-    "cube_lineitem",
-    "topk_revenue",
-    "agg_stats",
-    "intersect_nations",
-    "except_nations",
-    "vector_cosine_topk",
-    "quality_deciles",
-    "doc_hash_split",
-    # rows-only by design (KLL/HLL sketch aggregate; rank-contract parity
-    # is pytest-asserted) — its weak row adds nothing over r4's
-    "event_value_stats_approx",
-    # new this round, locally gated at 3 SFs (leads r11 PRIORITY)
-    "dim_merge",
-    # r9-green (driver rows in CORRECTNESS_r09): window open to round 11
-    "fund_manual_confirm",
-    "fund_manual_redemption",
-    "fund_manual_dividend",
-    "events_sliding_window",
-    "shipping_priority_topk",
-    "dedup_ngram_capped",
-    "when_cascade_tier",
-    "graph_pagerank",
-    "dedup_semantic",
-    "volume_shipping",
-    "market_share",
-    "late_sole_supplier",
-    "dq_constraint_report",
-    "k_anonymity_audit",
-    "source_capped_sample",
-    "user_rolling_7d_spend",
-    "attribution_join",
-    "vector_ann_ivf",
-    "dedup_ngram_jaccard",
-    "dedup_minhash_lsh",
-    "event_value_stats",
-    "top_users_per_event",
-    "fund_classify",
-    "fund_dividend",
-    "fund_dividend_merged",
-    "fund_quarantine",
-    "fund_purchase_apply",
-    "fund_purchase_confirm",
-    "fund_redemption_confirm",
-    "fund_conversion",
-    "multimodal_binary_stats",
-    "dim_join_left",
-    "group_merge",
-    "isin_filter",
-    "date_math",
-    "derived_arithmetic",
-    "union_slices",
-    "mixed_sort_key",
-    "json_extract_agg",
-    "anti_join_customers",
-    "distinct_pairs",
-    "asof_last_click",
-    "grouping_sets_sql",
-    "correlated_subquery",
-    "text_token_count",
-    "corpus_curation",
-    "text_c4_filters",
-    "quality_weighted_sample",
-    "events_session_window",
-    "user_retention_cohorts",
 ]
 
 
