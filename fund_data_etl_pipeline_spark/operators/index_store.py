@@ -1,0 +1,176 @@
+"""On-disk persistence for the prebuilt ANN / minhash indexes (r11 —
+VERDICT r10 #2: the ``index_tables=`` convention previously handed over
+in-memory DataFrames; the 100 TB story is "written out, BUCKETED by the
+probe-join key so the per-batch/per-query joins are co-located").
+
+Spark's bucketing metadata lives in the catalog, not in the parquet
+files, so the store writes each index table with
+``bucketBy(...).sortBy(...).saveAsTable`` (an EXTERNAL table at an
+explicit location) and drops a tiny JSON manifest next to the data. A
+FRESH session re-attaches the files with ``CREATE TABLE ... USING
+parquet CLUSTERED BY ... INTO n BUCKETS LOCATION ...`` built from the
+manifest — the dependency-free stand-in for a shared Hive metastore /
+Iceberg catalog, which is what holds this metadata on a real cluster.
+Bucket files carry their bucket id in the filename (Spark's bucketed
+write layout), so re-attachment preserves co-location: a probe join on
+the bucket key plans with NO Exchange on the index side
+(``Bucketed: true`` scan, probe side alone shuffles to the bucket
+count) — asserted by tests/test_index_store.py.
+
+Sizing: ``n_buckets`` should track the index's steady-state size the
+same way shuffle partitions do (a fixed bucket count over a growing
+index is the note-10 trap in disguise — buckets are the unit of probe
+parallelism AND of the merge-free join's partitioning, so aim for
+~128 MB of index per bucket at rest).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+
+MANIFEST = "_INDEX_MANIFEST.json"
+
+
+def _ddl(schema) -> str:
+    return ", ".join(
+        f"`{f.name}` {f.dataType.simpleString()}" for f in schema.fields
+    )
+
+
+def save_bucketed_table(
+    df: DataFrame,
+    name: str,
+    location: str,
+    bucket_cols: list[str],
+    n_buckets: int,
+    sort_cols: list[str] | None = None,
+) -> None:
+    """Write ``df`` as an external bucketed parquet table at
+    ``location`` and record the attach manifest. Overwrites."""
+    sort_cols = sort_cols or bucket_cols
+    spark = df.sparkSession
+    # a previous registration under this name (any location/spec) would
+    # shadow the rewrite — saveAsTable(overwrite) replaces it in-catalog
+    (
+        df.write.mode("overwrite")
+        .format("parquet")
+        .bucketBy(n_buckets, *bucket_cols)
+        .sortBy(*sort_cols)
+        .option("path", location)
+        .saveAsTable(name)
+    )
+    manifest = {
+        "name": name,
+        "ddl": _ddl(spark.table(name).schema),
+        "bucket_cols": bucket_cols,
+        "sort_cols": sort_cols,
+        "n_buckets": n_buckets,
+    }
+    tmp = os.path.join(location, MANIFEST + ".tmp")
+    with open(tmp, "w") as fh:
+        json.dump(manifest, fh)
+    os.replace(tmp, os.path.join(location, MANIFEST))
+
+
+def attach_bucketed_table(
+    spark: SparkSession, location: str, name: str | None = None
+) -> DataFrame:
+    """Return the bucketed index table at ``location`` as a DataFrame,
+    registering it in THIS session's catalog from the manifest if the
+    session doesn't know it yet (the fresh-session path). ``name``
+    overrides the manifest's table name (two sessions can attach the
+    same files under different names)."""
+    with open(os.path.join(location, MANIFEST)) as fh:
+        m = json.load(fh)
+    name = name or m["name"]
+    if not spark.catalog.tableExists(name):
+        spark.sql(
+            f"CREATE TABLE `{name}` ({m['ddl']}) USING parquet "
+            f"CLUSTERED BY ({', '.join(m['bucket_cols'])}) "
+            f"SORTED BY ({', '.join(m['sort_cols'])}) "
+            f"INTO {m['n_buckets']} BUCKETS "
+            f"LOCATION '{location}'"
+        )
+    return spark.table(name)
+
+
+# ---------------------------------------------------------------------------
+# Index-specific wrappers: one directory per index, one subdir per table.
+
+
+def save_minhash_index(
+    index_tables: tuple[DataFrame, DataFrame],
+    base_dir: str,
+    n_buckets: int = 32,
+    prefix: str = "mh_idx",
+    id_col: str = "doc_id",
+) -> None:
+    """Persist a build_minhash_index result: ``prepped`` bucketed by the
+    doc id (the verify join's key), ``bands`` bucketed by (band, key)
+    (the candidate join's key). Per-batch probes against the attached
+    tables shuffle ONLY the batch side."""
+    prepped, bands = index_tables
+    save_bucketed_table(
+        prepped,
+        f"{prefix}_prepped",
+        os.path.join(base_dir, "prepped"),
+        [id_col],
+        n_buckets,
+    )
+    save_bucketed_table(
+        bands,
+        f"{prefix}_bands",
+        os.path.join(base_dir, "bands"),
+        ["band", "key"],
+        n_buckets,
+        sort_cols=["band", "key", id_col],
+    )
+
+
+def load_minhash_index(
+    spark: SparkSession, base_dir: str, prefix: str | None = None
+) -> tuple[DataFrame, DataFrame]:
+    """The ``index_tables=`` pair for incremental_minhash_pairs /
+    streaming_minhash_neardup, backed by the on-disk bucketed tables."""
+    names = (f"{prefix}_prepped", f"{prefix}_bands") if prefix else (None, None)
+    return (
+        attach_bucketed_table(spark, os.path.join(base_dir, "prepped"), names[0]),
+        attach_bucketed_table(spark, os.path.join(base_dir, "bands"), names[1]),
+    )
+
+
+def save_ivf_index(
+    index_tables: tuple[DataFrame, DataFrame],
+    base_dir: str,
+    n_buckets: int = 32,
+    prefix: str = "ivf_idx",
+) -> None:
+    """Persist a build_ivf_index result: ``assigned`` bucketed by
+    list_id (the probe join's key); ``seeds`` is n_lists rows — plain
+    parquet, it is broadcast/collected wherever it is used."""
+    seeds, assigned = index_tables
+    seeds.write.mode("overwrite").parquet(os.path.join(base_dir, "seeds"))
+    save_bucketed_table(
+        assigned,
+        f"{prefix}_assigned",
+        os.path.join(base_dir, "assigned"),
+        ["list_id"],
+        n_buckets,
+        sort_cols=["list_id", "neighbor_id"],
+    )
+
+
+def load_ivf_index(
+    spark: SparkSession, base_dir: str, prefix: str | None = None
+) -> tuple[DataFrame, DataFrame]:
+    """The ``index_tables=`` pair for ivf_seed_topk, backed by disk."""
+    seeds = spark.read.parquet(os.path.join(base_dir, "seeds"))
+    assigned = attach_bucketed_table(
+        spark,
+        os.path.join(base_dir, "assigned"),
+        f"{prefix}_assigned" if prefix else None,
+    )
+    return seeds, assigned
