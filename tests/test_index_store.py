@@ -84,8 +84,11 @@ def test_minhash_index_disk_roundtrip_and_bucketed_probe_plan(
         save_minhash_index(mem_idx, base, n_buckets=8, prefix=prefix)
 
         # fresh-session attach: a session whose catalog has never seen
-        # these tables rebuilds them from the manifest DDL alone
+        # these tables rebuilds them from the manifest DDL alone.
+        # newSession() does NOT inherit runtime conf, so re-disable
+        # broadcast there too or the exchange geometry is hidden.
         fresh = spark.newSession()
+        fresh.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
         _drop(fresh, f"{prefix}_prepped", f"{prefix}_bands")
         disk_idx = load_minhash_index(fresh, base, prefix=prefix)
 
@@ -138,6 +141,7 @@ def test_ivf_index_disk_roundtrip_and_bucketed_probe_plan(
         save_ivf_index(mem_idx, base, n_buckets=8, prefix=prefix)
 
         fresh = spark.newSession()
+        fresh.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
         _drop(fresh, f"{prefix}_assigned")
         disk_idx = load_ivf_index(fresh, base, prefix=prefix)
 
