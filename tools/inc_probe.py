@@ -185,7 +185,11 @@ def main() -> None:
         elif args.doc_skew:
             index_dir = build_clustered_dir(spark, args.sf, f, args.doc_skew)
         else:
-            index_dir = build_scaled_dir(spark, args.sf, f)
+            # documents is the only table this probe reads — subset
+            # staging keeps the 1000x decade at ~600 MB, not ~60 GB
+            index_dir = build_scaled_dir(
+                spark, args.sf, f, only={"documents"}
+            )
         tag = f"{mode.replace('.', 'p')}_x{f}"
         if args.op == "exact":
             from fund_data_etl_pipeline_spark.operators.dedup import (

@@ -88,10 +88,19 @@ PROBE_QUERIES = [
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 
-def build_scaled_dir(spark, sf_dir: str, factor: int) -> str:
+def build_scaled_dir(
+    spark, sf_dir: str, factor: int, only: set[str] | None = None
+) -> str:
+    """Stage the uniform ``factor``x replica dir. ``only`` restricts
+    which of the four big tables are materialized (the rest symlink the
+    base) — the 1000x probes (VERDICT r10 #3) touch one table each, and
+    a FULL 1000x staging would write ~60 GB of events/lineitem the
+    probe never reads. Subset dirs get their own suffix so they never
+    shadow a full staging."""
     from fund_data_etl_pipeline_spark.sources.tables import TABLE_NAMES, load_table
 
-    out_dir = os.path.join(REPO, f".scale_probe_x{factor}")
+    suffix = "_" + "-".join(sorted(only)) if only else ""
+    out_dir = os.path.join(REPO, f".scale_probe_x{factor}{suffix}")
     marker = os.path.join(out_dir, ".complete")
     # fingerprint the SOURCE tables: the driver regenerates /root/testdata
     # between rounds, and a stale staged replica would silently compare
@@ -105,7 +114,12 @@ def build_scaled_dir(spark, sf_dir: str, factor: int) -> str:
         # replica if the driver regenerated same-sized testdata within
         # the same second (ADVICE r4)
         fp_parts.append(f"{name}:{st.st_size}:{st.st_mtime_ns}")
-    fingerprint = "|".join(fp_parts)
+    # v2: embeddings nudge became factor-safe (distinct replicas past
+    # rep 64) — restage anything built with the alias-prone formula
+    fingerprint = "|".join(fp_parts) + ":v2"
+
+    def _wanted(name: str) -> bool:
+        return only is None or name in only
     if os.path.exists(marker):
         with open(marker) as fh:
             if fh.read() == fingerprint:
@@ -117,79 +131,95 @@ def build_scaled_dir(spark, sf_dir: str, factor: int) -> str:
 
     rep = F.explode(F.array(*[F.lit(i) for i in range(factor)])).alias("rep")
 
-    docs = load_table(spark, sf_dir, "documents")
-    (
-        docs.select("*", rep)
-        .select(
-            (F.col("doc_id") * factor + F.col("rep")).alias("doc_id"),
-            F.concat(F.col("text"), F.lit(" zrep"), F.col("rep")).alias("text"),
-            "lang",
-            "source",
-            (F.col("n_chars") + F.lit(6)).alias("n_chars"),
+    if _wanted("documents"):
+        docs = load_table(spark, sf_dir, "documents")
+        (
+            docs.select("*", rep)
+            .select(
+                (F.col("doc_id") * factor + F.col("rep")).alias("doc_id"),
+                F.concat(F.col("text"), F.lit(" zrep"), F.col("rep")).alias("text"),
+                "lang",
+                "source",
+                (F.col("n_chars") + F.lit(6)).alias("n_chars"),
+            )
+            .write.mode("overwrite")
+            .parquet(os.path.join(out_dir, "documents.parquet"))
         )
-        .write.mode("overwrite")
-        .parquet(os.path.join(out_dir, "documents.parquet"))
-    )
 
-    events = load_table(spark, sf_dir, "events")
-    (
-        events.select("*", rep)
-        .select(
-            (F.col("event_id") * factor + F.col("rep")).alias("event_id"),
-            "ts",
-            (F.col("user_id") * factor + F.col("rep")).alias("user_id"),
-            "event_type",
-            "value",
-            "props",
+    if _wanted("events"):
+        events = load_table(spark, sf_dir, "events")
+        (
+            events.select("*", rep)
+            .select(
+                (F.col("event_id") * factor + F.col("rep")).alias("event_id"),
+                "ts",
+                (F.col("user_id") * factor + F.col("rep")).alias("user_id"),
+                "event_type",
+                "value",
+                "props",
+            )
+            .write.mode("overwrite")
+            .parquet(os.path.join(out_dir, "events.parquet"))
         )
-        .write.mode("overwrite")
-        .parquet(os.path.join(out_dir, "events.parquet"))
-    )
 
-    # embeddings: 10x vectors, each replica nudged on dimension ``rep``
-    # so the scaled corpus is 10x distinct near-neighbors, not 10 exact
-    # aliases (which would degenerate the semantic-dedup probe)
-    emb = load_table(spark, sf_dir, "embeddings")
-    (
-        emb.select("*", rep)
-        .select(
-            (F.col("vec_id") * factor + F.col("rep")).alias("vec_id"),
-            F.transform(
-                "embedding",
-                lambda x, i: F.when(i == F.col("rep"), x + F.lit(0.05))
-                .otherwise(x)
-                .cast("float"),
-            ).alias("embedding"),
-            "label",
+    # embeddings: Nx vectors, each replica nudged on dimension
+    # ``rep % 64`` by a rep-dependent amount so the scaled corpus is Nx
+    # DISTINCT near-neighbors at any factor, not aliases (the pre-v2
+    # formula nudged dimension ``rep`` — a no-op past rep 63, which at
+    # 1000x would make 94% of the corpus exact duplicates). For
+    # rep < 64 the v2 formula reduces to the original 0.05-on-dim-rep.
+    if _wanted("embeddings"):
+        emb = load_table(spark, sf_dir, "embeddings")
+        nudge_dim = F.pmod(F.col("rep"), F.lit(64))
+        nudge_val = F.lit(0.05) * (
+            F.lit(1.0) + F.floor(F.col("rep") / F.lit(64)).cast("double")
         )
-        .write.mode("overwrite")
-        .parquet(os.path.join(out_dir, "embeddings.parquet"))
-    )
+        (
+            emb.select("*", rep)
+            .select(
+                (F.col("vec_id") * factor + F.col("rep")).alias("vec_id"),
+                F.transform(
+                    "embedding",
+                    lambda x, i: F.when(i == nudge_dim, x + nudge_val)
+                    .otherwise(x)
+                    .cast("float"),
+                ).alias("embedding"),
+                "label",
+            )
+            .write.mode("overwrite")
+            .parquet(os.path.join(out_dir, "embeddings.parquet"))
+        )
 
     # lineitem: 10x rows with part/supp keys remapped per replica — the
     # co-purchase graph becomes 10 disjoint copies (10x nodes AND edges)
-    li = load_table(spark, sf_dir, "lineitem")
-    (
-        li.select("*", rep)
-        .select(
-            "l_orderkey",
-            (F.col("l_partkey") * factor + F.col("rep")).alias("l_partkey"),
-            (F.col("l_suppkey") * factor + F.col("rep")).alias("l_suppkey"),
-            "l_linenumber",
-            "l_quantity",
-            "l_extendedprice",
-            "l_discount",
-            "l_tax",
-            "l_returnflag",
-            "l_linestatus",
-            "l_shipdate",
+    if _wanted("lineitem"):
+        li = load_table(spark, sf_dir, "lineitem")
+        (
+            li.select("*", rep)
+            .select(
+                "l_orderkey",
+                (F.col("l_partkey") * factor + F.col("rep")).alias("l_partkey"),
+                (F.col("l_suppkey") * factor + F.col("rep")).alias("l_suppkey"),
+                "l_linenumber",
+                "l_quantity",
+                "l_extendedprice",
+                "l_discount",
+                "l_tax",
+                "l_returnflag",
+                "l_linestatus",
+                "l_shipdate",
+            )
+            .write.mode("overwrite")
+            .parquet(os.path.join(out_dir, "lineitem.parquet"))
         )
-        .write.mode("overwrite")
-        .parquet(os.path.join(out_dir, "lineitem.parquet"))
-    )
 
+    materialized = {
+        n
+        for n in ("documents", "events", "embeddings", "lineitem")
+        if _wanted(n)
+    }
     for name in TABLE_NAMES:
-        if name in ("documents", "events", "embeddings", "lineitem"):
+        if name in materialized:
             continue
         link = os.path.join(out_dir, f"{name}.parquet")
         if not os.path.exists(link):
@@ -824,8 +854,21 @@ def main() -> None:
         "vector_ann_lsh,vector_ann_ivf; ann_occupancy (incl. per-query "
         "candidate fan-out) logged per scale point",
     )
+    ap.add_argument(
+        "--only",
+        default=None,
+        help="uniform mode: comma-separated subset of the big tables "
+        "(documents,events,embeddings,lineitem) to materialize in the "
+        "staged dirs; others symlink the base. Use for single-table "
+        "probes at 1000x, where a full staging would write ~60 GB.",
+    )
     args = ap.parse_args()
     factors = [int(f) for f in args.factors.split(",")]
+    only = (
+        {t.strip() for t in args.only.split(",") if t.strip()}
+        if args.only
+        else None
+    )
     queries = (
         [q.strip() for q in args.queries.split(",") if q.strip()]
         if args.queries
@@ -890,7 +933,9 @@ def main() -> None:
         )
         occ = {}  # filled after the timed suites (timing first)
     else:
-        scaled_dirs = {f: build_scaled_dir(spark, args.sf, f) for f in factors}
+        scaled_dirs = {
+            f: build_scaled_dir(spark, args.sf, f, only=only) for f in factors
+        }
         base_dir = args.sf
     by_scale: dict[int, dict[str, float]] = {
         1: timed_suite(spark, qs, base_dir, queries, args.passes)
