@@ -310,6 +310,58 @@ def test_minhash_recovery_pairs_second_seed(spark):
     assert sorted(map(tuple, shared)) == sorted(map(tuple, rec))
 
 
+def test_recovery_registered_vs_production_agree(spark):
+    """r11 stretch (VERDICT r10 #8): the REGISTERED dedup_recovery_pairs
+    shape runs its FIRST pass at the one-band _RECOVERY_P1_BANDS budget
+    (so the driver row is non-vacuous), while the PRODUCTION composition
+    uses the full-band first pass. Lock the two shapes together: on a
+    planted-straggler corpus the final pair set — union of first-pass
+    and recovery pairs — must be IDENTICAL between the compositions and
+    must cover every planted twin. The verify gate (exact hashed-shingle
+    jaccard) makes false pairs impossible in either shape, so agreement
+    is exactly "no twin is caught by one composition and dropped by the
+    other"; if the registered band budget, the cap, or the seed-2
+    lottery drifts, this equality breaks before the driver row does."""
+    from fund_data_etl_pipeline_spark.operators.dedup import (
+        minhash_lsh_pairs,
+        minhash_recovery_pairs,
+        shingle_hash_prepped,
+    )
+    from fund_data_etl_pipeline_spark.plans.dedup import _RECOVERY_P1_BANDS
+
+    rows, planted = [], set()
+    for i in range(40):  # 40 twin families: ids (2i, 2i+1)
+        base = " ".join(f"fam{i}tok{j}" for j in range(30))
+        rows += [(2 * i, base + " alpha"), (2 * i + 1, base + " beta")]
+        planted.add((2 * i, 2 * i + 1))
+    for i in range(10):  # singletons: no near-dup partner
+        rows.append(
+            (1000 + i, " ".join(f"solo{i}w{j}" for j in range(25)))
+        )
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    prepped = shingle_hash_prepped(docs)
+
+    def compose(band_subset):
+        first = minhash_lsh_pairs(
+            docs, prepped=prepped, band_subset=band_subset
+        )
+        rec = minhash_recovery_pairs(docs, first, prepped=prepped)
+        fp = {(r["d1"], r["d2"]) for r in first.collect()}
+        rp = {(r["d1"], r["d2"]) for r in rec.collect()}
+        return fp, rp
+
+    reg_first, reg_rec = compose(_RECOVERY_P1_BANDS)
+    prod_first, prod_rec = compose(None)
+
+    assert reg_first | reg_rec == prod_first | prod_rec
+    # both compositions emit only true pairs and miss no planted twin
+    assert reg_first | reg_rec == planted
+    # the registered shape's reason to exist: its one-band first pass
+    # leaves real stragglers for the seed-2 recovery to reattach
+    assert reg_rec, "one-band registered shape must exercise recovery"
+    assert reg_rec & planted == reg_rec
+
+
 def test_minhash_lsh_band_subset_and_shared_prepped(spark, sf_dir):
     """r10: (a) band_subset=(all bands) is the default pairing exactly;
     (b) a proper subset's pairs are a subset of the full pass's pairs
