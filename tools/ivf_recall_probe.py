@@ -4,7 +4,7 @@ The pair-cap recall table (tools/recall_probe.py) quantifies what the
 LSH/minhash bucket caps forgo; IVF's equivalent knob is ``n_probe`` —
 how many coarse lists a query visits. This tool publishes the missing
 curve: recall@k of ivf_seed_topk (the registered deterministic
-quantizer) against the exact brute-force cosine top-k, for
+quantizer shape) against the exact brute-force cosine top-k, for
 n_probe ∈ {1,2,4,8} at the ADAPTIVE ~sqrt(N) list width, on
 
   - the uniform staged corpus (tools/scale_probe.build_scaled_dir,
@@ -15,9 +15,14 @@ n_probe ∈ {1,2,4,8} at the ADAPTIVE ~sqrt(N) list width, on
     near-copies — the adversarial case where a query's list must
     contain its whole family or recall collapses).
 
-Per (mode, factor, n_probe): mean/min recall@k over the query set,
-candidate-set size (how many (query, neighbor) pairs the probed lists
-admit — the cost side of the frontier), and wall seconds.
+The corpus assignment comes from a PREBUILT build_ivf_index
+materialized once per staging (the steady-state daily-index shape —
+paying the N·n_lists pass per n_probe run would measure the build, not
+the probe; numpy assignment, pytest-pinned equal to the HOF quantizer
+on the test corpora). Per (mode, factor, n_probe): mean/min recall@k
+over the query set, mean/max candidate-set size (how many (query,
+neighbor) pairs the probed lists admit — the cost side of the
+frontier), and wall seconds for the probe query itself.
 
 Usage: python tools/ivf_recall_probe.py [--factors 10,100] [--k 5]
        [--n-queries 100] [--probes 1,2,4,8] [--skew-frac 0.01]
@@ -31,6 +36,7 @@ from __future__ import annotations
 import argparse
 import json
 import os
+import shutil
 import sys
 import time
 
@@ -55,11 +61,65 @@ def _truth(spark, emb, queries, k):
     return out
 
 
-def _recall_at(spark, emb, queries, k, n_probe, truth):
+def _build_index(spark, emb, idx_dir):
+    """Materialize build_ivf_index once per staging; return the
+    (seeds, assigned) reader pair + build seconds + list sizes."""
+    from fund_data_etl_pipeline_spark.operators.similarity import (
+        build_ivf_index,
+    )
+
+    t0 = time.time()
+    seeds, assigned = build_ivf_index(
+        emb, n_lists=None, id_col="vec_id", vec_col="embedding"
+    )
+    sp, ap = os.path.join(idx_dir, "seeds"), os.path.join(idx_dir, "assigned")
+    seeds.write.mode("overwrite").parquet(sp)
+    assigned.write.mode("overwrite").parquet(ap)
+    dt = round(time.time() - t0, 3)
+    spark.catalog.clearCache()
+    seeds_r = spark.read.parquet(sp)
+    assigned_r = spark.read.parquet(ap)
+    sizes = {
+        r["list_id"]: r["n"]
+        for r in assigned_r.groupBy("list_id").agg(
+            F.count(F.lit(1)).alias("n")
+        ).collect()
+    }
+    return seeds_r, assigned_r, dt, sizes
+
+
+def _candidates(seeds_rows, qrows, n_probe, sizes):
+    """Mean/max candidate volume per query: the probed lists' sizes
+    summed. Probe-list choice replicated in numpy (rounded cosine,
+    min-list_id ties — immaterial at this precision for a COST
+    metric; the recall column itself uses the real operator)."""
+    import numpy as np
+
+    smat = np.array([r["sv"] for r in seeds_rows], dtype="float64")
+    snorm = np.array([r["ns"] for r in seeds_rows], dtype="float64")
+    sids = [r["list_id"] for r in seeds_rows]
+    qm = np.array([r["embedding"] for r in qrows], dtype="float64")
+    qn = np.sqrt((qm * qm).sum(axis=1))
+    den = np.outer(qn, snorm)
+    den[den == 0.0] = 1.0
+    cos = np.round(qm @ smat.T / den, 6)
+    order = np.argsort(-cos, axis=1, kind="stable")[:, :n_probe]
+    tot = [
+        sum(sizes.get(sids[j], 0) for j in row) for row in order
+    ]
+    return (
+        int(round(sum(tot) / max(len(tot), 1))),
+        int(max(tot)) if tot else 0,
+    )
+
+
+def _recall_at(spark, emb, queries, k, n_probe, truth, index_tables):
     from fund_data_etl_pipeline_spark.operators.similarity import ivf_seed_topk
 
     t0 = time.time()
-    got = ivf_seed_topk(emb, queries, k=k, n_lists=None, n_probe=n_probe)
+    got = ivf_seed_topk(
+        emb, queries, k=k, n_probe=n_probe, index_tables=index_tables
+    )
     rows = got.select("query_id", "neighbor_id").collect()
     dt = round(time.time() - t0, 3)
     by_q: dict[int, set[int]] = {}
@@ -100,6 +160,7 @@ def main() -> None:
     spark.sparkContext.setLogLevel("ERROR")
 
     out = {"k": args.k, "n_queries": args.n_queries, "rows": []}
+    idx_dir = os.path.abspath(".ivf_recall_idx")
     for f in factors:
         for mode in modes:
             if mode == "uniform":
@@ -115,13 +176,31 @@ def main() -> None:
             queries = emb.filter(F.col("vec_id") < args.n_queries)
             truth = _truth(spark, emb, queries, args.k)
             spark.catalog.clearCache()
+            seeds_r, assigned_r, t_build, sizes = _build_index(
+                spark, emb, idx_dir
+            )
+            seeds_rows = seeds_r.collect()
+            qrows = queries.select("vec_id", "embedding").collect()
+            print(
+                f"{mode} {f}x: N={n} lists={lists} "
+                f"index build+save={t_build}s"
+            )
             for p in probes:
+                cand_mean, cand_max = _candidates(
+                    seeds_rows, qrows, p, sizes
+                )
                 row = {
                     "mode": mode,
                     "factor": f,
                     "n_vectors": n,
                     "n_lists": lists,
-                    **_recall_at(spark, emb, queries, args.k, p, truth),
+                    "t_build": t_build,
+                    "cand_mean": cand_mean,
+                    "cand_max": cand_max,
+                    **_recall_at(
+                        spark, emb, queries, args.k, p, truth,
+                        (seeds_r, assigned_r),
+                    ),
                 }
                 out["rows"].append(row)
                 print(
@@ -129,8 +208,10 @@ def main() -> None:
                     f"recall@{args.k} mean={row['recall_mean']} "
                     f"min={row['recall_min']} "
                     f"perfect={row['queries_perfect']}/{len(truth)} "
+                    f"cand mean={cand_mean} max={cand_max} "
                     f"({row['sec']}s)"
                 )
+    shutil.rmtree(idx_dir, ignore_errors=True)
     print(json.dumps(out))
     spark.stop()
 
