@@ -16,6 +16,16 @@ the SAME staged corpora so BASELINE §3 can carry both rows: pinned
 (registered, linear by design) and adaptive (production, the 100 TB
 path).
 
+The two ops measure DIFFERENT production shapes, matching how each is
+deployed at scale: lsh times the full inline adaptive query (signature
+build is one linear map pass — there is no index to amortize); ivf at
+the adaptive sqrt(N) width pays an N^1.5 corpus assignment that
+production amortizes ONCE per ingest (build_ivf_index, numpy GEMM), so
+the ivf row builds + materializes the index per staging (build seconds
+reported) and times the PROBE via index_tables= — re-assigning inline
+per query at 1000x would measure ~hours of index build, a shape no
+deployment runs (the r10 715 s lesson, one decade further).
+
 Usage: python tools/ann_adaptive_probe.py [--factors 10,100,1000]
        [--passes 2] [--ops lsh,ivf]. Run SOLO (note 8).
 """
@@ -69,12 +79,41 @@ def main() -> None:
         n = emb.count()
         queries = emb.filter(F.col("vec_id") < 10)
         for op in ops:
+            t_build = None
+            index_tables = None
+            if op == "ivf":
+                from fund_data_etl_pipeline_spark.operators.similarity import (
+                    build_ivf_index,
+                )
+
+                idx_dir = os.path.abspath(".ivf_recall_idx_adaptive")
+                t0 = time.time()
+                seeds, assigned = build_ivf_index(
+                    emb, n_lists=None, id_col="vec_id", vec_col="embedding"
+                )
+                seeds.write.mode("overwrite").parquet(
+                    os.path.join(idx_dir, "seeds")
+                )
+                assigned.write.mode("overwrite").parquet(
+                    os.path.join(idx_dir, "assigned")
+                )
+                t_build = round(time.time() - t0, 3)
+                spark.catalog.clearCache()
+                index_tables = (
+                    spark.read.parquet(os.path.join(idx_dir, "seeds")),
+                    spark.read.parquet(os.path.join(idx_dir, "assigned")),
+                )
+
             def run():
                 if op == "lsh":
                     res = ann_lsh_topk(emb, queries, k=5, planes=None)
                 else:
                     res = ivf_seed_topk(
-                        emb, queries, k=5, n_lists=None, n_probe=2
+                        emb,
+                        queries,
+                        k=5,
+                        n_probe=2,
+                        index_tables=index_tables,
                     )
                 res.write.format("noop").mode("overwrite").save()
 
@@ -89,9 +128,17 @@ def main() -> None:
             spark.catalog.clearCache()
             width = ann_planes(n) if op == "lsh" else ivf_lists(n)
             times[op][f] = best
-            row = {"op": op, "factor": f, "n": n, "width": width, "sec": best}
+            row = {
+                "op": op,
+                "factor": f,
+                "n": n,
+                "width": width,
+                "sec": best,
+                "t_build": t_build,
+            }
             out["rows"].append(row)
-            print(f"{op} x{f}: N={n} width={width} {best}s")
+            extra = f" build={t_build}s" if t_build is not None else ""
+            print(f"{op} x{f}: N={n} width={width} {best}s{extra}")
     for op in ops:
         pts = sorted(times[op].items())
         exp = fit_exponent(pts)
