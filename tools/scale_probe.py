@@ -88,6 +88,21 @@ PROBE_QUERIES = [
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 
+
+# staged replicas are written from a 32-way split of the base table so
+# every decade's read-back has >= one split per local core: the explode
+# multiplies rows WITHIN each partition, so the output keeps 32 files.
+# Before r11 the base's single input file produced single-file staged
+# parquet whose lone row group serialized scan-stage work (signature
+# builds, shingle hashing) into ONE task — distorting the per-decade
+# fits that feed BASELINE §3 (found during the 1000x runs: a 12-idle-
+# 1-straggler task profile on every scan stage).
+_STAGE_PARTS = 32
+
+
+def _spread(df):
+    return df.repartition(_STAGE_PARTS)
+
 def build_scaled_dir(
     spark, sf_dir: str, factor: int, only: set[str] | None = None
 ) -> str:
@@ -116,7 +131,7 @@ def build_scaled_dir(
         fp_parts.append(f"{name}:{st.st_size}:{st.st_mtime_ns}")
     # v2: embeddings nudge became factor-safe (distinct replicas past
     # rep 64) — restage anything built with the alias-prone formula
-    fingerprint = "|".join(fp_parts) + ":v2"
+    fingerprint = "|".join(fp_parts) + ":v3"
 
     def _wanted(name: str) -> bool:
         return only is None or name in only
@@ -132,7 +147,7 @@ def build_scaled_dir(
     rep = F.explode(F.array(*[F.lit(i) for i in range(factor)])).alias("rep")
 
     if _wanted("documents"):
-        docs = load_table(spark, sf_dir, "documents")
+        docs = _spread(load_table(spark, sf_dir, "documents"))
         (
             docs.select("*", rep)
             .select(
@@ -147,7 +162,7 @@ def build_scaled_dir(
         )
 
     if _wanted("events"):
-        events = load_table(spark, sf_dir, "events")
+        events = _spread(load_table(spark, sf_dir, "events"))
         (
             events.select("*", rep)
             .select(
@@ -169,7 +184,7 @@ def build_scaled_dir(
     # 1000x would make 94% of the corpus exact duplicates). For
     # rep < 64 the v2 formula reduces to the original 0.05-on-dim-rep.
     if _wanted("embeddings"):
-        emb = load_table(spark, sf_dir, "embeddings")
+        emb = _spread(load_table(spark, sf_dir, "embeddings"))
         nudge_dim = F.pmod(F.col("rep"), F.lit(64))
         nudge_val = F.lit(0.05) * (
             F.lit(1.0) + F.floor(F.col("rep") / F.lit(64)).cast("double")
@@ -193,7 +208,7 @@ def build_scaled_dir(
     # lineitem: 10x rows with part/supp keys remapped per replica — the
     # co-purchase graph becomes 10 disjoint copies (10x nodes AND edges)
     if _wanted("lineitem"):
-        li = load_table(spark, sf_dir, "lineitem")
+        li = _spread(load_table(spark, sf_dir, "lineitem"))
         (
             li.select("*", rep)
             .select(
@@ -267,7 +282,7 @@ def build_skewed_dir(
     src = os.path.join(sf_dir, "embeddings.parquet")
     st = os.stat(src)
     fingerprint = (
-        f"emb:{st.st_size}:{st.st_mtime_ns}:c{n_centroids}:q{include_query_ids}"
+        f"emb:{st.st_size}:{st.st_mtime_ns}:c{n_centroids}:q{include_query_ids}:v3"
     )
     if os.path.exists(marker):
         with open(marker) as fh:
@@ -283,6 +298,7 @@ def build_skewed_dir(
         r["embedding"]
         for r in emb.orderBy("vec_id").limit(n_centroids).collect()
     ]
+    emb = _spread(emb)
     rep = F.explode(F.array(*[F.lit(i) for i in range(factor)])).alias("rep")
     new_id = (F.col("vec_id") * factor + F.col("rep")).alias("vec_id")
     # deterministic membership + centroid pick (RNG-free, id-keyed)
@@ -462,7 +478,7 @@ def build_clustered_dir(spark, sf_dir: str, factor: int, frac: float) -> str:
     for name in ("documents.parquet", "embeddings.parquet"):
         st = os.stat(os.path.join(sf_dir, name))
         fp_parts.append(f"{name}:{st.st_size}:{st.st_mtime_ns}")
-    fingerprint = "|".join(fp_parts) + f":f{_CLUSTER_FAM}:v2"
+    fingerprint = "|".join(fp_parts) + f":f{_CLUSTER_FAM}:v3"
     if os.path.exists(marker):
         with open(marker) as fh:
             if fh.read() == fingerprint:
@@ -475,7 +491,7 @@ def build_clustered_dir(spark, sf_dir: str, factor: int, frac: float) -> str:
     rep = F.explode(F.array(*[F.lit(i) for i in range(factor)])).alias("rep")
 
     # --- documents ---
-    docs = load_table(spark, sf_dir, "documents")
+    docs = _spread(load_table(spark, sf_dir, "documents"))
     new_doc = (F.col("doc_id") * factor + F.col("rep")).alias("doc_id")
     member, fam = _cluster_flags("doc_id", frac)
     fam_texts = _family_texts()
@@ -510,7 +526,7 @@ def build_clustered_dir(spark, sf_dir: str, factor: int, frac: float) -> str:
     )
 
     # --- embeddings ---
-    emb = load_table(spark, sf_dir, "embeddings")
+    emb = _spread(load_table(spark, sf_dir, "embeddings"))
     cents = _twin_centroids(spark, sf_dir)
     new_vec = (F.col("vec_id") * factor + F.col("rep")).alias("vec_id")
     memberv, famv = _cluster_flags("vec_id", frac)
