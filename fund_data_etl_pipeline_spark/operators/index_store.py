@@ -64,6 +64,7 @@ def save_bucketed_table(
     )
     manifest = {
         "name": name,
+        "location": location,
         "ddl": _ddl(spark.table(name).schema),
         "bucket_cols": bucket_cols,
         "sort_cols": sort_cols,
@@ -75,6 +76,24 @@ def save_bucketed_table(
     os.replace(tmp, os.path.join(location, MANIFEST))
 
 
+def _table_location(spark: SparkSession, name: str) -> str | None:
+    for row in spark.sql(f"DESCRIBE TABLE EXTENDED `{name}`").collect():
+        if row["col_name"] == "Location":
+            return row["data_type"]
+    return None
+
+
+def _norm_path(p: str) -> str:
+    for scheme in ("file:", ""):
+        if p.startswith(scheme + "//"):
+            p = p[len(scheme) + 2 :] or "/"
+            break
+        if scheme and p.startswith(scheme):
+            p = p[len(scheme) :]
+            break
+    return os.path.realpath(p)
+
+
 def attach_bucketed_table(
     spark: SparkSession, location: str, name: str | None = None
 ) -> DataFrame:
@@ -82,7 +101,14 @@ def attach_bucketed_table(
     registering it in THIS session's catalog from the manifest if the
     session doesn't know it yet (the fresh-session path). ``name``
     overrides the manifest's table name (two sessions can attach the
-    same files under different names)."""
+    same files under different names).
+
+    If the session ALREADY has a table under this name, it must point at
+    this ``location`` — a second index saved under the default prefix to
+    a different directory re-registers the name in-catalog, and silently
+    returning that table would probe the wrong index. Raises ValueError
+    on a location mismatch; pass a distinct ``name`` (or prefix) per
+    index instead."""
     with open(os.path.join(location, MANIFEST)) as fh:
         m = json.load(fh)
     name = name or m["name"]
@@ -94,6 +120,14 @@ def attach_bucketed_table(
             f"INTO {m['n_buckets']} BUCKETS "
             f"LOCATION '{location}'"
         )
+    else:
+        have = _table_location(spark, name)
+        if have is not None and _norm_path(have) != _norm_path(location):
+            raise ValueError(
+                f"catalog table `{name}` points at {have}, not the "
+                f"requested {location}; attach it under a distinct "
+                f"name= / prefix= (or drop the stale registration)"
+            )
     return spark.table(name)
 
 

@@ -221,3 +221,33 @@ print("PHASE_OK", phase)
             timeout=300,
         )
         assert f"PHASE_OK {phase}" in r.stdout, (r.stdout, r.stderr[-3000:])
+
+
+def test_attach_rejects_shadowed_name_at_other_location(spark, tmp_path):
+    """A second index saved under the same table name re-points the
+    in-session registration; attaching the FIRST location must raise
+    instead of silently returning the second index's rows (r11 review:
+    the tableExists short-circuit used to hand back whatever the name
+    last pointed at)."""
+    from fund_data_etl_pipeline_spark.operators.index_store import (
+        attach_bucketed_table,
+        save_bucketed_table,
+    )
+
+    a = spark.range(5).selectExpr("id", "id * 2 AS v")
+    b = spark.range(7).selectExpr("id", "id * 3 AS v")
+    loc_a, loc_b = str(tmp_path / "ia"), str(tmp_path / "ib")
+    name = "t_idx_shadow"
+    try:
+        save_bucketed_table(a, name, loc_a, ["id"], 4)
+        save_bucketed_table(b, name, loc_b, ["id"], 4)  # re-points `name`
+        # the honest path: attaching the location the name now points at
+        assert attach_bucketed_table(spark, loc_b).count() == 7
+        with pytest.raises(ValueError, match="points at"):
+            attach_bucketed_table(spark, loc_a)
+        # distinct name attaches the shadowed files fine
+        got = attach_bucketed_table(spark, loc_a, name="t_idx_shadow_a")
+        assert got.count() == 5
+    finally:
+        for n in (name, "t_idx_shadow_a"):
+            spark.sql(f"DROP TABLE IF EXISTS `{n}`")

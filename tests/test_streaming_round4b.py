@@ -451,7 +451,10 @@ def test_streaming_dim_maintenance_parity_with_batch(spark, tmp_path):
     # checkpoint across both runs, so one namespace, ordered suffixes
     import re
 
-    versions = sorted(d for d in os.listdir(out) if re.search(r"_v\d+$", d))
+    versions = sorted(
+        (d for d in os.listdir(out) if re.search(r"_v\d+$", d)),
+        key=lambda d: int(d.rsplit("_v", 1)[1]),  # _v10 after _v9, not _v1x
+    )
     assert len(versions) >= 2
     assert len({v.split("_v")[0] for v in versions}) == 1
     assert cur.endswith(versions[-1])

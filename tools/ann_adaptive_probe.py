@@ -82,27 +82,30 @@ def main() -> None:
             t_build = None
             index_tables = None
             if op == "ivf":
+                # build → persist → reload through the production store
+                # module (operators/index_store), not a hand-rolled
+                # parquet round-trip — the probe should exercise the
+                # same prebuilt-index path a pipeline deploys
+                from fund_data_etl_pipeline_spark.operators.index_store import (
+                    load_ivf_index,
+                    save_ivf_index,
+                )
                 from fund_data_etl_pipeline_spark.operators.similarity import (
                     build_ivf_index,
                 )
 
                 idx_dir = os.path.abspath(".ivf_recall_idx_adaptive")
                 t0 = time.time()
-                seeds, assigned = build_ivf_index(
-                    emb, n_lists=None, id_col="vec_id", vec_col="embedding"
-                )
-                seeds.write.mode("overwrite").parquet(
-                    os.path.join(idx_dir, "seeds")
-                )
-                assigned.write.mode("overwrite").parquet(
-                    os.path.join(idx_dir, "assigned")
+                save_ivf_index(
+                    build_ivf_index(
+                        emb, n_lists=None, id_col="vec_id", vec_col="embedding"
+                    ),
+                    idx_dir,
+                    prefix="aap_ivf",
                 )
                 t_build = round(time.time() - t0, 3)
                 spark.catalog.clearCache()
-                index_tables = (
-                    spark.read.parquet(os.path.join(idx_dir, "seeds")),
-                    spark.read.parquet(os.path.join(idx_dir, "assigned")),
-                )
+                index_tables = load_ivf_index(spark, idx_dir, prefix="aap_ivf")
 
             def run():
                 if op == "lsh":

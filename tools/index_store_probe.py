@@ -52,6 +52,33 @@ def _timed_passes(fn, passes: int) -> float:
     return best
 
 
+def _staged_batch(spark, sf: str):
+    """The fixed probe batch (sf documents, ids offset out of the index's
+    id space), cached on disk but keyed on the SOURCE table's
+    size+mtime_ns — the driver regenerates /root/testdata between
+    rounds, and an existence-only cache would silently probe an old
+    round's batch against an index built from the new corpus (the
+    build_scaled_dir staleness lesson applied to this cache)."""
+    from fund_data_etl_pipeline_spark.sources.tables import load_table
+
+    src = os.path.join(sf, "documents.parquet")
+    st = os.stat(src)
+    fingerprint = f"{src}:{st.st_size}:{st.st_mtime_ns}:off{_ID_OFFSET}"
+    batch_path = os.path.join(REPO, ".idx_store_batch_docs")
+    marker = os.path.join(batch_path, ".complete")
+    stale = True
+    if os.path.exists(marker):
+        with open(marker) as fh:
+            stale = fh.read() != fingerprint
+    if stale:
+        load_table(spark, sf, "documents").withColumn(
+            "doc_id", F.col("doc_id") + F.lit(_ID_OFFSET)
+        ).write.mode("overwrite").parquet(batch_path)
+        with open(marker, "w") as fh:
+            fh.write(fingerprint)
+    return spark.read.parquet(batch_path)
+
+
 def probe_minhash(spark, sf: str, factor: int, passes: int, n_buckets: int):
     from fund_data_etl_pipeline_spark.operators.dedup import (
         build_minhash_index,
@@ -67,12 +94,7 @@ def probe_minhash(spark, sf: str, factor: int, passes: int, n_buckets: int):
         sf if factor == 1
         else build_scaled_dir(spark, sf, factor, only={"documents"})
     )
-    batch_path = os.path.join(REPO, ".idx_store_batch_docs")
-    if not os.path.exists(batch_path):
-        load_table(spark, sf, "documents").withColumn(
-            "doc_id", F.col("doc_id") + F.lit(_ID_OFFSET)
-        ).write.mode("overwrite").parquet(batch_path)
-    batch = spark.read.parquet(batch_path)
+    batch = _staged_batch(spark, sf)
 
     base = os.path.join(REPO, f".idx_store_mh_x{factor}")
     shutil.rmtree(base, ignore_errors=True)

@@ -68,17 +68,25 @@ def _build_index(spark, emb, idx_dir):
         build_ivf_index,
     )
 
-    t0 = time.time()
-    seeds, assigned = build_ivf_index(
-        emb, n_lists=None, id_col="vec_id", vec_col="embedding"
+    from fund_data_etl_pipeline_spark.operators.index_store import (
+        load_ivf_index,
+        save_ivf_index,
     )
-    sp, ap = os.path.join(idx_dir, "seeds"), os.path.join(idx_dir, "assigned")
-    seeds.write.mode("overwrite").parquet(sp)
-    assigned.write.mode("overwrite").parquet(ap)
+
+    # persist/reload via the production store module (same path the
+    # ann_adaptive probe and a deployed pipeline use), not a hand-rolled
+    # parquet round-trip
+    t0 = time.time()
+    save_ivf_index(
+        build_ivf_index(
+            emb, n_lists=None, id_col="vec_id", vec_col="embedding"
+        ),
+        idx_dir,
+        prefix="irp_ivf",
+    )
     dt = round(time.time() - t0, 3)
     spark.catalog.clearCache()
-    seeds_r = spark.read.parquet(sp)
-    assigned_r = spark.read.parquet(ap)
+    seeds_r, assigned_r = load_ivf_index(spark, idx_dir, prefix="irp_ivf")
     sizes = {
         r["list_id"]: r["n"]
         for r in assigned_r.groupBy("list_id").agg(

@@ -782,11 +782,36 @@ def minhash_occupancy(spark, sf_dir: str) -> dict:
 
 
 def timed_suite(
-    spark, qs, sf_dir: str, queries: list[str], passes: int = 2
+    spark,
+    qs,
+    sf_dir: str,
+    queries: list[str],
+    passes: int = 2,
+    symlinked: set[str] | None = None,
 ) -> dict[str, float]:
+    """``symlinked``: table names the staged dir did NOT materialize
+    (--only mode leaves them as factor-1 symlinks to the base). A query
+    that reads one scans base-sized data at every "factor", so its
+    fitted exponent would be a silent ~0 lie — flag it loudly."""
     times: dict[str, float] = {}
     for name in queries:
         try:
+            if symlinked:
+                hit = sorted(
+                    t
+                    for t in symlinked
+                    if any(
+                        f"/{t}.parquet" in p
+                        for p in qs[name](spark, sf_dir).inputFiles()
+                    )
+                )
+                if hit:
+                    print(
+                        f"scale_probe: WARNING {name} reads non-materialized "
+                        f"(factor-1 symlink) tables {hit} in {sf_dir} — its "
+                        f"factor-labeled times are NOT scaling points",
+                        file=sys.stderr,
+                    )
             qs[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
             for _ in range(passes):
                 spark.catalog.clearCache()
@@ -953,11 +978,18 @@ def main() -> None:
             f: build_scaled_dir(spark, args.sf, f, only=only) for f in factors
         }
         base_dir = args.sf
+    symlinked = None
+    if only is not None:
+        from fund_data_etl_pipeline_spark.sources.tables import TABLE_NAMES
+
+        symlinked = set(TABLE_NAMES) - only
     by_scale: dict[int, dict[str, float]] = {
         1: timed_suite(spark, qs, base_dir, queries, args.passes)
     }
     for f in factors:
-        by_scale[f] = timed_suite(spark, qs, scaled_dirs[f], queries, args.passes)
+        by_scale[f] = timed_suite(
+            spark, qs, scaled_dirs[f], queries, args.passes, symlinked=symlinked
+        )
 
     rows = []
     scales = [1] + factors
