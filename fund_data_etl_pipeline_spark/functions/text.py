@@ -98,12 +98,26 @@ def word_hashes(ws: Column) -> Column:
     return F.transform(ws, word_hash)
 
 
+def _shingle_idx(arr: Column, n: int) -> Column:
+    """1..size-(n-1), or EMPTY when the doc has under ``n`` words (or
+    NULL text). Spark's ``sequence(1, 0)`` is the DESCENDING ``[1, 0]``
+    — unlike DuckDB's empty ``generate_series(1, 0)`` — so the old
+    ``greatest(size-2, 0)`` bound made every short doc index element 0
+    (INVALID_INDEX_OF_ZERO under ANSI) and every NULL text produce a
+    ``[NULL]`` shingle set instead of the oracle's empty one."""
+    return F.when(
+        F.size(arr) >= F.lit(n),
+        F.sequence(F.lit(1), F.size(arr) - (n - 1)),
+    ).otherwise(F.array().cast("array<int>"))
+
+
 def shingle_hashes(wh: Column, n: int = 3) -> Column:
     """Distinct hashes of word n-grams combined from a PRE-HASHED word
     column: H3 = (H(w_i)*C1 + H(w_i+1)*C2 + H(w_i+2)) mod P. md5 runs once
     per WORD (in word_hashes), the combine is pure arithmetic; the DuckDB
-    oracle reproduces the values exactly."""
-    idx = F.sequence(F.lit(1), F.greatest(F.size(wh) - (n - 1), F.lit(0)))
+    oracle reproduces the values exactly. Under-n-word and NULL texts
+    yield the EMPTY set (matching the oracle's generate_series)."""
+    idx = _shingle_idx(wh, n)
     combined = F.transform(
         idx,
         lambda i: (
@@ -118,8 +132,9 @@ def shingle_hashes(wh: Column, n: int = 3) -> Column:
 
 def shingles(ws: Column, n: int = 3) -> Column:
     """Distinct word n-grams (the minhash/jaccard unit). Pure expression:
-    transform over an index sequence, no explode."""
-    idx = F.sequence(F.lit(1), F.greatest(F.size(ws) - (n - 1), F.lit(0)))
+    transform over an index sequence, no explode. Empty for under-n-word
+    or NULL texts (see _shingle_idx)."""
+    idx = _shingle_idx(ws, n)
     grams = F.transform(
         idx,
         lambda i: F.concat_ws(
@@ -193,8 +208,13 @@ def hamming32(a: Column, b: Column) -> Column:
 def poly_fingerprint(ws: Column) -> Column:
     """Position-weighted polynomial fingerprint:
     sum_i ((i+1) * H(w_i)) mod P — an order-sensitive document hash that
-    the oracle reproduces exactly."""
-    idx = F.sequence(F.lit(1), F.size(ws))
+    the oracle reproduces exactly. A zero-word doc fingerprints to 0
+    like the oracle's COALESCE(list_sum(empty), 0) — the bare
+    ``sequence(1, 0)`` would be the descending [1, 0] and index element
+    0 (the _shingle_idx trap; r11 review class)."""
+    idx = F.when(
+        F.size(ws) >= 1, F.sequence(F.lit(1), F.size(ws))
+    ).otherwise(F.array().cast("array<int>"))
     terms = F.transform(
         idx, lambda i: (i.cast("bigint") * word_hash(F.element_at(ws, i.cast("int")))) % HASH_P
     )

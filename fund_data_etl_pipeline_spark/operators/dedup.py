@@ -83,10 +83,25 @@ def incremental_exact_dedup(
     )
     canon = hashed.groupBy("content_hash").agg(F.min(id_col).alias(id_col))
     # the join back is many-to-one if the batch re-delivers the SAME
-    # (id, text) row twice — dropDuplicates collapses those re-deliveries
-    batch_unique = hashed.join(
-        canon, [id_col, "content_hash"], "inner"
-    ).dropDuplicates([id_col, "content_hash"])
+    # (id, text) row twice — dropDuplicates collapses those re-deliveries.
+    # NULL-SAFE on the hash: a parse-failure row (text NULL -> hash NULL)
+    # still forms a canonical group in the groupBy above, but plain
+    # equality here would drop it from both fresh and the history while
+    # the oracle's GROUP BY + ANTI JOIN keeps it (r11 review) — silent
+    # data loss, not just divergence.
+    cn = canon.select(
+        F.col(id_col).alias("__cid"), F.col("content_hash").alias("__chash")
+    )
+    batch_unique = (
+        hashed.join(
+            cn,
+            (F.col(id_col) == F.col("__cid"))
+            & F.col("content_hash").eqNullSafe(F.col("__chash")),
+            "inner",
+        )
+        .drop("__cid", "__chash")
+        .dropDuplicates([id_col, "content_hash"])
+    )
     fresh = (
         batch_unique.join(history, "content_hash", "left_anti")
         if history is not None
@@ -95,8 +110,12 @@ def incremental_exact_dedup(
     # fresh is already one row per content_hash, and the two union sides
     # are provably disjoint (fresh was anti-joined against history), so
     # NO distinct anywhere — appending the day's hashes never re-shuffles
-    # the index
-    new_hashes = fresh.select("content_hash")
+    # the index. A NULL hash is excluded: it matches nothing in any later
+    # anti-join (contentless rows always come through fresh), so storing
+    # it would only grow the index by one dead row per batch.
+    new_hashes = fresh.select("content_hash").where(
+        F.col("content_hash").isNotNull()
+    )
     updated = (
         history.unionByName(new_hashes) if history is not None else new_hashes
     )
@@ -423,6 +442,13 @@ def minhash_band_keys(
         *carry,
         *minhash_signature_from_hashes(F.col(hs_col), seed=seed),
     )
+    # contentless docs (NULL text / under-shingle-length) have an EMPTY
+    # shingle set, so every minhash is NULL — and band_key's concat_ws
+    # would silently turn those into a shared "" key, pairing every
+    # parse-failure doc with every other at jaccard 1.0-on-empty-sets,
+    # while the oracle's NULL-propagating keys never equi-join (r11
+    # review). No shingles = no identity: such docs band into NOTHING.
+    sig = sig.where(F.col("mh0").isNotNull())
     sig_cols = [F.col(f"mh{i}") for i in range(len(MINHASH_A))]
     bands = F.array(
         *[
@@ -587,7 +613,7 @@ def incremental_minhash_pairs(
 
 
 def minhash_lsh_pairs(
-    df: DataFrame,
+    df: DataFrame | None,
     text_col: str = "text",
     id_col: str = "doc_id",
     threshold: float = 0.8,
@@ -600,7 +626,11 @@ def minhash_lsh_pairs(
     ``prepped`` optionally supplies an ALREADY-PERSISTED
     shingle_hash_prepped table so a composition (e.g. the seed-1 +
     seed-2 recovery query) hashes the corpus ONCE and shares one cache
-    across both passes (r10, ADVICE r9 #3). ``band_subset`` restricts
+    across both passes (r10, ADVICE r9 #3). When ``prepped`` is given it
+    IS the corpus — ``df`` is not read (pass None); supplying a prepped
+    table built from a different corpus than ``df`` would otherwise be a
+    silent mismatch (r11 review, the index_docs/index_tables lesson).
+    ``band_subset`` restricts
     the banding lottery to the named bands — a reduced banding budget
     trades recall for candidate volume (the standard bands/rows knob);
     the registered recovery query runs its first pass at one band so
@@ -646,6 +676,11 @@ def minhash_lsh_pairs(
     # persisted (signature build + both verify sides read it); banded is
     # persisted slim (both pairing branches read it).
     if prepped is None:
+        if df is None:
+            raise ValueError(
+                "minhash_lsh_pairs needs df (the corpus) or prepped "
+                "(its shingle_hash_prepped table)"
+            )
         prepped = persist_tracked(shingle_hash_prepped(df, text_col, id_col))
     banded = minhash_band_keys(prepped, id_col)
     if band_subset is not None:
@@ -683,7 +718,7 @@ def minhash_lsh_pairs(
 
 
 def minhash_recovery_pairs(
-    docs: DataFrame,
+    docs: DataFrame | None,
     first_pairs: DataFrame,
     text_col: str = "text",
     id_col: str = "doc_id",
@@ -716,8 +751,15 @@ def minhash_recovery_pairs(
     shingle_hash_prepped table the first pass built, so the composed
     seed-1 + seed-2 query hashes and caches the corpus exactly once
     (r10, ADVICE r9 #3 — the same sharing device as
-    incremental_minhash_pairs' index_tables=)."""
+    incremental_minhash_pairs' index_tables=). When given, it IS the
+    corpus and ``docs`` is not read (pass None) — see the
+    minhash_lsh_pairs contract note."""
     if prepped is None:
+        if docs is None:
+            raise ValueError(
+                "minhash_recovery_pairs needs docs (the corpus) or "
+                "prepped (its shingle_hash_prepped table)"
+            )
         prepped = persist_tracked(
             shingle_hash_prepped(docs, text_col, id_col)
         )

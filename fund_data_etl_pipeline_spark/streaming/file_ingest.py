@@ -82,6 +82,7 @@ def streaming_dedup(
     docs_stream: DataFrame,
     watermark: str = "1 hour",
     text_col: str = "text",
+    id_col: str = "doc_id",
 ) -> DataFrame:
     """Streaming exact dedup: drop re-ingested duplicates by the SAME
     normalized content hash as the batch ``operators/dedup.exact_dedup``
@@ -89,14 +90,36 @@ def streaming_dedup(
     Watermark`` keeps per-key state only inside the watermark horizon, so
     state is bounded at any ingest rate — ``dropDuplicates`` on a stream
     would grow state forever. Re-deliveries beyond the horizon fall
-    through to the batch dedup pass; the two stages compose."""
+    through to the batch dedup pass; the two stages compose.
+
+    Contentless rows (text NULL — the extract_text parse-failure shape)
+    hash to NULL, and dropDuplicatesWithinWatermark groups NULL keys as
+    EQUAL — without a guard every distinct parse-failure doc after the
+    first would be silently dropped as a "duplicate" (r11 review). No
+    content = no content identity: the state key falls back to the doc
+    id, so distinct contentless docs all pass through while true
+    same-id re-deliveries still collapse."""
     from ..functions.text import normalized_md5
 
-    hashed = docs_stream.withColumn(
-        "content_hash", normalized_md5(F.col(text_col))
-    ).withColumn("ingest_ts", F.current_timestamp())
-    return hashed.withWatermark("ingest_ts", watermark).dropDuplicatesWithinWatermark(
-        ["content_hash"]
+    hashed = (
+        docs_stream.withColumn(
+            "content_hash", normalized_md5(F.col(text_col))
+        )
+        .withColumn("ingest_ts", F.current_timestamp())
+        .withColumn(
+            "__dk",
+            F.coalesce(
+                F.col("content_hash"),
+                F.concat(
+                    F.lit("__contentless__:"), F.col(id_col).cast("string")
+                ),
+            ),
+        )
+    )
+    return (
+        hashed.withWatermark("ingest_ts", watermark)
+        .dropDuplicatesWithinWatermark(["__dk"])
+        .drop("__dk")
     )
 
 
@@ -149,20 +172,33 @@ def streaming_curation(
 
     Scale shape: signals are stateless map-only columns (no state at
     all); the only stateful operator is dropDuplicatesWithinWatermark,
-    whose per-key state is bounded by the horizon."""
-    from pyspark.sql import functions as F  # local: keep module head light
-
+    whose per-key state is bounded by the horizon. NULL-text rows take a
+    per-doc fallback state key like streaming_dedup, so distinct
+    parse-failure docs are never collapsed as NULL-key "duplicates"
+    (they are then dropped by the quality gate, not by dedup)."""
     from ..plans.textops import curation_quality_keep, with_curation_signals
 
     # append-form signals: every source column (text, filename, ...)
     # stays on the row so kept documents really can stream to the sink
-    sig = with_curation_signals(docs_stream).withColumn(
-        "ingest_ts", F.current_timestamp()
+    sig = (
+        with_curation_signals(docs_stream)
+        .withColumn("ingest_ts", F.current_timestamp())
+        .withColumn(
+            "__dk",
+            F.coalesce(
+                F.col("__h"),
+                F.concat(
+                    F.lit("__contentless__:"), F.col("doc_id").cast("string")
+                ),
+            ),
+        )
     )
     deduped = sig.withWatermark("ingest_ts", watermark).dropDuplicatesWithinWatermark(
-        ["__h"]
+        ["__dk"]
     )
-    return deduped.filter(curation_quality_keep()).drop("ingest_ts", "__h")
+    return deduped.filter(curation_quality_keep()).drop(
+        "ingest_ts", "__h", "__dk"
+    )
 
 
 def windowed_distinct_users(
