@@ -135,7 +135,11 @@ def pack_sequences(
         id_col,
         "pack_shard",
         "n_tokens",
-        F.floor(F.col("__start") / capacity).alias("seq_bin"),
+        # integer `div`, NOT floor(double /): the running offset is a
+        # BIGINT, and the double promotion loses exactness past ~2^52 —
+        # a boundary offset could round into the next bin while the
+        # oracle's `//` stays integral (r11 review)
+        F.expr(f"__start div {int(capacity)}").alias("seq_bin"),
         (F.col("__start") % capacity).alias("pack_offset"),
     )
 
@@ -196,9 +200,14 @@ def chunk_documents(
     chunks. Map-only: one explode of a computed ``sequence`` per row, no
     shuffle at all — the 100 TB cost is exactly one corpus scan, and the
     output inherits the input's partitioning for the downstream write."""
-    base = df.select(
-        F.col(id_col), words_col.alias("__w"), F.size(words_col).alias("__n")
-    ).filter(F.col("__n") > 0)
+    # words_col is typically a split+filter HOF, which Catalyst does not
+    # CSE — materialize __w once and derive __n from the column, instead
+    # of tokenizing every document twice (r11 review)
+    base = (
+        df.select(F.col(id_col), words_col.alias("__w"))
+        .select(id_col, "__w", F.size(F.col("__w")).alias("__n"))
+        .filter(F.col("__n") > 0)
+    )
     starts = F.sequence(
         F.lit(0),
         ((F.col("__n") - 1) - ((F.col("__n") - 1) % stride)).cast("int"),

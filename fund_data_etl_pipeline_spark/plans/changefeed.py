@@ -25,8 +25,11 @@ from . import register
 
 _TS_FMT = "yyyy-MM-dd HH:mm:ss"
 _TS_FMT_SQL = "%Y-%m-%d %H:%M:%S"
-# strftime twin of _TS_FMT — imported by streaming/stateful.py so the
-# streaming CDC snapshot renders last_ts with the SAME format string
+# exported pair: the Spark date_format pattern (TS_FMT, also used by
+# plans/scoring's anomaly query) and its strftime twin (TS_FMT_PY,
+# imported by streaming/stateful.py) — ONE definition so no batch plan
+# or streaming twin can render a ts string differently
+TS_FMT = _TS_FMT
 TS_FMT_PY = _TS_FMT_SQL
 
 
@@ -83,7 +86,9 @@ def cdc_latest_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
     return latest_snapshot(load_table(spark, sf_dir, "events"))
 
 
-def latest_snapshot(events: DataFrame) -> DataFrame:
+def latest_snapshot(
+    events: DataFrame, keep_order_key: bool = False
+) -> DataFrame:
     """The compaction aggregate itself, reusable on any change-feed frame.
 
     Parity-by-construction with the streaming twin
@@ -91,14 +96,24 @@ def latest_snapshot(events: DataFrame) -> DataFrame:
     max_by consumes here is ``cdc_order_key`` — the SAME function whose
     scalar form the streaming state update compares — and the pytest
     replay asserts the resulting rows bit-equal. Code-level sharing, not
-    parity-by-test alone (the z_moments/z_score pattern)."""
+    parity-by-test alone (the z_moments/z_score pattern).
+
+    ``keep_order_key=True`` additionally carries the winning change's
+    EXACT ``cdc_order_key`` as a ``__ord`` struct column. The public
+    ``last_ts`` string is second-truncated, so a snapshot destined for
+    ``merge_snapshots`` must keep the exact key or sub-second conflicts
+    across slices resolve on the event_id tiebreak instead of the true
+    change order (r11 review)."""
     ord_key = cdc_order_key(F.col("ts"), F.col("event_id"))
-    return events.groupBy("user_id", "event_type").agg(
+    aggs = [
         F.date_format(F.max_by(F.col("ts"), ord_key), _TS_FMT).alias("last_ts"),
         F.max_by(F.col("event_id"), ord_key).alias("last_event_id"),
         round2(F.max_by(F.col("value"), ord_key), 2).alias("last_value"),
         F.count(F.lit(1)).alias("n_changes"),
-    )
+    ]
+    if keep_order_key:
+        aggs.append(F.max(ord_key).alias("__ord"))
+    return events.groupBy("user_id", "event_type").agg(*aggs)
 
 
 @register(
@@ -265,34 +280,50 @@ def cdc_incremental_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     change counts add."""
     events = load_table(spark, sf_dir, "events")
     cutoff = F.lit(_MERGE_CUTOFF).cast("timestamp")
-    base = latest_snapshot(events.filter(F.col("ts") < cutoff))
-    delta = latest_snapshot(events.filter(F.col("ts") >= cutoff))
-    return merge_snapshots(base, delta)
+    base = latest_snapshot(
+        events.filter(F.col("ts") < cutoff), keep_order_key=True
+    )
+    delta = latest_snapshot(
+        events.filter(F.col("ts") >= cutoff), keep_order_key=True
+    )
+    return merge_snapshots(base, delta).drop("__ord")
 
 
 def merge_snapshots(base: DataFrame, delta: DataFrame) -> DataFrame:
     """Apply a compacted delta onto a snapshot (both in
-    ``latest_snapshot`` layout): per key the later (last_ts,
-    last_event_id) payload wins, n_changes accumulates."""
+    ``latest_snapshot`` layout): per key the later change's payload wins,
+    n_changes accumulates.
+
+    Conflict order: when both sides carry the exact ``__ord`` key
+    (``latest_snapshot(keep_order_key=True)``), it leads the comparison
+    — the TRUE cdc_order_key, correct for any slice cutoff. Without it
+    the comparison falls back to (last_ts string, last_event_id); the
+    ts string is SECOND-truncated, so two changes inside the same second
+    then resolve on event_id, which can contradict the exact change
+    order (r11 review) — fine only when slices are cut on whole-second
+    boundaries. Snapshots that will be merged should keep the exact key;
+    the output carries ``__ord`` through so merges chain."""
     key = ["user_id", "event_type"]
+    exact = "__ord" in base.columns and "__ord" in delta.columns
+    payload = ["last_ts", "last_event_id", "last_value"]
+    pack_cols = (["__ord"] if exact else []) + payload
 
     def packed(df: DataFrame, tag: str) -> DataFrame:
         return df.select(
             *key,
-            F.struct("last_ts", "last_event_id", "last_value").alias(f"p_{tag}"),
+            F.struct(*pack_cols).alias(f"p_{tag}"),
             F.col("n_changes").alias(f"n_{tag}"),
         )
 
     j = packed(base, "b").join(packed(delta, "d"), key, "full_outer")
     # greatest() skips NULLs (one-sided keys) and orders structs
-    # lexicographically — (string ts, event_id) is the change order
+    # lexicographically — leading with __ord when present
     win = F.greatest(F.col("p_b"), F.col("p_d"))
     return j.select(
         *key,
-        win["last_ts"].alias("last_ts"),
-        win["last_event_id"].alias("last_event_id"),
-        win["last_value"].alias("last_value"),
+        *[win[c].alias(c) for c in payload],
         (
             F.coalesce(F.col("n_b"), F.lit(0)) + F.coalesce(F.col("n_d"), F.lit(0))
         ).alias("n_changes"),
+        *([win["__ord"].alias("__ord")] if exact else []),
     )

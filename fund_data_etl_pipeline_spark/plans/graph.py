@@ -194,4 +194,7 @@ def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-graph_pagerank.__doc__ = graph_pagerank.__doc__.format(k=PR_TOPK, iters=PR_ITERS)
+# (X.__doc__ or "") keeps `python -OO` (docstrings stripped) importable
+graph_pagerank.__doc__ = (graph_pagerank.__doc__ or "").format(
+    k=PR_TOPK, iters=PR_ITERS
+)

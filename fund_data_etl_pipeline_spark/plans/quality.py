@@ -190,4 +190,7 @@ def k_anonymity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-k_anonymity_audit.__doc__ = k_anonymity_audit.__doc__.format(_K_ANON=_K_ANON)
+# (X.__doc__ or "") keeps `python -OO` (docstrings stripped) importable
+k_anonymity_audit.__doc__ = (k_anonymity_audit.__doc__ or "").format(
+    _K_ANON=_K_ANON
+)

@@ -211,7 +211,8 @@ def market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-market_share.__doc__ = market_share.__doc__.format(t=_Q8_TYPE)
+# (X.__doc__ or "") keeps `python -OO` (docstrings stripped) importable
+market_share.__doc__ = (market_share.__doc__ or "").format(t=_Q8_TYPE)
 
 
 _Q7_NATION_A = "NATION_3"

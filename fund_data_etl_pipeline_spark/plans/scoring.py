@@ -20,6 +20,7 @@ from ..functions.text import words
 from ..sources import load_table
 from . import _sqlgen as G
 from . import register
+from .changefeed import TS_FMT, TS_FMT_PY
 
 # --------------------------------------------------------------------------
 # BM25
@@ -169,7 +170,7 @@ def z_score(v_c, mean, var, sqrt):
                    ROWS BETWEEN {Z_LOOKBACK} PRECEDING AND 1 PRECEDING)
     )
     SELECT event_id, user_id, event_type,
-           strftime(ts, '%Y-%m-%d %H:%M:%S') AS ts,
+           strftime(ts, '{TS_FMT_PY}') AS ts,
            ROUND(v_c / 100.0, 2) AS value,
            {G.round_sql(
                "(v_c - sum_c * 1.0 / n_window)"
@@ -236,7 +237,7 @@ def events_anomaly_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
             "event_id",
             "user_id",
             "event_type",
-            F.date_format("ts", "yyyy-MM-dd HH:mm:ss").alias("ts"),
+            F.date_format("ts", TS_FMT).alias("ts"),
             round2(F.col("v_c") / 100.0, 2).alias("value"),
             round2(z, 4).alias("zscore"),
             "n_window",

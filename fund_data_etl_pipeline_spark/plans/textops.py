@@ -176,9 +176,21 @@ def text_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents").select(
         "doc_id", "lang", words("text").alias("__w")
     )
-    ws = F.col("__w")
-    scores = {lang: stopword_ratio(ws, lang) for lang in ("en", "de", "es", "fr", "zh")}
-    s = scores
+    langs = ("en", "de", "es", "fr", "zh")
+    # stopword_ratio is an array-filter HOF and HOFs are not CSE'd by
+    # Catalyst (the module's __w lesson) — hoist the five scores into
+    # real columns so each language's scan runs ONCE, not once per
+    # reference in the argmax chain + output list (the oracle's inner
+    # SELECT is the same hoist)
+    scored = docs.select(
+        "doc_id",
+        "lang",
+        *[
+            stopword_ratio(F.col("__w"), lang).alias(f"__s_{lang}")
+            for lang in langs
+        ],
+    )
+    s = {lang: F.col(f"__s_{lang}") for lang in langs}
     guess = (
         F.when(
             (s["en"] >= s["de"]) & (s["en"] >= s["es"]) & (s["en"] >= s["fr"])
@@ -189,10 +201,10 @@ def text_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
         .when(s["fr"] >= s["zh"], "fr")
         .otherwise("zh")
     )
-    return docs.select(
+    return scored.select(
         "doc_id",
         "lang",
-        *[round2(scores[lang], 6).alias(f"s_{lang}") for lang in ("en", "de", "es", "fr", "zh")],
+        *[round2(s[lang], 6).alias(f"s_{lang}") for lang in langs],
         guess.alias("lang_guess"),
     )
 
@@ -417,7 +429,10 @@ def source_capped_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("doc_id", "source", "slot")
 
 
-source_capped_sample.__doc__ = source_capped_sample.__doc__.format(m=_CAP_M)
+# (X.__doc__ or "") keeps `python -OO` (docstrings stripped) importable
+source_capped_sample.__doc__ = (source_capped_sample.__doc__ or "").format(
+    m=_CAP_M
+)
 
 
 # --------------------------------------------------------------------------
@@ -584,8 +599,13 @@ _MAX_DUP_BIGRAM_FRAC = 0.9
     SELECT doc_id, n_words,
            {G.round_sql("uniq_word_frac", 6)} AS uniq_word_frac,
            {G.round_sql("dup_bigram_frac", 6)} AS dup_bigram_frac,
-           (uniq_word_frac >= {_MIN_UNIQ_WORD_FRAC}
-            AND dup_bigram_frac <= {_MAX_DUP_BIGRAM_FRAC}) AS keep
+           -- keep is decided on the ROUNDED fracs exactly as the Spark
+           -- side does (DuckDB resolves the bare names to the inner
+           -- RAW columns, which would flip boundary docs — r11 review;
+           -- the corpus_curation oracle set this convention)
+           ({G.round_sql("uniq_word_frac", 6)} >= {_MIN_UNIQ_WORD_FRAC}
+            AND {G.round_sql("dup_bigram_frac", 6)}
+                <= {_MAX_DUP_BIGRAM_FRAC}) AS keep
     FROM (
       SELECT doc_id, len(w) AS n_words,
              CASE WHEN len(w) > 0

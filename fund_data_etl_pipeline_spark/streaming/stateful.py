@@ -19,7 +19,11 @@ from pyspark.sql import DataFrame
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
 OUTPUT_SCHEMA = "user_id long, n_events long, sum_value double"
-STATE_SCHEMA = "n long, s double"
+# running sum in exact BIGINT cents (functions.numeric.cents
+# quantization): a float fold would make sum_value depend on
+# micro-batch arrival order, and Python's round() is half-even while
+# the repo's pinned convention is round2's half-away-from-zero
+STATE_SCHEMA = "n long, s_c long"
 
 
 def _update(
@@ -27,13 +31,25 @@ def _update(
     batches: Iterator[pd.DataFrame],
     state: GroupState,
 ) -> Iterator[pd.DataFrame]:
-    n, s = state.get if state.exists else (0, 0.0)
+    import math
+
+    from ..functions.numeric import round2_py
+
+    n, s_c = state.get if state.exists else (0, 0)
     for pdf in batches:
+        if not len(pdf):
+            continue
         n += len(pdf)
-        s += float(pdf["value"].sum())
-    state.update((n, s))
+        s_c += int(
+            sum(math.floor(float(v) * 100 + 0.5) for v in pdf["value"])
+        )
+    state.update((n, s_c))
     yield pd.DataFrame(
-        {"user_id": [key[0]], "n_events": [n], "sum_value": [round(s, 2)]}
+        {
+            "user_id": [key[0]],
+            "n_events": [n],
+            "sum_value": [round2_py(s_c / 100.0, 2)],
+        }
     )
 
 
@@ -162,7 +178,9 @@ ZS_OUTPUT_SCHEMA = (
 # bounded deque of the user's trailing values in exact BIGINT cents,
 # newest last — O(Z_LOOKBACK) state per key regardless of history length
 ZS_STATE_SCHEMA = "vals array<long>"
-_ZS_TS_FMT = "%Y-%m-%d %H:%M:%S"
+# the SAME strftime twin the CDC op imports — one definition of the
+# ts rendering for every batch plan + streaming twin pair
+_ZS_TS_FMT = _CDC_TS_FMT
 
 
 def _zscore_update(
@@ -188,13 +206,17 @@ def _zscore_update(
     out: dict[str, list] = {c: [] for c in (
         "event_id", "user_id", "event_type", "ts", "value", "zscore", "n_window"
     )}
-    for pdf in batches:
-        if not len(pdf):
-            continue
-        # events must be applied in (ts, event_id) order — the batch
-        # window's frame order — regardless of arrival order in the batch
-        pdf = pdf.sort_values(["ts", "event_id"])
-        for _, row in pdf.iterrows():
+    # events must be applied in (ts, event_id) order — the batch
+    # window's frame order — regardless of arrival order. The iterator
+    # delivers a key's micro-batch as MULTIPLE Arrow chunks (split at
+    # arrow.maxRecordsPerBatch) with no cross-chunk order guarantee, so
+    # sorting per chunk is not enough: concatenate, sort ONCE (r11
+    # review — a >10k-event key could fold future values into the
+    # trailing window and diverge from the batch twin).
+    pdfs = [pdf for pdf in batches if len(pdf)]
+    if pdfs:
+        merged = pd.concat(pdfs).sort_values(["ts", "event_id"])
+        for _, row in merged.iterrows():
             # exact integer cents, same quantization as functions.numeric.cents
             v_c = math.floor(float(row["value"]) * 100 + 0.5)
             n = len(vals)

@@ -264,3 +264,53 @@ def test_hourly_gapfill_dense_grid_and_ffill(spark, sf_dir):
             else:
                 assert r["n"] == 0
                 assert r["hourly_value_ffill"] == last  # None before first obs
+
+
+def test_merge_snapshots_subsecond_conflicts_use_exact_order_key(spark):
+    """Two changes for one key inside the SAME second, split across
+    base/delta slices with the later change carrying the SMALLER
+    event_id: the formatted last_ts string is second-truncated, so the
+    fallback (string, event_id) comparison would pick the earlier change
+    — snapshots built with keep_order_key=True must resolve on the exact
+    cdc_order_key instead (r11 review)."""
+    from pyspark.sql import functions as F
+
+    from fund_data_etl_pipeline_spark.plans.changefeed import (
+        latest_snapshot,
+        merge_snapshots,
+    )
+
+    feed = "event_id long, ts timestamp, user_id long, event_type string, value double"
+    rows = [
+        # base slice: later event_id, EARLIER sub-second ts
+        (99, "2026-01-15 10:00:00.100", 1, "click", 111.0),
+        # delta slice: smaller event_id but the TRUE latest change
+        (42, "2026-01-15 10:00:00.900", 1, "click", 222.0),
+    ]
+    df = spark.createDataFrame(
+        [(e, ts, u, t, v) for e, ts, u, t, v in rows],
+        "event_id long, ts string, user_id long, event_type string, value double",
+    ).withColumn("ts", F.to_timestamp("ts"))
+    base = latest_snapshot(df.filter("event_id = 99"), keep_order_key=True)
+    delta = latest_snapshot(df.filter("event_id = 42"), keep_order_key=True)
+    merged = merge_snapshots(base, delta).drop("__ord").collect()
+    assert len(merged) == 1
+    row = merged[0]
+    assert row["last_event_id"] == 42, "exact order key must win"
+    assert row["last_value"] == 222.0
+    assert row["n_changes"] == 2
+
+    # oracle-shape check: the merge of the two slices equals compacting
+    # the whole feed
+    full = latest_snapshot(df).collect()[0]
+    assert (row["last_ts"], row["last_event_id"], row["last_value"]) == (
+        full["last_ts"], full["last_event_id"], full["last_value"]
+    )
+
+    # documented fallback: WITHOUT the exact key the truncated string
+    # ties and the (wrong, but documented) event_id tiebreak applies
+    fb = merge_snapshots(
+        latest_snapshot(df.filter("event_id = 99")),
+        latest_snapshot(df.filter("event_id = 42")),
+    ).collect()[0]
+    assert fb["last_event_id"] == 99

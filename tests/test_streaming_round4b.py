@@ -625,3 +625,57 @@ def test_streaming_dim_maintenance_crash_before_pointer_swap(spark, tmp_path):
         for r in merge_dim(base, changes).collect()
     }
     assert got == clean == expected == {("fund-a", "default"): "3001"}
+
+
+def test_streaming_anomaly_chunked_delivery_parity(spark, tmp_path):
+    """A key whose micro-batch spans MULTIPLE Arrow chunks must still be
+    applied in (ts, event_id) order: the state iterator's chunks carry
+    no cross-chunk order guarantee, so the updater must concatenate
+    before sorting — sorting each chunk alone folds future values into
+    the trailing window (r11 review). maxRecordsPerBatch=7 forces ~6
+    chunks over one 40-event key delivered in REVERSE ts order."""
+    from fund_data_etl_pipeline_spark.plans.scoring import (
+        events_anomaly_zscore,
+    )
+
+    rows = [r for r in _mk_events() if r["user_id"] == 1]
+    src = tmp_path / "stream"
+    src.mkdir()
+    _write_jsonl(src / "all.json", list(reversed(rows)))
+    old = spark.conf.get("spark.sql.execution.arrow.maxRecordsPerBatch")
+    spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", "7")
+    try:
+        stream = spark.readStream.schema(EVENT_SCHEMA).json(str(src))
+        q = (
+            streaming_anomaly_zscore(stream)
+            .writeStream.format("memory")
+            .queryName("zs_chunked")
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+    finally:
+        spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", old)
+    streamed = {
+        r["event_id"]: (r["value"], r["zscore"], r["n_window"])
+        for r in spark.sql("SELECT * FROM zs_chunked").collect()
+    }
+    batch_dir = str(tmp_path / "batch")
+    (
+        spark.createDataFrame(
+            [tuple(r.values()) for r in rows],
+            "event_id long, ts string, user_id long,"
+            " event_type string, value double",
+        )
+        .withColumn("ts", F.to_timestamp("ts"))
+        .withColumn("props", F.lit("{}"))
+        .write.mode("overwrite")
+        .parquet(os.path.join(batch_dir, "events.parquet"))
+    )
+    expected = {
+        r["event_id"]: (r["value"], r["zscore"], r["n_window"])
+        for r in events_anomaly_zscore(spark, batch_dir).collect()
+    }
+    assert expected, "the planted spike must flag in batch"
+    assert streamed == expected
