@@ -35,41 +35,68 @@ def asof_join(
     right_ts: str,
     payload: Sequence[str],
     suffix: str = "_asof",
+    right_order: str | None = None,
 ) -> DataFrame:
     """For every left row, attach the payload of the latest right row with
     ``right[right_ts] <= left[left_ts]`` and the same ``on`` key (NULLs if
     none). Ties on the timestamp resolve to the right row (>= semantics,
-    matching DuckDB's ``ASOF JOIN ... ON l.ts >= r.ts``)."""
+    matching DuckDB's ``ASOF JOIN ... ON l.ts >= r.ts``).
+
+    Three row-integrity rules (r11 review):
+    - the payload travels as ONE struct, so every attached column comes
+      from the SAME right row — per-column forward-fills would compose a
+      row that never existed whenever the matched right row holds a NULL
+      in one payload column (the fill would reach back to an older row
+      for just that column);
+    - ``right_order`` optionally names a right column whose MAXIMUM picks
+      the winner among right rows sharing the same (key, ts) — without
+      it that pick is partition-order dependent (and DuckDB's native
+      ASOF tie pick is documented arbitrary, so an oracle comparison
+      needs the right side deduplicated either way);
+    - NULL join keys never match (SQL equality semantics): a NULL-key
+      right row's payload struct is NULL, so NULL-key left rows — which
+      the window would otherwise group WITH them — always get NULLs.
+    """
     lcols = left.columns
+    struct_cols = list(dict.fromkeys(list(payload)))
+    rstruct = F.when(
+        F.col(on).isNotNull(),
+        F.struct(*[F.col(c) for c in struct_cols]),
+    )
+    p_type = right.select(rstruct.alias("__p")).schema[0].dataType
+    ord_src = F.col(right_order) if right_order else F.lit(0)
+    ord_type = (
+        right.schema[right_order].dataType if right_order else None
+    )
     l = left.select(
         F.col(on),
         F.col(left_ts).alias("__ts"),
         F.lit(1).alias("__side"),  # left sorts after right at equal ts
+        (
+            F.lit(None).cast(ord_type) if right_order else F.lit(0)
+        ).alias("__ord"),
         *[F.col(c).alias(f"__l_{c}") for c in lcols],
-        *[F.lit(None).cast(right.schema[c].dataType).alias(f"__p_{c}") for c in payload],
+        F.lit(None).cast(p_type).alias("__p"),
     )
     r = right.select(
         F.col(on),
         F.col(right_ts).alias("__ts"),
         F.lit(0).alias("__side"),
+        ord_src.alias("__ord"),
         *[F.lit(None).cast(left.schema[c].dataType).alias(f"__l_{c}") for c in lcols],
-        *[F.col(c).alias(f"__p_{c}") for c in payload],
+        rstruct.alias("__p"),
     )
     w = (
         W.partitionBy(on)
-        .orderBy(F.col("__ts"), F.col("__side"))
+        .orderBy(F.col("__ts"), F.col("__side"), F.col("__ord").asc_nulls_first())
         .rowsBetween(W.unboundedPreceding, W.currentRow)
     )
     filled = l.unionByName(r).select(
-        "*",
-        *[
-            F.last(f"__p_{c}", ignorenulls=True).over(w).alias(f"{c}{suffix}")
-            for c in payload
-        ],
+        "*", F.last("__p", ignorenulls=True).over(w).alias("__pf")
     )
     return filled.filter(F.col("__side") == 1).select(
         *[F.col(f"__l_{c}").alias(c) for c in lcols],
-        *[F.col(f"{c}{suffix}") for c in payload],
+        *[F.col("__pf")[c].alias(f"{c}{suffix}") for c in payload],
     )
 
 

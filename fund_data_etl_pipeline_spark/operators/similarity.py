@@ -16,7 +16,6 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from ..functions.numeric import round2
-from ..functions.text import HASH_P
 from .caching import persist_tracked, release_on_gc
 
 
@@ -543,6 +542,21 @@ def ivf_seed_topk(
     return release_on_gc(out, prepped)
 
 
+def check_dims(df: DataFrame, vec_col: str, dims: int) -> None:
+    """Fail fast when ``dims`` disagrees with the corpus's actual vector
+    width: ``zip_with`` pads the shorter side with NULLs, NULL poisons
+    the projection fold, and every sign bit silently degenerates to 0 —
+    all vectors land in ONE all-zeros bucket and the bucketed equi-join
+    becomes a full cross product (r11 review). One LIMIT-1 row scan."""
+    row = df.select(F.size(F.col(vec_col)).alias("d")).first()
+    if row is not None and row["d"] is not None and row["d"] != dims:
+        raise ValueError(
+            f"dims={dims} but '{vec_col}' vectors have {row['d']} "
+            f"components — the hyperplane zip_with would NULL-pad and "
+            f"every bucket key would degenerate to the all-zeros bucket"
+        )
+
+
 def rhp_sign_vector(plane: int, dims: int) -> list[int]:
     """The +-1 hyperplane for ``plane``: component d is the parity of
     H(plane || '_' || d). Deterministic constants — the same list feeds
@@ -622,6 +636,7 @@ def ann_lsh_topk(
 
     if planes is None:
         planes = ann_planes(vectors.count())
+    check_dims(vectors, vec_col, dims)
 
     def with_buckets(df: DataFrame, idn: str) -> DataFrame:
         v = as_double(F.col(vec_col))

@@ -1095,6 +1095,10 @@ def dedup_semantic_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings").select(
         "vec_id", as_double(F.col("embedding")).alias("v")
     )
+    from ..operators.similarity import check_dims
+
+    check_dims(emb, "v", _SLSH_DIMS)  # a width mismatch would silently
+    # collapse every signature to the all-zeros bucket (similarity.py)
     planes = slsh_planes(emb.count())
     prepped = emb.select("vec_id", "v", norm(F.col("v")).alias("nv"))
     dups = (

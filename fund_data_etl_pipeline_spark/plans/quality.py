@@ -114,7 +114,7 @@ def constraint_report(
       SELECT COUNT(*) - COUNT(DISTINCT o_orderkey) AS dup_keys,
              COUNT(CASE WHEN o_custkey IS NULL THEN 1 END) AS null_cust,
              COUNT(CASE WHEN o_orderstatus NOT IN
-                   ('{_ACCEPTED_STATUS[0]}','{_ACCEPTED_STATUS[1]}','{_ACCEPTED_STATUS[2]}')
+                   ('{"', '".join(_ACCEPTED_STATUS)}')
                    THEN 1 END) AS bad_status,
              COUNT(CASE WHEN o_totalprice <= 0 THEN 1 END) AS bad_price
       FROM orders

@@ -24,8 +24,13 @@ from . import register
     "asof_last_click",
     oracle="""
     WITH err AS (SELECT event_id, user_id, ts FROM events WHERE event_type = 'error'),
+    -- one click per (user, ts): DuckDB's native ASOF tie pick is
+    -- documented ARBITRARY, so exact-ts ties must be resolved BEFORE the
+    -- join (max click_id, the same rule the engine's right_order= gives)
     clk AS (SELECT event_id AS click_id, user_id, ts, value AS click_value
-            FROM events WHERE event_type = 'click')
+            FROM events WHERE event_type = 'click'
+            QUALIFY ROW_NUMBER() OVER (PARTITION BY user_id, ts
+                                       ORDER BY event_id DESC) = 1)
     SELECT e.event_id, e.user_id,
            strftime(e.ts, '%Y-%m-%d %H:%M:%S') AS err_ts,
            c.click_id,
@@ -48,6 +53,7 @@ def asof_last_click(spark: SparkSession, sf_dir: str) -> DataFrame:
     joined = asof_join(
         err, clk, on="user_id", left_ts="ts", right_ts="ts",
         payload=["click_id", "click_value"], suffix="",
+        right_order="click_id",
     )
     return joined.select(
         "event_id",

@@ -56,7 +56,7 @@ _COS = (
     """,
 )
 def vector_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Exact brute-force cosine top-k for the first {_N_QUERIES} vectors."""
+    """Exact brute-force cosine top-k for the first {n} vectors."""
     emb = load_table(spark, sf_dir, "embeddings")
     queries = emb.filter(F.col("vec_id") < _N_QUERIES)
     return cosine_topk(emb, queries, k=_K)
@@ -195,9 +195,9 @@ _IVF_ASSIGN_COS = (
     """,
 )
 def vector_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """IVF ANN over {_IVF_LISTS} inverted lists with a deterministic
+    """IVF ANN over {lists} inverted lists with a deterministic
     hash-seed coarse quantizer (ivf_seed_topk): queries probe the nearest
-    {_IVF_PROBE} lists, so candidates shrink ~{_IVF_PROBE}/{_IVF_LISTS}
+    {probe} lists, so candidates shrink ~{probe}/{lists}
     vs brute force while assignment stays a broadcast map-side
     expression. The KMeans-trained variant (ivf_topk, 50% hash-sample
     training) remains the operator API — recall for BOTH paths is
@@ -208,3 +208,12 @@ def vector_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ivf_seed_topk(
         emb, queries, k=_K, n_lists=_IVF_LISTS, n_probe=_IVF_PROBE
     )
+
+
+# (X.__doc__ or "") keeps `python -OO` (docstrings stripped) importable
+vector_cosine_topk.__doc__ = (vector_cosine_topk.__doc__ or "").format(
+    n=_N_QUERIES
+)
+vector_ann_ivf.__doc__ = (vector_ann_ivf.__doc__ or "").format(
+    lists=_IVF_LISTS, probe=_IVF_PROBE
+)
