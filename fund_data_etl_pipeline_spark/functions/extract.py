@@ -38,10 +38,19 @@ def spaced(label: str) -> str:
 
 
 def label_value(text: Column | str, label: str, value: str = NUM,
-                sep: str = r"\s*[：:]?\s*", tolerate_spacing: bool = False) -> Column:
+                sep: str = r"[ \t]*[：:]?[ \t]*",
+                tolerate_spacing: bool = False) -> Column:
     """P1/P2 — first `label<sep>value` occurrence anywhere in the document
     (`re.search` dividend_extractor.py:48-49; first-matching-line scan
-    :119-133 is equivalent because regexp_extract takes the first match)."""
+    :119-133 is equivalent because regexp_extract takes the first match).
+
+    The separator is SAME-LINE ([ \\t], never \\s — the reference's own
+    ``[：: ]*`` class): with \\s* a label whose value cell is empty would
+    silently capture the first number on a FOLLOWING line (r11 review:
+    '红利金额：\\n20240101 对账单' extracted the date as the amount — a
+    corrupt money value that passes the field gates). Cross-line values
+    are an explicit shape with their own builder (next_line_value, P3)
+    or an explicit ``sep`` at the call site."""
     lbl = spaced(label) if tolerate_spacing else label
     return _nn(F.regexp_extract(_s(text), f"{lbl}{sep}({value})", 1))
 
@@ -64,7 +73,11 @@ def label_value_until(text: Column | str, label: str,
     purchase_extractor.py:546-553). The separator/trim classes are
     same-line ([ \\t], never \\s): a label with no same-line value must
     yield '' like the reference's split, not leak the next line."""
-    tail = f"(?:{'|'.join(stops)}[^\\n]*)?" if stops else ""
+    # the alternation needs its own group: bare '|'.join would attach
+    # [^\n]* to the LAST stop only, so earlier stop keywords could not
+    # cut mid-line and the capture swallowed the tail (r11 review;
+    # latent — every current caller passes exactly one stop)
+    tail = f"(?:(?:{'|'.join(stops)})[^\\n]*)?" if stops else ""
     return _nn(
         F.regexp_extract(
             _s(text), rf"(?m){label}{sep}([^\n]*?)[ \t]*{tail}$", 1
@@ -221,7 +234,16 @@ def stitched_name(lines: Column | str, start_label: str,
     window = F.when(
         idx > 0, F.slice(ls, (idx + 1).cast("int"), max_lookahead)
     ).otherwise(F.array().cast("array<string>"))
-    stop_re = "|".join(stop_keywords)
+    # \Q..\E quotes each keyword (an ASCII regex metachar in a keyword
+    # must match literally), and an EMPTY list means "no stop keywords"
+    # — the bare join would build stop_re = "", and regexp_count(line,
+    # "") > 0 stops the fold before the first appended line (r11 review;
+    # latent — every current caller passes literal Chinese keywords)
+    stop_re = (
+        "|".join(f"\\Q{k}\\E" for k in stop_keywords if k)
+        if any(stop_keywords)
+        else "(?!)"  # never matches: only empty-line/lookahead stop
+    )
     # an empty line ends the stitch too — the reference's loops break on
     # len(next_line) == 0 (redemption_extractor.py:608-618)
     folded = F.aggregate(

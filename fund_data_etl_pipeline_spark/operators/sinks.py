@@ -52,7 +52,7 @@ def write_excel_compat(
     """
     pdf = df.limit(max_rows).toPandas()
     if cn_headers:
-        pdf = pdf.rename(columns={k: v for k, v in CN_NAMES.items()})
+        pdf = pdf.rename(columns=CN_NAMES)
     pdf = pdf.fillna("")
     os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
     if path.lower().endswith(".xls"):
@@ -129,45 +129,79 @@ def write_sized(
 
     - unpartitioned: one count (cheap columnless scan) sizes a
       round-robin ``repartition(ceil(n/target))`` — every file lands
-      within rounding of the target.
+      within rounding of the target. The count doubles as the Q2
+      empty-result guard, so the upstream plan runs twice total (count +
+      write), not three times (the old isEmpty/count/write chain).
     - hive-partitioned: repartition on (partition key, file slot) where
-      the slot is a deterministic hash bucket sized from the LARGEST
-      partition's row count; each output task then writes at most one
-      file per partition value it holds (never the all-partitions
-      fan-out), and ``maxRecordsPerFile`` backstops residual skew.
+      the slot count is sized from THAT PARTITION VALUE's row count (a
+      tiny per-value count table broadcast back onto the rows,
+      NULL-safe on the keys). Sizing every value from the largest
+      (the pre-r11 form) shattered small partitions into `slots`
+      near-empty files each — one 50M-row day next to 364 1k-row days
+      wrote ~50 files per small day, the very pathology this sink
+      exists to prevent. Each output task writes at most one file per
+      partition value it holds; ``maxRecordsPerFile`` backstops
+      residual skew inside a slot.
 
-    Returns the number of files written. This is the batch analogue of
-    Delta/Iceberg OPTIMIZE file compaction, expressed with nothing but
-    repartition + maxRecordsPerFile."""
+    Returns the number of files THIS CALL wrote (before/after listing
+    diff, so ``mode='append'`` doesn't count pre-existing files). This
+    is the batch analogue of Delta/Iceberg OPTIMIZE file compaction,
+    expressed with nothing but repartition + maxRecordsPerFile."""
     import math
 
-    if df.isEmpty():
-        return 0
+    spark = df.sparkSession
+
+    def _files() -> set[str]:
+        try:
+            return {
+                r["path"]
+                for r in spark.read.format("binaryFile")
+                .option("pathGlobFilter", "*.parquet")
+                .option("recursiveFileLookup", "true")
+                .load(path)
+                .select("path")
+                .collect()
+            }
+        except Exception:  # path does not exist yet
+            return set()
+
     cols = [c for c in partition_cols if c in df.columns]
-    writer_df = df
     if not cols:
         n = df.count()
+        if n == 0:
+            return 0
         writer_df = df.repartition(max(1, math.ceil(n / target_rows_per_file)))
     else:
-        biggest = (
-            df.groupBy(*cols).count().agg(F.max("count")).first()[0] or 1
+        counts = df.groupBy(*cols).agg(F.count(F.lit(1)).alias("__n"))
+        slot_tbl = counts.select(
+            *[F.col(c).alias(f"__k_{c}") for c in cols],
+            F.greatest(
+                F.lit(1),
+                F.ceil(F.col("__n") / F.lit(target_rows_per_file)),
+            )
+            .cast("int")
+            .alias("__slots"),
         )
-        slots = max(1, math.ceil(biggest / target_rows_per_file))
-        writer_df = df.repartition(
-            *cols, (F.abs(F.hash(*df.columns)) % slots).alias("__slot")
+        if slot_tbl.limit(1).count() == 0:  # Q2 guard on the tiny agg
+            return 0
+        cond = None
+        for c in cols:
+            e = F.col(c).eqNullSafe(F.col(f"__k_{c}"))
+            cond = e if cond is None else (cond & e)
+        writer_df = (
+            df.join(F.broadcast(slot_tbl), cond)
+            .withColumn(
+                "__slot",
+                F.pmod(F.abs(F.hash(*df.columns)), F.col("__slots")),
+            )
+            .repartition(*cols, F.col("__slot"))
+            .drop("__slot", "__slots", *[f"__k_{c}" for c in cols])
         )
+    before = _files() if mode == "append" else set()
     writer = writer_df.write.mode(mode).option(
         "maxRecordsPerFile", target_rows_per_file
     )
     if cols:
         writer = writer.partitionBy(*cols)
     writer.parquet(path)
-    spark = df.sparkSession
-    files = (
-        spark.read.format("binaryFile")
-        .option("pathGlobFilter", "*.parquet")
-        .option("recursiveFileLookup", "true")
-        .load(path)
-        .count()
-    )
-    return int(files)
+    return len(_files() - before)

@@ -8,7 +8,10 @@ PDF with pdfplumber. The engine's scan is declarative:
   ``pathGlobFilter`` — the listing prunes non-PDFs before any read;
 - path-segment metadata (year / date / category) extracted from the
   ``path`` column — filters on them prune FILES, not rows, because they're
-  evaluated on file metadata before content is touched;
+  evaluated on file metadata before content is touched. ``category`` is
+  the file's IMMEDIATE parent directory (the business subdir, e.g. 分红),
+  not the fixed 1场外开基 level above it — the parent is the segment the
+  reference's keyword routing actually reads;
 - filename predicates (S2) applied before the parse stage, which matters
   because Catalyst will not reorder filters around a Python stage;
 - the PDF text extraction (S3) is an Arrow-batched ``mapInPandas`` stage
