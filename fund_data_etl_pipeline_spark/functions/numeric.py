@@ -38,6 +38,15 @@ def round2_py(x: float, scale: int = 2) -> float:
     return math.copysign(math.floor(abs(x) * p + 0.5), x) / p
 
 
+def cents_py(x: float) -> int:
+    """Scalar twin of ``cents`` (sign-aware exact BIGINT cents) for the
+    stateful streaming updaters — same single-sourcing rationale as
+    round2_py."""
+    import math
+
+    return int(math.copysign(math.floor(abs(float(x)) * 100 + 0.5), x))
+
+
 def cents(col: Column | str) -> Column:
     """Exact integer cents of a 2-decimal DOUBLE (money/value columns).
 
@@ -47,6 +56,15 @@ def cents(col: Column | str) -> Column:
     comparison on large groups (observed: events_sliding_window at
     sf0.1). Summing exact BIGINT cents instead makes the aggregate
     order-independent; convert back AFTER the aggregate:
-    ``round2(sum(cents)/100.0, 2)``."""
+    ``round2(sum(cents)/100.0, 2)``.
+
+    Sign-aware (r11): ``floor(x*100 + 0.5)`` alone is half-UP, which
+    rounds negative half-cents toward +inf (-5.005 -> -5.00) while the
+    repo's pinned convention (round2) is half-AWAY-FROM-ZERO (-5.01).
+    All current corpora are non-negative, but refunds/fee reversals are
+    real money shapes — quantize symmetrically so the two conventions
+    can never disagree. The SQL twin is plans/_sqlgen.cents_sql."""
     c = F.col(col) if isinstance(col, str) else col
-    return F.floor(c * 100 + F.lit(0.5)).cast("bigint")
+    return (F.signum(c) * F.floor(F.abs(c) * 100 + F.lit(0.5))).cast(
+        "bigint"
+    )

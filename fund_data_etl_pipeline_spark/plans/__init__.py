@@ -74,6 +74,20 @@ def register(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryF
     return deco
 
 
+def format_doc(fn, **kw):
+    """Late-format a registered query's docstring placeholders on BOTH
+    the module function and its registered wrapper — ``register``
+    snapshots ``__doc__`` at decoration time, so a post-def ``.format``
+    on the module name alone leaves ``QUERIES[name].__doc__`` showing
+    raw ``{braces}`` (r11 review). ``(doc or "")`` keeps ``python -OO``
+    (stripped docstrings) importable."""
+    fn.__doc__ = (fn.__doc__ or "").format(**kw)
+    for w in QUERIES.values():
+        if getattr(w, "__wrapped__", None) is fn:
+            w.__doc__ = fn.__doc__
+    return fn
+
+
 def load_all() -> None:
     """Import every plan module so registration side effects run."""
     from . import (  # noqa: F401

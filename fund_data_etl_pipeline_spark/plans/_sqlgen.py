@@ -104,5 +104,6 @@ NORM_MD5 = f"md5(regexp_replace(lower(trim(text)), '{WS_RE}', ' ', 'g'))"
 
 
 def cents_sql(expr: str) -> str:
-    """DuckDB twin of functions.numeric.cents (exact BIGINT cents)."""
-    return f"CAST(FLOOR({expr} * 100 + 0.5) AS BIGINT)"
+    """DuckDB twin of functions.numeric.cents (exact BIGINT cents,
+    half-away-from-zero like round_sql — r11)."""
+    return f"CAST(SIGN({expr}) * FLOOR(ABS({expr}) * 100 + 0.5) AS BIGINT)"

@@ -21,6 +21,7 @@ from pyspark.sql.window import Window as W
 
 from ..functions.numeric import cents, round2
 from ..sources import load_table
+from . import _sqlgen as G
 from . import register
 
 _TS_FMT = "yyyy-MM-dd HH:mm:ss"
@@ -177,7 +178,7 @@ _WINSOR_HI = 0.95
     oracle=f"""
     WITH c AS (
       SELECT event_type,
-             CAST(FLOOR(value * 100 + 0.5) AS BIGINT) AS v_c
+             {G.cents_sql("value")} AS v_c
       FROM events
     ),
     th AS (

@@ -11,6 +11,7 @@ from pyspark.sql.window import Window
 
 from ..functions.numeric import cents, round2
 from ..sources import load_table
+from . import _sqlgen as G
 from . import register
 
 _FUNNEL_STEPS = ("view", "click", "purchase")
@@ -150,11 +151,11 @@ def events_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     "event_value_stats",
     # exact linear-interpolation percentiles both sides (Spark `percentile`
     # == DuckDB `quantile_cont`); distinct users exact
-    oracle="""
+    oracle=f"""
     SELECT event_type,
            COUNT(*) AS n,
            COUNT(DISTINCT user_id) AS n_users,
-           ROUND(SUM(CAST(FLOOR(value * 100 + 0.5) AS BIGINT)) * 1.0
+           ROUND(SUM({G.cents_sql("value")}) * 1.0
                  / COUNT(*) / 100.0, 6)        AS avg_value,
            ROUND(quantile_cont(value, 0.5), 6)  AS p50,
            ROUND(quantile_cont(value, 0.9), 6)  AS p90,
@@ -228,7 +229,7 @@ _TOPK_USERS = 5
     WITH agg AS (
       SELECT event_type, user_id,
              COUNT(*) AS n_events,
-             ROUND(SUM(CAST(FLOOR(value * 100 + 0.5) AS BIGINT)) / 100.0, 2)
+             ROUND(SUM({G.cents_sql("value")}) / 100.0, 2)
                AS total_value
       FROM events GROUP BY 1, 2
     )

@@ -22,7 +22,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..sources import load_table
-from . import register
+from . import format_doc, register
 
 # Total rank mass in integer units. 1e12 units across ~2e3 nodes leaves
 # ~5e8 units/node of resolution; the largest intermediate (85 * a
@@ -194,7 +194,4 @@ def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-# (X.__doc__ or "") keeps `python -OO` (docstrings stripped) importable
-graph_pagerank.__doc__ = (graph_pagerank.__doc__ or "").format(
-    k=PR_TOPK, iters=PR_ITERS
-)
+format_doc(graph_pagerank, k=PR_TOPK, iters=PR_ITERS)

@@ -16,7 +16,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..sources import load_table
-from . import register
+from . import format_doc, register
 
 _ACCEPTED_STATUS = ("O", "F", "P")
 
@@ -190,7 +190,4 @@ def k_anonymity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-# (X.__doc__ or "") keeps `python -OO` (docstrings stripped) importable
-k_anonymity_audit.__doc__ = (k_anonymity_audit.__doc__ or "").format(
-    _K_ANON=_K_ANON
-)
+format_doc(k_anonymity_audit, _K_ANON=_K_ANON)

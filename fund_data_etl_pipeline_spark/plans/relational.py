@@ -34,6 +34,7 @@ from pyspark.sql.window import Window as W
 
 from ..functions import cents, round2
 from ..sources import load_table
+from . import _sqlgen as G
 from . import register
 
 # --------------------------------------------------------------------------
@@ -48,9 +49,14 @@ from . import register
     oracle="""
     SELECT l_returnflag, l_linestatus,
            ROUND(SUM(l_quantity), 2)                                   AS sum_qty,
-           ROUND(SUM(l_extendedprice), 2)                              AS sum_base_price,
-           ROUND(SUM(l_extendedprice * (1 - l_discount)), 2)           AS sum_disc_price,
-           ROUND(SUM(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2) AS sum_charge,
+           ROUND(SUM(l_extendedprice::DECIMAL(12,2)), 2)::DOUBLE       AS sum_base_price,
+           ROUND(SUM(l_extendedprice::DECIMAL(12,2)
+                     * (1::DECIMAL(4,2) - l_discount::DECIMAL(4,2))), 2)::DOUBLE
+                                                                       AS sum_disc_price,
+           ROUND(SUM(l_extendedprice::DECIMAL(12,2)
+                     * (1::DECIMAL(4,2) - l_discount::DECIMAL(4,2))
+                     * (1::DECIMAL(4,2) + l_tax::DECIMAL(4,2))), 2)::DOUBLE
+                                                                       AS sum_charge,
            ROUND(AVG(l_quantity), 2)                                   AS avg_qty,
            COUNT(*)                                                    AS count_order
     FROM lineitem
@@ -60,15 +66,27 @@ from . import register
 )
 def pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem")
-    disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    # money sums in EXACT decimal arithmetic (r11): summing raw doubles
+    # is order-dependent (~1e-13 relative), which crosses a half-cent
+    # rounding boundary often enough to flake the value hash on large
+    # groups (the numeric.cents lesson). price/discount/tax are 2-decimal
+    # values, so their decimal products are exact at scale <= 6 and the
+    # sums are associative integers underneath — ROUND happens in decimal
+    # on BOTH engines, then one cast to double for the output schema.
+    price_d = F.col("l_extendedprice").cast("decimal(12,2)")
+    disc_d = F.col("l_discount").cast("decimal(4,2)")
+    tax_d = F.col("l_tax").cast("decimal(4,2)")
+    one = F.lit(1).cast("decimal(4,2)")
+    dp = price_d * (one - disc_d)
+    charge = dp * (one + tax_d)
     return (
         li.filter(F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp"))
         .groupBy("l_returnflag", "l_linestatus")
         .agg(
             round2(F.sum("l_quantity"), 2).alias("sum_qty"),
-            round2(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
-            round2(F.sum(disc_price), 2).alias("sum_disc_price"),
-            round2(F.sum(disc_price * (1 + F.col("l_tax"))), 2).alias("sum_charge"),
+            F.round(F.sum(price_d), 2).cast("double").alias("sum_base_price"),
+            F.round(F.sum(dp), 2).cast("double").alias("sum_disc_price"),
+            F.round(F.sum(charge), 2).cast("double").alias("sum_charge"),
             round2(F.avg("l_quantity"), 2).alias("avg_qty"),
             F.count(F.lit(1)).alias("count_order"),
         )
@@ -119,9 +137,9 @@ def dim_join_left(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "group_merge",
-    oracle="""
+    oracle=f"""
     SELECT c.c_nationkey,
-           ROUND(SUM(o.o_totalprice), 2) AS sum_price,
+           ROUND(SUM({G.cents_sql("o.o_totalprice")}) / 100.0, 2) AS sum_price,
            ARRAY_TO_STRING(LIST_SORT(LIST_DISTINCT(LIST(o.o_orderpriority))), '、')
                                          AS priorities,
            MIN(o.o_orderstatus)          AS first_status,
@@ -138,7 +156,7 @@ def group_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
         orders.join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
         .groupBy("c_nationkey")
         .agg(
-            round2(F.sum("o_totalprice"), 2).alias("sum_price"),
+            round2(F.sum(cents("o_totalprice")) / 100.0, 2).alias("sum_price"),
             F.concat_ws("、", F.sort_array(F.collect_set("o_orderpriority"))).alias(
                 "priorities"
             ),
@@ -157,8 +175,9 @@ def group_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "when_cascade_tier",
-    oracle="""
-    SELECT tier, COUNT(*) AS n_parts, ROUND(SUM(p_retailprice), 2) AS sum_price
+    oracle=f"""
+    SELECT tier, COUNT(*) AS n_parts,
+           ROUND(SUM({G.cents_sql("p_retailprice")}) / 100.0, 2) AS sum_price
     FROM (
       SELECT CASE
                WHEN p_type LIKE '%PROMO%' AND p_size > 30 THEN 'promo_large'
@@ -187,7 +206,7 @@ def when_cascade_tier(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("tier")
         .agg(
             F.count(F.lit(1)).alias("n_parts"),
-            round2(F.sum("p_retailprice"), 2).alias("sum_price"),
+            round2(F.sum(cents("p_retailprice")) / 100.0, 2).alias("sum_price"),
         )
     )
 
@@ -199,8 +218,9 @@ def when_cascade_tier(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "isin_filter",
-    oracle="""
-    SELECT o_orderpriority, COUNT(*) AS n, ROUND(SUM(o_totalprice), 2) AS sum_price
+    oracle=f"""
+    SELECT o_orderpriority, COUNT(*) AS n,
+           ROUND(SUM({G.cents_sql("o_totalprice")}) / 100.0, 2) AS sum_price
     FROM orders
     WHERE o_orderpriority IN ('1-URGENT', '2-HIGH')
     GROUP BY o_orderpriority
@@ -213,7 +233,7 @@ def isin_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("o_orderpriority")
         .agg(
             F.count(F.lit(1)).alias("n"),
-            round2(F.sum("o_totalprice"), 2).alias("sum_price"),
+            round2(F.sum(cents("o_totalprice")) / 100.0, 2).alias("sum_price"),
         )
     )
 
@@ -397,8 +417,9 @@ def mixed_sort_key(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "topk_revenue",
-    oracle="""
-    SELECT o_custkey, ROUND(SUM(o_totalprice), 2) AS revenue
+    oracle=f"""
+    SELECT o_custkey,
+           ROUND(SUM({G.cents_sql("o_totalprice")}) / 100.0, 2) AS revenue
     FROM orders
     GROUP BY o_custkey
     ORDER BY revenue DESC, o_custkey
@@ -409,7 +430,7 @@ def topk_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders = load_table(spark, sf_dir, "orders")
     return (
         orders.groupBy("o_custkey")
-        .agg(round2(F.sum("o_totalprice"), 2).alias("revenue"))
+        .agg(round2(F.sum(cents("o_totalprice")) / 100.0, 2).alias("revenue"))
         .orderBy(F.col("revenue").desc(), F.col("o_custkey"))
         .limit(10)
     )
@@ -460,11 +481,11 @@ def window_running(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "agg_stats",
-    oracle="""
+    oracle=f"""
     SELECT event_type,
            COUNT(*)                      AS n_events,
            COUNT(DISTINCT user_id)       AS n_users,
-           ROUND(SUM(CAST(FLOOR(value * 100 + 0.5) AS BIGINT)) * 1.0
+           ROUND(SUM({G.cents_sql("value")}) * 1.0
                  / COUNT(*) / 100.0, 3)  AS avg_value,
            ROUND(MIN(value), 3)          AS min_value,
            ROUND(MAX(value), 3)          AS max_value
@@ -567,9 +588,10 @@ def semi_join_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "rollup_priority",
-    oracle="""
+    oracle=f"""
     SELECT o_orderstatus, o_orderpriority,
-           COUNT(*) AS n, ROUND(SUM(o_totalprice), 2) AS sum_price
+           COUNT(*) AS n,
+           ROUND(SUM({G.cents_sql("o_totalprice")}) / 100.0, 2) AS sum_price
     FROM orders
     GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
     """,
@@ -578,7 +600,7 @@ def rollup_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders = load_table(spark, sf_dir, "orders")
     return orders.rollup("o_orderstatus", "o_orderpriority").agg(
         F.count(F.lit(1)).alias("n"),
-        round2(F.sum("o_totalprice"), 2).alias("sum_price"),
+        round2(F.sum(cents("o_totalprice")) / 100.0, 2).alias("sum_price"),
     )
 
 

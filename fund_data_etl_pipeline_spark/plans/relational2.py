@@ -12,7 +12,11 @@ from pyspark.sql import functions as F
 from ..functions.numeric import cents, round2
 from ..operators.joins import asof_join, salted_agg
 from ..sources import load_table
+from . import _sqlgen as G
 from . import register
+
+# the TPC-H revenue term, shared by every cents_sql oracle site
+REV = "l_extendedprice * (1 - l_discount)"
 
 # --------------------------------------------------------------------------
 # As-of join: for each error event, the user's most recent click at or
@@ -403,8 +407,7 @@ _Q3_DATE = "1997-06-30"
     "shipping_priority_topk",
     oracle=f"""
     SELECT l_orderkey,
-           ROUND(SUM(CAST(FLOOR(l_extendedprice * (1 - l_discount) * 100 + 0.5)
-                          AS BIGINT)) / 100.0, 2) AS revenue,
+           ROUND(SUM({G.cents_sql(REV)}) / 100.0, 2) AS revenue,
            strftime(o_orderdate, '%Y-%m-%d') AS o_orderdate,
            o_orderpriority
     FROM customer

@@ -16,7 +16,10 @@ from pyspark.sql import functions as F
 from ..functions.numeric import cents, round2
 from ..sources import load_table
 from . import _sqlgen as G
-from . import register
+from . import format_doc, register
+
+# the TPC-H revenue term, shared by every cents_sql oracle site
+REV = "l_extendedprice * (1 - l_discount)"
 
 _Q5_REGION = "ASIA"
 _Q5_FROM = "1996-01-01"
@@ -27,8 +30,7 @@ _Q5_TO = "1997-01-01"  # exclusive
     "local_supplier_revenue",
     oracle=f"""
     SELECT n_name,
-           ROUND(SUM(CAST(FLOOR(l_extendedprice * (1 - l_discount) * 100 + 0.5)
-                          AS BIGINT)) / 100.0, 2) AS revenue
+           ROUND(SUM({G.cents_sql(REV)}) / 100.0, 2) AS revenue
     FROM customer
     JOIN orders   ON c_custkey = o_custkey
     JOIN lineitem ON l_orderkey = o_orderkey
@@ -113,8 +115,7 @@ _Q8_TO = "1997-01-01"  # exclusive
     oracle=f"""
     WITH rev AS (
       SELECT CAST(year(o_orderdate) AS INT) AS order_year,
-             CAST(FLOOR(l_extendedprice * (1 - l_discount) * 100 + 0.5)
-                  AS BIGINT) AS rev_c,
+             {G.cents_sql(REV)} AS rev_c,
              n_s.n_name AS supp_nation
       FROM lineitem
       JOIN part     ON l_partkey = p_partkey AND p_type = '{_Q8_TYPE}'
@@ -211,8 +212,7 @@ def market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-# (X.__doc__ or "") keeps `python -OO` (docstrings stripped) importable
-market_share.__doc__ = (market_share.__doc__ or "").format(t=_Q8_TYPE)
+format_doc(market_share, t=_Q8_TYPE)
 
 
 _Q7_NATION_A = "NATION_3"
@@ -227,9 +227,7 @@ _Q7_TO = "1997-01-01"  # exclusive
     SELECT n1.n_name AS supp_nation,
            n2.n_name AS cust_nation,
            CAST(year(l_shipdate) AS INT) AS ship_year,
-           {G.round_sql(
-               "SUM(CAST(FLOOR(l_extendedprice * (1 - l_discount) * 100 + 0.5)"
-               " AS BIGINT)) / 100.0", 2)} AS volume
+           {G.round_sql(f"SUM({G.cents_sql(REV)}) / 100.0", 2)} AS volume
     FROM lineitem
     JOIN orders   ON l_orderkey = o_orderkey
     JOIN supplier ON l_suppkey = s_suppkey
@@ -341,7 +339,7 @@ def late_sole_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders — the doubly-correlated EXISTS (another supplier shares the
     order) + NOT EXISTS (no other supplier was also late) pattern, the
     canonical hard case for subquery decorrelation. "Late" is
-    l_shipdate > o_orderdate + {_Q21_LATE_DAYS} days (this corpus
+    l_shipdate > o_orderdate + {days} days (this corpus
     carries no commit/receipt dates).
 
     Scale shape: instead of two correlated re-probes of the fact table
@@ -353,7 +351,7 @@ def late_sole_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     one fact shuffle. The sole-blame filter (late ∧ n_supp ≥ 2 ∧
     n_late = 1) is then map-side, the (supplier, order) distinct
     collapses to one row per blame, and TakeOrderedAndProject caps the
-    supplier leaderboard at {_Q21_TOPK}.
+    supplier leaderboard at {k}.
 
     Cross-engine exactness: pure integer counts; ties break on
     s_suppkey — a total order through the LIMIT cut.
@@ -466,3 +464,6 @@ def large_order_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("o_totalprice").desc(), "o_orderkey")
         .limit(100)
     )
+
+
+format_doc(late_sole_supplier, days=_Q21_LATE_DAYS, k=_Q21_TOPK)

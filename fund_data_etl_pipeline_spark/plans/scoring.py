@@ -160,11 +160,11 @@ def z_score(v_c, mean, var, sqrt):
     oracle=f"""
     WITH t AS (
       SELECT event_id, user_id, event_type, ts,
-             CAST(FLOOR(value * 100 + 0.5) AS BIGINT) AS v_c,
+             {G.cents_sql("value")} AS v_c,
              COUNT(*) OVER w                          AS n_window,
-             SUM(CAST(FLOOR(value * 100 + 0.5) AS BIGINT)) OVER w AS sum_c,
-             SUM(CAST(FLOOR(value * 100 + 0.5) AS BIGINT)
-                 * CAST(FLOOR(value * 100 + 0.5) AS BIGINT)) OVER w AS ssq_c
+             SUM({G.cents_sql("value")}) OVER w AS sum_c,
+             SUM({G.cents_sql("value")}
+                 * {G.cents_sql("value")}) OVER w AS ssq_c
       FROM events
       WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
                    ROWS BETWEEN {Z_LOOKBACK} PRECEDING AND 1 PRECEDING)

@@ -37,7 +37,7 @@ from ..operators.sampling import (
 )
 from ..sources import load_table
 from . import _sqlgen as G
-from . import register
+from . import format_doc, register
 
 # --------------------------------------------------------------------------
 # Token counting (whitespace + BPE-ish regex pre-tokenization)
@@ -429,10 +429,7 @@ def source_capped_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("doc_id", "source", "slot")
 
 
-# (X.__doc__ or "") keeps `python -OO` (docstrings stripped) importable
-source_capped_sample.__doc__ = (source_capped_sample.__doc__ or "").format(
-    m=_CAP_M
-)
+format_doc(source_capped_sample, m=_CAP_M)
 
 
 # --------------------------------------------------------------------------

@@ -26,7 +26,7 @@ from ..operators.similarity import (
 )
 from ..sources import load_table
 from . import _sqlgen as G
-from . import register
+from . import format_doc, register
 
 _K = 5
 _N_QUERIES = 10
@@ -210,10 +210,5 @@ def vector_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-# (X.__doc__ or "") keeps `python -OO` (docstrings stripped) importable
-vector_cosine_topk.__doc__ = (vector_cosine_topk.__doc__ or "").format(
-    n=_N_QUERIES
-)
-vector_ann_ivf.__doc__ = (vector_ann_ivf.__doc__ or "").format(
-    lists=_IVF_LISTS, probe=_IVF_PROBE
-)
+format_doc(vector_cosine_topk, n=_N_QUERIES)
+format_doc(vector_ann_ivf, lists=_IVF_LISTS, probe=_IVF_PROBE)

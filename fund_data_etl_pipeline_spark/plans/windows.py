@@ -219,7 +219,7 @@ _GAP_END = "2024-01-05 23:00:00"
     WITH obs AS (
       SELECT event_type, time_bucket(INTERVAL 1 HOUR, ts) AS hour_ts,
              COUNT(*) AS n,
-             SUM(CAST(FLOOR(value * 100 + 0.5) AS BIGINT)) AS v_c
+             SUM({G.cents_sql("value")}) AS v_c
       FROM events
       WHERE ts >= TIMESTAMP '{_GAP_START}'
         AND ts < TIMESTAMP '{_GAP_END}' + INTERVAL 1 HOUR
@@ -299,11 +299,11 @@ def events_hourly_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "user_rolling_7d_spend",
-    oracle="""
+    oracle=f"""
     SELECT event_id, user_id,
            strftime(ts, '%Y-%m-%d %H:%M:%S') AS ts,
            ROUND(value, 2) AS value,
-           ROUND(SUM(CAST(FLOOR(value * 100 + 0.5) AS BIGINT))
+           ROUND(SUM({G.cents_sql("value")})
                    OVER w / 100.0, 2) AS spend_7d,
            COUNT(*) OVER w AS n_7d
     FROM events

@@ -71,7 +71,10 @@ def click_purchase_attribution(
 
 
 def enrich_with_dim(
-    stream: DataFrame, dim: DataFrame, key: str = "user_id"
+    stream: DataFrame,
+    dim: DataFrame,
+    key: str = "user_id",
+    attrs: list[str] | None = None,
 ) -> DataFrame:
     """Stream-static dimension enrichment: left-join each incoming row to
     a broadcast static dim on ``key``; unmatched rows keep NULL attrs.
@@ -85,5 +88,17 @@ def enrich_with_dim(
     ``normalize.dim_join`` (J1) — identical code runs on batch frames,
     so batch/streaming parity is code-level, proven in pytest by
     replaying micro-batches against the batch join.
+
+    ``attrs`` names the dim columns to attach; ``None`` means every dim
+    column except the key AND except names the stream already has — a
+    dim carrying its own ``ts``/``value`` would otherwise produce
+    duplicate output columns and AMBIGUOUS_REFERENCE on the next select
+    (r11 review; the batch ``dim_join`` projects the lookup columns the
+    same way).
     """
-    return stream.join(F.broadcast(dim), on=key, how="left")
+    if attrs is None:
+        taken = set(stream.columns)
+        attrs = [c for c in dim.columns if c != key and c not in taken]
+    return stream.join(
+        F.broadcast(dim.select(key, *attrs)), on=key, how="left"
+    )

@@ -31,18 +31,14 @@ def _update(
     batches: Iterator[pd.DataFrame],
     state: GroupState,
 ) -> Iterator[pd.DataFrame]:
-    import math
-
-    from ..functions.numeric import round2_py
+    from ..functions.numeric import cents_py, round2_py
 
     n, s_c = state.get if state.exists else (0, 0)
     for pdf in batches:
         if not len(pdf):
             continue
         n += len(pdf)
-        s_c += int(
-            sum(math.floor(float(v) * 100 + 0.5) for v in pdf["value"])
-        )
+        s_c += sum(cents_py(v) for v in pdf["value"])
     state.update((n, s_c))
     yield pd.DataFrame(
         {
@@ -198,7 +194,7 @@ def _zscore_update(
         z_score,
     )
 
-    from ..functions.numeric import round2_py
+    from ..functions.numeric import cents_py, round2_py
 
     (vals,) = state.get if state.exists else ([],)
     vals = list(vals)
@@ -218,7 +214,7 @@ def _zscore_update(
         merged = pd.concat(pdfs).sort_values(["ts", "event_id"])
         for _, row in merged.iterrows():
             # exact integer cents, same quantization as functions.numeric.cents
-            v_c = math.floor(float(row["value"]) * 100 + 0.5)
+            v_c = cents_py(row["value"])
             n = len(vals)
             if n >= Z_MIN_N:
                 s = sum(vals)

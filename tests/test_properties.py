@@ -210,3 +210,33 @@ def test_merge_dim_idempotent_and_lww(spark, ops):
         (r["product_name"], r["map_kind"]): r["ledger_code"]
         for r in twice.collect()
     } == got
+
+
+def test_cents_sign_aware_and_twins_agree(spark):
+    """cents (Column) == cents_py (scalar) == cents_sql (DuckDB) on a
+    grid including negative quarter-cent values, where the pre-r11
+    half-UP floor form diverged from the pinned half-away-from-zero
+    convention (-0.125 -> -13 cents, not -12)."""
+    import duckdb
+
+    from pyspark.sql import functions as F
+
+    from fund_data_etl_pipeline_spark.functions.numeric import cents, cents_py
+    from fund_data_etl_pipeline_spark.plans._sqlgen import cents_sql
+
+    grid = [0.0, 0.005, -0.005, 0.125, -0.125, 2.375, -2.375, 57.04,
+            -57.04, 1.005, -1.005, 123.455, -123.455]
+    df = spark.createDataFrame([(x,) for x in grid], "x double")
+    col_form = {
+        r["x"]: r["c"]
+        for r in df.select("x", cents("x").alias("c")).collect()
+    }
+    sql_form = dict(
+        duckdb.sql(
+            f"SELECT x, {cents_sql('x')} AS c FROM (SELECT UNNEST("
+            f"{grid!r}::DOUBLE[]) AS x)"
+        ).fetchall()
+    )
+    for x in grid:
+        assert col_form[x] == cents_py(x) == sql_form[x], x
+    assert cents_py(-0.125) == -13 and cents_py(0.125) == 13
