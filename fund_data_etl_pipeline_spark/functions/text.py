@@ -174,11 +174,25 @@ def minhash_signature_from_hashes(hs: Column, seed: int = 0) -> list[Column]:
 
 
 def band_key(sig_cols: list[Column], band: int) -> Column:
-    """LSH band key: the band's minhash values joined into one string."""
+    """LSH band key: the band's minhash values joined into one string.
+
+    NULL-propagating on purpose (``F.concat``, not ``concat_ws``): a
+    contentless doc (NULL text / under-shingle-length) has an empty
+    shingle set, so every minhash is NULL — concat_ws would collapse all
+    of those into a shared "" key and clique every parse-failure doc at
+    jaccard 1.0-on-empty-sets. With concat, a NULL minhash yields a NULL
+    key, and NULL keys never equi-join — contentless docs band into
+    nothing, matching the oracle's ``||`` (band_key_sql). This replaces
+    the r11 ``mh0.isNotNull()`` row filter, which forced Catalyst to
+    re-inline the whole minhash/shingle HOF pipeline into the predicate
+    (5x slower at sf0.1)."""
     lo = band * MINHASH_ROWS_PER_BAND
-    return F.concat_ws(
-        "-", *[sig_cols[i].cast("string") for i in range(lo, lo + MINHASH_ROWS_PER_BAND)]
-    )
+    parts: list[Column] = []
+    for i in range(lo, lo + MINHASH_ROWS_PER_BAND):
+        if parts:
+            parts.append(F.lit("-"))
+        parts.append(sig_cols[i].cast("string"))
+    return F.concat(*parts)
 
 
 def simhash(hashes: Column, bits: int = SIMHASH_BITS) -> Column:

@@ -442,13 +442,12 @@ def minhash_band_keys(
         *carry,
         *minhash_signature_from_hashes(F.col(hs_col), seed=seed),
     )
-    # contentless docs (NULL text / under-shingle-length) have an EMPTY
-    # shingle set, so every minhash is NULL — and band_key's concat_ws
-    # would silently turn those into a shared "" key, pairing every
-    # parse-failure doc with every other at jaccard 1.0-on-empty-sets,
-    # while the oracle's NULL-propagating keys never equi-join (r11
-    # review). No shingles = no identity: such docs band into NOTHING.
-    sig = sig.where(F.col("mh0").isNotNull())
+    # contentless docs (NULL text / under-shingle-length) band into
+    # NOTHING: band_key is NULL-propagating (F.concat), so their all-NULL
+    # signatures yield NULL keys, and NULL keys never equi-join — same
+    # semantics as the oracle's `||` without a row filter. (An explicit
+    # `mh0.isNotNull()` where-clause here re-inlines the minhash/shingle
+    # HOF pipeline into the predicate and cost 5x at sf0.1 — r11 lesson.)
     sig_cols = [F.col(f"mh{i}") for i in range(len(MINHASH_A))]
     bands = F.array(
         *[

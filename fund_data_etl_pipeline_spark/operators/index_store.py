@@ -84,13 +84,18 @@ def _table_location(spark: SparkSession, name: str) -> str | None:
 
 
 def _norm_path(p: str) -> str:
-    for scheme in ("file:", ""):
-        if p.startswith(scheme + "//"):
-            p = p[len(scheme) + 2 :] or "/"
-            break
-        if scheme and p.startswith(scheme):
-            p = p[len(scheme) :]
-            break
+    from urllib.parse import unquote, urlparse
+
+    parsed = urlparse(p)
+    if parsed.scheme == "file":
+        # file://host/path has a host authority — its path component is
+        # NOT a local filesystem path on this machine; manual prefix
+        # stripping left "host/path" to resolve against cwd (r11 advice)
+        if parsed.netloc not in ("", "localhost"):
+            raise ValueError(
+                f"non-local file URI (host {parsed.netloc!r}): {p!r}"
+            )
+        p = unquote(parsed.path) or "/"
     return os.path.realpath(p)
 
 

@@ -152,6 +152,8 @@ def write_sized(
     spark = df.sparkSession
 
     def _files() -> set[str]:
+        from pyspark.errors import AnalysisException
+
         try:
             return {
                 r["path"]
@@ -162,8 +164,12 @@ def write_sized(
                 .select("path")
                 .collect()
             }
-        except Exception:  # path does not exist yet
-            return set()
+        except AnalysisException as e:
+            # only "path does not exist yet" is expected; a transient
+            # listing failure must propagate, not read as a 0 file count
+            if "PATH_NOT_FOUND" in str(e):
+                return set()
+            raise
 
     cols = [c for c in partition_cols if c in df.columns]
     if not cols:
@@ -172,18 +178,30 @@ def write_sized(
             return 0
         writer_df = df.repartition(max(1, math.ceil(n / target_rows_per_file)))
     else:
+        from pyspark.sql.types import IntegerType, StructField, StructType
+
         counts = df.groupBy(*cols).agg(F.count(F.lit(1)).alias("__n"))
-        slot_tbl = counts.select(
-            *[F.col(c).alias(f"__k_{c}") for c in cols],
-            F.greatest(
-                F.lit(1),
-                F.ceil(F.col("__n") / F.lit(target_rows_per_file)),
-            )
-            .cast("int")
-            .alias("__slots"),
-        )
-        if slot_tbl.limit(1).count() == 0:  # Q2 guard on the tiny agg
+        # collect the tiny per-partition-value counts table ONCE (one row
+        # per partition value — bounded by the sink's layout, not the
+        # data): it serves both the Q2 emptiness guard and the broadcast
+        # join, so the upstream plan executes twice total (counts + the
+        # write), not three times (guard-count + join-recompute + write)
+        count_rows = counts.collect()
+        if not count_rows:
             return 0
+        key_fields = [
+            StructField(f"__k_{f.name}", f.dataType, True)
+            for f in counts.schema.fields
+            if f.name != "__n"
+        ]
+        slot_tbl = spark.createDataFrame(
+            [
+                tuple(r[c] for c in cols)
+                + (max(1, math.ceil(r["__n"] / target_rows_per_file)),)
+                for r in count_rows
+            ],
+            StructType(key_fields + [StructField("__slots", IntegerType(), False)]),
+        )
         cond = None
         for c in cols:
             e = F.col(c).eqNullSafe(F.col(f"__k_{c}"))

@@ -108,22 +108,141 @@ def load_all() -> None:
     )
 
 
-# Round-11 rotation policy (VERDICT r10 next-step #1). Cap is 50 driver
+# Round-12 rotation policy (VERDICT r11 next-step #3). Cap is 50 driver
 # slots; 110 queries registered. Invariant: every oracle-bearing query is
 # driver-green within the last two rounds, OR on the documented
 # peer-coverage exception list below (re-proven by the local gate at all
 # three SFs instead).
 #
-# This round's 50 slots: (a) dim_merge — registered r10, locally gated at
-# 3 SFs, never driver-checked — leads; (b) the eight r10 exception-list
-# names — last driver row r8, their window closes now; (c) 41 of the 50
-# r9-green names whose two-round window closes at r11. The other 9
-# r9-green names move to the exception list with peer coverage (the
-# round-5 valve — see note below the list).
+# This round's 50 slots: (a) the nine r11 exception-valve names — last
+# driver row r9, their valve window closes now; (b)
+# dedup_incremental_minhash — proves the r12 band_key fix (VERDICT r11
+# what's-wrong #1) with a driver row; (c) 40 of the remaining 49
+# r10-green names whose two-round window closes at r12. The other 9
+# r10-green names move to the exception valve with peer coverage — the
+# round-5 valve, see the note below the list.
 PRIORITY = [
-    # (a) r10 registration (local 3-SF gate only so far)
+    # (a) r11 exception-valve names — last driver row r9; window closes
+    "fund_manual_confirm",
+    "fund_manual_redemption",
+    "fund_manual_dividend",
+    "events_sliding_window",
+    "user_retention_cohorts",
+    "dedup_ngram_jaccard",
+    "dedup_semantic",
+    "volume_shipping",
+    "quality_weighted_sample",
+    # (b) the r12 NULL-propagating band_key fix, proven by a driver row
+    "dedup_incremental_minhash",
+    # (c) r10-green names whose window closes at r12 (40 of 49)
+    "dedup_recovery_pairs",
+    "dedup_embedding_cosine",
+    "dedup_canonical",
+    "cdc_latest_snapshot",
+    "scd2_intervals",
+    "event_value_winsorized",
+    "cdc_incremental_merge",
+    "vector_ann_lsh",
+    "dedup_exact",
+    "dedup_groups",
+    "leakage_safe_split",
+    "dedup_spans",
+    "contamination_check",
+    "dedup_simhash",
+    "dedup_semantic_lsh",
+    "events_funnel",
+    "fund_dividend_scaled",
+    "pricing_summary",
+    "pivot_status",
+    "range_join_ship_window",
+    "salted_skew_agg",
+    "zorder_layout",
+    "table_profile",
+    "local_supplier_revenue",
+    "large_order_customers",
+    "bm25_topk",
+    "events_anomaly_zscore",
+    "text_quality",
+    "text_lang_id",
+    "text_fingerprint",
+    "stratified_sample",
+    "sequence_packing",
+    "epoch_shuffle",
+    "doc_chunking",
+    "corpus_top_terms",
+    "text_repetition_filter",
+    "text_scrub",
+    "source_mixture_weights",
+    "doc_tfidf_topk",
+    "events_hourly_gapfill",
+]
+
+# PRIORITY is exactly at the 50-query driver cap (9 + 1 + 40).
+
+# EXCEPTION LIST (round-12 cap overflow — 60 names owed a row vs 50
+# slots, so these nine r10-green queries go one round on peer coverage).
+# Each is chosen because its machinery is provably inside r11-green or
+# r12-PRIORITY peers, and each is re-proven by the local gate
+# (tools/check_correctness.py) at sf0.001/0.01/0.1 this round:
+#   fund_manual_apply — runs the SAME _manual_base OCR pipeline
+#     (doc-type detect, candidate-max P12, code-repair P13) as the three
+#     r12-PRIORITY fund_manual_confirm / fund_manual_redemption /
+#     fund_manual_dividend rows (the mirror of r11, which valved those
+#     three on fund_manual_apply's r10 row); its apply-specific field
+#     set is the same spec-dict machinery the r11-green
+#     fund_purchase_apply drives on the text path;
+#   dedup_incremental_exact — the content-hash batch collapse + history
+#     anti-join; the r12-PRIORITY dedup_exact pins the normalized-md5
+#     canonical machinery and dedup_incremental_minhash (r12-PRIORITY)
+#     pins the batch-vs-persisted-index incremental join shape;
+#   dedup_groups_star — same minhash_lsh_pairs input and the IDENTICAL
+#     oracle as the r12-PRIORITY dedup_groups (both must reach the same
+#     min-id fixpoint; a two-phase-vs-label-prop parity pytest holds
+#     them together); only the large-star/small-star rewrite differs;
+#   dedup_hybrid — composes minhash_lsh_pairs (r11-green
+#     dedup_minhash_lsh) with the embedding-cosine confirm the
+#     r12-PRIORITY dedup_embedding_cosine drives end-to-end;
+#   events_tumbling_window — window() lowering; the r12-PRIORITY
+#     events_sliding_window is the strict superset (same Expand + agg
+#     shape with slide != width), events_session_window is r11-green;
+#   window_running — running-sum window exchange; the r11-green
+#     user_rolling_7d_spend pins the same partitionBy(user) ordered
+#     range frame over events, asof_last_click (r11-green) the ordered
+#     last-value form;
+#   cast_round_coerce — N2 try_cast-to-NULL + half-away round2; the
+#     same functions/cleaning.py coerce+round runs inside every
+#     r11-green fund_* row (the money columns) and the r12-PRIORITY
+#     fund_dividend_scaled;
+#   semi_join_parts — left-semi existence join; the r11-green
+#     anti_join_customers is the same existence-join family
+#     (left-anti), distinct_pairs (r11-green) the same dedup-projection;
+#   rollup_priority — ROLLUP lowering; the r11-green cube_lineitem is
+#     the strict superset (CUBE = every ROLLUP grouping set and more,
+#     same Expand-based lowering), grouping_sets_sql (r11-green) the
+#     general form.
+#
+# DEPRIORITY: names that safely fall past the cap this round. The 50
+# r11-green names (fresh driver rows in CORRECTNESS_r11, window open
+# through round 13), the nine exception-list names above, and the
+# rows-only-by-design sketch query. 50 + 9 + 1 = 60 = registered 110 -
+# cap 50, so the cap's cut is wholly chosen here — nothing falls past by
+# registration-order accident.
+DEPRIORITY = [
+    # nine exception-list names (peer coverage documented above)
+    "fund_manual_apply",
+    "dedup_incremental_exact",
+    "dedup_groups_star",
+    "dedup_hybrid",
+    "events_tumbling_window",
+    "window_running",
+    "cast_round_coerce",
+    "semi_join_parts",
+    "rollup_priority",
+    # rows-only by design (KLL/HLL sketch aggregate; rank-contract parity
+    # is pytest-asserted) — its weak row adds nothing over r4's
+    "event_value_stats_approx",
+    # r11-green (driver rows in CORRECTNESS_r11): window open to round 13
     "dim_merge",
-    # (b) r10 exception-list names — last driver row r8; window closes
     "cube_lineitem",
     "topk_revenue",
     "agg_stats",
@@ -132,7 +251,6 @@ PRIORITY = [
     "vector_cosine_topk",
     "quality_deciles",
     "doc_hash_split",
-    # (c) r9-green names whose window closes at r11 (41 of 50)
     "vector_ann_ivf",
     "dedup_ngram_capped",
     "dedup_minhash_lsh",
@@ -174,116 +292,6 @@ PRIORITY = [
     "text_c4_filters",
     "events_session_window",
     "user_rolling_7d_spend",
-]
-
-# PRIORITY is exactly at the 50-query driver cap (1 + 8 + 41).
-
-# EXCEPTION LIST (round-11 cap overflow — 59 oracle-bearing names owed a
-# row vs 50 slots, so these nine r9-green queries go one round on peer
-# coverage). Each is chosen because its machinery is provably inside
-# r10-green or r11-PRIORITY peers, and each is re-proven by the local
-# gate (tools/check_correctness.py) at sf0.001/0.01/0.1 this round:
-#   fund_manual_confirm / fund_manual_redemption / fund_manual_dividend —
-#     all three run the SAME _manual_base OCR pipeline (doc-type detect,
-#     candidate-max P12, code-repair P13) as the r10-green
-#     fund_manual_apply; their business-type specifics (confirm/
-#     redemption/dividend field sets) are the same spec-dict machinery
-#     the r11-PRIORITY fund_purchase_confirm / fund_redemption_confirm /
-#     fund_dividend drive on the text path;
-#   events_sliding_window — same streaming-window lowering as the
-#     r10-green events_tumbling_window (window() with slide is the same
-#     Expand + agg shape); events_session_window stays in PRIORITY;
-#   user_retention_cohorts — cohort pivot over the events table; the
-#     r10-green events_funnel pins the per-user sequence agg and the
-#     r11-PRIORITY user_rolling_7d_spend the window exchange;
-#   dedup_ngram_jaccard — identical shingle + pair machinery as the
-#     r11-PRIORITY dedup_ngram_capped (the capped form is the strict
-#     superset: same prep, plus the occupancy split) and
-#     dedup_minhash_lsh;
-#   dedup_semantic — the designed-O(N^1.5) oracle-exact twin of the
-#     r10-green dedup_semantic_lsh (same prepped/norm/cosine stack via
-#     operators/similarity); the r11-PRIORITY vector_cosine_topk pins
-#     the exact-cosine rank arithmetic;
-#   volume_shipping — join-agg over lineitem/orders/customer/nation; the
-#     r11-PRIORITY market_share is the strictly-wider same-shape plan
-#     (same join tree plus a share division), and the r10-green
-#     local_supplier_revenue pins the nation-join agg;
-#   quality_weighted_sample — weighted hash sampling; the r10-green
-#     stratified_sample and the r11-PRIORITY source_capped_sample /
-#     quality_deciles exercise the same operators/sampling hash + window
-#     machinery.
-#
-# DEPRIORITY: names that safely fall past the cap this round. The 50
-# r10-green names (fresh driver rows in CORRECTNESS_r10, window open
-# through round 12), the nine exception-list names above, and the
-# rows-only-by-design sketch query. 50 + 9 + 1 = 60 = registered 110 -
-# cap 50, so the cap's cut is wholly chosen here — nothing falls past by
-# registration-order accident.
-DEPRIORITY = [
-    # nine exception-list names (peer coverage documented above)
-    "fund_manual_confirm",
-    "fund_manual_redemption",
-    "fund_manual_dividend",
-    "events_sliding_window",
-    "user_retention_cohorts",
-    "dedup_ngram_jaccard",
-    "dedup_semantic",
-    "volume_shipping",
-    "quality_weighted_sample",
-    # rows-only by design (KLL/HLL sketch aggregate; rank-contract parity
-    # is pytest-asserted) — its weak row adds nothing over r4's
-    "event_value_stats_approx",
-    # r10-green (driver rows in CORRECTNESS_r10): window open to round 12
-    "dedup_incremental_exact",
-    "dedup_incremental_minhash",
-    "dedup_recovery_pairs",
-    "rollup_priority",
-    "semi_join_parts",
-    "window_running",
-    "cast_round_coerce",
-    "dedup_embedding_cosine",
-    "dedup_canonical",
-    "events_tumbling_window",
-    "cdc_latest_snapshot",
-    "scd2_intervals",
-    "event_value_winsorized",
-    "cdc_incremental_merge",
-    "vector_ann_lsh",
-    "dedup_exact",
-    "dedup_groups",
-    "dedup_groups_star",
-    "leakage_safe_split",
-    "dedup_spans",
-    "contamination_check",
-    "dedup_simhash",
-    "dedup_hybrid",
-    "dedup_semantic_lsh",
-    "events_funnel",
-    "fund_manual_apply",
-    "fund_dividend_scaled",
-    "pricing_summary",
-    "pivot_status",
-    "range_join_ship_window",
-    "salted_skew_agg",
-    "zorder_layout",
-    "table_profile",
-    "local_supplier_revenue",
-    "large_order_customers",
-    "bm25_topk",
-    "events_anomaly_zscore",
-    "text_quality",
-    "text_lang_id",
-    "text_fingerprint",
-    "stratified_sample",
-    "sequence_packing",
-    "epoch_shuffle",
-    "doc_chunking",
-    "corpus_top_terms",
-    "text_repetition_filter",
-    "text_scrub",
-    "source_mixture_weights",
-    "doc_tfidf_topk",
-    "events_hourly_gapfill",
 ]
 
 

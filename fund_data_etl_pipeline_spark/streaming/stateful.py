@@ -37,8 +37,11 @@ def _update(
     for pdf in batches:
         if not len(pdf):
             continue
+        # batch-twin parity on NULL values: n_events is COUNT(*) (NULL
+        # rows count), sum_value is F.sum(cents(value)) (NULLs skipped) —
+        # cents_py raises on NaN/None, so drop them before folding
         n += len(pdf)
-        s_c += sum(cents_py(v) for v in pdf["value"])
+        s_c += sum(cents_py(v) for v in pdf["value"].dropna())
     state.update((n, s_c))
     yield pd.DataFrame(
         {
@@ -213,12 +216,17 @@ def _zscore_update(
     if pdfs:
         merged = pd.concat(pdfs).sort_values(["ts", "event_id"])
         for _, row in merged.iterrows():
-            # exact integer cents, same quantization as functions.numeric.cents
-            v_c = cents_py(row["value"])
+            # exact integer cents, same quantization as
+            # functions.numeric.cents; a NULL value stays None — batch
+            # parity: it occupies a frame slot (COUNT(*) counts it), adds
+            # nothing to the sums (F.sum skips NULL), and is itself never
+            # flagged (NULL z fails every comparison)
+            raw = row["value"]
+            v_c = None if pd.isna(raw) else cents_py(raw)
             n = len(vals)
-            if n >= Z_MIN_N:
-                s = sum(vals)
-                ssq = sum(x * x for x in vals)
+            if v_c is not None and n >= Z_MIN_N:
+                s = sum(x for x in vals if x is not None)
+                ssq = sum(x * x for x in vals if x is not None)
                 # the LITERALLY SAME functions the batch plan composes its
                 # Column expressions from (plans/scoring.z_moments /
                 # z_score) — shared code, not a parallel re-implementation,

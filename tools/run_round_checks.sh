@@ -64,6 +64,13 @@ print('warm', d['value'], 'cold', d['cold_value'], 'queries', len(d['queries']),
 " || fail=1
 fi
 
+step "bench canary (freshness vs last source commit + regression vs last round)"
+# r11 lesson: a 5x regression shipped because the bench predated the
+# regressing commit by 3.5 h — this FAILS the round if bench_last.json
+# is older than the last plan-affecting commit, or any >1s query
+# regressed >1.5x vs the previous round's BENCH_r*.json
+python tools/bench_canary.py || fail=1
+
 step "result"
 [ "$fail" -eq 0 ] && echo "ALL CHECKS COMPLETED (inspect tails above)" || echo "SOME CHECK FAILED"
 exit "$fail"
