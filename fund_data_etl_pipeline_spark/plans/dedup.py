@@ -437,6 +437,73 @@ def dedup_incremental_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _docs_fingerprint(sf_dir: str) -> str:
+    """Cheap content fingerprint of the documents table's parquet files
+    ((relpath, size, mtime_ns) per file — no Spark job): keys the on-disk
+    index directory so a regenerated testdata set can never be probed
+    against a stale index."""
+    import hashlib
+    import os
+
+    target = os.path.join(sf_dir, "documents.parquet")
+    h = hashlib.md5()
+    entries = []
+    if os.path.isdir(target):
+        for root, _dirs, files in os.walk(target):
+            for f in files:
+                p = os.path.join(root, f)
+                st = os.stat(p)
+                entries.append(
+                    (os.path.relpath(p, target), st.st_size, st.st_mtime_ns)
+                )
+    else:
+        st = os.stat(target)
+        entries.append(("documents.parquet", st.st_size, st.st_mtime_ns))
+    for e in sorted(entries):
+        h.update(repr(e).encode())
+    return h.hexdigest()
+
+
+@register("dedup_incremental_minhash_indexed", oracle=_inc_minhash_oracle())
+def dedup_incremental_minhash_indexed(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """The steady-state daily form of dedup_incremental_minhash (VERDICT
+    r11 stretch #8): the corpus prepped/band index lives as EXTERNAL
+    bucketed parquet tables (operators/index_store — prepped bucketed by
+    doc_id, bands by (band, key), so the per-batch probe joins are
+    co-located with NO Exchange on the index side), built on first touch
+    for a given testdata fingerprint and ATTACHED — not rebuilt — on
+    every later run. This is the shape a daily 100 TB pipeline actually
+    executes: index build is a once-per-corpus linear job; the measured
+    per-batch cost is attach + probe. Identical oracle (and output) to
+    dedup_incremental_minhash — only the index transport differs."""
+    import os
+    import tempfile
+
+    from ..operators import index_store as IS
+
+    docs = load_table(spark, sf_dir, "documents")
+    fp = _docs_fingerprint(sf_dir)
+    base = os.path.join(tempfile.gettempdir(), "spark_graft_mh_index", fp)
+    prefix = f"inc_mh_{fp[:10]}"
+    have_manifests = all(
+        os.path.exists(os.path.join(base, sub, IS.MANIFEST))
+        for sub in ("prepped", "bands")
+    )
+    if not have_manifests:
+        idx = D.build_minhash_index(
+            docs.filter(~F.expr(_INC_BATCH_PRED))
+        )
+        IS.save_minhash_index(idx, base, prefix=prefix)
+    tables = IS.load_minhash_index(spark, base, prefix=prefix)
+    return D.incremental_minhash_pairs(
+        docs.filter(F.expr(_INC_BATCH_PRED)),
+        index_tables=tables,
+        threshold=_JACCARD_T,
+    )
+
+
 # transitive closure of the LSH pair set with a recursive CTE:
 # group_id = MIN(reachable id) — exactly the fixpoint the Spark
 # label-propagation loop converges to; shared by dedup_groups and

@@ -227,3 +227,26 @@ def test_bench_canary_regression_rule(tmp_path, monkeypatch):
     )
     path, payload = mod.latest_round_bench()
     assert path.endswith("BENCH_r11.json") and payload["queries"] == {"a": 2}
+
+
+# ---------------------------------------------------------------------------
+# indexed-vs-inline incremental minhash parity (r12 stretch: the on-disk
+# bucketed index transport must change NOTHING about the output)
+# ---------------------------------------------------------------------------
+
+
+def test_incremental_minhash_indexed_matches_inline(spark, sf_dir):
+    from fund_data_etl_pipeline_spark.plans.dedup import (
+        dedup_incremental_minhash,
+        dedup_incremental_minhash_indexed,
+    )
+
+    inline = {
+        (r["d1"], r["d2"], r["jaccard"])
+        for r in dedup_incremental_minhash(spark, sf_dir).collect()
+    }
+    indexed = {
+        (r["d1"], r["d2"], r["jaccard"])
+        for r in dedup_incremental_minhash_indexed(spark, sf_dir).collect()
+    }
+    assert inline == indexed and inline  # identical AND non-vacuous
