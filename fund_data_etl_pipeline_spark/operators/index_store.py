@@ -83,6 +83,32 @@ def _table_location(spark: SparkSession, name: str) -> str | None:
     return None
 
 
+def table_fingerprint(sf_dir: str, table: str) -> str:
+    """Cheap content fingerprint of one testdata table's parquet files
+    ((relpath, size, mtime_ns) per file — no Spark job): keys an on-disk
+    index directory so a regenerated testdata set can never be probed
+    against a stale index."""
+    import hashlib
+
+    target = os.path.join(sf_dir, f"{table}.parquet")
+    h = hashlib.md5()
+    entries = []
+    if os.path.isdir(target):
+        for root, _dirs, files in os.walk(target):
+            for f in files:
+                p = os.path.join(root, f)
+                st = os.stat(p)
+                entries.append(
+                    (os.path.relpath(p, target), st.st_size, st.st_mtime_ns)
+                )
+    else:
+        st = os.stat(target)
+        entries.append((f"{table}.parquet", st.st_size, st.st_mtime_ns))
+    for e in sorted(entries):
+        h.update(repr(e).encode())
+    return h.hexdigest()
+
+
 def _norm_path(p: str) -> str:
     from urllib.parse import unquote, urlparse
 

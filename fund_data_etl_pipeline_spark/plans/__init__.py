@@ -224,12 +224,12 @@ PRIORITY = [
 # DEPRIORITY: names that safely fall past the cap this round. The 50
 # r11-green names (fresh driver rows in CORRECTNESS_r11, window open
 # through round 13), the nine exception-list names above, and the
-# rows-only-by-design sketch query. 50 + 9 + 1 = 60; with the one
-# r12-registered name (dedup_incremental_minhash_indexed — local 3-SF
-# gate this round, owed a driver row r13, the dim_merge precedent; it
-# sits between PRIORITY and DEPRIORITY at position 51) that accounts for
-# all 111 registered names — nothing falls past by registration-order
-# accident.
+# rows-only-by-design sketch query. 50 + 9 + 1 = 60; with the two
+# r12-registered names (dedup_incremental_minhash_indexed and
+# vector_ann_ivf_indexed — local 3-SF gate this round, owed driver rows
+# r13, the dim_merge precedent; they sit between PRIORITY and DEPRIORITY
+# at positions 51-52) that accounts for all 112 registered names —
+# nothing falls past by registration-order accident.
 DEPRIORITY = [
     # nine exception-list names (peer coverage documented above)
     "fund_manual_apply",

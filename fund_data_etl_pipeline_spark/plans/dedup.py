@@ -437,33 +437,6 @@ def dedup_incremental_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _docs_fingerprint(sf_dir: str) -> str:
-    """Cheap content fingerprint of the documents table's parquet files
-    ((relpath, size, mtime_ns) per file — no Spark job): keys the on-disk
-    index directory so a regenerated testdata set can never be probed
-    against a stale index."""
-    import hashlib
-    import os
-
-    target = os.path.join(sf_dir, "documents.parquet")
-    h = hashlib.md5()
-    entries = []
-    if os.path.isdir(target):
-        for root, _dirs, files in os.walk(target):
-            for f in files:
-                p = os.path.join(root, f)
-                st = os.stat(p)
-                entries.append(
-                    (os.path.relpath(p, target), st.st_size, st.st_mtime_ns)
-                )
-    else:
-        st = os.stat(target)
-        entries.append(("documents.parquet", st.st_size, st.st_mtime_ns))
-    for e in sorted(entries):
-        h.update(repr(e).encode())
-    return h.hexdigest()
-
-
 @register("dedup_incremental_minhash_indexed", oracle=_inc_minhash_oracle())
 def dedup_incremental_minhash_indexed(
     spark: SparkSession, sf_dir: str
@@ -484,7 +457,7 @@ def dedup_incremental_minhash_indexed(
     from ..operators import index_store as IS
 
     docs = load_table(spark, sf_dir, "documents")
-    fp = _docs_fingerprint(sf_dir)
+    fp = IS.table_fingerprint(sf_dir, "documents")
     base = os.path.join(tempfile.gettempdir(), "spark_graft_mh_index", fp)
     prefix = f"inc_mh_{fp[:10]}"
     have_manifests = all(

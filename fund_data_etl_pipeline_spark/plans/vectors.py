@@ -143,16 +143,16 @@ _IVF_ASSIGN_COS = (
 )
 
 
-@register(
-    "vector_ann_ivf",
-    # exact oracle for the IVF path (round-4 VERDICT next-step #2): the
-    # coarse quantizer is a deterministic hash-uniform seed draw (the
-    # dedup_semantic device), so seed choice, rounded-cosine list
-    # assignment, n_probe probing and the exact-cosine rank all replay
-    # bit-for-bit in DuckDB. A probed (query, neighbor) pair is unique —
-    # each neighbor lives in exactly one list and a query's probed lists
-    # are distinct — so no DISTINCT is needed before ranking.
-    oracle=f"""
+# exact oracle for the IVF path (round-4 VERDICT next-step #2): the
+# coarse quantizer is a deterministic hash-uniform seed draw (the
+# dedup_semantic device), so seed choice, rounded-cosine list
+# assignment, n_probe probing and the exact-cosine rank all replay
+# bit-for-bit in DuckDB. A probed (query, neighbor) pair is unique —
+# each neighbor lives in exactly one list and a query's probed lists
+# are distinct — so no DISTINCT is needed before ranking. Shared by the
+# inline registration and its r12 on-disk-index twin (identical output
+# by construction — only the index transport differs).
+_IVF_ORACLE = f"""
     WITH e AS (SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v
                FROM embeddings),
     seeds AS (
@@ -192,8 +192,10 @@ _IVF_ASSIGN_COS = (
         PARTITION BY query_id ORDER BY cos_sim DESC, neighbor_id) AS rank
       FROM ranked
     ) WHERE rank <= {_K}
-    """,
-)
+    """
+
+
+@register("vector_ann_ivf", oracle=_IVF_ORACLE)
 def vector_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF ANN over {lists} inverted lists with a deterministic
     hash-seed coarse quantizer (ivf_seed_topk): queries probe the nearest
@@ -207,6 +209,49 @@ def vector_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     queries = emb.filter(F.col("vec_id") < _N_QUERIES)
     return ivf_seed_topk(
         emb, queries, k=_K, n_lists=_IVF_LISTS, n_probe=_IVF_PROBE
+    )
+
+
+@register("vector_ann_ivf_indexed", oracle=_IVF_ORACLE)
+def vector_ann_ivf_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The steady-state daily form of vector_ann_ivf (the r12
+    dedup_incremental_minhash_indexed pattern applied to ANN): the
+    (seeds, assigned) IVF index lives as on-disk tables
+    (operators/index_store — assigned bucketed by list_id, so the probe
+    join is co-located with NO Exchange on the index side), built once
+    per testdata fingerprint and ATTACHED on every later run. The
+    N x n_lists assignment pass — the N^1.5 index-build term — is the
+    amortized once-per-ingest cost; a query run pays only its own probe
+    assignments + the list-local verify. Built with the HOF assignment
+    path (numpy_assign=False) so the DuckDB oracle replays bit-for-bit
+    (build_ivf_index's note on tie rounding). Identical oracle and
+    output to vector_ann_ivf."""
+    import os
+    import tempfile
+
+    from ..operators import index_store as IS
+    from ..operators.similarity import build_ivf_index
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    fp = IS.table_fingerprint(sf_dir, "embeddings")
+    base = os.path.join(tempfile.gettempdir(), "spark_graft_ivf_index", fp)
+    prefix = f"ivf_{fp[:10]}"
+    have = all(
+        os.path.exists(os.path.join(base, sub, mark))
+        for sub, mark in (("seeds", "_SUCCESS"), ("assigned", IS.MANIFEST))
+    )
+    if not have:
+        idx = build_ivf_index(emb, n_lists=_IVF_LISTS, numpy_assign=False)
+        IS.save_ivf_index(idx, base, prefix=prefix)
+    tables = IS.load_ivf_index(spark, base, prefix=prefix)
+    queries = emb.filter(F.col("vec_id") < _N_QUERIES)
+    return ivf_seed_topk(
+        emb,
+        queries,
+        k=_K,
+        n_lists=_IVF_LISTS,
+        n_probe=_IVF_PROBE,
+        index_tables=tables,
     )
 
 

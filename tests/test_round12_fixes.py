@@ -250,3 +250,20 @@ def test_incremental_minhash_indexed_matches_inline(spark, sf_dir):
         for r in dedup_incremental_minhash_indexed(spark, sf_dir).collect()
     }
     assert inline == indexed and inline  # identical AND non-vacuous
+
+
+def test_vector_ann_ivf_indexed_matches_inline(spark, sf_dir):
+    from fund_data_etl_pipeline_spark.plans.vectors import (
+        vector_ann_ivf,
+        vector_ann_ivf_indexed,
+    )
+
+    inline = {
+        (r["query_id"], r["neighbor_id"], r["cos_sim"], r["rank"])
+        for r in vector_ann_ivf(spark, sf_dir).collect()
+    }
+    indexed = {
+        (r["query_id"], r["neighbor_id"], r["cos_sim"], r["rank"])
+        for r in vector_ann_ivf_indexed(spark, sf_dir).collect()
+    }
+    assert inline == indexed and inline
