@@ -542,12 +542,6 @@ def ivf_seed_topk(
     return release_on_gc(out, prepped)
 
 
-# probe results keyed by (analyzed-plan semantic hash, column): repeated
-# query builds over the same corpus pay the LIMIT-1 Spark job once, not
-# per build (r11 verdict #5)
-_DIMS_CACHE: dict[tuple[int, str], int] = {}
-
-
 def check_dims(df: DataFrame, vec_col: str, dims: int) -> None:
     """Fail fast when ``dims`` disagrees with the corpus's actual vector
     width: ``zip_with`` pads the shorter side with NULLs, NULL poisons
@@ -556,13 +550,22 @@ def check_dims(df: DataFrame, vec_col: str, dims: int) -> None:
     becomes a full cross product (r11 review).
 
     Schema-first: a ``dims`` entry in the column's StructField metadata
-    is trusted outright (no Spark job). Otherwise ONE LIMIT-1 row scan,
-    memoized per (plan semantic hash, column) so repeated builds over
-    the same corpus don't re-pay the job. The probe samples a single
-    arbitrary row, so it assumes a UNIFORM-width corpus — a mixed-width
-    corpus where only some rows mismatch still slips through (a full
-    min==max aggregate would cost a pass over the corpus; callers with
-    untrusted mixed-width data should validate at ingest)."""
+    is trusted outright (no Spark job). Otherwise ONE LIMIT-1 row scan
+    per build (~0.3 s locally; LIMIT-1 stays constant at any corpus
+    size). The probe samples a single arbitrary row, so it assumes a
+    UNIFORM-width corpus — a mixed-width corpus where only some rows
+    mismatch still slips through (a full min==max aggregate would cost
+    a pass over the corpus; callers with untrusted mixed-width data
+    should validate at ingest).
+
+    NOTE (r12): a memoized variant (probe once per (semanticHash,
+    column)) was tried for VERDICT r11 #5 and REVERTED — with the
+    memoization in place, repeated rebuilds of dedup_semantic_lsh in
+    one session degraded progressively (6.6 -> 28 s by the 5th rebuild,
+    reproduced twice), while this plain form and a semanticHash-only
+    form both measured flat over 6 rebuilds. Mechanism unidentified;
+    the probe's per-build cost is the price of a plan with no
+    session-lifetime coupling."""
     width: int | None = None
     try:
         field = df.schema[vec_col]
@@ -571,18 +574,9 @@ def check_dims(df: DataFrame, vec_col: str, dims: int) -> None:
     except (KeyError, TypeError, ValueError):
         pass
     if width is None:
-        try:
-            key: tuple[int, str] | None = (df.semanticHash(), vec_col)
-        except Exception:
-            key = None
-        if key is not None and key in _DIMS_CACHE:
-            width = _DIMS_CACHE[key]
-        else:
-            row = df.select(F.size(F.col(vec_col)).alias("d")).first()
-            if row is not None and row["d"] is not None:
-                width = int(row["d"])
-                if key is not None:
-                    _DIMS_CACHE[key] = width
+        row = df.select(F.size(F.col(vec_col)).alias("d")).first()
+        if row is not None and row["d"] is not None:
+            width = int(row["d"])
     if width is not None and width != dims:
         raise ValueError(
             f"dims={dims} but '{vec_col}' vectors have {width} "

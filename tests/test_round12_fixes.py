@@ -146,33 +146,19 @@ def test_check_dims_reads_metadata_without_job(spark, monkeypatch):
         S.check_dims(df, "v", 4)
 
 
-def test_check_dims_probe_memoized(spark, monkeypatch):
-    from pyspark.sql import DataFrame
-
+def test_check_dims_probe_validates_width(spark):
+    """No memoization by design (see the check_dims r12 note: the
+    memoized variant coupled to session lifetime and degraded repeated
+    rebuilds) — the probe runs per call and validates the width."""
     from fund_data_etl_pipeline_spark.operators import similarity as S
 
-    S._DIMS_CACHE.clear()
     df = spark.createDataFrame(
         [(1, [0.0, 1.0, 2.0])], "id long, v array<double>"
     )
-    # patch the CONCRETE class (pyspark 4's classic DataFrame overrides
-    # first(); patching the abstract base never fires)
-    cls = type(df)
-    calls = {"n": 0}
-    orig = cls.first
-
-    def counting(self):
-        calls["n"] += 1
-        return orig(self)
-
-    monkeypatch.setattr(cls, "first", counting)
-    S.check_dims(df, "v", 3)
-    assert calls["n"] == 1
-    S.check_dims(df, "v", 3)  # same plan -> cached, no second job
-    assert calls["n"] == 1
-    with pytest.raises(ValueError):
-        S.check_dims(df, "v", 5)  # cached width still validates
-    assert calls["n"] == 1
+    S.check_dims(df, "v", 3)  # matching width passes
+    with pytest.raises(ValueError, match="dims=5"):
+        S.check_dims(df, "v", 5)
+    assert not hasattr(S, "_DIMS_CACHE")  # the memoized variant is gone
 
 
 # ---------------------------------------------------------------------------

@@ -80,6 +80,11 @@ PERSIST_OK = {
     # r9: composes minhash_lsh_pairs (seed-1) + the recovery pass, both
     # persisting the shared prepped table
     "dedup_recovery_pairs",
+    # r12: the on-disk-index IVF form still persists the corpus prepped
+    # table (ivf_seed_topk scans it for the query-side assignment and
+    # the neighbor-side verify — same deliberate reuse as the inline
+    # vector_ann_ivf entry above; the INDEX itself reads from parquet)
+    "vector_ann_ivf_indexed",
 }
 # Arrow-batched Python is the sanctioned slow path, only where the
 # operator is genuinely non-relational (media codecs)
