@@ -253,3 +253,71 @@ def test_vector_ann_ivf_indexed_matches_inline(spark, sf_dir):
         for r in vector_ann_ivf_indexed(spark, sf_dir).collect()
     }
     assert inline == indexed and inline
+
+
+def test_streaming_neardup_against_attached_index_store(spark, tmp_path):
+    """The full 100 TB daily shape end-to-end: the minhash index saved
+    as ON-DISK BUCKETED tables (operators/index_store), re-ATTACHED from
+    its manifest, and probed by the STREAMING near-dup query — must emit
+    exactly the batch pair set (extends the r9 plain-parquet prebuilt
+    test to the r11 bucketed store)."""
+    import json
+
+    from fund_data_etl_pipeline_spark.operators.dedup import (
+        build_minhash_index,
+        incremental_minhash_pairs,
+    )
+    from fund_data_etl_pipeline_spark.operators.index_store import (
+        load_minhash_index,
+        save_minhash_index,
+    )
+    from fund_data_etl_pipeline_spark.streaming.file_ingest import (
+        streaming_minhash_neardup,
+    )
+
+    doc_schema = "doc_id long, text string"
+    boiler = " ".join(f"idx{w}" for w in range(40))
+    index_docs = spark.createDataFrame(
+        [(i, f"{boiler} u{i}") for i in range(6)]
+        + [(50, " ".join(f"solo0w{w}" for w in range(30)))],
+        doc_schema,
+    )
+    new_rows = [(100, f"{boiler} vX"), (101, " ".join(f"novelw{w}" for w in range(30)))]
+    new_docs = spark.createDataFrame(new_rows, doc_schema)
+
+    batch = {
+        (r["d1"], r["d2"], r["jaccard"])
+        for r in incremental_minhash_pairs(new_docs, index_docs).collect()
+    }
+    assert batch and all(d2 == 100 for _, d2, _ in batch)
+
+    base = str(tmp_path / "mh_store")
+    save_minhash_index(
+        build_minhash_index(index_docs), base, n_buckets=4, prefix="t12mh"
+    )
+    attached = load_minhash_index(spark, base, prefix="t12mh")
+
+    src = tmp_path / "stream_src"
+    src.mkdir()
+    with open(src / "b1.json", "w") as fh:
+        for i, t in new_rows:
+            fh.write(json.dumps({"doc_id": i, "text": t}) + "\n")
+    out = str(tmp_path / "stream_out")
+    q = (
+        streaming_minhash_neardup(
+            spark.readStream.schema(doc_schema).json(str(src)),
+            index_tables=attached,
+        )
+        .writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    streamed = {
+        (r["d1"], r["d2"], r["jaccard"])
+        for r in spark.read.parquet(out).collect()
+    }
+    assert streamed == batch
