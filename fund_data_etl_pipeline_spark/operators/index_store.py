@@ -85,28 +85,129 @@ def _table_location(spark: SparkSession, name: str) -> str | None:
 
 def table_fingerprint(sf_dir: str, table: str) -> str:
     """Cheap content fingerprint of one testdata table's parquet files
-    ((relpath, size, mtime_ns) per file — no Spark job): keys an on-disk
-    index directory so a regenerated testdata set can never be probed
-    against a stale index."""
+    ((relpath, size, mtime_ns, head+tail sample) per file — no Spark
+    job): keys an on-disk index directory so a regenerated testdata set
+    can never be probed against a stale index.
+
+    The 4 KB head+tail sample (ADVICE r12) makes timestamp-preserving
+    regeneration (``rsync -t``, tar extraction with stored mtimes,
+    equal-size content swaps) detectable: a parquet file's tail holds
+    the footer (row-group stats, so any data change perturbs it) and
+    the head its first pages. Still a heuristic — a change confined to
+    the middle of a >8 KB file with identical footer stats would slip
+    through — but that requires a deliberately crafted file, not any
+    real regeneration path."""
     import hashlib
 
     target = os.path.join(sf_dir, f"{table}.parquet")
     h = hashlib.md5()
     entries = []
+
+    def _sample(path: str, size: int) -> bytes:
+        with open(path, "rb") as fh:
+            head = fh.read(4096)
+            if size > 8192:
+                fh.seek(-4096, os.SEEK_END)
+                tail = fh.read(4096)
+            else:
+                tail = b""
+        return head + tail
+
     if os.path.isdir(target):
         for root, _dirs, files in os.walk(target):
             for f in files:
                 p = os.path.join(root, f)
                 st = os.stat(p)
                 entries.append(
-                    (os.path.relpath(p, target), st.st_size, st.st_mtime_ns)
+                    (
+                        os.path.relpath(p, target),
+                        st.st_size,
+                        st.st_mtime_ns,
+                        _sample(p, st.st_size),
+                    )
                 )
     else:
         st = os.stat(target)
-        entries.append((f"{table}.parquet", st.st_size, st.st_mtime_ns))
+        entries.append(
+            (f"{table}.parquet", st.st_size, st.st_mtime_ns,
+             _sample(target, st.st_size))
+        )
     for e in sorted(entries):
         h.update(repr(e).encode())
     return h.hexdigest()
+
+
+def index_cache_dir(kind: str, data_fp: str, params: dict) -> str:
+    """Resolve the cache directory for one (index kind, corpus
+    fingerprint, build parameters) triple.
+
+    Root: ``$SPARK_GRAFT_INDEX_ROOT`` if set, else ``<repo>/.index_cache``
+    (gitignored). NOT the world-shared tempdir — a predictable /tmp path
+    admits cross-process build races and, on a multi-user host,
+    pre-planted index data (ADVICE r12).
+
+    The leaf name hashes BOTH the data fingerprint AND the build
+    parameters: the persisted index content depends on code constants
+    baked in at build time (batch predicate, minhash/banding constants,
+    n_lists, assignment path), so a constant change with unchanged
+    testdata must MISS the cache, never silently attach an index built
+    by the old code (ADVICE r12 medium — the stale-index class
+    ``table_fingerprint`` exists to prevent, from the code side).
+    ``params`` must include a ``"format"`` version tag; bump it on any
+    layout/schema change to the saved tables."""
+    import hashlib
+
+    if "format" not in params:
+        raise ValueError("index_cache_dir params must carry a 'format' tag")
+    param_fp = hashlib.md5(
+        repr(sorted(params.items())).encode()
+    ).hexdigest()[:12]
+    root = os.environ.get("SPARK_GRAFT_INDEX_ROOT") or os.path.join(
+        os.path.dirname(
+            os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+        ),
+        ".index_cache",
+    )
+    return os.path.join(root, kind, f"{data_fp[:16]}_{param_fp}")
+
+
+def evict_stale(kind_dir: str, keep: int = 2, skip: str | None = None) -> int:
+    """Delete all but the ``keep`` most-recently-used cache leaves under
+    ``kind_dir`` (one leaf per (fingerprint, params) pair), never
+    touching ``skip`` (the leaf the caller just built/attached).
+    Recency is the leaf's mtime, which ``touch_cache_leaf`` bumps on
+    every attach. Returns the number of leaves removed. Keeps repeated
+    runs across regenerated testdata / changed constants from
+    accumulating stale index dirs without bound (VERDICT r12 #4)."""
+    import shutil
+
+    if not os.path.isdir(kind_dir):
+        return 0
+    leaves = [
+        os.path.join(kind_dir, d)
+        for d in os.listdir(kind_dir)
+        if os.path.isdir(os.path.join(kind_dir, d))
+    ]
+    keep_set = set(
+        sorted(leaves, key=os.path.getmtime, reverse=True)[: max(keep, 1)]
+    )
+    if skip is not None:
+        keep_set.add(os.path.realpath(skip))
+    removed = 0
+    for leaf in leaves:
+        if leaf in keep_set or os.path.realpath(leaf) in keep_set:
+            continue
+        shutil.rmtree(leaf, ignore_errors=True)
+        removed += 1
+    return removed
+
+
+def touch_cache_leaf(leaf: str) -> None:
+    """Bump the leaf's mtime so LRU eviction sees this attach as use."""
+    try:
+        os.utime(leaf, None)
+    except OSError:
+        pass
 
 
 def _norm_path(p: str) -> str:

@@ -550,22 +550,38 @@ def check_dims(df: DataFrame, vec_col: str, dims: int) -> None:
     becomes a full cross product (r11 review).
 
     Schema-first: a ``dims`` entry in the column's StructField metadata
-    is trusted outright (no Spark job). Otherwise ONE LIMIT-1 row scan
-    per build (~0.3 s locally; LIMIT-1 stays constant at any corpus
-    size). The probe samples a single arbitrary row, so it assumes a
+    is trusted outright (no Spark job). PRODUCER CONTRACT (ADVICE r12):
+    Spark propagates column metadata through select/alias, so any
+    transform that changes the vector width MUST strip or refresh the
+    ``dims`` entry (``F.col(c).alias(c, metadata={})``) — stale
+    metadata skips this check and reintroduces the all-zeros-bucket
+    cross product it exists to prevent. In this repo the only producer
+    is sources/tables.load_table (trusted, width set by probe-once);
+    callers wiring UNTRUSTED metadata-bearing input should drop the
+    metadata at ingest and let the probe run. Without metadata: ONE
+    LIMIT-1 row scan per build (~0.3 s locally; LIMIT-1 stays constant
+    at any corpus size). The probe samples a single arbitrary row, so
+    it assumes a
     UNIFORM-width corpus — a mixed-width corpus where only some rows
     mismatch still slips through (a full min==max aggregate would cost
     a pass over the corpus; callers with untrusted mixed-width data
     should validate at ingest).
 
-    NOTE (r12): a memoized variant (probe once per (semanticHash,
-    column)) was tried for VERDICT r11 #5 and REVERTED — with the
-    memoization in place, repeated rebuilds of dedup_semantic_lsh in
-    one session degraded progressively (6.6 -> 28 s by the 5th rebuild,
-    reproduced twice), while this plain form and a semanticHash-only
-    form both measured flat over 6 rebuilds. Mechanism unidentified;
-    the probe's per-build cost is the price of a plan with no
-    session-lifetime coupling."""
+    NOTE (r12, root-caused r13): a memoized variant (probe once per
+    (semanticHash, column)) was tried for VERDICT r11 #5 and REVERTED
+    after an apparent progressive same-session degradation (6.6 -> 28 s
+    by the 5th rebuild). Round 13 root-caused that as HOST-VM NOISE,
+    not a code mechanism: tools/dims_memo_probe.py instrumented
+    rebuild loops (per-rebuild wall/build/exec split, Spark-job time
+    via the UI REST API, JVM GC time, persisted-RDD count) and the
+    memoized form measured FLAT over 8 rebuilds (~6.5-10 s, zero cache
+    accumulation, GC 50-300 ms, summed job time ~2.5 s) — while
+    un-instrumented runs on a loaded host showed 2-50x swings with a
+    different hotspot each run (the same pattern as BASELINE lesson
+    17's bench variance). Memoization is still NOT restored: the
+    schema-first metadata branch above (fed by load_table, r13) makes
+    it redundant for every registered caller, and a filesystem-keyed
+    cache beats a plan-keyed one anyway (BASELINE lesson 19)."""
     width: int | None = None
     try:
         field = df.schema[vec_col]

@@ -166,8 +166,24 @@ def write_sized(
             }
         except AnalysisException as e:
             # only "path does not exist yet" is expected; a transient
-            # listing failure must propagate, not read as a 0 file count
-            if "PATH_NOT_FOUND" in str(e):
+            # listing failure must propagate, not read as a 0 file count.
+            # Match the STRUCTURED error class, not the rendered message
+            # (ADVICE r12: the message text is a Spark-version artifact);
+            # the substring check remains only as the fallback for a
+            # build where the condition accessor returns None.
+            cond = None
+            for attr in ("getCondition", "getErrorClass"):
+                fn = getattr(e, attr, None)
+                if callable(fn):
+                    try:
+                        cond = fn()
+                    except Exception:  # noqa: BLE001 — accessor drift
+                        cond = None
+                    if cond is not None:
+                        break
+            if cond == "PATH_NOT_FOUND" or (
+                cond is None and "PATH_NOT_FOUND" in str(e)
+            ):
                 return set()
             raise
 

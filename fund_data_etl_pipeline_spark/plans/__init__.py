@@ -108,21 +108,138 @@ def load_all() -> None:
     )
 
 
-# Round-12 rotation policy (VERDICT r11 next-step #3). Cap is 50 driver
-# slots; 110 queries registered. Invariant: every oracle-bearing query is
-# driver-green within the last two rounds, OR on the documented
-# peer-coverage exception list below (re-proven by the local gate at all
-# three SFs instead).
+# Round-13 rotation policy (VERDICT r12 next-step #1). Cap is 50 driver
+# slots; 112 queries registered (111 oracle-bearing). Invariant: every
+# oracle-bearing query is driver-green within the last two rounds, OR on
+# the documented peer-coverage exception list below (re-proven by the
+# local gate at all three SFs instead).
 #
-# This round's 50 slots: (a) the nine r11 exception-valve names — last
-# driver row r9, their valve window closes now; (b)
-# dedup_incremental_minhash — proves the r12 band_key fix (VERDICT r11
-# what's-wrong #1) with a driver row; (c) 40 of the remaining 49
-# r10-green names whose two-round window closes at r12. The other 9
-# r10-green names move to the exception valve with peer coverage — the
-# round-5 valve, see the note below the list.
+# This round's 50 slots: (a) the two r12-registered indexed forms —
+# exact oracles, judge-proven locally, owed their FIRST driver rows
+# (their on-disk index is pre-warmed at round end so the driver row
+# measures attach + probe, not a first-touch build); (b) the nine
+# r12 exception-valve names — last driver row r10, their valve window
+# closes now; (c) 39 of the 50 r11-green names whose two-round window
+# closes at r13. The other 11 r11-green names move to the exception
+# valve with peer coverage — see the note below the list.
 PRIORITY = [
-    # (a) r11 exception-valve names — last driver row r9; window closes
+    # (a) r12-registered steady-state indexed forms — first driver rows
+    "dedup_incremental_minhash_indexed",
+    "vector_ann_ivf_indexed",
+    # (b) r12 exception-valve names — last driver row r10; window closes
+    "fund_manual_apply",
+    "dedup_incremental_exact",
+    "dedup_groups_star",
+    "dedup_hybrid",
+    "events_tumbling_window",
+    "window_running",
+    "cast_round_coerce",
+    "semi_join_parts",
+    "rollup_priority",
+    # (c) r11-green names whose window closes at r13 (39 of 50)
+    "dim_merge",
+    "cube_lineitem",
+    "topk_revenue",
+    "agg_stats",
+    "intersect_nations",
+    "except_nations",
+    "quality_deciles",
+    "doc_hash_split",
+    "vector_ann_ivf",
+    "dedup_minhash_lsh",
+    "top_users_per_event",
+    "attribution_join",
+    "fund_classify",
+    "fund_dividend",
+    "fund_quarantine",
+    "fund_purchase_apply",
+    "fund_purchase_confirm",
+    "fund_redemption_confirm",
+    "fund_conversion",
+    "graph_pagerank",
+    "multimodal_binary_stats",
+    "dq_constraint_report",
+    "k_anonymity_audit",
+    "mixed_sort_key",
+    "json_extract_agg",
+    "anti_join_customers",
+    "distinct_pairs",
+    "asof_last_click",
+    "grouping_sets_sql",
+    "correlated_subquery",
+    "shipping_priority_topk",
+    "market_share",
+    "late_sole_supplier",
+    "text_token_count",
+    "source_capped_sample",
+    "corpus_curation",
+    "text_c4_filters",
+    "events_session_window",
+    "user_rolling_7d_spend",
+]
+
+# PRIORITY is exactly at the 50-query driver cap (2 + 9 + 39).
+
+# EXCEPTION LIST (round-13 cap overflow — 61 names owed a row vs 50
+# slots, so these eleven r11-green queries go one round on peer
+# coverage). Each is chosen because its machinery is provably inside
+# r12-green or r13-PRIORITY peers, and each is re-proven by the local
+# gate (tools/check_correctness.py) at sf0.001/0.01/0.1 this round:
+#   dim_join_left — the J1 broadcast dim left join (plan-asserted
+#     broadcast) runs inside EVERY r12-green fund row
+#     (fund_dividend_scaled, fund_manual_confirm/redemption/dividend)
+#     via operators/normalize.with_fund_dim;
+#   isin_filter — the Q1 whitelist filter is exercised by the r12-green
+#     fund_manual_confirm row (business-type doc 603 dropped by the
+#     same isin machinery);
+#   date_math — N3 date defaulting/arithmetic runs inside every
+#     r12-green fund row (confirm-date defaulting);
+#   derived_arithmetic — N4 derived-with-fallback is the refund
+#     expression inside the r12-green fund_manual_confirm row;
+#   group_merge — the A1 dividend group-merge aggregate is the merge
+#     stage of the r12-green fund_dividend_scaled row;
+#   union_slices — U1 unionByName drives the r12-green
+#     fund_dividend_scaled multi-branch cascade (and every fund job);
+#   fund_dividend_merged — composes the r13-PRIORITY fund_dividend with
+#     the same A1 merge stage the r12-green fund_dividend_scaled runs
+#     at 20x scale;
+#   dedup_ngram_capped — same shingle/jaccard verify as the r12-green
+#     dedup_ngram_jaccard; the occupancy-cap device is pinned by the
+#     r12-green dedup_incremental_minhash (index cap) and the
+#     r13-PRIORITY dedup_minhash_lsh (band cap + doubling chains);
+#   event_value_stats — same events value-rollup family as the
+#     r12-green event_value_winsorized (robust twin over the identical
+#     scan+agg shape) and events_anomaly_zscore;
+#   vector_cosine_topk — the r12-green dedup_embedding_cosine drives
+#     the same dot/norm cosine end-to-end, the r12-green vector_ann_lsh
+#     the same ranked top-k window contract;
+#   when_cascade_tier — the F.when cascade lowering is the C1 router:
+#     87 rules inside the r12-green fund_dividend_scaled cascade and
+#     the r13-PRIORITY fund_classify.
+#
+# DEPRIORITY: names that safely fall past the cap this round. The 50
+# r12-green names (fresh driver rows in CORRECTNESS_r12, window open
+# through round 14), the eleven exception-list names above, and the
+# rows-only-by-design sketch query: 50 + 11 + 1 = 62; with the 50
+# PRIORITY names that accounts for all 112 registered names — nothing
+# falls past by registration-order accident.
+DEPRIORITY = [
+    # eleven exception-list names (peer coverage documented above)
+    "dim_join_left",
+    "isin_filter",
+    "date_math",
+    "derived_arithmetic",
+    "group_merge",
+    "union_slices",
+    "fund_dividend_merged",
+    "dedup_ngram_capped",
+    "event_value_stats",
+    "vector_cosine_topk",
+    "when_cascade_tier",
+    # rows-only by design (KLL/HLL sketch aggregate; rank-contract parity
+    # is pytest-asserted) — its weak row adds nothing over r4's
+    "event_value_stats_approx",
+    # r12-green (driver rows in CORRECTNESS_r12): window open to round 14
     "fund_manual_confirm",
     "fund_manual_redemption",
     "fund_manual_dividend",
@@ -132,9 +249,7 @@ PRIORITY = [
     "dedup_semantic",
     "volume_shipping",
     "quality_weighted_sample",
-    # (b) the r12 NULL-propagating band_key fix, proven by a driver row
     "dedup_incremental_minhash",
-    # (c) r10-green names whose window closes at r12 (40 of 49)
     "dedup_recovery_pairs",
     "dedup_embedding_cosine",
     "dedup_canonical",
@@ -175,126 +290,6 @@ PRIORITY = [
     "source_mixture_weights",
     "doc_tfidf_topk",
     "events_hourly_gapfill",
-]
-
-# PRIORITY is exactly at the 50-query driver cap (9 + 1 + 40).
-
-# EXCEPTION LIST (round-12 cap overflow — 60 names owed a row vs 50
-# slots, so these nine r10-green queries go one round on peer coverage).
-# Each is chosen because its machinery is provably inside r11-green or
-# r12-PRIORITY peers, and each is re-proven by the local gate
-# (tools/check_correctness.py) at sf0.001/0.01/0.1 this round:
-#   fund_manual_apply — runs the SAME _manual_base OCR pipeline
-#     (doc-type detect, candidate-max P12, code-repair P13) as the three
-#     r12-PRIORITY fund_manual_confirm / fund_manual_redemption /
-#     fund_manual_dividend rows (the mirror of r11, which valved those
-#     three on fund_manual_apply's r10 row); its apply-specific field
-#     set is the same spec-dict machinery the r11-green
-#     fund_purchase_apply drives on the text path;
-#   dedup_incremental_exact — the content-hash batch collapse + history
-#     anti-join; the r12-PRIORITY dedup_exact pins the normalized-md5
-#     canonical machinery and dedup_incremental_minhash (r12-PRIORITY)
-#     pins the batch-vs-persisted-index incremental join shape;
-#   dedup_groups_star — same minhash_lsh_pairs input and the IDENTICAL
-#     oracle as the r12-PRIORITY dedup_groups (both must reach the same
-#     min-id fixpoint; a two-phase-vs-label-prop parity pytest holds
-#     them together); only the large-star/small-star rewrite differs;
-#   dedup_hybrid — composes minhash_lsh_pairs (r11-green
-#     dedup_minhash_lsh) with the embedding-cosine confirm the
-#     r12-PRIORITY dedup_embedding_cosine drives end-to-end;
-#   events_tumbling_window — window() lowering; the r12-PRIORITY
-#     events_sliding_window is the strict superset (same Expand + agg
-#     shape with slide != width), events_session_window is r11-green;
-#   window_running — running-sum window exchange; the r11-green
-#     user_rolling_7d_spend pins the same partitionBy(user) ordered
-#     range frame over events, asof_last_click (r11-green) the ordered
-#     last-value form;
-#   cast_round_coerce — N2 try_cast-to-NULL + half-away round2; the
-#     same functions/cleaning.py coerce+round runs inside every
-#     r11-green fund_* row (the money columns) and the r12-PRIORITY
-#     fund_dividend_scaled;
-#   semi_join_parts — left-semi existence join; the r11-green
-#     anti_join_customers is the same existence-join family
-#     (left-anti), distinct_pairs (r11-green) the same dedup-projection;
-#   rollup_priority — ROLLUP lowering; the r11-green cube_lineitem is
-#     the strict superset (CUBE = every ROLLUP grouping set and more,
-#     same Expand-based lowering), grouping_sets_sql (r11-green) the
-#     general form.
-#
-# DEPRIORITY: names that safely fall past the cap this round. The 50
-# r11-green names (fresh driver rows in CORRECTNESS_r11, window open
-# through round 13), the nine exception-list names above, and the
-# rows-only-by-design sketch query. 50 + 9 + 1 = 60; with the two
-# r12-registered names (dedup_incremental_minhash_indexed and
-# vector_ann_ivf_indexed — local 3-SF gate this round, owed driver rows
-# r13, the dim_merge precedent; they sit between PRIORITY and DEPRIORITY
-# at positions 51-52) that accounts for all 112 registered names —
-# nothing falls past by registration-order accident.
-DEPRIORITY = [
-    # nine exception-list names (peer coverage documented above)
-    "fund_manual_apply",
-    "dedup_incremental_exact",
-    "dedup_groups_star",
-    "dedup_hybrid",
-    "events_tumbling_window",
-    "window_running",
-    "cast_round_coerce",
-    "semi_join_parts",
-    "rollup_priority",
-    # rows-only by design (KLL/HLL sketch aggregate; rank-contract parity
-    # is pytest-asserted) — its weak row adds nothing over r4's
-    "event_value_stats_approx",
-    # r11-green (driver rows in CORRECTNESS_r11): window open to round 13
-    "dim_merge",
-    "cube_lineitem",
-    "topk_revenue",
-    "agg_stats",
-    "intersect_nations",
-    "except_nations",
-    "vector_cosine_topk",
-    "quality_deciles",
-    "doc_hash_split",
-    "vector_ann_ivf",
-    "dedup_ngram_capped",
-    "dedup_minhash_lsh",
-    "event_value_stats",
-    "top_users_per_event",
-    "attribution_join",
-    "fund_classify",
-    "fund_dividend",
-    "fund_dividend_merged",
-    "fund_quarantine",
-    "fund_purchase_apply",
-    "fund_purchase_confirm",
-    "fund_redemption_confirm",
-    "fund_conversion",
-    "graph_pagerank",
-    "multimodal_binary_stats",
-    "dq_constraint_report",
-    "k_anonymity_audit",
-    "dim_join_left",
-    "group_merge",
-    "when_cascade_tier",
-    "isin_filter",
-    "date_math",
-    "derived_arithmetic",
-    "union_slices",
-    "mixed_sort_key",
-    "json_extract_agg",
-    "anti_join_customers",
-    "distinct_pairs",
-    "asof_last_click",
-    "grouping_sets_sql",
-    "correlated_subquery",
-    "shipping_priority_topk",
-    "market_share",
-    "late_sole_supplier",
-    "text_token_count",
-    "source_capped_sample",
-    "corpus_curation",
-    "text_c4_filters",
-    "events_session_window",
-    "user_rolling_7d_spend",
 ]
 
 

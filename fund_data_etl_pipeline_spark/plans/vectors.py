@@ -225,17 +225,22 @@ def vector_ann_ivf_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
     assignments + the list-local verify. Built with the HOF assignment
     path (numpy_assign=False) so the DuckDB oracle replays bit-for-bit
     (build_ivf_index's note on tie rounding). Identical oracle and
-    output to vector_ann_ivf."""
+    output to vector_ann_ivf.
+
+    Cache key = corpus fingerprint x build-parameter hash (ADVICE r12);
+    root via $SPARK_GRAFT_INDEX_ROOT (default repo-local), stale leaves
+    LRU-evicted after a fresh build."""
     import os
-    import tempfile
 
     from ..operators import index_store as IS
     from ..operators.similarity import build_ivf_index
 
     emb = load_table(spark, sf_dir, "embeddings")
     fp = IS.table_fingerprint(sf_dir, "embeddings")
-    base = os.path.join(tempfile.gettempdir(), "spark_graft_ivf_index", fp)
-    prefix = f"ivf_{fp[:10]}"
+    base = IS.index_cache_dir(
+        "ivf", fp, {"n_lists": _IVF_LISTS, "assign": "hof", "format": 1}
+    )
+    prefix = f"ivf_{os.path.basename(base)}"
     have = all(
         os.path.exists(os.path.join(base, sub, mark))
         for sub, mark in (("seeds", "_SUCCESS"), ("assigned", IS.MANIFEST))
@@ -243,7 +248,11 @@ def vector_ann_ivf_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
     if not have:
         idx = build_ivf_index(emb, n_lists=_IVF_LISTS, numpy_assign=False)
         IS.save_ivf_index(idx, base, prefix=prefix)
+        # keep=4: see dedup_incremental_minhash_indexed — one leaf per
+        # driver-touched SF plus margin, so pre-warmed leaves survive
+        IS.evict_stale(os.path.dirname(base), keep=4, skip=base)
     tables = IS.load_ivf_index(spark, base, prefix=prefix)
+    IS.touch_cache_leaf(base)
     queries = emb.filter(F.col("vec_id") < _N_QUERIES)
     return ivf_seed_topk(
         emb,

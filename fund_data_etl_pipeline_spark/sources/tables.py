@@ -26,10 +26,72 @@ TABLE_NAMES = (
 )
 
 
+# vector width per (parquet part file realpath, mtime_ns) — a plain
+# str/int dict, deliberately NOT keyed by any Spark plan object (the r12
+# semanticHash-keyed memo was reverted over a suspected session
+# coupling; r13 root-caused that as host-VM noise — tools/
+# dims_memo_probe.py, BASELINE lesson 19 — but a filesystem key is
+# still the right key: it invalidates exactly when the data changes)
+_VEC_WIDTH_CACHE: dict[tuple[str, int], int] = {}
+
+
+def _vector_width(path: str, column: str) -> int | None:
+    """Width of the list column's first value, read DRIVER-SIDE with
+    pyarrow (one 1-row batch from one part file — no Spark job). Feeds
+    the ``dims`` StructField metadata that lets
+    operators/similarity.check_dims take its schema-first branch
+    instead of a per-build LIMIT-1 Spark job (VERDICT r12 #3). Returns
+    None (callers then leave metadata off and check_dims probes) on any
+    read problem or an empty/NULL first value — never raises: width
+    validation has a fallback path, loading must not."""
+    try:
+        import pyarrow.parquet as pq
+
+        part = path
+        if os.path.isdir(path):
+            part = next(
+                (
+                    os.path.join(root, f)
+                    for root, _dirs, files in os.walk(path)
+                    for f in sorted(files)
+                    if f.endswith(".parquet")
+                ),
+                None,
+            )
+            if part is None:
+                return None
+        key = (os.path.realpath(part), os.stat(part).st_mtime_ns)
+        if key in _VEC_WIDTH_CACHE:
+            return _VEC_WIDTH_CACHE[key]
+        pf = pq.ParquetFile(part)
+        batch = next(pf.iter_batches(batch_size=1, columns=[column]), None)
+        if batch is None or batch.num_rows == 0:
+            return None
+        val = batch.column(0)[0].as_py()
+        if val is None:
+            return None
+        _VEC_WIDTH_CACHE[key] = len(val)
+        return len(val)
+    except Exception:  # noqa: BLE001 — any failure falls back to the probe
+        return None
+
+
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     if name not in TABLE_NAMES:
         raise KeyError(f"unknown table {name!r}; expected one of {TABLE_NAMES}")
     path = os.path.join(sf_dir, f"{name}.parquet")
+    if name == "embeddings":
+        df = spark.read.parquet(path)
+        # Attach the vector width as column metadata so downstream
+        # check_dims callers validate schema-first with NO Spark job.
+        # PRODUCER CONTRACT (similarity.check_dims docstring): this
+        # metadata is only attached here, where the width is read from
+        # the same files the DataFrame scans; any transform that
+        # changes the vector width must strip/refresh it.
+        w = _vector_width(path, "embedding")
+        if w is not None:
+            df = df.withMetadata("embedding", {"dims": w})
+        return df
     if name == "events":
         # events.ts has shipped as parquet TIMESTAMP(NANOS) (which Spark's
         # vectorized reader rejects) in some generator versions and as plain

@@ -1,4 +1,5 @@
-"""Bench freshness + regression canary (VERDICT r11 what's-wrong #3).
+"""Bench freshness + regression canary (VERDICT r11 what's-wrong #3,
+extended r13 per VERDICT r12 stretch #8).
 
 Round 11 shipped a 5x plan regression because the last bench_last.json
 refresh (06:08) predated the regressing commit (09:37) — the builder
@@ -8,10 +9,26 @@ failure mode a hard error at round-check time:
 1. FRESHNESS — bench_last.json must be newer than the last commit that
    touched plan-affecting source (the package, __spark_entry__.py, or
    bench.py). Doc/test-only commits don't invalidate a bench.
-2. REGRESSION — every query whose previous-round BENCH_r*.json warm time
-   exceeded 1 s must come in under 1.5x that time in bench_last.json.
-   (Sub-second queries jitter with JIT/host load; multi-second ones
-   don't regress 1.5x without a plan defect.)
+2. WARM REGRESSION — every query whose previous-round BENCH_r*.json warm
+   time exceeded 1 s must come in under 1.5x that time in
+   bench_last.json. (Sub-second queries jitter with JIT/host load;
+   multi-second ones don't regress 1.5x without a plan defect.)
+3. COLD REGRESSION (r13) — per-query COLD numbers compared against the
+   most recent PRIOR bench_history.jsonl entry (bench.py appends the
+   full payload there; the slim BENCH_r*.json drops cold_queries). Cold
+   passes carry first-touch/JIT noise measured at ~3x on identical code,
+   so the gate is deliberately loose: >2 s cold queries failing only
+   past 3x. This catches the class "a once-per-corpus index build leaked
+   into the steady path" without tripping on host luck.
+4. FIRST APPEARANCE (r13) — a query present in bench_last.json with no
+   prior-round number is RECORDED (printed as a NOTE), not failed: new
+   registrations ship visibly unguarded for exactly one round.
+
+CANARY_EXEMPT lists queries excluded from the regression gates:
+dedup_semantic is the labeled O(N^2) exhaustive baseline whose
+by-design-quadratic runtime on a noisy shared host produced false
+alarms in r11 AND r12 (both adjudicated host noise); its linear
+production twin dedup_semantic_lsh IS guarded (VERDICT r12 #6).
 
 Exit 0 = fresh and no regression; exit 1 otherwise, with the offending
 queries printed. Run from anywhere; paths resolve relative to the repo.
@@ -30,6 +47,9 @@ REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 SOURCE_PATHS = ["fund_data_etl_pipeline_spark", "__spark_entry__.py", "bench.py"]
 ABS_FLOOR_SEC = 1.0
 REGRESSION_RATIO = 1.5
+COLD_FLOOR_SEC = 2.0
+COLD_RATIO = 3.0
+CANARY_EXEMPT = {"dedup_semantic"}
 
 
 def last_source_commit_epoch() -> int | None:
@@ -64,6 +84,81 @@ def latest_round_bench() -> tuple[str, dict] | None:
     if not isinstance(payload, dict) or "queries" not in payload:
         return None
     return best[1], payload
+
+
+def prior_history_entry(current_ts: float | None) -> dict | None:
+    """The newest bench_history.jsonl entry strictly OLDER than the
+    current bench (by its ts field) — i.e. the previous full payload,
+    with cold_queries. None when no prior entry exists."""
+    path = os.path.join(REPO, "bench_history.jsonl")
+    if not os.path.exists(path):
+        return None
+    prior = None
+    try:
+        with open(path) as fh:
+            for line in fh:
+                line = line.strip()
+                if not line:
+                    continue
+                try:
+                    entry = json.loads(line)
+                except ValueError:
+                    continue
+                ts = entry.get("ts")
+                if not isinstance(ts, (int, float)):
+                    continue
+                if current_ts is not None and ts >= current_ts:
+                    continue
+                if prior is None or ts > prior.get("ts", 0):
+                    prior = entry
+    except OSError:
+        return None
+    return prior
+
+
+def evaluate(
+    cur_warm: dict,
+    cur_cold: dict,
+    prev_warm: dict,
+    prev_cold: dict | None,
+) -> tuple[list[str], list[str]]:
+    """Pure regression/first-appearance evaluation: returns
+    (failures, notes). Separated from I/O so the unit test can drive
+    both the new-query and cold-regression cases (VERDICT r12 #8)."""
+    failures: list[str] = []
+    notes: list[str] = []
+    for name, prev_t in prev_warm.items():
+        if name in CANARY_EXEMPT:
+            continue
+        if not isinstance(prev_t, (int, float)) or prev_t <= ABS_FLOOR_SEC:
+            continue
+        cur_t = cur_warm.get(name)
+        if isinstance(cur_t, (int, float)) and cur_t > prev_t * REGRESSION_RATIO:
+            failures.append(
+                f"warm {name}: {prev_t:.2f}s -> {cur_t:.2f}s "
+                f"({cur_t / prev_t:.2f}x)"
+            )
+    if prev_cold:
+        for name, prev_c in prev_cold.items():
+            if name in CANARY_EXEMPT:
+                continue
+            if not isinstance(prev_c, (int, float)) or prev_c <= COLD_FLOOR_SEC:
+                continue
+            cur_c = cur_cold.get(name)
+            if isinstance(cur_c, (int, float)) and cur_c > prev_c * COLD_RATIO:
+                failures.append(
+                    f"cold {name}: {prev_c:.2f}s -> {cur_c:.2f}s "
+                    f"({cur_c / prev_c:.2f}x)"
+                )
+    for name in cur_warm:
+        if name not in prev_warm:
+            cold = cur_cold.get(name)
+            cold_s = f" cold={cold:.2f}s" if isinstance(cold, (int, float)) else ""
+            notes.append(
+                f"new query (unguarded this round): {name} "
+                f"warm={cur_warm[name]:.2f}s{cold_s}"
+            )
+    return failures, notes
 
 
 def main() -> int:
@@ -104,7 +199,8 @@ def main() -> int:
 
     with open(bench_path) as fh:
         current = json.load(fh)
-    cur_q = current.get("queries", {})
+    cur_warm = current.get("queries", {})
+    cur_cold = current.get("cold_queries", {})
 
     prev = latest_round_bench()
     if prev is None:
@@ -112,24 +208,25 @@ def main() -> int:
               "regression check skipped")
         return 0
     prev_path, prev_payload = prev
-    prev_q = prev_payload.get("queries", {})
+    hist = prior_history_entry(current.get("ts", bench_mtime))
+    prev_cold = hist.get("cold_queries") if hist else None
 
-    regressions = []
-    for name, prev_t in prev_q.items():
-        if not isinstance(prev_t, (int, float)) or prev_t <= ABS_FLOOR_SEC:
-            continue
-        cur_t = cur_q.get(name)
-        if isinstance(cur_t, (int, float)) and cur_t > prev_t * REGRESSION_RATIO:
-            regressions.append((name, prev_t, cur_t))
-    if regressions:
-        print(f"CANARY FAIL (regression vs {os.path.basename(prev_path)}):")
-        for name, p, c in sorted(regressions, key=lambda x: -x[2] / x[1]):
-            print(f"  {name}: {p:.2f}s -> {c:.2f}s ({c / p:.2f}x)")
+    failures, notes = evaluate(
+        cur_warm, cur_cold, prev_payload.get("queries", {}), prev_cold
+    )
+    for n in notes:
+        print(f"CANARY NOTE: {n}")
+    if failures:
+        print(f"CANARY FAIL (regression vs {os.path.basename(prev_path)}"
+              f"{' + history' if prev_cold else ''}):")
+        for f in failures:
+            print(f"  {f}")
         return 1
     print(
-        f"CANARY OK: bench fresh, no >1s query regressed >"
-        f"{REGRESSION_RATIO}x vs {os.path.basename(prev_path)} "
-        f"({len(prev_q)} prior queries)"
+        f"CANARY OK: bench fresh, no guarded query regressed "
+        f"(warm >{REGRESSION_RATIO}x vs {os.path.basename(prev_path)}, "
+        f"cold >{COLD_RATIO}x vs history"
+        f"{', ' + str(len(notes)) + ' new' if notes else ''})"
     )
     return 0
 
