@@ -30,6 +30,25 @@ import time
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
+
+def host_calibration() -> float:
+    """Seconds for a fixed, deterministic, single-threaded CPU workload
+    (mergesort of 2M pseudo-random float64, twice). Recorded in the
+    bench payload so tools/bench_canary.py can tell 'this query
+    regressed' from 'this HOST is slower today': rounds 11-13 each
+    produced false regression alarms (2-30x on untouched plans) that
+    adjudicated as shared-host CPU steal — during the r13 episode this
+    exact workload measured 2-4x its quiet-host time, tracking the
+    query inflation. numpy sort is BLAS-free, so thread-pool config
+    can't skew it."""
+    import numpy as np
+
+    a = np.random.RandomState(0).rand(2_000_000)
+    t0 = time.time()
+    for _ in range(2):
+        np.sort(a, kind="mergesort").sum()
+    return round(time.time() - t0, 3)
+
 HEADLINE = [
     "pricing_summary",
     "dim_join_left",
@@ -119,6 +138,7 @@ HEADLINE = [
 
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    calib_start = host_calibration()
     import __spark_entry__ as e
     from fund_data_etl_pipeline_spark.session import get_spark
 
@@ -221,6 +241,11 @@ def main() -> None:
             spark.catalog.clearCache()
     total = round(sum(times.values()), 3)
 
+    # second calibration sample at suite end: contention varies over a
+    # ~10 min run, and the mean of (start, end) is the representative
+    # host-speed figure for the whole window
+    calib_end = host_calibration()
+
     m = re.search(r"sf([0-9.]+)", sf_dir)
     sf = float(m.group(1)) if m else None
     payload = {
@@ -229,6 +254,8 @@ def main() -> None:
         "unit": "sec",
         "queries": times,
         "sf": sf,
+        "calib_sec": round((calib_start + calib_end) / 2, 3),
+        "calib_samples": [calib_start, calib_end],
         # summed over the same query set as "value" so the two totals stay
         # comparable when a query errors partway
         "cold_value": round(sum(v for n, v in cold.items() if n in times), 3),

@@ -121,3 +121,56 @@ def test_history_tolerates_corrupt_lines(tmp_path, monkeypatch):
     monkeypatch.setattr(canary, "REPO", str(tmp_path))
     entry = canary.prior_history_entry(999.0)
     assert entry is not None and entry["cold_queries"] == {"q": 5.0}
+
+
+# ---------------------------------------------------------------------------
+# r13 host calibration: regression gates scale with measured host speed
+
+
+def test_host_factor_basics():
+    assert canary.host_factor(2.0, 1.0) == 2.0
+    # forgive-only: a faster current host never tightens the gate
+    assert canary.host_factor(0.5, 1.0) == 1.0
+    # clamped: a >4x "slower host" stops excusing anything further
+    assert canary.host_factor(10.0, 1.0) == 4.0
+    # missing / bogus calibration on either side -> neutral
+    assert canary.host_factor(None, 1.0) == 1.0
+    assert canary.host_factor(1.0, None) == 1.0
+    assert canary.host_factor(0.0, 1.0) == 1.0
+
+
+def test_host_slowdown_excuses_uniform_inflation_with_note():
+    # a 2x-slower host inflating an untouched query 1.9x: excused, noted
+    failures, notes = canary.evaluate(
+        cur_warm={"q1": 3.8},
+        cur_cold={},
+        prev_warm={"q1": 2.0},
+        prev_cold=None,
+        hf=2.0,
+    )
+    assert failures == []
+    assert len(notes) == 1 and "excused by host calibration" in notes[0]
+
+
+def test_real_regression_fails_even_host_adjusted():
+    # a 4x regression under a 2x-slower host still exceeds 1.5*2 = 3x
+    failures, _ = canary.evaluate(
+        cur_warm={"q1": 8.0},
+        cur_cold={},
+        prev_warm={"q1": 2.0},
+        prev_cold=None,
+        hf=2.0,
+    )
+    assert len(failures) == 1 and "host-adjusted" in failures[0]
+
+
+def test_cold_gate_also_host_adjusted():
+    failures, notes = canary.evaluate(
+        cur_warm={"q": 1.0},
+        cur_cold={"q": 14.0},
+        prev_warm={"q": 1.0},
+        prev_cold={"q": 3.0},
+        hf=2.0,
+    )
+    assert failures == []  # 14 < 3 * 3.0 * 2
+    assert any("excused" in n for n in notes)
