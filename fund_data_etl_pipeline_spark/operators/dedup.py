@@ -888,11 +888,23 @@ def connected_components(
     doc -> canonical-doc assignment, the thing a dedup pass actually
     feeds downstream.
 
-    Scale shape: the edge list is shuffled once per round on its join key
-    and label state is localCheckpoint'ed each round, so plan lineage
-    stays constant instead of growing per iteration. Convergence is one
-    tiny count per round. At 100 TB the same loop runs with a durable
-    checkpoint dir; rounds stay few because text near-dup graphs are
+    Scale shape (restructured r13 — guide §2.3/§2.4): propagation runs
+    ONLY over nodes that appear in the edge list — a singleton's label
+    never changes and never influences a neighbor's min, so the full
+    universe attaches with one left join AFTER the fixpoint. At a
+    realistic dup rate that shrinks per-round state ~10x; the per-round
+    shuffle moves near-dup nodes, not the corpus. The edge list is
+    repartitioned ONCE on its probe key (dst) so the per-round join is
+    co-partitioned against label state (itself id-hash-partitioned by
+    the previous round's groupBy) — one exchange per round (the
+    unavoidable label regroup), not three. Label state is persisted and
+    materialized BY the convergence aggregate — one driver-blocked job
+    per round, where the r4 form paid two (eager localCheckpoint + the
+    sum probe; under AQE an eager checkpoint additionally materializes
+    every upstream stage as its own job). Convergence is the monotone
+    label-sum aggregate, one tiny job per round. At 100 TB the same
+    loop swaps persist for a durable checkpoint every few rounds
+    (bounded lineage); rounds stay few because text near-dup graphs are
     star-like (large-star/small-star alternation is the escalation path
     for adversarial diameters, per the Kang et al. CC-MR line of work).
 
@@ -918,14 +930,19 @@ def connected_components(
         )
         .select("e.src", "e.dst")
         .distinct()
+        .repartition("dst")
     )
-    labels = ids.select(
-        F.col(id_col).alias("id"), F.col(id_col).alias("label")
-    ).localCheckpoint()
+    # the symmetric edge list's src column covers every non-singleton
+    # node, so it IS the propagation universe
+    labels = edges.select(F.col("src").alias("id")).distinct().select(
+        "id", F.col("id").alias("label")
+    )
+    labels.persist()
     # convergence probe: labels only ever decrease, so the label sum is
     # strictly monotone until the fixpoint — one cheap aggregate per round
     # instead of a label-vs-label shuffle join (decimal(38) can't overflow
-    # at any realistic id range x row count)
+    # at any realistic id range x row count). The aggregate doubles as the
+    # materialization action for the round's persisted state.
     label_sum = F.sum(F.col("label").cast("decimal(38,0)")).alias("s")
     prev_sum = labels.agg(label_sum).first()["s"]
     rounds = 0
@@ -934,14 +951,16 @@ def connected_components(
             edges.join(labels, edges["dst"] == labels["id"])
             .select(F.col("src").alias("id"), "label")
         )
+        prev_labels = labels
         labels = (
             labels.unionByName(neighbor_min)
             .groupBy("id")
             .agg(F.min("label").alias("label"))
-            .localCheckpoint()
         )
+        labels.persist()
         rounds += 1
         cur_sum = labels.agg(label_sum).first()["s"]
+        prev_labels.unpersist()
         if cur_sum == prev_sum:
             break
         prev_sum = cur_sum
@@ -950,11 +969,29 @@ def connected_components(
         # observability for the giant-cluster probe (VERDICT r7 #3): the
         # stride-ladder claim is rounds ∝ log(cluster size)
         stats["rounds"] = rounds
-    sizes = labels.groupBy("label").agg(F.count(F.lit(1)).alias("group_size"))
-    return labels.join(sizes, "label").select(
+    sizes = (
+        labels.groupBy("label")
+        .agg(F.count(F.lit(1)).alias("group_size"))
+    )
+    grouped = labels.join(sizes, "label").select(
         F.col("id").alias(id_col),
         F.col("label").alias("group_id"),
         "group_size",
+    )
+    # attach the full universe: singletons (never touched by an edge)
+    # come out as their own size-1 group. persist_tracked ties the final
+    # label cache to the returned handle for GC-time reclamation.
+    persist_tracked(labels)
+    return (
+        ids.select(F.col(id_col))
+        .join(grouped, id_col, "left")
+        .select(
+            id_col,
+            F.coalesce("group_id", F.col(id_col)).alias("group_id"),
+            F.coalesce("group_size", F.lit(1).cast("long")).alias(
+                "group_size"
+            ),
+        )
     )
 
 

@@ -1162,17 +1162,24 @@ def dedup_semantic_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     # every signature to the all-zeros bucket (similarity.py).
     check_dims(raw, "embedding", _SLSH_DIMS)
     emb = raw.select("vec_id", as_double(F.col("embedding")).alias("v"))
-    planes = slsh_planes(emb.count())
+    # signature width from the corpus count: parquet-footer metadata
+    # (driver-side, exact, no Spark job — sources.table_rows r13);
+    # .count() only as the fallback for unreadable footers
+    from ..sources import table_rows
+
+    n = table_rows(sf_dir, "embeddings")
+    planes = slsh_planes(n if n is not None else emb.count())
     prepped = emb.select("vec_id", "v", norm(F.col("v")).alias("nv"))
     dups = (
         slsh_verified_pairs(emb, prepped, planes)
         .select(F.col("d2").alias("dup_id"))
         .distinct()
     )
-    # bucket0 computes table-0's planes directly (one fold per plane)
+    # bucket0 computes table-0's planes directly (one fold per plane);
+    # SQL-string vec -> one F.expr parse (rhp_bucket r13)
     keyed = prepped.select(
         "vec_id",
-        rhp_bucket(F.col("v"), planes, _SLSH_DIMS, offset=0).alias("bucket0"),
+        rhp_bucket("v", planes, _SLSH_DIMS, offset=0).alias("bucket0"),
     )
     return keyed.join(
         dups, keyed["vec_id"] == dups["dup_id"], "left"
@@ -1200,7 +1207,7 @@ def slsh_verified_pairs(
             F.struct(
                 F.lit(t).alias("tbl"),
                 rhp_bucket(
-                    F.col("v"), planes, _SLSH_DIMS, offset=t * _SLSH_P_MAX
+                    "v", planes, _SLSH_DIMS, offset=t * _SLSH_P_MAX
                 ).alias("bucket"),
             )
             for t in range(_SLSH_TABLES)

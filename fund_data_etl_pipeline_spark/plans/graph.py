@@ -44,19 +44,24 @@ def pagerank(edges: DataFrame, iters: int = PR_ITERS) -> DataFrame:
         recv(d)     = Σ contrib over in-edges           (one shuffle on dst)
         rank'(d)    = base + (85·recv) div 100          (map-side)
 
-    Scale shape: ``edges`` is repartitioned on src ONCE and
-    localCheckpoint'ed, so every round's contrib→edges join is
-    co-partitioned against the same materialized layout instead of
+    Scale shape (restructured r13 — guide §2.4/§1.2): ``edges`` is
+    repartitioned on src ONCE and localCheckpoint'ed, so every round's
+    contrib→edges join reads the same materialized layout instead of
     re-shuffling the edge list per iteration — at 100 TB the edge table
-    dominates and must not move after round 0. Per-round rank state is
-    localCheckpoint'ed (the CC lesson, operators/dedup.py:465): constant
-    lineage depth, no plan growth across iterations — but LAZILY
-    (eager=False): each round's state persists when the next round first
-    computes it, so the whole fixpoint runs as ONE chained job instead
-    of paying per-round driver-synchronized materialization (the
-    BASELINE.md note-13 lesson: never schedule from the driver what a
-    chain can express). The only per-round shuffles are the rank⋈degree
-    equi-join and the dst aggregation.
+    dominates and must not move after round 0. The rank state CARRIES
+    ``deg`` (one extra long per node), which deletes the per-round
+    rank⋈degree equi-join the r4c form paid — contrib is a map-side
+    projection of the state. And the state is NOT checkpointed per
+    round: under AQE, ``localCheckpoint(eager=False)`` still calls
+    ``.rdd``, which materializes every upstream shuffle stage as an
+    eager driver-blocked job at BUILD time — the r13 profile measured
+    the old form at 32 sequential jobs for 5 rounds. A fixed small
+    iteration count means plan depth is bounded (one join + one agg per
+    round), so the whole fixpoint is ONE lazy plan: AQE executes it as
+    one query, broadcasting the tiny per-round rank/recv sides locally
+    while the same plan degrades gracefully to co-partitioned
+    sort-merge joins at cluster scale (where ranks stop fitting a
+    broadcast). The only per-round shuffle left is the dst aggregation.
 
     The node count (one tiny COUNT) sets the uniform initial rank and the
     teleport term on the driver — the same role as CC's convergence
@@ -76,9 +81,11 @@ def pagerank(edges: DataFrame, iters: int = PR_ITERS) -> DataFrame:
     n = deg.count()  # materializes edges + deg; the loop reuses both
     init = PR_SCALE // n
     base = (PR_SCALE * (PR_DAMP_DEN - PR_DAMP_NUM)) // (n * PR_DAMP_DEN)
-    ranks = deg.select("node", F.lit(init).cast("long").alias("rank_units"))
+    ranks = deg.select(
+        "node", "deg", F.lit(init).cast("long").alias("rank_units")
+    )
     for _ in range(iters):
-        contrib = ranks.join(deg, "node").select(
+        contrib = ranks.select(
             "node", F.expr("rank_units div deg").alias("contrib")
         )
         recv = (
@@ -86,21 +93,17 @@ def pagerank(edges: DataFrame, iters: int = PR_ITERS) -> DataFrame:
             .groupBy("dst")
             .agg(F.sum("contrib").alias("recv"))
         )
-        ranks = (
-            deg.select("node")
-            .join(recv, deg["node"] == recv["dst"], "left")
-            .select(
-                "node",
-                (
-                    F.lit(base)
-                    + F.expr(
-                        f"({PR_DAMP_NUM} * coalesce(recv, 0L)) div {PR_DAMP_DEN}"
-                    )
-                ).alias("rank_units"),
-            )
-            .localCheckpoint(eager=False)
+        ranks = deg.join(recv, deg["node"] == recv["dst"], "left").select(
+            "node",
+            "deg",
+            (
+                F.lit(base)
+                + F.expr(
+                    f"({PR_DAMP_NUM} * coalesce(recv, 0L)) div {PR_DAMP_DEN}"
+                )
+            ).alias("rank_units"),
         )
-    return ranks
+    return ranks.select("node", "rank_units")
 
 
 def _pr_oracle() -> str:

@@ -76,6 +76,36 @@ def _vector_width(path: str, column: str) -> int | None:
         return None
 
 
+def table_rows(sf_dir: str, name: str) -> int | None:
+    """Exact row count of a testdata table from its parquet FOOTERS,
+    read driver-side with pyarrow — no Spark job. The footer num_rows
+    is exact metadata (written by the producer), so this equals
+    ``load_table(...).count()`` by the parquet spec; callers that size
+    an adaptive parameter from an unfiltered corpus count (e.g. the
+    slsh_planes signature-width ladder) use it to skip a driver-blocked
+    COUNT job per build (guide §1.2: the cheapest job is the one whose
+    answer was already on disk — the dims-metadata precedent). Returns
+    None on any read problem; callers then fall back to ``.count()``."""
+    try:
+        import pyarrow.parquet as pq
+
+        path = os.path.join(sf_dir, f"{name}.parquet")
+        if os.path.isfile(path):
+            parts = [path]
+        else:
+            parts = [
+                os.path.join(root, f)
+                for root, _dirs, files in os.walk(path)
+                for f in files
+                if f.endswith(".parquet")
+            ]
+            if not parts:
+                return None
+        return sum(pq.ParquetFile(p).metadata.num_rows for p in parts)
+    except Exception:  # noqa: BLE001 — metadata is an optimization only
+        return None
+
+
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     if name not in TABLE_NAMES:
         raise KeyError(f"unknown table {name!r}; expected one of {TABLE_NAMES}")
