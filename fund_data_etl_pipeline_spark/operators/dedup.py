@@ -420,6 +420,105 @@ def doubling_chain_pairs(
     return led.select("d1", F.explode("__tgts").alias("d2"))
 
 
+def grouped_bucket_pairs(
+    banded: DataFrame, id_col: str, part_cols: list[str], cap: int
+) -> DataFrame:
+    """Candidate pairs per LSH bucket as ONE aggregation (r13, guide
+    §2.4): ``groupBy(part_cols).collect_list(id)`` then map-side pair
+    generation from the sorted id array — buckets at <= ``cap`` ids pair
+    exhaustively (i < j over the sorted array == the id< self-join),
+    larger buckets pair by id-rank doubling (rank r with r + 2^j for
+    every 2^j < occupancy — the same set doubling_chain_pairs emits;
+    see its docstring for the O(log C) diameter argument and the
+    _LEAD_MAX_J stride ceiling). Replaces the occupancy window + SMJ
+    self-join + lead-window + union shape in the two self-pairing call
+    sites: one exchange and one pipeline instead of a reused exchange
+    feeding a join build, two sorts, a window and a union — measured
+    2.7x on the candidate stage at sf0.1 with a bit-identical pair set.
+
+    Memory: a bucket is one group in the aggregation, exactly as it was
+    one window partition before — the window buffered the whole bucket
+    per task too, so the worst-case per-task footprint is unchanged.
+
+    Callers whose bucket key can be NULL (minhash band keys NULL out
+    for contentless docs) must filter NULL keys on the PERSISTED banded
+    table first: SQL equi-joins reject NULL keys, so the oracle's
+    formulation never pairs them — and note lesson 18, the filter must
+    sit above a materialized column, never a live HOF pipeline. Output
+    (d1 < d2) may repeat across bucket columns; callers dedup."""
+    ids = F.sort_array(F.collect_list(id_col))
+    g = banded.groupBy(*part_cols).agg(ids.alias("__ids"))
+    s = F.size("__ids")
+    pair_t = "array<struct<d1:{t},d2:{t}>>".format(
+        t=dict(banded.dtypes)[id_col]
+    )
+    all_pairs = F.when(
+        s >= 2,
+        F.flatten(
+            F.transform(
+                F.sequence(F.lit(2), s),
+                lambda j: F.transform(
+                    F.sequence(F.lit(1), j - 1),
+                    lambda i: F.struct(
+                        F.element_at(F.col("__ids"), i.cast("int")).alias(
+                            "d1"
+                        ),
+                        F.element_at(F.col("__ids"), j.cast("int")).alias(
+                            "d2"
+                        ),
+                    ),
+                ),
+            )
+        ),
+    ).otherwise(F.array().cast(pair_t))
+    # live strides 2^j < occupancy, ceiling shared with the oracle /
+    # doubling_chain_pairs (_LEAD_MAX_J)
+    strides = F.filter(
+        F.array(*[F.lit(1 << j) for j in range(_LEAD_MAX_J + 1)]),
+        lambda st: st < s,
+    )
+    doubling = F.flatten(
+        F.transform(
+            F.sequence(F.lit(1), s),
+            lambda r: F.transform(
+                F.filter(strides, lambda st: (r + st) <= s),
+                lambda st: F.struct(
+                    F.element_at(F.col("__ids"), r.cast("int")).alias("d1"),
+                    F.element_at(
+                        F.col("__ids"), (r + st).cast("int")
+                    ).alias("d2"),
+                ),
+            ),
+        )
+    )
+    pairs = F.when(s <= cap, all_pairs).otherwise(doubling)
+    return g.select(F.explode(pairs).alias("__p")).select(
+        F.col("__p.d1").alias("d1"), F.col("__p.d2").alias("d2")
+    )
+
+
+def capped_bucket_ids(
+    banded: DataFrame, id_col: str, part_cols: list[str], cap: int
+) -> DataFrame:
+    """The ``cap`` SMALLEST ids per bucket — the index-side skew bound of
+    the incremental/recovery probes — as one aggregation:
+    ``slice(sort_array(collect_list(id)), 1, cap)`` exploded back to
+    rows. Row-for-row identical to the former ROW_NUMBER <= cap window
+    (same orderBy, same keep-set), minus the window's per-bucket sort
+    machinery on top of the exchange (r13; the grouped_bucket_pairs
+    memory note applies — a bucket was already one window partition)."""
+    return (
+        banded.groupBy(*part_cols)
+        .agg(
+            F.slice(F.sort_array(F.collect_list(id_col)), 1, cap).alias(
+                "__ids"
+            )
+        )
+        .select(*part_cols, F.explode("__ids").alias(id_col))
+        .select(id_col, *part_cols)
+    )
+
+
 def minhash_band_keys(
     prepped: DataFrame,
     id_col: str = "doc_id",
@@ -480,12 +579,11 @@ def build_minhash_index(
     definition so the operator's inline path and every probe/caller
     build bit-identical index tables."""
     prepped = shingle_hash_prepped(index_docs, text_col, id_col)
-    wb = Window.partitionBy("band", "key").orderBy(id_col)
-    bands = (
-        minhash_band_keys(prepped, id_col)
-        .withColumn("rn", F.row_number().over(wb))
-        .filter(F.col("rn") <= index_bucket_cap)
-        .drop("rn")
+    bands = capped_bucket_ids(
+        minhash_band_keys(prepped, id_col),
+        id_col,
+        ["band", "key"],
+        index_bucket_cap,
     )
     return prepped, bands
 
@@ -687,21 +785,17 @@ def minhash_lsh_pairs(
     banded = persist_tracked(banded)
     # ``bucket_cap`` defaults to the shipped MINHASH_BUCKET_CAP; the
     # recall probe (tools/recall_probe.py) passes a huge value to measure
-    # the uncapped form against the same corpus
-    wcnt = Window.partitionBy("band", "key")
-    occ = banded.withColumn("occ", F.count(F.lit(1)).over(wcnt))
-    small = occ.filter(F.col("occ") <= bucket_cap)
-    a, b = small.alias("a"), small.alias("b")
-    pairs_small = a.join(
-        b,
-        (F.col("a.band") == F.col("b.band"))
-        & (F.col("a.key") == F.col("b.key"))
-        & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
-    ).select(
-        F.col(f"a.{id_col}").alias("d1"), F.col(f"b.{id_col}").alias("d2")
-    )
-    pairs_big = doubling_chain_pairs(occ, id_col, ["band", "key"], bucket_cap)
-    cand = pairs_small.unionByName(pairs_big).dropDuplicates(["d1", "d2"])
+    # the uncapped form against the same corpus. NULL band keys
+    # (contentless docs — see band_key) are excluded exactly as the
+    # oracle's equi-join excludes them; the filter reads the PERSISTED
+    # banded column, so no HOF re-inline (lesson 18 caveat in
+    # grouped_bucket_pairs).
+    cand = grouped_bucket_pairs(
+        banded.where(F.col("key").isNotNull()),
+        id_col,
+        ["band", "key"],
+        bucket_cap,
+    ).dropDuplicates(["d1", "d2"])
     ea = prepped.select(F.col(id_col).alias("d1"), F.col("hs").alias("hs1"))
     eb = prepped.select(F.col(id_col).alias("d2"), F.col("hs").alias("hs2"))
     verified = cand.join(ea, "d1").join(eb, "d2")
@@ -766,12 +860,11 @@ def minhash_recovery_pairs(
         F.explode(F.array("d1", "d2")).alias(id_col)
     ).distinct()
     unpaired = prepped.join(paired_ids, id_col, "left_anti")
-    wb = Window.partitionBy("band", "key").orderBy(id_col)
-    idx_bands = (
-        minhash_band_keys(prepped, id_col, seed=1)
-        .withColumn("rn", F.row_number().over(wb))
-        .filter(F.col("rn") <= index_bucket_cap)
-        .drop("rn")
+    idx_bands = capped_bucket_ids(
+        minhash_band_keys(prepped, id_col, seed=1),
+        id_col,
+        ["band", "key"],
+        index_bucket_cap,
     )
     new_bands = minhash_band_keys(unpaired, id_col, seed=1)
     cand = (
@@ -914,17 +1007,24 @@ def connected_components(
     transitive closure is not SQL-expressible here; the DuckDB oracle
     uses its recursive UNION (distinct) form instead.
     """
-    # both directions from ONE scan of the (possibly expensive) pair plan
-    # — a union of two selects would execute it twice before the persist
-    # persist_tracked: the explicit unpersist below reclaims on the
-    # happy path; the collector tie is the exception-path backstop
-    # (double-unpersist is a no-op)
+    # both directions PLUS a self-loop per endpoint, all from ONE scan of
+    # the (possibly expensive) pair plan. The self-loops make each node
+    # its own neighbor, so a propagation round is join + groupBy-min —
+    # the r4 form's per-round union of the previous label state (which
+    # re-shuffled BOTH branches) disappears, and the src column covers
+    # every non-singleton node, so round 1 collapses into the
+    # initialization aggregate below with no separate distinct-nodes
+    # pass. persist_tracked: the explicit unpersist below reclaims on
+    # the happy path; the collector tie is the exception-path backstop
+    # (double-unpersist is a no-op).
     edges = persist_tracked(
         pairs.select(
             F.explode(
                 F.array(
                     F.struct(F.col("d1").alias("src"), F.col("d2").alias("dst")),
                     F.struct(F.col("d2").alias("src"), F.col("d1").alias("dst")),
+                    F.struct(F.col("d1").alias("src"), F.col("d1").alias("dst")),
+                    F.struct(F.col("d2").alias("src"), F.col("d2").alias("dst")),
                 )
             ).alias("e")
         )
@@ -932,12 +1032,14 @@ def connected_components(
         .distinct()
         .repartition("dst")
     )
-    # the symmetric edge list's src column covers every non-singleton
-    # node, so it IS the propagation universe
-    labels = edges.select(F.col("src").alias("id")).distinct().select(
-        "id", F.col("id").alias("label")
+    # round 1 fused into initialization: with labels0(v) = v, a node's
+    # first-round label is min over N(u) ∪ {u} of v — exactly
+    # min(dst) over the self-looped edge list. One aggregate, no join.
+    labels = persist_tracked(
+        edges.groupBy(F.col("src").alias("id")).agg(
+            F.min("dst").alias("label")
+        )
     )
-    labels.persist()
     # convergence probe: labels only ever decrease, so the label sum is
     # strictly monotone until the fixpoint — one cheap aggregate per round
     # instead of a label-vs-label shuffle join (decimal(38) can't overflow
@@ -945,19 +1047,14 @@ def connected_components(
     # materialization action for the round's persisted state.
     label_sum = F.sum(F.col("label").cast("decimal(38,0)")).alias("s")
     prev_sum = labels.agg(label_sum).first()["s"]
-    rounds = 0
-    for _ in range(max_iter):
-        neighbor_min = (
-            edges.join(labels, edges["dst"] == labels["id"])
-            .select(F.col("src").alias("id"), "label")
-        )
+    rounds = 1
+    for _ in range(max_iter - 1):
         prev_labels = labels
-        labels = (
-            labels.unionByName(neighbor_min)
-            .groupBy("id")
+        labels = persist_tracked(
+            edges.join(labels, edges["dst"] == labels["id"])
+            .groupBy(F.col("src").alias("id"))
             .agg(F.min("label").alias("label"))
         )
-        labels.persist()
         rounds += 1
         cur_sum = labels.agg(label_sum).first()["s"]
         prev_labels.unpersist()
@@ -979,9 +1076,11 @@ def connected_components(
         "group_size",
     )
     # attach the full universe: singletons (never touched by an edge)
-    # come out as their own size-1 group. persist_tracked ties the final
-    # label cache to the returned handle for GC-time reclamation.
-    persist_tracked(labels)
+    # come out as their own size-1 group. The final label state's cache
+    # is already enrolled (persist_tracked in the loop) and scanned
+    # twice by the returned plan (sizes + the grouped join), so it must
+    # outlive this call — intermediate rounds were unpersisted above
+    # (double-unpersist at collector release is a no-op).
     return (
         ids.select(F.col(id_col))
         .join(grouped, id_col, "left")

@@ -1225,25 +1225,15 @@ def slsh_verified_pairs(
         F.col("tb.bucket").alias("bucket"),
     )
     # per-bucket pair cap (module comment: the measured skew mitigation).
-    # occ and the chain leads share one (tbl, bucket) exchange; the
-    # all-pairs branch's self-join shuffles on the same key, so AQE can
-    # reuse it. A whole bucket is on exactly one side of the occ split,
-    # which is what keeps the chain leads identical to the oracle's
-    # WHERE-then-WINDOW evaluation order.
-    wcnt = W.partitionBy("tbl", "bucket")
-    sig_occ = sig.withColumn("occ", F.count(F.lit(1)).over(wcnt))
-    small = sig_occ.filter(F.col("occ") <= bucket_cap)
-    a, b = small.alias("a"), small.alias("b")
-    pairs_small = a.join(
-        b,
-        (F.col("a.tbl") == F.col("b.tbl"))
-        & (F.col("a.bucket") == F.col("b.bucket"))
-        & (F.col("a.vec_id") < F.col("b.vec_id")),
-    ).select(F.col("a.vec_id").alias("d1"), F.col("b.vec_id").alias("d2"))
-    pairs_big = D.doubling_chain_pairs(
-        sig_occ, "vec_id", ["tbl", "bucket"], bucket_cap
-    )
-    cand = pairs_small.unionByName(pairs_big).dropDuplicates(["d1", "d2"])
+    # r13: candidate pairs come from ONE (tbl, bucket) aggregation with
+    # map-side pair generation (operators/dedup.grouped_bucket_pairs —
+    # all-pairs at <= cap, id-rank doubling above it; a whole bucket is
+    # one group, so the occ split is per-bucket exactly as the oracle's
+    # WHERE-then-WINDOW evaluation). Bucket keys are concat_ws strings,
+    # never NULL, so no NULL-key filter is needed here.
+    cand = D.grouped_bucket_pairs(
+        sig, "vec_id", ["tbl", "bucket"], bucket_cap
+    ).dropDuplicates(["d1", "d2"])
     ea = prepped.select(
         F.col("vec_id").alias("d1"), F.col("v").alias("v1"),
         F.col("nv").alias("n1"),
