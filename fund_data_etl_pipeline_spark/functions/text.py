@@ -57,6 +57,38 @@ def _s(col: Column | str) -> Column:
     return F.col(col) if isinstance(col, str) else col
 
 
+# Constructed-Column cache (r13, guide §1.2 "per-task work" applied to
+# the DRIVER: plan BUILD time). Building the 16-permutation minhash
+# signature + band structs costs ~0.5 s of py4j round-trips, and the
+# bucket-pairing expression another ~0.2 s — paid on EVERY fresh
+# DataFrame build (the bench rebuilds per pass; a long-lived service
+# rebuilds per request). Columns are immutable expression trees bound to
+# column NAMES, so one constructed tree serves every plan in the session
+# — the lesson-9 fund-cascade / similarity._signs_array precedent made
+# generic. Keyed per SparkContext: a JVM restart in-process would
+# otherwise leave stale gateway refs in the cache.
+_COL_CACHE: dict = {}
+_COL_CACHE_CTX: object | None = None
+
+
+def cached_columns(key: tuple, build):
+    """Memoize an immutable constructed Column (or tuple of Columns) for
+    ``key``; ``build`` is a zero-arg constructor run on miss. The cache
+    resets whenever the active SparkContext changes."""
+    global _COL_CACHE_CTX
+    from pyspark import SparkContext
+
+    sc = SparkContext._active_spark_context
+    if _COL_CACHE_CTX is not sc:
+        _COL_CACHE.clear()
+        _COL_CACHE_CTX = sc
+    val = _COL_CACHE.get(key)
+    if val is None:
+        val = build()
+        _COL_CACHE[key] = val
+    return val
+
+
 # Explicit whitespace class pinned on BOTH engines: Java regex \s is
 # [ \t\n\x0B\f\r] while DuckDB's RE2 \s is [\t\n\f\r ] (no \x0B), so a
 # bare \s+ diverges on vertical-tab (and only there) between the engine

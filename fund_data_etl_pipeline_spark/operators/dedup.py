@@ -32,6 +32,7 @@ from ..functions.text import (
     MINHASH_BANDS,
     MINHASH_BUCKET_CAP,
     band_key,
+    cached_columns,
     minhash_signature_from_hashes,
     normalized_md5,
     shingle_hashes,
@@ -327,10 +328,21 @@ def shingle_hash_prepped(
     builds on this ONE definition, mirrored by the oracle's
     _shingle_cte()."""
     extra = [F.col(c) for c in carry]
+    # stage Columns memoized per (column name) — see text.cached_columns
+    w = cached_columns(
+        ("shp_words", text_col), lambda: words(F.col(text_col)).alias("__w")
+    )
+    wh = cached_columns(
+        ("shp_word_hashes",), lambda: word_hashes(F.col("__w")).alias("__wh")
+    )
+    hs = cached_columns(
+        ("shp_shingle_hashes", hs_col),
+        lambda: shingle_hashes(F.col("__wh")).alias(hs_col),
+    )
     return (
-        df.select(F.col(id_col), *extra, words(F.col(text_col)).alias("__w"))
-        .select(id_col, *carry, word_hashes(F.col("__w")).alias("__wh"))
-        .select(id_col, *carry, shingle_hashes(F.col("__wh")).alias(hs_col))
+        df.select(F.col(id_col), *extra, w)
+        .select(id_col, *carry, wh)
+        .select(id_col, *carry, hs)
     )
 
 
@@ -448,50 +460,57 @@ def grouped_bucket_pairs(
     (d1 < d2) may repeat across bucket columns; callers dedup."""
     ids = F.sort_array(F.collect_list(id_col))
     g = banded.groupBy(*part_cols).agg(ids.alias("__ids"))
-    s = F.size("__ids")
-    pair_t = "array<struct<d1:{t},d2:{t}>>".format(
-        t=dict(banded.dtypes)[id_col]
-    )
-    all_pairs = F.when(
-        s >= 2,
-        F.flatten(
+    id_type = dict(banded.dtypes)[id_col]
+
+    def _build_pairs() -> Column:
+        s = F.size("__ids")
+        pair_t = f"array<struct<d1:{id_type},d2:{id_type}>>"
+        all_pairs = F.when(
+            s >= 2,
+            F.flatten(
+                F.transform(
+                    F.sequence(F.lit(2), s),
+                    lambda j: F.transform(
+                        F.sequence(F.lit(1), j - 1),
+                        lambda i: F.struct(
+                            F.element_at(
+                                F.col("__ids"), i.cast("int")
+                            ).alias("d1"),
+                            F.element_at(
+                                F.col("__ids"), j.cast("int")
+                            ).alias("d2"),
+                        ),
+                    ),
+                )
+            ),
+        ).otherwise(F.array().cast(pair_t))
+        # live strides 2^j < occupancy, ceiling shared with the oracle /
+        # doubling_chain_pairs (_LEAD_MAX_J)
+        strides = F.filter(
+            F.array(*[F.lit(1 << j) for j in range(_LEAD_MAX_J + 1)]),
+            lambda st: st < s,
+        )
+        doubling = F.flatten(
             F.transform(
-                F.sequence(F.lit(2), s),
-                lambda j: F.transform(
-                    F.sequence(F.lit(1), j - 1),
-                    lambda i: F.struct(
-                        F.element_at(F.col("__ids"), i.cast("int")).alias(
+                F.sequence(F.lit(1), s),
+                lambda r: F.transform(
+                    F.filter(strides, lambda st: (r + st) <= s),
+                    lambda st: F.struct(
+                        F.element_at(F.col("__ids"), r.cast("int")).alias(
                             "d1"
                         ),
-                        F.element_at(F.col("__ids"), j.cast("int")).alias(
-                            "d2"
-                        ),
+                        F.element_at(
+                            F.col("__ids"), (r + st).cast("int")
+                        ).alias("d2"),
                     ),
                 ),
             )
-        ),
-    ).otherwise(F.array().cast(pair_t))
-    # live strides 2^j < occupancy, ceiling shared with the oracle /
-    # doubling_chain_pairs (_LEAD_MAX_J)
-    strides = F.filter(
-        F.array(*[F.lit(1 << j) for j in range(_LEAD_MAX_J + 1)]),
-        lambda st: st < s,
-    )
-    doubling = F.flatten(
-        F.transform(
-            F.sequence(F.lit(1), s),
-            lambda r: F.transform(
-                F.filter(strides, lambda st: (r + st) <= s),
-                lambda st: F.struct(
-                    F.element_at(F.col("__ids"), r.cast("int")).alias("d1"),
-                    F.element_at(
-                        F.col("__ids"), (r + st).cast("int")
-                    ).alias("d2"),
-                ),
-            ),
         )
-    )
-    pairs = F.when(s <= cap, all_pairs).otherwise(doubling)
+        return F.when(s <= cap, all_pairs).otherwise(doubling)
+
+    # the pair-expansion tree is ~0.2 s of py4j per build and depends
+    # only on (cap, id type) — memoized per session (text.cached_columns)
+    pairs = cached_columns(("bucket_pairs", cap, id_type), _build_pairs)
     return g.select(F.explode(pairs).alias("__p")).select(
         F.col("__p.d1").alias("d1"), F.col("__p.d2").alias("d2")
     )
@@ -536,23 +555,35 @@ def minhash_band_keys(
     incremental builder's note on why). ``seed=1`` bands with the
     independent second permutation set — the straggler-recovery pass
     (minhash_recovery_pairs)."""
-    sig = prepped.select(
-        id_col,
-        *carry,
-        *minhash_signature_from_hashes(F.col(hs_col), seed=seed),
+    # signature + band-struct Columns memoized per (hs_col, seed) — the
+    # 16 array_min(transform(...)) trees were ~0.5 s of py4j per fresh
+    # build (see text.cached_columns)
+    sig_exprs = cached_columns(
+        ("mh_sig", hs_col, seed),
+        lambda: tuple(
+            minhash_signature_from_hashes(F.col(hs_col), seed=seed)
+        ),
     )
+    sig = prepped.select(id_col, *carry, *sig_exprs)
     # contentless docs (NULL text / under-shingle-length) band into
     # NOTHING: band_key is NULL-propagating (F.concat), so their all-NULL
     # signatures yield NULL keys, and NULL keys never equi-join — same
     # semantics as the oracle's `||` without a row filter. (An explicit
     # `mh0.isNotNull()` where-clause here re-inlines the minhash/shingle
     # HOF pipeline into the predicate and cost 5x at sf0.1 — r11 lesson.)
-    sig_cols = [F.col(f"mh{i}") for i in range(len(MINHASH_A))]
-    bands = F.array(
-        *[
-            F.struct(F.lit(b).alias("band"), band_key(sig_cols, b).alias("key"))
-            for b in range(MINHASH_BANDS)
-        ]
+    bands = cached_columns(
+        ("mh_bands",),
+        lambda: F.array(
+            *[
+                F.struct(
+                    F.lit(b).alias("band"),
+                    band_key(
+                        [F.col(f"mh{i}") for i in range(len(MINHASH_A))], b
+                    ).alias("key"),
+                )
+                for b in range(MINHASH_BANDS)
+            ]
+        ),
     )
     return sig.select(id_col, *carry, F.explode(bands).alias("bk")).select(
         id_col,
@@ -969,6 +1000,7 @@ def connected_components(
     id_col: str = "doc_id",
     max_iter: int = 25,
     stats: dict | None = None,
+    with_sizes: bool = True,
 ) -> DataFrame:
     """Resolve near-dup PAIRS into duplicate GROUPS: connected components
     by iterative min-label propagation (the standard distributed CC — each
@@ -1007,15 +1039,16 @@ def connected_components(
     transitive closure is not SQL-expressible here; the DuckDB oracle
     uses its recursive UNION (distinct) form instead.
     """
-    # both directions PLUS a self-loop per endpoint, all from ONE scan of
-    # the (possibly expensive) pair plan. The self-loops make each node
-    # its own neighbor, so a propagation round is join + groupBy-min —
-    # the r4 form's per-round union of the previous label state (which
-    # re-shuffled BOTH branches) disappears, and the src column covers
-    # every non-singleton node, so round 1 collapses into the
-    # initialization aggregate below with no separate distinct-nodes
-    # pass. persist_tracked: the explicit unpersist below reclaims on
-    # the happy path; the collector tie is the exception-path backstop
+    # both directions from ONE scan of the (possibly expensive) pair
+    # plan — no self-loops and no distinct (r13 second pass, guide
+    # §2.3/§2.4): pairs are already dropDuplicates'd with d1 < d2, so
+    # (d1→d2) and (d2→d1) are each unique and mutually disjoint — the
+    # exploded list has NO duplicate rows, and the old (src,dst)
+    # distinct was a full-width exchange that map-side partial
+    # aggregation couldn't shrink (every row unique). Self-inclusion —
+    # the self-loop rows' only job — moves into the aggregates below.
+    # persist_tracked: the explicit unpersist below reclaims on the
+    # happy path; the collector tie is the exception-path backstop
     # (double-unpersist is a no-op).
     edges = persist_tracked(
         pairs.select(
@@ -1023,22 +1056,23 @@ def connected_components(
                 F.array(
                     F.struct(F.col("d1").alias("src"), F.col("d2").alias("dst")),
                     F.struct(F.col("d2").alias("src"), F.col("d1").alias("dst")),
-                    F.struct(F.col("d1").alias("src"), F.col("d1").alias("dst")),
-                    F.struct(F.col("d2").alias("src"), F.col("d2").alias("dst")),
                 )
             ).alias("e")
         )
         .select("e.src", "e.dst")
-        .distinct()
         .repartition("dst")
     )
     # round 1 fused into initialization: with labels0(v) = v, a node's
-    # first-round label is min over N(u) ∪ {u} of v — exactly
-    # min(dst) over the self-looped edge list. One aggregate, no join.
+    # first-round label is min over N(u) ∪ {u} — least(node, min of
+    # neighbors). The edge set is SYMMETRIC (both directions emitted),
+    # so grouping by dst gives the same neighbor sets as grouping by
+    # src while REUSING the repartition("dst") layout — the init
+    # aggregate runs exchange-free where the old groupBy(src) form
+    # re-shuffled the whole edge list a second time.
     labels = persist_tracked(
-        edges.groupBy(F.col("src").alias("id")).agg(
-            F.min("dst").alias("label")
-        )
+        edges.groupBy(F.col("dst").alias("id"))
+        .agg(F.min("src").alias("__m"))
+        .select("id", F.least("id", "__m").alias("label"))
     )
     # convergence probe: labels only ever decrease, so the label sum is
     # strictly monotone until the fixpoint — one cheap aggregate per round
@@ -1050,9 +1084,18 @@ def connected_components(
     rounds = 1
     for _ in range(max_iter - 1):
         prev_labels = labels
+        # min over N(u) ∪ {u}: the neighbor branch joins labels over the
+        # co-partitioned edge layout (edges hashed by dst at persist,
+        # labels by id from the previous aggregate — no exchange); the
+        # node's OWN label enters the same hash aggregate as a unioned
+        # branch instead of riding self-loop edge rows through the join
+        # — the union adds |labels| rows map-side where self-loops added
+        # |nodes| join probes AND their output rows to every round.
         labels = persist_tracked(
             edges.join(labels, edges["dst"] == labels["id"])
-            .groupBy(F.col("src").alias("id"))
+            .select(F.col("src").alias("id"), "label")
+            .unionByName(labels.select("id", "label"))
+            .groupBy("id")
             .agg(F.min("label").alias("label"))
         )
         rounds += 1
@@ -1066,6 +1109,24 @@ def connected_components(
         # observability for the giant-cluster probe (VERDICT r7 #3): the
         # stride-ladder claim is rounds ∝ log(cluster size)
         stats["rounds"] = rounds
+    # with_sizes=False: a consumer that only needs the group LABEL (the
+    # leakage-safe split hashes group_id and never reads group_size)
+    # skips the sizes aggregate + join — an inner join that never changes
+    # cardinality here, but one Catalyst cannot prune away on its own
+    # (it can't prove every label survives the aggregate).
+    if not with_sizes:
+        return (
+            ids.select(F.col(id_col))
+            .join(
+                labels.select(F.col("id").alias(id_col), "label"),
+                id_col,
+                "left",
+            )
+            .select(
+                id_col,
+                F.coalesce("label", F.col(id_col)).alias("group_id"),
+            )
+        )
     sizes = (
         labels.groupBy("label")
         .agg(F.count(F.lit(1)).alias("group_size"))

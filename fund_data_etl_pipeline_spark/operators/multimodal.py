@@ -140,8 +140,13 @@ def decode_image_features(df: DataFrame, fake: bool = False) -> DataFrame:
                 )
             yield pd.DataFrame(rows)
 
-    return df.filter(F.col("kind") == "image").mapInPandas(
-        op, schema=IMAGE_FEATURES_SCHEMA
+    # explicit projection before the opaque op (guide §4.1): Spark cannot
+    # see which columns the Python function touches, so without this every
+    # column of ``df`` is shipped through Arrow and read from storage
+    return (
+        df.filter(F.col("kind") == "image")
+        .select("media_id", "data", "meta")
+        .mapInPandas(op, schema=IMAGE_FEATURES_SCHEMA)
     )
 
 
@@ -222,8 +227,11 @@ def decode_audio_features(df: DataFrame, fake: bool = False) -> DataFrame:
                 )
             yield pd.DataFrame(rows)
 
-    return df.filter(F.col("kind") == "audio").mapInPandas(
-        op, schema=AUDIO_FEATURES_SCHEMA
+    # column pruning before the opaque op — see decode_image_features
+    return (
+        df.filter(F.col("kind") == "audio")
+        .select("media_id", "data", "meta")
+        .mapInPandas(op, schema=AUDIO_FEATURES_SCHEMA)
     )
 
 
@@ -275,8 +283,11 @@ def decode_video_meta(df: DataFrame) -> DataFrame:
                 )
             yield pd.DataFrame(rows)
 
-    return df.filter(F.col("kind") == "video").mapInPandas(
-        op, schema=VIDEO_META_SCHEMA
+    # column pruning before the opaque op — see decode_image_features
+    return (
+        df.filter(F.col("kind") == "video")
+        .select("media_id", "data")
+        .mapInPandas(op, schema=VIDEO_META_SCHEMA)
     )
 
 
@@ -358,6 +369,9 @@ def decode_video_frames(df: DataFrame, every_n: int = 10) -> DataFrame:
                     )
             yield pd.DataFrame(rows)
 
-    return df.filter(F.col("kind") == "video").mapInPandas(
-        op, schema=FRAME_FEATURES_SCHEMA
+    # column pruning before the opaque op — see decode_image_features
+    return (
+        df.filter(F.col("kind") == "video")
+        .select("media_id", "data")
+        .mapInPandas(op, schema=FRAME_FEATURES_SCHEMA)
     )

@@ -595,7 +595,11 @@ def leakage_safe_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.sampling import hash_split
 
     pairs = D.minhash_lsh_pairs(docs, threshold=_JACCARD_T)
-    labels = D.connected_components(pairs, docs.select("doc_id"))
+    # with_sizes=False: the split hashes group_id only — the group_size
+    # aggregate+join would be dead weight Catalyst can't prune (r13)
+    labels = D.connected_components(
+        pairs, docs.select("doc_id"), with_sizes=False
+    )
     return hash_split(
         labels.select("doc_id", F.col("group_id")), id_col="group_id",
         salt=_LSPLIT_SALT,
