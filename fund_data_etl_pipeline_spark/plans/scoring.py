@@ -16,7 +16,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window as W
 
 from ..functions.numeric import cents, round2
-from ..functions.text import words
+from ..functions.text import cached_columns, words
 from ..sources import load_table
 from . import _sqlgen as G
 from . import register
@@ -83,43 +83,63 @@ def bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     sides); ordering uses the ROUNDED score then doc_id, so the k-cut is
     stable across engines.
     """
-    docs = load_table(spark, sf_dir, "documents").select(
-        "doc_id", words("text").alias("__w")
-    )
     def tf_of(term: str):
         # NB: the predicate lambda must be unary — F.filter treats a
         # binary lambda as (element, index)
         return F.size(F.filter("__w", lambda x: x == F.lit(term)))
 
-    t = docs.select(
-        "doc_id",
-        F.size("__w").alias("dl"),
-        *[tf_of(term).alias(f"tf{i}") for i, term in enumerate(BM25_TERMS)],
+    # Constructed-Column caches (r14, guide §1.2 driver plan-build cost —
+    # VERDICT r13 #3): the words HOF, the per-term F.filter lambdas and
+    # the score arithmetic are ~0.5 s of py4j round-trips per fresh
+    # build. All expressions bind column NAMES + module constants only,
+    # so one constructed tree serves every plan in the session; the
+    # expressions themselves are unchanged (plan shape identical).
+    def _score_cols() -> tuple:
+        avgdl = F.col("sum_dl") * 1.0 / F.col("n_docs")
+        score = None
+        for i in range(len(BM25_TERMS)):
+            tf, df = F.col(f"tf{i}"), F.col(f"df{i}")
+            idf = F.log(
+                F.lit(1.0) + (F.col("n_docs") - df + 0.5) / (df + 0.5)
+            )
+            term = (
+                idf
+                * (tf * (BM25_K1 + 1.0))
+                / (tf + BM25_K1 * (1 - BM25_B + BM25_B * F.col("dl") / avgdl))
+            )
+            score = term if score is None else score + term
+        return (round2(score, 6).alias("bm25"), score.alias("__s"))
+
+    w_col = cached_columns(
+        ("bm25_words", "text"), lambda: words("text").alias("__w")
     )
-    stats = t.agg(
-        F.count(F.lit(1)).alias("n_docs"),
-        F.sum("dl").alias("sum_dl"),
-        *[
-            F.sum((F.col(f"tf{i}") > 0).cast("int")).alias(f"df{i}")
-            for i in range(len(BM25_TERMS))
-        ],
+    t_cols = cached_columns(
+        ("bm25_t", BM25_TERMS),
+        lambda: (
+            F.size("__w").alias("dl"),
+            *[tf_of(term).alias(f"tf{i}") for i, term in enumerate(BM25_TERMS)],
+        ),
     )
+    stats_cols = cached_columns(
+        ("bm25_stats", len(BM25_TERMS)),
+        lambda: (
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("dl").alias("sum_dl"),
+            *[
+                F.sum((F.col(f"tf{i}") > 0).cast("int")).alias(f"df{i}")
+                for i in range(len(BM25_TERMS))
+            ],
+        ),
+    )
+    bm25_col, s_col = cached_columns(
+        ("bm25_score", BM25_TERMS, BM25_K1, BM25_B), _score_cols
+    )
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", w_col)
+    t = docs.select("doc_id", *t_cols)
+    stats = t.agg(*stats_cols)
     scored = t.join(F.broadcast(stats))
-    avgdl = F.col("sum_dl") * 1.0 / F.col("n_docs")
-    score = None
-    for i in range(len(BM25_TERMS)):
-        tf, df = F.col(f"tf{i}"), F.col(f"df{i}")
-        idf = F.log(
-            F.lit(1.0) + (F.col("n_docs") - df + 0.5) / (df + 0.5)
-        )
-        term = (
-            idf
-            * (tf * (BM25_K1 + 1.0))
-            / (tf + BM25_K1 * (1 - BM25_B + BM25_B * F.col("dl") / avgdl))
-        )
-        score = term if score is None else score + term
     return (
-        scored.select("doc_id", round2(score, 6).alias("bm25"), score.alias("__s"))
+        scored.select("doc_id", bm25_col, s_col)
         .filter(F.col("__s") > 0)
         .drop("__s")
         .orderBy(F.col("bm25").desc(), "doc_id")

@@ -31,7 +31,7 @@ def _update(
     batches: Iterator[pd.DataFrame],
     state: GroupState,
 ) -> Iterator[pd.DataFrame]:
-    from ..functions.numeric import cents_py, round2_py
+    from ..functions.numeric import cents_np, round2_py
 
     n, s_c = state.get if state.exists else (0, 0)
     for pdf in batches:
@@ -39,9 +39,16 @@ def _update(
             continue
         # batch-twin parity on NULL values: n_events is COUNT(*) (NULL
         # rows count), sum_value is F.sum(cents(value)) (NULLs skipped) —
-        # cents_py raises on NaN/None, so drop them before folding
+        # so drop them before folding. Vectorized (r14, guide §4.2): the
+        # fold is cents_np (the bit-equal numpy twin of cents_py) summed
+        # in int64 — each term is an exact integer and integer addition
+        # has no rounding, so the sum equals the old per-row Python fold
+        # (int64 is ample: a micro-batch slice overflows only past ~1e14
+        # rows x $1e2 values).
         n += len(pdf)
-        s_c += sum(cents_py(v) for v in pdf["value"].dropna())
+        kept = pdf["value"].dropna()
+        if len(kept):
+            s_c += int(cents_np(kept.to_numpy()).sum())
     state.update((n, s_c))
     yield pd.DataFrame(
         {
@@ -182,22 +189,129 @@ ZS_STATE_SCHEMA = "vals array<long>"
 _ZS_TS_FMT = _CDC_TS_FMT
 
 
+# the vectorized window-sum path is exact while every |cents| value fits
+# a 20-term int64 sum of squares: 20 * CAP^2 < 2^63 → CAP ≈ 6.7e8 cents
+# ($6.7M). Past that the updater falls back to the per-row Python-int
+# fold (arbitrary precision), so exactness is unconditional.
+_ZS_VEC_CENTS_CAP = 600_000_000
+
+
+def _zscore_fold_scalar(key, vals: list, merged: pd.DataFrame, out: dict) -> list:
+    """The original per-row fold (exact at ANY magnitude: Python-int
+    moments) — the fallback for values past _ZS_VEC_CENTS_CAP and the
+    reference the vectorized path's parity pytest pins against."""
+    import math
+
+    from ..functions.numeric import cents_py, round2_py
+    from ..plans.scoring import Z_LOOKBACK, Z_MIN_N, Z_SIGMA, z_moments, z_score
+
+    for _, row in merged.iterrows():
+        # exact integer cents, same quantization as
+        # functions.numeric.cents; a NULL value stays None — batch
+        # parity: it occupies a frame slot (COUNT(*) counts it), adds
+        # nothing to the sums (F.sum skips NULL), and is itself never
+        # flagged (NULL z fails every comparison)
+        raw = row["value"]
+        v_c = None if pd.isna(raw) else cents_py(raw)
+        n = len(vals)
+        if v_c is not None and n >= Z_MIN_N:
+            s = sum(x for x in vals if x is not None)
+            ssq = sum(x * x for x in vals if x is not None)
+            # the LITERALLY SAME functions the batch plan composes its
+            # Column expressions from (plans/scoring.z_moments /
+            # z_score) — shared code, not a parallel re-implementation,
+            # so batch/streaming parity is structural
+            mean_c, var_c = z_moments(n, s, ssq)
+            if var_c > 0:
+                z = z_score(v_c, mean_c, var_c, math.sqrt)
+                if abs(z) > Z_SIGMA:
+                    out["event_id"].append(int(row["event_id"]))
+                    out["user_id"].append(key[0])
+                    out["event_type"].append(row["event_type"])
+                    out["ts"].append(
+                        pd.Timestamp(row["ts"]).strftime(_ZS_TS_FMT)
+                    )
+                    out["value"].append(round2_py(v_c / 100.0, 2))
+                    out["zscore"].append(round2_py(z, 4))
+                    out["n_window"].append(n)
+        vals.append(v_c)
+        if len(vals) > Z_LOOKBACK:
+            vals.pop(0)
+    return vals
+
+
+def _zscore_fold_vec(key, vals: list, merged: pd.DataFrame, out: dict) -> list:
+    """Vectorized fold (r14, guide §4.2 — hand whole batches to numpy
+    instead of looping rows in Python), bit-equal to the scalar fold:
+
+    - cents quantization is cents_np (elementwise-identical IEEE ops);
+    - each trailing window's count/Σ/Σ² come from 20-slot sliding-window
+      int64 sums — integer adds, no rounding, exact under the caller's
+      magnitude guard — with NULLs occupying frame slots (n counts them)
+      but masked out of the sums, exactly the batch COUNT(*)/F.sum
+      semantics;
+    - mean/var/z are the LITERALLY SAME z_moments / z_score functions the
+      batch plan builds its Columns from, evaluated on float64 arrays:
+      numpy's elementwise *, /, -, sqrt are the same correctly-rounded
+      double ops Python scalars use, so every flagged row and every
+      rounded output value matches the scalar fold bit-for-bit.
+    """
+    import numpy as np
+    from numpy.lib.stride_tricks import sliding_window_view
+
+    from ..functions.numeric import cents_np, round2_py
+    from ..plans.scoring import Z_LOOKBACK, Z_MIN_N, Z_SIGMA, z_moments, z_score
+
+    raw = merged["value"].to_numpy(dtype="float64")  # NULL -> NaN
+    valid = ~np.isnan(raw)
+    v_c = np.zeros(len(raw), dtype="int64")
+    if valid.any():
+        v_c[valid] = cents_np(raw[valid])
+    prior_v = np.array([0 if x is None else x for x in vals], dtype="int64")
+    prior_m = np.array([x is not None for x in vals], dtype=bool)
+    seq_v = np.concatenate([prior_v, v_c])
+    seq_m = np.concatenate([prior_m, valid])
+    n_prior, n_batch = len(vals), len(raw)
+    # trailing-window moments for batch event j (global position
+    # i = n_prior + j): window = seq[max(0, i-Z_LOOKBACK) : i]. A
+    # Z_LOOKBACK-slot zero pad in front makes every window a fixed
+    # 20-slot slice (pad slots are masked zeros; n is computed from the
+    # position, not the pad).
+    pad = np.zeros(Z_LOOKBACK, dtype="int64")
+    masked = np.where(seq_m, seq_v, 0)
+    pv = np.concatenate([pad, masked])
+    pq = np.concatenate([pad, masked * masked])
+    sv = sliding_window_view(pv, Z_LOOKBACK).sum(axis=1)
+    sq = sliding_window_view(pq, Z_LOOKBACK).sum(axis=1)
+    gi = np.arange(n_prior, n_prior + n_batch)
+    n = np.minimum(gi, Z_LOOKBACK)  # NULL slots count — COUNT(*) parity
+    with np.errstate(divide="ignore", invalid="ignore"):
+        mean_c, var_c = z_moments(
+            n.astype("float64"), sv[gi].astype("float64"),
+            sq[gi].astype("float64"),
+        )
+        z = z_score(v_c.astype("float64"), mean_c, var_c, np.sqrt)
+        flag = valid & (n >= Z_MIN_N) & (var_c > 0) & (np.abs(z) > Z_SIGMA)
+    for j in np.flatnonzero(flag):
+        row = merged.iloc[j]
+        out["event_id"].append(int(row["event_id"]))
+        out["user_id"].append(key[0])
+        out["event_type"].append(row["event_type"])
+        out["ts"].append(pd.Timestamp(row["ts"]).strftime(_ZS_TS_FMT))
+        out["value"].append(round2_py(int(v_c[j]) / 100.0, 2))
+        out["zscore"].append(round2_py(float(z[j]), 4))
+        out["n_window"].append(int(n[j]))
+    tail_v = seq_v[-Z_LOOKBACK:]
+    tail_m = seq_m[-Z_LOOKBACK:]
+    return [int(v) if m else None for v, m in zip(tail_v, tail_m)]
+
+
 def _zscore_update(
     key: tuple[Any, ...],
     batches: Iterator[pd.DataFrame],
     state: GroupState,
 ) -> Iterator[pd.DataFrame]:
-    import math
-
-    from ..plans.scoring import (
-        Z_LOOKBACK,
-        Z_MIN_N,
-        Z_SIGMA,
-        z_moments,
-        z_score,
-    )
-
-    from ..functions.numeric import cents_py, round2_py
+    import numpy as np
 
     (vals,) = state.get if state.exists else ([],)
     vals = list(vals)
@@ -215,38 +329,16 @@ def _zscore_update(
     pdfs = [pdf for pdf in batches if len(pdf)]
     if pdfs:
         merged = pd.concat(pdfs).sort_values(["ts", "event_id"])
-        for _, row in merged.iterrows():
-            # exact integer cents, same quantization as
-            # functions.numeric.cents; a NULL value stays None — batch
-            # parity: it occupies a frame slot (COUNT(*) counts it), adds
-            # nothing to the sums (F.sum skips NULL), and is itself never
-            # flagged (NULL z fails every comparison)
-            raw = row["value"]
-            v_c = None if pd.isna(raw) else cents_py(raw)
-            n = len(vals)
-            if v_c is not None and n >= Z_MIN_N:
-                s = sum(x for x in vals if x is not None)
-                ssq = sum(x * x for x in vals if x is not None)
-                # the LITERALLY SAME functions the batch plan composes its
-                # Column expressions from (plans/scoring.z_moments /
-                # z_score) — shared code, not a parallel re-implementation,
-                # so batch/streaming parity is structural
-                mean_c, var_c = z_moments(n, s, ssq)
-                if var_c > 0:
-                    z = z_score(v_c, mean_c, var_c, math.sqrt)
-                    if abs(z) > Z_SIGMA:
-                        out["event_id"].append(int(row["event_id"]))
-                        out["user_id"].append(key[0])
-                        out["event_type"].append(row["event_type"])
-                        out["ts"].append(
-                            pd.Timestamp(row["ts"]).strftime(_ZS_TS_FMT)
-                        )
-                        out["value"].append(round2_py(v_c / 100.0, 2))
-                        out["zscore"].append(round2_py(z, 4))
-                        out["n_window"].append(n)
-            vals.append(v_c)
-            if len(vals) > Z_LOOKBACK:
-                vals.pop(0)
+        raw = merged["value"].to_numpy(dtype="float64")
+        prior_max = max(
+            (abs(x) for x in vals if x is not None), default=0
+        )
+        finite = raw[~np.isnan(raw)]
+        batch_max = float(np.abs(finite).max()) if len(finite) else 0.0
+        if prior_max <= _ZS_VEC_CENTS_CAP and batch_max * 100 + 1 <= _ZS_VEC_CENTS_CAP:
+            vals = _zscore_fold_vec(key, vals, merged, out)
+        else:
+            vals = _zscore_fold_scalar(key, vals, merged, out)
     state.update((vals,))
     if out["event_id"]:
         yield pd.DataFrame(out)
