@@ -363,6 +363,12 @@ def shingle_hash_prepped(
 # the whole upstream signature pipeline per query.
 _LEAD_MAX_J = 30  # lead offsets are JVM ints; 2^30 is the largest safe one
 
+# connected_components: probed rounds persist on top of each other; cut
+# the lineage with a localCheckpoint once this many cache levels nest
+# (see the loop comment — nested InMemoryRelations cost O(2^depth) in
+# driver plan machinery; 3 keeps that term under ~35 KB of plan text).
+_CC_TRUNCATE_NESTING = 3
+
 
 def doubling_chain_pairs(
     occ_df: DataFrame, id_col: str, part_cols: list[str], cap: int
@@ -1106,6 +1112,7 @@ def connected_components(
     prev_sum = labels.agg(label_sum).first()["s"]
     prev_probe_round = 1
     last_persisted = labels
+    nested_caches = 1  # persist-on-persist depth since the last lineage cut
     rounds = 1
     for _ in range(max_iter - 1):
         # Round update: label'(u) = least(u, min over N(u) of label(v)).
@@ -1148,10 +1155,31 @@ def connected_components(
             labels = nxt
             continue
         prev_persisted = last_persisted
-        labels = persist_tracked(nxt)
-        last_persisted = labels
+        if nested_caches >= _CC_TRUNCATE_NESTING:
+            # Bound the NESTED-CACHE depth (r14, measured): a chain of
+            # persisted rounds nests each InMemoryRelation's cached
+            # physical plan inside the next, and Spark's plan
+            # rendering/canonicalization over that nesting costs
+            # O(2^depth) — the optimized-plan STRING of a 15-round chain
+            # reached 80 MB and per-probe driver time grew 0.4 s → 55 s
+            # while job counts stayed constant (pure driver plan-
+            # machinery, no recomputation). localCheckpoint(eager=True)
+            # truncates to a LogicalRDD leaf, resetting the depth; like
+            # any localCheckpoint it trades fault-tolerance of that
+            # intermediate for lineage truncation (guide §5) — at
+            # cluster scale the docstring's durable-checkpoint swap
+            # applies. Shallow graphs (the sf corpora converge in 2
+            # rounds) never reach the threshold, so the common-case
+            # plan/job shape is untouched.
+            labels = nxt.localCheckpoint(eager=True)
+            nested_caches = 0
+        else:
+            labels = persist_tracked(nxt)
+            nested_caches += 1
+        last_persisted = labels if nested_caches else None
         cur_sum = labels.agg(label_sum).first()["s"]
-        prev_persisted.unpersist()
+        if prev_persisted is not None:
+            prev_persisted.unpersist()
         if cur_sum == prev_sum:
             # monotonicity: sum(prev_probe) == sum(now) means every round
             # since the previous probe was already at the fixpoint, so
