@@ -904,6 +904,23 @@ def main() -> None:
         "probes at 1000x, where a full staging would write ~60 GB.",
     )
     args = ap.parse_args()
+
+    # host-calibration brackets (BASELINE §5 / bench.py host_calibration):
+    # staged-scale points run for minutes, exactly the window where this
+    # host's 2-4x CPU-steal episodes bite — every probe payload now
+    # carries its own brackets so a hot third-decade segment can be
+    # normalized without a re-run (the r13 slsh adjudication needed
+    # three re-runs for lack of them).
+    def _calib() -> float:
+        import numpy as np
+
+        a = np.random.RandomState(0).rand(2_000_000)
+        t0 = time.time()
+        for _ in range(2):
+            np.sort(a, kind="mergesort").sum()
+        return round(time.time() - t0, 3)
+
+    calib_start = _calib()
     factors = [int(f) for f in args.factors.split(",")]
     only = (
         {t.strip() for t in args.only.split(",") if t.strip()}
@@ -999,7 +1016,11 @@ def main() -> None:
         rows.append({"query": name, "times": ts, "exponent": exp})
         cells = "  ".join(f"{s}x={ts[s]!s}" for s in scales)
         print(f"{name:<28} {cells}  exp={exp}")
-    out = {"factors": factors, "rows": rows}
+    out = {
+        "factors": factors,
+        "rows": rows,
+        "calib": [calib_start, _calib()],
+    }
     if args.skew:
         out["skew_frac"] = args.skew
         out["occupancy"] = {str(s): o for s, o in occ.items()}
